@@ -1,0 +1,26 @@
+from .algebra import (
+    check_constraints,
+    extract_key,
+    filter_source_table,
+    from_wire,
+    route_ops,
+    to_wire,
+    unwrap,
+)
+from .generator import generate_customer_rows, generate_envelope_log
+from .materialize import apply_changes, latest_snapshot, snapshot_at
+
+__all__ = [
+    "apply_changes",
+    "check_constraints",
+    "extract_key",
+    "filter_source_table",
+    "from_wire",
+    "generate_customer_rows",
+    "generate_envelope_log",
+    "latest_snapshot",
+    "route_ops",
+    "snapshot_at",
+    "to_wire",
+    "unwrap",
+]

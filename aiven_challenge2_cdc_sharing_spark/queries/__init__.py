@@ -1,0 +1,58 @@
+"""Oracle-checked query registry (the driver contract).
+
+Every operator claimed in SURVEY.md §2 registers here as a named query:
+a (spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, an
+ANSI-SQL twin DuckDB runs over the same parquet.  ``__spark_entry__.py``
+exposes this registry verbatim.
+
+Conventions that make the cross-engine value-hash match:
+- every computed/aggregate column is aliased identically on both sides;
+- double aggregates are rounded (2-6 dp) on both sides so summation
+  order can't flip the last bit;
+- LIMIT/top-k queries carry a total tiebreak order;
+- session timezone is UTC and timestamps stay second/micro-precision
+  native values on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, Query]:
+    # import for side effect: submodules register their queries
+    from . import (  # noqa: F401
+        aggregates,
+        cdc_queries,
+        dashboards,
+        joins,
+        llm_ops,
+        scalars,
+        setops,
+        windows,
+    )
+
+    return REGISTRY

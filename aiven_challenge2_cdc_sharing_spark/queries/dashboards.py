@@ -1,0 +1,101 @@
+"""The reference's three dashboard/serving query shapes (README.md:144-163)
+applied directly to the driver test tables: terms-agg, date-histogram,
+recent-N — each is IMPLIED surface in SURVEY.md §2 (A1, A2, O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+
+@register(
+    "dash_count_by_segment",
+    oracle="""
+SELECT c_mktsegment, count(*) AS cnt
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY cnt DESC, c_mktsegment
+""",
+    doc="A1 terms-agg: count by category, ordered by count (README.md:150-152)",
+)
+def dash_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "c_mktsegment")
+    )
+
+
+@register(
+    "dash_orders_per_month",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="A2 date-histogram over orders (README.md:154-156 pattern)",
+)
+def dash_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dash_recent_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 10
+""",
+    doc="O1 recent-N saved search (README.md:158-160 pattern); total order "
+    "via (date, key) tiebreak so LIMIT is deterministic",
+)
+def dash_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "dash_events_per_hour_by_type",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+""",
+    doc="A2/T3 batch twin of the streaming tumbling-window count",
+)
+def dash_events_per_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32
+threads, single JVM); the configs below are chosen to also be the right
+defaults on a real multi-executor cluster at 100 TB scale:
+
+- AQE on: runtime shuffle-partition coalescing, broadcast-join demotion/
+  promotion, skew-join splitting — the knobs that matter when stats at
+  plan time are wrong (always, at 100 TB).
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+  real cluster this would be ~2-3x total cores and AQE coalesces down.
+- UTC session timezone so event-time semantics match the DuckDB oracle
+  and the reference's TIMESTAMPTZ normalization
+  (reference terraform/setup_cdc.pgsql:8 — created_at TIMESTAMPTZ).
+- Arrow enabled: every pandas_udf / toPandas crossing is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "aiven_challenge2_cdc_sharing_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
