@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design (the point at 100 TB):
+- exact dedup is a hash groupBy — one shuffle on the dedup key; for
+  long texts we group on a 128-bit fingerprint (md5) instead of the
+  text itself so the shuffle moves 16 bytes/row, not documents.
+- MinHash+LSH near-dup: per-row signature (narrow, no shuffle), band
+  into b buckets, shuffle ONLY (band_id, band_hash) — candidate pairs
+  come from a self-join per bucket, so cost is sum(bucket^2), not N^2.
+- verification (exact shingle Jaccard) runs only on candidate pairs.
+- SimHash: 64-bit signature via per-token hashes; near-dups share
+  signatures within small Hamming distance.
+
+All JVM-side: higher-order array functions + xxhash64, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from a text column."""
+    tok = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on columns; arbitrary survivor (dropDuplicates)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic-survivor exact dedup: group by md5(text) — the
+    shuffle key is 16 bytes regardless of document size — keep min id."""
+    return (
+        df.withColumn("__fp", F.md5(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Append ``minhash`` (array<bigint> of length num_hashes).
+
+    h_i(S) = min over shingles of xxhash64(i, shingle) — the standard
+    salted-hash-family MinHash; computed per-row, fully parallel."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
+        ),
+    )
+    return df.withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature and emit candidate pairs (a < b) that collide
+    in >=1 band.  Shuffle carries only (band_idx, band_hash, id)."""
+    n_hashes_per_band = F.size("minhash") / bands
+    banded = signed.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(
+                            "minhash",
+                            (b * n_hashes_per_band + 1).cast("int"),
+                            n_hashes_per_band.cast("int"),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_idx", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (the verify step)."""
+    sh = df.select(
+        F.col(id_col).alias("__jid"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col("a.__jid"))
+        .join(b, pairs.id_b == F.col("b.__jid"))
+    )
+    inter = F.size(F.array_intersect("a.__sh", "b.__sh"))
+    union = F.size(F.array_union("a.__sh", "b.__sh"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash from token hashes: for each bit b, sum +/-1 votes
+    over tokens; set bit where the vote is positive.  The 64 bit
+    positions are Python-side constants, so every shift amount is a
+    literal and the whole signature stays one codegen'd expression."""
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+    def _voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _voter(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.withColumn(out_col, sig)

@@ -1,0 +1,69 @@
+"""Custom join operators Spark lacks as built-ins (SURVEY.md §2.3).
+
+``asof_join`` is the distributed-first formulation: instead of a per-row
+probe (quadratic) or a range-condition BNLJ (broadcast-limited), union
+both sides and take one window pass — a single shuffle on the join key,
+linear in rows, skew-tolerant via AQE.  This is the standard scale-out
+as-of strategy (cf. pandas merge_asof semantics, Flink temporal join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    inner: bool = True,
+) -> DataFrame:
+    """For each left row, attach the greatest right timestamp <= left ts
+    within the same ``on`` key, as column ``__asof_ts``.
+
+    Union + running ``last(ignorenulls)`` window: right rows sort before
+    left rows at equal timestamps so the match is inclusive.  One shuffle
+    on ``on``; no row multiplication.
+    """
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__payload"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lhs.schema["__payload"].dataType).alias("__payload"),
+        F.col(right_ts).alias("__rts"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        lhs.unionByName(rhs)
+        .withColumn("__asof_ts", F.last("__rts", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select("__payload.*", "__asof_ts")
+    )
+    return matched.filter(F.col("__asof_ts").isNotNull()) if inner else matched
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: Column,
+    lo: Column,
+    hi: Column,
+) -> DataFrame:
+    """J4 theta join of a fact table against a small band/interval table.
+    The band side is always broadcast — a range condition against a
+    broadcast table is a map-side operation, no fact shuffle."""
+    return fact.join(F.broadcast(bands), (value >= lo) & (value < hi))

@@ -1,1 +1,237 @@
-"""llm_ops queries (filled in incrementally)."""
+"""LLM training-data pipeline operators (SURVEY.md §2.11 + north star):
+dedup (exact + MinHash/SimHash near-dup), similarity search, text
+analysis.  Approximate operators register rows-only (no SQL twin);
+everything exact is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    distinct_token_ratio,
+    doc_fingerprint,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokenize,
+)
+from ..operators.dedup import (
+    exact_dedup_by_fingerprint,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+)
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..tables import load_table
+from . import register
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_unique,
+       round(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+             * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+         AS unique_ratio,
+       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> list_contains({_SW_SQL}, t))) AS stopword_hits
+FROM documents
+""",
+    doc="text analysis: token counts, lexical diversity, stopword hits — "
+    "all codegen'd column expressions",
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(tokenize(t))).alias("n_unique"),
+        F.round(distinct_token_ratio(t), 6).alias("unique_ratio"),
+        stopword_hits(t).alias("stopword_hits"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+SELECT doc_id,
+       round(0.5 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 100.0, 1.0)
+           + 0.5 * (len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+                    * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+'))), 6)
+         AS quality
+FROM documents
+""",
+    doc="quality scoring heuristic (length credit + lexical diversity)",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
+    doc="term frequency: explode + count + top-k (the OpenSearch terms-agg "
+    "over analyzed text, done relationally)",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    doc="document fingerprinting: canonicalize + md5 (cross-engine stable)",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "text_lang_distribution",
+    oracle="""
+SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    doc="corpus composition by language/source",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="exact dedup via 16-byte fingerprint groupBy: deterministic "
+    "survivor (min id); shuffle moves hashes, not documents",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup_by_fingerprint(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_distinct_doc_count",
+    oracle="""
+SELECT count(DISTINCT text) AS n_distinct, count(*) AS n_total
+FROM documents
+""",
+    doc="dedup cardinality check",
+)
+def dedup_distinct_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").agg(
+        F.countDistinct("text").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    oracle=None,  # approximate candidate generation; verified pairs only
+    doc="MinHash+LSH near-dup: signature -> banded buckets -> candidate "
+    "pairs -> exact shingle-Jaccard verify >= 0.5; shuffle is "
+    "O(bands*N) band hashes, never N^2 comparisons",
+)
+def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    signed = minhash_signature(docs, "text", num_hashes=16)
+    cands = lsh_candidate_pairs(signed, "doc_id", bands=4)
+    return (
+        jaccard_pairs(cands, docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=None,  # hash-family specific; checked structurally in tests
+    doc="SimHash 64-bit signatures (near-dup by small Hamming distance)",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs, "text").select("doc_id", "simhash")
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+SELECT query_id, vec_id, sim
+FROM (
+  SELECT q.vec_id AS query_id, v.vec_id,
+         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings v
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10
+""",
+    doc="ANN baseline: exact brute-force cosine top-10 for 3 query vectors "
+    "— broadcast queries, map-side score, window top-k",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(emb.select("vec_id", "embedding"), queries, k=10)
+
+
+@register(
+    "sim_cosine_topk_lsh",
+    oracle=None,  # approximate (bucket-restricted) by design
+    doc="ANN scale path: random-hyperplane LSH buckets (4 bits => ~1/16 of "
+    "candidates scored per query)",
+)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(
+        emb.select("vec_id", "embedding"), queries, dim=64, k=10, bits=4
+    )

@@ -1,1 +1,176 @@
-"""windows queries (filled in incrementally)."""
+"""Window-function surface (SURVEY.md §2.5, W1-W4; §2.6 O3).
+
+Every ordering includes a unique tiebreak column so ranks and frames
+are total-ordered — required for cross-engine determinism and the same
+property that makes the CDC materializer order-robust.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k_per_group
+from ..tables import load_table
+from . import register
+
+
+@register(
+    "win_rank_orders_by_price",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="W2 rank/dense_rank per status",
+)
+def win_rank_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_quartiles",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+""",
+    doc="W2 ntile bucketing per segment",
+)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "win_lag_lead_user_events",
+    oracle="""
+SELECT event_id, user_id,
+       round(lag(value)  OVER w, 2) AS prev_value,
+       round(lead(value) OVER w, 2) AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="W3 lag/lead — the relational twin of Debezium before/after images "
+    "(reference consumer_to_opensearch.py:79-92)",
+)
+def win_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@register(
+    "win_running_total",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    doc="W4 running aggregate over an unbounded-preceding frame",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "win_moving_sum",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS msum
+FROM events
+""",
+    doc="W4 bounded sliding frame (4-row moving sum; sum rather than avg so "
+    "2-decimal inputs stay off the .005 round-half boundary cross-engine)",
+)
+def win_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("msum")
+    )
+
+
+@register(
+    "win_latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, ts
+FROM (SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    doc="W1 latest-state-per-key — the CDC snapshot pattern on the events "
+    "stream (upsert-by-id semantics, consumer_to_opensearch.py:94-95)",
+)
+def win_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@register(
+    "win_top3_orders_per_segment",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rn <= 3
+""",
+    doc="O3 per-group top-k: WindowGroupLimit pushes the k-limit below the "
+    "shuffle so only ~k rows per group per partition move",
+)
+def win_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        joined,
+        group=["c_mktsegment"],
+        order=[F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+    )
