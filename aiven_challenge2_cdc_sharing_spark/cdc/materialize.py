@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 from .algebra import META_COLS
 
 
+def latest_state(
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    order_cols: Sequence[str] = ("ts_ms", "seq"),
+) -> DataFrame:
+    """Last event per key, KEEPING tombstones and change metadata.
+
+    This is the correct *persisted* state for incremental maintenance:
+    dropping tombstones (as the user-facing snapshot does) would let an
+    out-of-order insert arriving in a later batch resurrect a deleted
+    key.  The reference is exposed to exactly that hazard and survives
+    only by total topic order (terraform/main.tf:79,234); we keep
+    per-key robustness under arbitrary batch boundaries instead.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def published_snapshot(state: DataFrame) -> DataFrame:
+    """User-facing view of a ``latest_state`` table: live rows only,
+    metadata dropped."""
+    payload = [c for c in state.columns if c not in META_COLS]
+    return state.filter(~F.col("__deleted")).select(*payload)
+
+
 def latest_snapshot(
     changes: DataFrame,
     key_cols: Sequence[str] = ("id",),
@@ -34,14 +63,7 @@ def latest_snapshot(
     stronger than the reference's arrival-order apply
     (consumer_to_opensearch.py:67-96).
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    payload = [c for c in changes.columns if c not in META_COLS and c != "__rn"]
-    return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(~F.col("__deleted"))
-        .select(*payload)
-    )
+    return published_snapshot(latest_state(changes, key_cols, order_cols))
 
 
 def apply_changes(
@@ -69,6 +91,19 @@ def apply_changes(
     return latest_snapshot(
         base.unionByName(batch.select(*base.columns)), key_cols, order_cols
     )
+
+
+def merge_state(
+    state: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str] = ("id",),
+    order_cols: Sequence[str] = ("ts_ms", "seq"),
+) -> DataFrame:
+    """Incremental maintenance of a ``latest_state`` table: both sides
+    carry metadata (incl. tombstones), so merging is closed under
+    arbitrary batch boundaries, replay, and reordering."""
+    return latest_state(state.unionByName(batch.select(*state.columns)),
+                        key_cols, order_cols)
 
 
 def snapshot_at(

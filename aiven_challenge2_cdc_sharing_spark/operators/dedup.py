@@ -25,16 +25,36 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct) from a text column."""
-    tok = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0)))
+    """Word n-gram shingle array (distinct) from a text column.
+
+    PERF: callers must pass a *materialized column reference* (an
+    AttributeReference), not an expression — every ``element_at`` below
+    references ``col`` and Catalyst re-inlines expression arguments
+    into each use site inside higher-order-function lambdas (no CSE
+    there), turning one split() into hundreds per row.  See
+    ``with_shingles``."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(col) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, (i + j + 1).cast("int")) for j in range(n)]
+                " ", *[F.element_at(col, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "__sh"
+) -> DataFrame:
+    """Append a shingle-array column, materializing the token array
+    first so the expensive split() is evaluated once per row.  The
+    intermediate alias is referenced many times, which stops
+    CollapseProject from re-inlining it."""
+    return (
+        df.withColumn("__tok", tokens(F.col(text_col)))
+        .withColumn(out_col, shingles(F.col("__tok"), n))
+        .drop("__tok")
     )
 
 
@@ -62,15 +82,22 @@ def minhash_signature(
     """Append ``minhash`` (array<bigint> of length num_hashes).
 
     h_i(S) = min over shingles of xxhash64(i, shingle) — the standard
-    salted-hash-family MinHash; computed per-row, fully parallel."""
-    sh = shingles(F.col(text_col), shingle_n)
+    salted-hash-family MinHash; computed per-row, fully parallel.
+
+    One pass over the shingle array per row: hash each shingle once to
+    a base value, then derive the i-th family member by re-hashing the
+    base with the salt (cheap long op), instead of hashing the full
+    string num_hashes times."""
+    with_sh = with_shingles(df, text_col, shingle_n)
+    base = F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+    with_base = with_sh.withColumn("__hb", base).drop("__sh")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
+            F.transform(F.col("__hb"), lambda h: F.xxhash64(h, i))
         ),
     )
-    return df.withColumn("minhash", sig)
+    return with_base.withColumn("minhash", sig).drop("__hb")
 
 
 def lsh_candidate_pairs(
@@ -121,8 +148,8 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (the verify step)."""
-    sh = df.select(
-        F.col(id_col).alias("__jid"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    sh = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("__jid"), F.col("__sh")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,8 +171,14 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
     over tokens; set bit where the vote is positive.  The 64 bit
     positions are Python-side constants, so every shift amount is a
     literal and the whole signature stays one codegen'd expression."""
-    tok = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+    hashed = df.withColumn(
+        "__th",
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+        ),
+    )
+    hashes = F.col("__th")  # materialized: hashed once, voted on 64 times
+
     def _voter(bit: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
@@ -159,4 +192,4 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
                 F.lit(0).cast("long")
             )
         )
-    return df.withColumn(out_col, sig)
+    return hashed.withColumn(out_col, sig).drop("__th")

@@ -1,0 +1,154 @@
+"""Structured Streaming runtime (SURVEY.md §2.9) — the same CDC algebra
+under ``readStream``.
+
+The reference's consumer loop (consumer_to_opensearch.py:52-96) maps to:
+- T1 continuous keyed consumption -> file/kafka stream source +
+  checkpointed offsets (stronger than broker-side auto-commit: offsets
+  and state commit atomically per micro-batch);
+- T2 at-least-once + idempotent apply -> foreachBatch + deterministic
+  last-writer-wins merge == effectively exactly-once materialization;
+- T3/T6 tumbling/sliding/session windows; T4 watermarking (the
+  reference has no lateness concept — it relies on single-partition
+  total order, terraform/main.tf:79,234 — we keep only per-key order);
+- S6 peek -> availableNow + limit;
+- T7 heartbeat/liveness -> StreamingQuery.lastProgress.
+
+Batch/stream parity is the design invariant: every transform here calls
+the *same* functions from ``cdc.algebra``/``cdc.materialize`` that the
+batch path uses, so the oracle-checked batch results pin the streaming
+semantics too.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..cdc.algebra import unwrap
+from ..cdc.materialize import latest_state, merge_state, published_snapshot
+from ..schemas import CDC_ENVELOPE
+
+
+def envelope_file_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """T1 — stream of Debezium-style envelope events from JSON files.
+
+    In production this would be
+    ``spark.readStream.format("kafka")... .option("kafka.isolation.level",
+    "read_committed")`` (T8, terraform/main.tf:133) with
+    ``from_json(value)``; the file source exercises the identical
+    downstream plan.
+    """
+    return (
+        spark.readStream.schema(CDC_ENVELOPE)
+        .option("maxFilesPerTrigger", 4)
+        .json(events_dir)
+    )
+
+
+def run_snapshot_maintenance(
+    envelopes: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """T5 — continuously maintain the current-state snapshot table:
+    unwrap each micro-batch and MERGE it into the snapshot (upsert +
+    delete, last-writer-wins), the set-oriented version of the
+    reference's per-event ``index(id=pk, body=doc)``
+    (consumer_to_opensearch.py:94-95).
+
+    Replay-safe: a redelivered batch produces the identical snapshot
+    (T2), so checkpoint recovery gives effectively-exactly-once.
+
+    The persisted table is the *state* (latest event per key INCLUDING
+    tombstones + (ts_ms, seq) metadata): if the published live-rows-only
+    snapshot were persisted instead, an insert arriving in a later
+    micro-batch than its delete would resurrect the key.  Read the
+    user-facing view with ``read_snapshot``.
+    """
+    spark = envelopes.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = unwrap(batch_df)
+        if os.path.exists(snapshot_path):
+            state = merge_state(spark.read.parquet(snapshot_path), changes)
+        else:
+            state = latest_state(changes)
+        # pin the merged result before overwriting the table we read from
+        state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+
+    writer = (
+        envelopes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """User-facing current state from a maintained state table."""
+    return published_snapshot(spark.read.parquet(snapshot_path))
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """T3/T4/T6 — watermarked tumbling (or sliding) window counts;
+    works identically on batch and streaming DataFrames (on batch the
+    watermark is a no-op, which is what makes the oracle check of the
+    batch twin meaningful)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    df = events
+    if events.isStreaming:
+        df = events.withWatermark(ts_col, watermark)
+    return df.groupBy(win.alias("win"), *[F.col(k) for k in extra_keys]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def peek_one(
+    spark: SparkSession, events_dir: str, checkpoint_path: str
+) -> list:
+    """S6 — the reference's peek.py:7-25 (read one message and stop):
+    availableNow micro-batch into an in-memory sink, return first row."""
+    q = (
+        envelope_file_stream(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName("__peek")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM __peek LIMIT 1").collect()
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """T7 — liveness/lag monitoring (the heartbeat analogue,
+    terraform/main.tf:251)."""
+    p = query.lastProgress
+    if p is None:
+        return {"status": query.status, "batches": 0}
+    return {
+        "status": query.status,
+        "batchId": p.get("batchId"),
+        "numInputRows": p.get("numInputRows"),
+        "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+    }
