@@ -1,0 +1,62 @@
+"""Pandas-UDF surface (SURVEY.md §2.10).
+
+The engine's rule: built-in JVM expressions first; when Python is
+genuinely needed (numpy/vectorized math, external libraries), it must
+be Arrow-batched — scalar ``pandas_udf``, grouped ``applyInPandas`` —
+never row-at-a-time ``udf``.  The reference's consumer loop
+(consumer_to_opensearch.py:67-96) is morally a row-at-a-time UDF; these
+are its vectorized replacements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def make_cosine_udf(query_vec: list[float]):
+    """Scalar pandas_udf: cosine similarity of every row's embedding
+    against a fixed query vector.  One numpy matmul per Arrow batch —
+    the classic 10-100x win over per-row Python."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @F.pandas_udf(T.DoubleType())
+    def cosine_to_query(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+        return pd.Series(sims)
+
+    return cosine_to_query
+
+
+def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label", dim: int = 64) -> DataFrame:
+    """Grouped-map applyInPandas: per-label mean vector (centroid).
+
+    Arrow moves each group as one batch; numpy reduces it.  At scale
+    the shuffle is by label (small cardinality) — for skewed labels,
+    pre-aggregate partial sums per partition first (same pattern as
+    salted aggregation)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf[label_col].iloc[0])],
+                "n": [len(pdf)],
+                "centroid": [mat.mean(axis=0).tolist()],
+            }
+        )
+
+    return embeddings.groupBy(label_col).applyInPandas(centroid, out_schema)

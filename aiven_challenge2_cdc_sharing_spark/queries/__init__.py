@@ -52,6 +52,7 @@ def load_registry() -> dict[str, Query]:
         llm_ops,
         scalars,
         setops,
+        udf_ops,
         windows,
     )
 

@@ -1,0 +1,92 @@
+"""Pandas-UDF / mapInPandas query surface (SURVEY.md §2.10 + multimodal
+north star).  ``sim_cosine_topk_pandas`` shares the exact oracle of the
+JVM higher-order-function path — the two implementations must agree to
+the last rounded digit, which pins the Arrow crossing's correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector_udfs import label_centroids, make_cosine_udf
+from ..sources.multimodal import attach_fake_media, decode_media_features
+from ..tables import load_table
+from . import register
+from .llm_ops import sim_cosine_topk  # reuse its oracle; noqa: F401
+
+
+@register(
+    "sim_cosine_topk_pandas",
+    oracle="""
+SELECT query_id, vec_id, sim
+FROM (
+  SELECT q.vec_id AS query_id, v.vec_id,
+         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings v
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10
+""",
+    doc="§2.10 scalar pandas_udf (Arrow-batched numpy matmul) — must equal "
+    "the JVM HOF implementation sim_cosine_topk exactly",
+)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_rows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    per_query = []
+    for r in query_rows:
+        udf = make_cosine_udf(list(r["embedding"]))
+        per_query.append(
+            emb.select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"),
+                "vec_id",
+                F.round(udf(F.col("embedding")), 6).alias("sim"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "sim_label_centroids",
+    oracle=None,  # grouped-map applyInPandas; checked vs numpy in tests
+    doc="§2.10 grouped-map applyInPandas: per-label embedding centroid",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        "label",
+        "n",
+        F.round(F.element_at("centroid", 1), 6).alias("centroid_0"),
+        F.round(F.element_at("centroid", 64), 6).alias("centroid_63"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+SELECT doc_id,
+       'image/fake' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+       list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000003
+         AS byte_sum_mod
+FROM documents
+""",
+    doc="multimodal plumbing: binary payload column -> mapInPandas decode "
+    "stub -> typed features; oracle recomputes the deterministic fake "
+    "features from the source text",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_features(attach_fake_media(docs))

@@ -1,0 +1,75 @@
+"""Physical-plan contracts: the properties that make these queries
+scale-safe must hold in the optimized plan, not just in intent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+)
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    q = load_registry()["join_broadcast_region_rollup"]
+    assert has_broadcast_join(q.fn(spark, sf_dir))
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    assert has_pushed_filters(df, "GreaterThan(o_totalprice,400000")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"l_orderkey", "l_quantity"} for s in schemas)
+
+
+def test_pricing_summary_scan_pruned_and_pushed(spark, sf_dir):
+    q = load_registry()["agg_pricing_summary"]
+    df = q.fn(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    # 11-column table, 8 needed
+    assert schemas and all(len(s) <= 8 for s in schemas)
+    assert has_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    q = load_registry()["dash_recent_orders"]
+    assert "TakeOrderedAndProject" in explain_str(q.fn(spark, sf_dir))
+
+
+def test_topk_per_group_limits_below_shuffle(spark, sf_dir):
+    q = load_registry()["win_top3_orders_per_segment"]
+    # Spark 3.5+/4.x plans a WindowGroupLimit before the final window sort
+    assert "WindowGroupLimit" in explain_str(q.fn(spark, sf_dir))
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+    q = load_registry()["join_range_value_bands"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_semi_and_anti_join_plans(spark, sf_dir):
+    reg = load_registry()
+    assert "LeftSemi" in explain_str(reg["join_semi_active_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in explain_str(reg["join_anti_dormant_customers"].fn(spark, sf_dir))
+
+
+def test_cdc_snapshot_single_shuffle(spark, sf_dir):
+    from aiven_challenge2_cdc_sharing_spark.plans.inspect import num_exchanges
+
+    q = load_registry()["cdc_snapshot"]
+    # generator union + unwrap + one window: exactly one exchange per
+    # union branch feeding the single row_number shuffle
+    assert num_exchanges(q.fn(spark, sf_dir)) <= 4
