@@ -47,6 +47,7 @@ def load_registry() -> dict[str, Query]:
     from . import (  # noqa: F401
         aggregates,
         cdc_queries,
+        coverage_extras,
         dashboards,
         joins,
         llm_ops,

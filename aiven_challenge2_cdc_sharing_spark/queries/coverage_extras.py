@@ -1,0 +1,165 @@
+"""Coverage closers for SURVEY.md §2: global sort (O2), grouping
+flags (A5), percent_rank/cume_dist (W2), array/split string ops,
+incremental MERGE as a checked query (J7), session windows (T6 batch
+twin, oracle via gaps-and-islands SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cdc import apply_changes, generate_envelope_log, latest_snapshot, unwrap
+from ..tables import load_table
+from . import register
+from .cdc_queries import SNAPSHOT_SQL
+
+
+@register(
+    "sort_global_orders",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number() OVER (ORDER BY o_orderpriority, o_totalprice DESC,
+                          o_orderkey) AS global_pos
+FROM orders
+""",
+    doc="O2 global total-order sort, pinned by a global row_number "
+    "(range-partitioned sort in Spark)",
+)
+def sort_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("global_pos"),
+    )
+
+
+@register(
+    "agg_rollup_grouping_flags",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+       count(*) AS cnt
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+    doc="A5 grouping() flags distinguish subtotal rows from NULL-valued keys",
+)
+def agg_rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "cnt")
+    )
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+SELECT c_custkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    doc="W2 percent_rank/cume_dist over a total order",
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "fn_array_split_ops",
+    oracle="""
+SELECT doc_id,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       array_to_string(list_sort(string_split(text, ' ')[1:4]), '|') AS first4_sorted,
+       len(string_split(text, ' ')) AS n_parts
+FROM documents
+""",
+    doc="array/split string ops: split, contains, slice, sort, join",
+)
+def fn_array_split_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = F.split(F.col("text"), " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_contains(parts, "spark").alias("has_spark"),
+        F.array_join(F.sort_array(F.slice(parts, 1, 4)), "|").alias("first4_sorted"),
+        F.size(parts).alias("n_parts"),
+    )
+
+
+@register(
+    "cdc_merge_incremental",
+    oracle=SNAPSHOT_SQL,
+    doc="J7/T5 as a checked query: inserts-only snapshot MERGEd with the "
+    "update+delete batch must equal the full-log snapshot",
+)
+def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = generate_envelope_log(spark, sf_dir)
+    current = latest_snapshot(unwrap(log.filter(F.col("op") == "c")))
+    batch = unwrap(log.filter(F.col("op") != "c"))
+    return apply_changes(current, batch)
+
+
+@register(
+    "win_session_windows",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS cnt
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc="T6 session windows (30 min gap), batch twin; oracle derives the "
+    "same sessions with gaps-and-islands SQL. The identical Spark code "
+    "runs under readStream with a watermark.",
+)
+def win_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "cnt",
+        )
+    )
