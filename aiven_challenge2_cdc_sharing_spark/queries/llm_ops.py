@@ -178,7 +178,12 @@ def dedup_distinct_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    signed = minhash_signature(docs, "text", num_hashes=16)
+    # localCheckpoint: the LSH band self-join consumes the signatures
+    # twice; materializing once halves the signature compute (and at
+    # scale would be a persisted signature table)
+    signed = minhash_signature(docs, "text", num_hashes=16).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(signed, "doc_id", bands=4)
     return (
         jaccard_pairs(cands, docs, "doc_id", "text")

@@ -34,6 +34,7 @@ def get_spark(app_name: str = "aiven_challenge2_cdc_sharing_spark") -> SparkSess
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
