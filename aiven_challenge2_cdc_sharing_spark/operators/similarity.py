@@ -62,6 +62,117 @@ def cosine_topk_bruteforce(
     )
 
 
+def _assign_nearest(
+    vectors: DataFrame, centroids: DataFrame, vec_col: str, out_col: str
+) -> DataFrame:
+    """Attach the id of the nearest (by cosine) broadcast centroid."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "__csim", cosine(v, F.col("__cvec"))
+    )
+    # first column is the row id — sufficient (and cheap) partition key
+    w = Window.partitionBy(vectors.columns[0]).orderBy(
+        F.desc("__csim"), F.col("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*vectors.columns, F.col("__cid").alias(out_col))
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: k-means with fixed seeds
+    (centroids initialized from the first n_lists ids), Lloyd iterations
+    expressed as DataFrame ops — assignment is a broadcast argmin,
+    update is posexplode + per-(cluster, dim) mean.  Everything
+    shuffles only (cluster, dim, partial-sum), never vectors."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("__cid"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_nearest(
+            vectors.select(id_col, vec_col), cents, vec_col, "__cluster"
+        )
+        cents = (
+            assigned.select(
+                "__cluster",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__pos", "__val"
+                ),
+            )
+            .groupBy("__cluster", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .groupBy("__cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__mean"))
+                ).alias("__pm")
+            )
+            .select(
+                F.col("__cluster").alias("__cid"),
+                F.transform("__pm", lambda s: s["__mean"]).alias("__cvec"),
+            )
+        )
+    return cents
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: vectors pre-assigned to their nearest centroid list;
+    each query scores only the ``n_probe`` nearest lists — candidate
+    set ~ N * n_probe / n_lists, exact cosine within it."""
+    cents = train_ivf_centroids(vectors, n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_nearest(
+        vectors.select(id_col, vec_col), cents, vec_col, "__cluster"
+    )
+    q = queries.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("__qvec")
+    )
+    qscored = q.join(F.broadcast(cents)).withColumn(
+        "__csim", cosine(F.col("__qvec"), F.col("__cvec"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.col("__cid"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qvec", F.col("__cid").alias("__cluster"))
+    )
+    scored = assigned.join(F.broadcast(probes), "__cluster").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-bit LSH."""
     rng = np.random.default_rng(seed)
@@ -89,17 +200,31 @@ def cosine_topk_lsh(
     k: int = 10,
     bits: int = 4,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    With ``bits`` hyperplanes the expected candidate set is N / 2**bits."""
+    """Approximate top-k: candidates restricted to buckets within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe LSH).
+
+    With b hyperplane bits, single-probe scans ~N/2**b candidates but a
+    near neighbor falling on the wrong side of ONE plane is lost;
+    probing Hamming-distance<=1 buckets scans (1+b)/2**b of the data
+    and recovers most of that recall.  The bucket match is an equi-join
+    against the exploded probe set, so it stays a broadcast hash join.
+    """
     planes = hyperplanes(dim, bits, seed)
     v = F.col(vec_col).cast("array<double>")
     q = F.col(query_vec_col).cast("array<double>")
     bucketed = vectors.withColumn("__bucket", lsh_bucket(v, planes))
-    qb = queries.withColumn("__qbucket", lsh_bucket(q, planes))
-    scored = bucketed.join(
-        F.broadcast(qb), F.col("__bucket") == F.col("__qbucket")
-    ).select(
+    probe_masks = [0] + (
+        [1 << i for i in range(bits)] if probe_hamming >= 1 else []
+    )
+    qb = queries.withColumn("__qb", lsh_bucket(q, planes)).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(*[F.col("__qb").bitwiseXOR(F.lit(m)) for m in probe_masks])
+        ),
+    )
+    scored = bucketed.join(F.broadcast(qb), "__bucket").select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(v, q), 6).alias("sim"),

@@ -25,7 +25,11 @@ from ..operators.dedup import (
     minhash_signature,
     simhash64,
 )
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from ..tables import load_table
 from . import register
 
@@ -140,6 +144,77 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text || ' contact doc' || doc_id || '@corp.example or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9\\-]{6,}', '<PHONE>', 'g') AS redacted
+FROM documents
+""",
+    doc="PII redaction for training corpora: email + phone patterns "
+    "scrubbed with JVM-side regexp_replace (PII synthesized "
+    "deterministically since the corpus has none)",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_pii = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("with_pii"),
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                "with_pii",
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\+?[0-9][0-9\-]{6,}",
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "text_char_trigrams",
+    oracle="""
+SELECT tri, count(*) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+  FROM documents
+)
+GROUP BY tri
+ORDER BY cnt DESC, tri
+LIMIT 30
+""",
+    doc="character trigram profile (the language-ID building block): "
+    "generated with a JVM-side transform over positions, no UDF",
+)
+def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # substr with a dynamic start position needs the SQL-expr form
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__tris",
+        F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"),
+    )
+    return (
+        docs.select(F.explode("__tris").alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tri")
+        .limit(30)
+    )
+
+
+@register(
     "dedup_exact_fingerprint",
     oracle="""
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -239,4 +314,20 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cosine_topk_lsh(
         emb.select("vec_id", "embedding"), queries, dim=64, k=10, bits=4
+    )
+
+
+@register(
+    "sim_cosine_topk_ivf",
+    oracle=None,  # approximate (probed inverted lists) by design
+    doc="ANN scale path 2: IVF — deterministic k-means coarse quantizer, "
+    "n_probe=4 of 16 lists scored per query (~1/4 of candidates)",
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_ivf(
+        emb.select("vec_id", "embedding"), queries, k=10, n_lists=16, n_probe=4
     )
