@@ -278,6 +278,77 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_documents",
+    oracle="""
+SELECT doc_id, chunk_idx,
+       array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'),
+                                  chunk_idx * 50 + 1, chunk_idx * 50 + 64), ' ')
+         AS chunk_text
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(len(string_split_regex(lower(trim(text)), '\\s+'))
+                                   / 50.0) AS BIGINT))) AS chunk_idx
+  FROM documents
+)
+""",
+    doc="document chunking for training pipelines: 64-token windows with "
+    "stride 50 (14-token overlap), generated per-row with JVM array ops "
+    "— no shuffle until a downstream op needs one",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__tok", tokenize(F.col("text"))
+    )
+    chunks = docs.select(
+        "doc_id",
+        "__tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("__tok") / F.lit(50.0)).cast("long") - 1,
+            )
+        ).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("__tok"), (F.col("chunk_idx") * 50 + 1).cast("int"), 64)
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "text_token_budget_by_source",
+    oracle="""
+SELECT source,
+       sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens,
+       count(*) AS n_docs,
+       round(avg(len(string_split_regex(lower(trim(text)), '\\s+'))), 2)
+         AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY total_tokens DESC, source
+""",
+    doc="token budget accounting per source — the sizing query every "
+    "training-data pipeline runs first",
+)
+def text_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__n", token_count(F.col("text"))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum("__n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__n"), 2).alias("avg_tokens"),
+        )
+        .orderBy(F.desc("total_tokens"), "source")
+    )
+
+
+@register(
     "sim_cosine_topk",
     oracle="""
 SELECT query_id, vec_id, sim
