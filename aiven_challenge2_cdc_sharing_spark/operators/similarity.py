@@ -141,8 +141,16 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """IVF search: vectors pre-assigned to their nearest centroid list;
     each query scores only the ``n_probe`` nearest lists — candidate
-    set ~ N * n_probe / n_lists, exact cosine within it."""
-    cents = train_ivf_centroids(vectors, n_lists, id_col=id_col, vec_col=vec_col)
+    set ~ N * n_probe / n_lists, exact cosine within it.
+
+    The trained centroids are localCheckpoint'ed: they are consumed by
+    both the assignment join and the query-probe join, and without the
+    cut each consumer would replay every Lloyd iteration (plan audit
+    showed 22 exchanges; at scale the centroid table would simply be
+    persisted once at index-build time)."""
+    cents = train_ivf_centroids(
+        vectors, n_lists, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     assigned = _assign_nearest(
         vectors.select(id_col, vec_col), cents, vec_col, "__cluster"
     )

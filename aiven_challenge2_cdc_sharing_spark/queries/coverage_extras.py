@@ -22,8 +22,11 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
                           o_orderkey) AS global_pos
 FROM orders
 """,
-    doc="O2 global total-order sort, pinned by a global row_number "
-    "(range-partitioned sort in Spark)",
+    doc="O2 global total-order sort, pinned by a global row_number. "
+    "NOTE the global window is a deliberate single-partition step to "
+    "make the order oracle-checkable; at 100 TB a global ordinal would "
+    "instead use the sort's range partitioning + per-partition offsets "
+    "(zipWithIndex pattern) to avoid the single-reducer window",
 )
 def sort_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")

@@ -6,12 +6,17 @@ from .runtime import (
     run_snapshot_maintenance,
     windowed_counts,
 )
+from .sinks import make_exactly_once_sink, write_once_per_batch
+from .stateful import running_user_profiles
 
 __all__ = [
     "envelope_file_stream",
+    "make_exactly_once_sink",
     "peek_one",
     "progress_summary",
     "read_snapshot",
     "run_snapshot_maintenance",
+    "running_user_profiles",
     "windowed_counts",
+    "write_once_per_batch",
 ]

