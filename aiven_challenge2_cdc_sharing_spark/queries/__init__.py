@@ -53,6 +53,7 @@ def load_registry() -> dict[str, Query]:
         llm_ops,
         scalars,
         setops,
+        tpch_like,
         udf_ops,
         windows,
     )

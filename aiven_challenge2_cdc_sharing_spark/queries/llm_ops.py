@@ -267,6 +267,102 @@ def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5_SIG_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(s, x -> md5('0:' || x))) AS sig_0,
+       list_min(list_transform(s, x -> md5('1:' || x))) AS sig_1,
+       list_min(list_transform(s, x -> md5('2:' || x))) AS sig_2,
+       list_min(list_transform(s, x -> md5('3:' || x))) AS sig_3,
+       list_min(list_transform(s, x -> md5('4:' || x))) AS sig_4,
+       list_min(list_transform(s, x -> md5('5:' || x))) AS sig_5
+FROM sh
+"""
+
+N_MD5_SIGS = 6
+
+
+def _md5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine MinHash: h_i = min(md5('i:' || shingle)) — md5 hex
+    strings compare identically in Spark and DuckDB, so the whole
+    near-dup signature (not just exact dedup) sits under the oracle
+    gate.  xxhash64-based minhash (operators/dedup.py) remains the
+    fast production path; this is its verifiable twin."""
+    from ..operators.dedup import with_shingles
+
+    docs = with_shingles(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    )
+    def _salted(i: int):
+        # NB: must be a ONE-arg lambda — a second parameter (even with a
+        # default) makes PySpark pass the array index into it
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("__sh"), _salted(i))).alias(f"sig_{i}")
+        for i in range(N_MD5_SIGS)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+@register(
+    "dedup_minhash_md5_signatures",
+    oracle=_MD5_SIG_SQL,
+    doc="oracle-checked MinHash signatures (md5 hash family, 6 hashes): "
+    "DuckDB recomputes byte-identical signatures from the raw text",
+)
+def dedup_minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _md5_minhash_signatures(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_md5_pairs",
+    oracle=f"""
+WITH sigs AS ({_MD5_SIG_SQL}),
+banded AS (
+  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+  UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+  UNION ALL SELECT doc_id, 3, sig_3 FROM sigs
+  UNION ALL SELECT doc_id, 4, sig_4 FROM sigs
+  UNION ALL SELECT doc_id, 5, sig_5 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+    doc="oracle-checked near-dup CANDIDATE PAIRS: signature bands joined "
+    "per (band, sig) — an equi-join both engines compute identically; "
+    "collision iff >=1 of 6 minhashes agree (P ~ 1-(1-J)^6)",
+)
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _md5_minhash_signatures(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (band, sig)".format(
+        N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
+    )
+    banded = sigs.selectExpr("doc_id", stack_expr)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_simhash_signatures",
     oracle=None,  # hash-family specific; checked structurally in tests
