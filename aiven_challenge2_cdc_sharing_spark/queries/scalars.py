@@ -166,6 +166,37 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_suite",
+    oracle="""
+SELECT event_id,
+       event_type AS k_first,
+       round(value, 2) AS v_first,
+       2 AS n_keys,
+       CASE WHEN event_type = 'click' THEN round(value, 2) ELSE NULL END
+         AS click_value
+FROM events
+""",
+    doc="map family: create_map / map_keys / map_values / element_at — "
+    "the oracle recomputes the extracted scalars directly (DuckDB's MAP "
+    "literals differ syntactically; the extraction semantics are what's "
+    "checked)",
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.col("event_type"), F.round("value", 2),
+        F.lit("__const"), F.lit(-1.0),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("k_first"),
+        F.element_at(F.map_values(m), 1).alias("v_first"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, F.lit("click")).alias("click_value"),
+    )
+
+
+@register(
     "fn_array_suite",
     oracle="""
 SELECT vec_id,

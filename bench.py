@@ -24,6 +24,33 @@ from aiven_challenge2_cdc_sharing_spark.session import get_spark
 from aiven_challenge2_cdc_sharing_spark.tables import load_table
 
 
+def _stream_cdc_e2e(spark, sf_dir: str) -> float:
+    import shutil
+    import tempfile
+
+    from aiven_challenge2_cdc_sharing_spark.cdc import generate_envelope_log
+    from aiven_challenge2_cdc_sharing_spark.streaming import (
+        envelope_file_stream,
+        read_snapshot,
+        run_snapshot_maintenance,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        generate_envelope_log(spark, sf_dir).repartition(8).write.json(f"{d}/ev")
+        t0 = time.perf_counter()
+        q = run_snapshot_maintenance(
+            envelope_file_stream(spark, f"{d}/ev"), f"{d}/snap", f"{d}/ck"
+        )
+        q.awaitTermination(600)
+        read_snapshot(spark, f"{d}/snap").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -44,6 +71,11 @@ def main() -> None:
         except Exception as e:  # a failing query must not kill the bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    # end-to-end streaming CDC: envelope JSON -> file stream ->
+    # foreachBatch MERGE -> published snapshot (wall seconds)
+    timings["stream_cdc_snapshot_e2e"] = round(_stream_cdc_e2e(spark, sf_dir), 3)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
