@@ -1,0 +1,109 @@
+"""Duplicate-cluster resolution: near-dup PAIRS -> dedup GROUPS.
+
+LSH/MinHash emits pairwise collisions; a training-data pipeline needs
+connected components ("these 5 docs are one duplicate cluster, keep
+one").  Implemented as iterative min-label propagation over the edge
+list — each round is one join + one aggregate (both shuffles on the
+node id), converging in O(log(diameter)) rounds; duplicate-cluster
+diameters are tiny in practice, so ``max_iters`` defaults small.
+``localCheckpoint`` between rounds truncates the growing lineage.
+
+At 100 TB: edges ~ O(candidate pairs) << N^2; each iteration shuffles
+only (node, label) longs.  (Same algorithm large-graph systems use for
+CC when a Pregel runtime isn't available.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 6,
+) -> DataFrame:
+    """Edge list (id_a, id_b) -> (node, component) where component is
+    the minimum node id reachable within ``max_iters`` hops (exact CC
+    for clusters of diameter <= max_iters)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    # Each round: (1) take the min label over graph neighbors, then
+    # (2) pointer-jump (component := label of component — union-find
+    # path compression), which squares the propagation distance per
+    # round: diameter coverage grows like 2^rounds, so 6 rounds handle
+    # any realistic duplicate-cluster chain.  One convergence check per
+    # round (a count on changed rows) exits early for the common
+    # tiny-cluster case.
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        ptr = stepped.select(
+            F.col("node").alias("__pnode"), F.col("component").alias("__plabel")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.component == ptr["__pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__plabel", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 6,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters and mark survivors: every
+    doc gets (cluster_id, is_survivor); singleton docs survive with
+    their own id as cluster."""
+    comp = connected_components(pairs, max_iters=max_iters)
+    out = docs.join(comp, docs[id_col] == comp.node, "left").select(
+        docs[id_col],
+        F.coalesce("component", docs[id_col]).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_survivor", (F.col(id_col) == F.col("cluster_id")).cast("boolean")
+    )

@@ -364,6 +364,22 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_resolution",
+    oracle=None,  # iterative CC; pinned by synthetic-cluster tests
+    doc="near-dup pairs -> duplicate clusters via iterative min-label "
+    "propagation (connected components); every doc marked with "
+    "(cluster_id, is_survivor) — the keep/drop decision a training "
+    "pipeline actually applies",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_md5_pairs(spark, sf_dir)
+    return dedup_clusters(docs, pairs, max_iters=6).orderBy("doc_id")
+
+
+@register(
     "dedup_simhash_signatures",
     oracle=None,  # hash-family specific; checked structurally in tests
     doc="SimHash 64-bit signatures (near-dup by small Hamming distance)",

@@ -60,3 +60,38 @@ def save_governed_copy(
 
 def table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet location into
+    ~target-sized files (the maintenance job every long-running
+    ingest needs — micro-batch MERGE output accretes small files that
+    destroy scan throughput at scale).  Returns the new file count.
+
+    Sizing uses the current on-disk bytes; ``sort_by`` re-sorts within
+    output files to restore row-group skipping after compaction."""
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(location, "*.parquet")) + glob.glob(
+        os.path.join(location, "part-*")
+    )
+    total = sum(os.path.getsize(f) for f in set(files))
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(location)
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = location.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(location)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_files
