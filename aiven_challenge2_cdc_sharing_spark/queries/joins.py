@@ -13,7 +13,7 @@ is the EXT surface mandated by the north star, designed scale-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join

@@ -13,7 +13,6 @@ from ..functions.vector_udfs import label_centroids, make_cosine_udf
 from ..sources.multimodal import attach_fake_media, decode_media_features
 from ..tables import load_table
 from . import register
-from .llm_ops import sim_cosine_topk  # reuse its oracle; noqa: F401
 
 
 @register(

@@ -3,7 +3,6 @@ stream-static enrichment."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
