@@ -127,6 +127,32 @@ def win_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_range_frame_sum",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS nearby_total
+FROM orders
+""",
+    doc="W4 value-RANGE frame: sum over rows within a 10k price band "
+    "below the current row — frame membership defined by values, so "
+    "ties are handled identically in both engines",
+)
+def win_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+    )
+
+
+@register(
     "win_latest_event_per_user",
     oracle="""
 SELECT user_id, event_id, event_type, ts

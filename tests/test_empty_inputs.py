@@ -1,0 +1,50 @@
+"""Degenerate-input robustness: core operators must behave on empty
+logs/tables (the state of every pipeline at t=0)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.cdc import (
+    apply_changes,
+    generate_envelope_log,
+    latest_snapshot,
+    unwrap,
+)
+from aiven_challenge2_cdc_sharing_spark.operators.clustering import dedup_clusters
+from aiven_challenge2_cdc_sharing_spark.operators.joins import asof_join
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+
+def test_snapshot_of_empty_log(spark, sf_dir):
+    log = generate_envelope_log(spark, sf_dir).filter(F.lit(False))
+    assert latest_snapshot(unwrap(log)).count() == 0
+
+
+def test_apply_empty_batch_is_identity(spark, sf_dir):
+    log = generate_envelope_log(spark, sf_dir)
+    snap = latest_snapshot(unwrap(log))
+    empty = unwrap(log.filter(F.lit(False)))
+    merged = apply_changes(snap, empty)
+    assert merged.count() == snap.count()
+
+
+def test_asof_join_empty_right(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase")
+    right = events.filter(F.lit(False))
+    assert asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts").count() == 0
+    # outer variant keeps all left rows, with null match
+    outer = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", inner=False
+    )
+    assert outer.count() == left.count()
+    assert outer.filter(F.col("__asof_ts").isNotNull()).count() == 0
+
+
+def test_dedup_clusters_no_pairs(spark):
+    docs = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_clusters(docs, pairs)
+    assert out.filter("is_survivor").count() == 5
+    assert out.filter("cluster_id != doc_id").count() == 0
