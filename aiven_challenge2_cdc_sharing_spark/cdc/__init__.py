@@ -1,5 +1,6 @@
 from .algebra import (
     check_constraints,
+    from_wire_quarantine,
     extract_key,
     filter_source_table,
     from_wire,
@@ -16,6 +17,7 @@ __all__ = [
     "extract_key",
     "filter_source_table",
     "from_wire",
+    "from_wire_quarantine",
     "generate_customer_rows",
     "generate_envelope_log",
     "latest_snapshot",

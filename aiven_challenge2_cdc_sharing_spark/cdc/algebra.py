@@ -117,6 +117,45 @@ def from_wire(wire: DataFrame) -> DataFrame:
     )
 
 
+def from_wire_quarantine(wire: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S3 hardened: split wire records into (decoded, quarantined).
+
+    A record whose value_json is present but unparseable (or whose key
+    is missing/unparseable) is quarantined instead of decoded into an
+    all-NULL row — an all-NULL row carries a NULL key and, worse, a
+    *parseable key with garbage payload* would overwrite good state on
+    MERGE.  Tombstones (value IS NULL) remain valid records.
+    """
+    parsed = wire.select(
+        F.from_json("key_json", CDC_WIRE_KEY).alias("k"),
+        F.from_json("value_json", CDC_WIRE_VALUE).alias("v"),
+        F.col("value_json").isNull().alias("is_tombstone"),
+        F.col("key_json"),
+        F.col("value_json"),
+        F.col("offset"),
+    )
+    bad = (
+        F.col("k").isNull()
+        | F.col("k.id").isNull()
+        | (~F.col("is_tombstone") & F.col("v.id").isNull())
+    )
+    quarantined = parsed.filter(bad).select("key_json", "value_json", "offset")
+    good = parsed.filter(~bad).select(
+        F.col("k.id").alias("id"),
+        F.col("v.full_name").alias("full_name"),
+        F.col("v.email").alias("email"),
+        F.col("v.phone").alias("phone"),
+        F.col("v.classification").alias("classification"),
+        F.col("v.created_at").alias("created_at"),
+        (
+            F.col("is_tombstone")
+            | F.coalesce(F.col("v.__deleted") == "true", F.lit(False))
+        ).alias("__deleted"),
+        F.col("offset"),
+    )
+    return good, quarantined
+
+
 def route_ops(unwrapped: DataFrame) -> tuple[DataFrame, DataFrame]:
     """P6 — op-type dispatch (consumer_to_opensearch.py:70-96): split into
     (upserts, deletes).  Set-oriented: both halves are lazy filters over
