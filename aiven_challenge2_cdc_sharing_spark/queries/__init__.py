@@ -49,6 +49,7 @@ def load_registry() -> dict[str, Query]:
         cdc_queries,
         coverage_extras,
         dashboards,
+        extras2,
         joins,
         llm_ops,
         scalars,
