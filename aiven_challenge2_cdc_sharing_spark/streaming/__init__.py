@@ -1,3 +1,8 @@
+from .incremental import (
+    apply_agg_deltas,
+    classification_deltas,
+    run_incremental_counts,
+)
 from .runtime import (
     envelope_file_stream,
     peek_one,
@@ -10,11 +15,14 @@ from .sinks import make_exactly_once_sink, write_once_per_batch
 from .stateful import running_user_profiles
 
 __all__ = [
+    "apply_agg_deltas",
+    "classification_deltas",
     "envelope_file_stream",
     "make_exactly_once_sink",
     "peek_one",
     "progress_summary",
     "read_snapshot",
+    "run_incremental_counts",
     "run_snapshot_maintenance",
     "running_user_profiles",
     "windowed_counts",
