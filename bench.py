@@ -76,18 +76,25 @@ def main() -> None:
     # foreachBatch MERGE -> published snapshot (wall seconds)
     timings["stream_cdc_snapshot_e2e"] = round(_stream_cdc_e2e(spark, sf_dir), 3)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # The driver captures a bounded tail of stdout and must be able to
+    # json-parse the final line (BENCH_r01 had parsed:null because the
+    # round-1 line overflowed that buffer).  Keep the line as short as
+    # possible: compact separators, 2-decimal timings, nothing else on
+    # stdout (all logs go to stderr).
+    line = json.dumps(
+        {
+            "metric": "registry_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(f"bench: final JSON line is {len(line)} bytes", file=sys.stderr)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
