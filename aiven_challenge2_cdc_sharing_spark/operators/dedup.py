@@ -16,7 +16,7 @@ All JVM-side: higher-order array functions + xxhash64, no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,32 +100,66 @@ def minhash_signature(
     return with_base.withColumn("minhash", sig).drop("__hb")
 
 
+def cap_hot_buckets(
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows belonging to buckets larger than ``max_bucket_size``.
+
+    The guard every banded-LSH self-join needs at scale: join cost is
+    sum(bucket^2), so one degenerate bucket (empty docs, boilerplate)
+    of 10M rows is 10^14 pairs.  Standard practice is to drop (or
+    sub-split) oversized buckets — members of a giant bucket are
+    near-identical to huge cohorts and get linked through smaller
+    buckets or exact dedup anyway.  The count is a window over the same
+    key the self-join shuffles on, so the filter rides the shuffle the
+    join needs — no extra exchange."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str,
     bands: int = 4,
+    num_hashes: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs (a < b) that collide
-    in >=1 band.  Shuffle carries only (band_idx, band_hash, id)."""
-    n_hashes_per_band = F.size("minhash") / bands
+    in >=1 band.  Shuffle carries only (band_idx, band_hash, id).
+
+    ``num_hashes`` must match the signature length and divide evenly
+    into ``bands`` — a fractional band width silently skews collision
+    probability, so fail loudly instead.  Buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (see
+    ``cap_hot_buckets``)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}; "
+            "band slices would overlap/drop trailing hashes"
+        )
+    width = num_hashes // bands
     banded = signed.select(
         F.col(id_col).alias("__id"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.slice(
-                            "minhash",
-                            (b * n_hashes_per_band + 1).cast("int"),
-                            n_hashes_per_band.cast("int"),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.slice("minhash", b * width + 1, width)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("__id", "band.band_idx", "band.band_hash")
+    if max_bucket_size is not None:
+        banded = cap_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

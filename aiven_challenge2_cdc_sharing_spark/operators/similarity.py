@@ -209,6 +209,7 @@ def cosine_topk_lsh(
     bits: int = 4,
     seed: int = 42,
     probe_hamming: int = 1,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to buckets within
     ``probe_hamming`` bit flips of the query's bucket (multi-probe LSH).
@@ -218,11 +219,25 @@ def cosine_topk_lsh(
     probing Hamming-distance<=1 buckets scans (1+b)/2**b of the data
     and recovers most of that recall.  The bucket match is an equi-join
     against the exploded probe set, so it stays a broadcast hash join.
+
+    ``max_bucket_size`` bounds per-bucket candidate work: a degenerate
+    bucket (e.g. zero vectors, or too few hyperplane bits for N) would
+    otherwise make one query scan ~N rows.  Members beyond the cap are
+    truncated deterministically (ordered by id), trading recall inside
+    a bucket that is by definition poorly discriminated for a hard
+    bound on per-query cost; at scale the real fix is more bits.
     """
     planes = hyperplanes(dim, bits, seed)
     v = F.col(vec_col).cast("array<double>")
     q = F.col(query_vec_col).cast("array<double>")
     bucketed = vectors.withColumn("__bucket", lsh_bucket(v, planes))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("__bucket").orderBy(id_col)
+        bucketed = (
+            bucketed.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     probe_masks = [0] + (
         [1 << i for i in range(bits)] if probe_hamming >= 1 else []
     )

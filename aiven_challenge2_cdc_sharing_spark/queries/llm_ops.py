@@ -335,21 +335,33 @@ banded AS (
   UNION ALL SELECT doc_id, 3, sig_3 FROM sigs
   UNION ALL SELECT doc_id, 4, sig_4 FROM sigs
   UNION ALL SELECT doc_id, 5, sig_5 FROM sigs
+),
+capped AS (
+  SELECT doc_id, band, sig
+  FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= 64
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """,
     doc="oracle-checked near-dup CANDIDATE PAIRS: signature bands joined "
     "per (band, sig) — an equi-join both engines compute identically; "
-    "collision iff >=1 of 6 minhashes agree (P ~ 1-(1-J)^6)",
+    "collision iff >=1 of 6 minhashes agree (P ~ 1-(1-J)^6).  Buckets "
+    "larger than 64 are dropped on BOTH engines (hot-bucket guard: "
+    "self-join cost is sum(bucket^2)), so the capped semantics — not "
+    "just the happy path — sit under the oracle gate",
 )
 def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_hot_buckets
+
     sigs = _md5_minhash_signatures(spark, sf_dir)
     stack_expr = "stack({}, {}) as (band, sig)".format(
         N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
     )
-    banded = sigs.selectExpr("doc_id", stack_expr)
+    banded = cap_hot_buckets(
+        sigs.selectExpr("doc_id", stack_expr), ["band", "sig"], 64
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -83,6 +83,35 @@ def test_minhash_identical_docs_always_pair(spark):
     assert (1, 3) not in pairs or pairs[(1, 3)] < 0.2
 
 
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    # adversarial corpus: 1000 byte-identical docs -> one degenerate LSH
+    # bucket per band.  Uncapped, the self-join would emit ~C(1000,2)
+    # (~500k) candidate pairs from pure boilerplate; the cap drops the
+    # hot bucket so candidate volume stays bounded.
+    rows = [(i, "the same boilerplate footer text appears everywhere") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    signed = minhash_signature(docs, "text").localCheckpoint(eager=False)
+    capped = lsh_candidate_pairs(signed, "doc_id", max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the giant bucket is gone; the small genuine-dup bucket survives
+    assert (2000, 2001) in got
+    assert len(got) == 1
+    # uncapped control on a small slice still pairs everything
+    uncapped = lsh_candidate_pairs(signed, "doc_id", max_bucket_size=None)
+    assert uncapped.count() >= 499_500
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    signed = minhash_signature(docs, "text", num_hashes=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_candidate_pairs(signed, "doc_id", bands=4, num_hashes=10)
+
+
 def test_asof_join_matches_reference_semantics(spark):
     trades = spark.createDataFrame(
         [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0), (3, 5, 7.0)],
