@@ -23,11 +23,18 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 6,
+    max_iters: int = 20,
 ) -> DataFrame:
     """Edge list (id_a, id_b) -> (node, component) where component is
-    the minimum node id reachable within ``max_iters`` hops (exact CC
-    for clusters of diameter <= max_iters)."""
+    the minimum reachable node id.  The per-round convergence probe
+    exits as soon as labels stabilize, and a stable labeling is exactly
+    CC (fixpoint: every label equals the min over the neighborhood and
+    its own pointer target), so ``max_iters`` is a safety cap for
+    pathological diameters, not the expected round count.  Measured on
+    an adversarial 394-doc chain-heavy component: ~10 rounds; a second
+    pointer jump per round was tried and REJECTED — the extra
+    materialization doubles per-round job count, which dominates the
+    saved rounds (12s -> 62s at sf0.01)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -94,7 +101,7 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iters: int = 6,
+    max_iters: int = 20,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters and mark survivors: every
     doc gets (cluster_id, is_survivor); singleton docs survive with

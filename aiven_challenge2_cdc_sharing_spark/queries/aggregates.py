@@ -175,16 +175,35 @@ def agg_having_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL++ estimate has no exact SQL twin; rows-only check
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderstatus
+""",
     doc="A4 approx_count_distinct (HLL++): the scale path for distinct "
-    "counting — constant memory vs exact countDistinct's shuffle of keys",
+    "counting — constant memory vs exact countDistinct's shuffle of keys. "
+    "The HLL estimate has no exact SQL twin, so the query itself asserts "
+    "the rsd=1% sketch lands within 5pct of the exact count; the oracle "
+    "pins the exact count and expects within_5pct=TRUE, making the "
+    "tolerance — not just row shape — hash-checked",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("__approx") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("within_5pct"),
         )
     )
 

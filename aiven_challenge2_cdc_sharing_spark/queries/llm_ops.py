@@ -324,10 +324,9 @@ def dedup_minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md5_minhash_signatures(spark, sf_dir)
 
 
-@register(
-    "dedup_minhash_md5_pairs",
-    oracle=f"""
-WITH sigs AS ({_MD5_SIG_SQL}),
+# CTE chain shared by the pair query and the cluster-resolution oracle:
+# signatures -> banded rows -> hot-bucket cap -> distinct candidate pairs.
+_MD5_PAIRS_CTES = f"""sigs AS ({_MD5_SIG_SQL}),
 banded AS (
   SELECT doc_id, 0 AS band, sig_0 AS sig FROM sigs
   UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
@@ -340,10 +339,19 @@ capped AS (
   SELECT doc_id, band, sig
   FROM banded
   QUALIFY count(*) OVER (PARTITION BY band, sig) <= 64
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_minhash_md5_pairs",
+    oracle=f"""
+WITH {_MD5_PAIRS_CTES}
+SELECT id_a, id_b FROM cand_pairs
 """,
     doc="oracle-checked near-dup CANDIDATE PAIRS: signature bands joined "
     "per (band, sig) — an equi-join both engines compute identically; "
@@ -377,18 +385,41 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_resolution",
-    oracle=None,  # iterative CC; pinned by synthetic-cluster tests
+    oracle=f"""
+WITH RECURSIVE {_MD5_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand_pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON e.dst = w.node
+  WHERE w.r <> e.src
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       (d.doc_id = coalesce(c.component, d.doc_id)) AS is_survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY d.doc_id
+""",
     doc="near-dup pairs -> duplicate clusters via iterative min-label "
     "propagation (connected components); every doc marked with "
     "(cluster_id, is_survivor) — the keep/drop decision a training "
-    "pipeline actually applies",
+    "pipeline actually applies.  Oracle: DuckDB recursive-CTE exact "
+    "transitive closure over the same capped candidate pairs — the "
+    "pointer-jumping BSP result must equal exact CC",
 )
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_md5_pairs(spark, sf_dir)
-    return dedup_clusters(docs, pairs, max_iters=6).orderBy("doc_id")
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
 @register(
