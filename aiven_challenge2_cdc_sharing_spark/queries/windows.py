@@ -137,18 +137,89 @@ FROM orders
 """,
     doc="W4 value-RANGE frame: sum over rows within a 10k price band "
     "below the current row — frame membership defined by values, so "
-    "ties are handled identically in both engines",
+    "ties are handled identically in both engines.  NOT expressed as "
+    "PARTITION BY o_orderstatus (3 values = 3 tasks at any cluster "
+    "size, a straggler/OOM scale-killer); see the bucketed two-pass "
+    "decomposition below",
 )
 def win_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice")
-        .rangeBetween(-10000, Window.currentRow)
+    """RANGE-frame sum via bucketed two-pass decomposition.
+
+    Bucket width == frame width (10k), so every frame [p-10k, p] spans
+    exactly the row's own bucket plus the previous one:
+
+      A = sum of same-bucket rows with value <= p (all are > p-10k
+          since the bucket starts above it) — a RANGE-to-current-row
+          window inside (status, bucket); RANGE, not ROWS, so ties of
+          p are all included exactly as the spec frame does.
+      B = sum of previous-bucket rows with value >= p-10k
+        = bucket_total - prefix_strict(p-10k), where prefix_strict is
+          read off a single windowed pass over the previous bucket's
+          rows UNIONed with one phantom threshold row per source row
+          (phantoms order before equal-valued reals, carry weight 0).
+
+    Every window partitions on (status, bucket): parallelism scales
+    with the value domain instead of pinning the whole table to 3
+    status partitions.  p-10000 is IEEE-exact (exponent can only
+    decrease), so the >= boundary bit-matches DuckDB's RANGE frame.
+    """
+    width = 10_000
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "__b", F.floor(F.col("o_totalprice") / width).cast("long")
+        )
     )
-    return load_table(spark, sf_dir, "orders").select(
+    w_a = (
+        Window.partitionBy("o_orderstatus", "__b")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_a = src.withColumn("__A", F.sum("o_totalprice").over(w_a))
+
+    reals = src.select(
+        "o_orderstatus",
+        F.col("__b").alias("__pb"),
+        F.col("o_totalprice").alias("__val"),
+        F.lit(1).alias("__real"),
+        F.lit(None).cast("long").alias("__key"),
+        F.col("o_totalprice").alias("__wt"),
+    )
+    phantoms = src.select(
+        "o_orderstatus",
+        (F.col("__b") - 1).alias("__pb"),
+        (F.col("o_totalprice") - width).alias("__val"),
+        F.lit(0).alias("__real"),
+        F.col("o_orderkey").alias("__key"),
+        F.lit(0.0).alias("__wt"),
+    )
+    w_p = (
+        Window.partitionBy("o_orderstatus", "__pb")
+        .orderBy("__val", "__real")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_strict = (
+        reals.unionByName(phantoms)
+        .withColumn("__pfx", F.sum("__wt").over(w_p))
+        .filter(F.col("__real") == 0)
+        .select("__key", "o_orderstatus", "__pb", "__pfx")
+    )
+    totals = src.groupBy(
+        "o_orderstatus", F.col("__b").alias("__pb")
+    ).agg(F.sum("o_totalprice").alias("__tot"))
+    part_b = prefix_strict.join(totals, ["o_orderstatus", "__pb"], "left").select(
+        "__key",
+        (F.coalesce("__tot", F.lit(0.0)) - F.coalesce("__pfx", F.lit(0.0))).alias(
+            "__prevsum"
+        ),
+    )
+    return with_a.join(
+        part_b, with_a.o_orderkey == part_b.__key
+    ).select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+        F.round(F.col("__A") + F.col("__prevsum"), 2).alias("nearby_total"),
     )
 
 
