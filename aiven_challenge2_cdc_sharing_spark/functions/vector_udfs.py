@@ -33,6 +33,23 @@ def make_cosine_udf(query_vec: list[float]):
     return cosine_to_query
 
 
+@F.pandas_udf(T.DoubleType())
+def pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Two-column scalar pandas_udf: row-wise cosine(a_i, b_i) for a
+    whole Arrow batch at once (einsum row-dot + vectorized norms).
+
+    This is the shape that keeps a multi-query similarity scan single-
+    pass: crossJoin the fact table with the *broadcast* query set and
+    score each (vector, query) row here — no driver-side collect of
+    query vectors, no per-query plan branch, plan size O(1) in the
+    number of queries."""
+    mat_a = np.stack(a.apply(lambda v: np.asarray(v, dtype=np.float64)))
+    mat_b = np.stack(b.apply(lambda v: np.asarray(v, dtype=np.float64)))
+    num = np.einsum("ij,ij->i", mat_a, mat_b)
+    denom = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(mat_b, axis=1)
+    return pd.Series(num / denom)
+
+
 def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label", dim: int = 64) -> DataFrame:
     """Grouped-map applyInPandas: per-label mean vector (centroid).

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_udfs import label_centroids, make_cosine_udf
+from ..functions.vector_udfs import label_centroids, pairwise_cosine
 from ..sources.multimodal import attach_fake_media, decode_media_features
 from ..tables import load_table
 from . import register
@@ -32,21 +32,24 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 1
     "the JVM HOF implementation sim_cosine_topk exactly",
 )
 def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Arrow path mirroring ``cosine_topk_bruteforce``: one
+    scan of the fact table crossJoined with the broadcast query set,
+    one two-column pandas_udf scoring each (vector, query) row.  No
+    driver-side collect, no per-query union — round 1's version looped
+    queries on the driver, growing the plan O(Q) and re-scanning the
+    fact table per query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    query_rows = emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
-    per_query = []
-    for r in query_rows:
-        udf = make_cosine_udf(list(r["embedding"]))
-        per_query.append(
-            emb.select(
-                F.lit(r["vec_id"]).cast("long").alias("query_id"),
-                "vec_id",
-                F.round(udf(F.col("embedding")), 6).alias("sim"),
-            )
-        )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionByName(df)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            pairwise_cosine(F.col("embedding"), F.col("query_vec")), 6
+        ).alias("sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
