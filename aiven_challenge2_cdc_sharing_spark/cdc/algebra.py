@@ -15,7 +15,7 @@ Fixes the reference's two latent consumer bugs by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import CDC_WIRE_KEY, CDC_WIRE_VALUE
@@ -61,12 +61,25 @@ def extract_key(unwrapped: DataFrame, key_col: str = "id") -> DataFrame:
     return unwrapped.withColumn("__key", F.col(key_col))
 
 
-def to_wire(unwrapped: DataFrame) -> DataFrame:
+N_WIRE_PARTITIONS = 4
+
+
+def to_wire(unwrapped: DataFrame, n_partitions: int = N_WIRE_PARTITIONS) -> DataFrame:
     """S4 — serialize to the post-SMT wire shape (schemas.CDC_WIRE):
     JSON key {"id":N}, JSON flattened value (deletes keep the row with
     "__deleted":"true" per delete.handling.mode=rewrite), plus a trailing
     tombstone record per delete (drop.tombstones=false,
-    terraform/main.tf:255)."""
+    terraform/main.tf:255).
+
+    Partition/offset model Kafka's actual contract: records hash to a
+    partition BY KEY (so one key's history lives on one partition) and
+    ``offset`` is a strictly monotonic per-partition sequence — a
+    row_number over (ts_ms, seq, id), doubled so each delete's trailing
+    tombstone takes the odd slot right after it.  Round 1 fabricated
+    ``ts_ms*10 + seq%10``, which can collide for equal-ts events (and
+    the tombstone +1 silently assumed seq%10 < 9); offsets are now
+    unique and ordered per partition by construction, and the window
+    parallelism equals the partition count instead of a global sort."""
     payload_cols = [c for c in unwrapped.columns if c not in META_COLS]
     value = F.to_json(
         F.struct(
@@ -74,17 +87,25 @@ def to_wire(unwrapped: DataFrame) -> DataFrame:
             F.when(F.col("__deleted"), F.lit("true")).alias("__deleted"),
         )
     )
-    records = unwrapped.select(
+    w = Window.partitionBy("partition").orderBy("ts_ms", "seq", "id")
+    base = (
+        unwrapped.withColumn(
+            "partition",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_partitions)).cast("int"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    records = base.select(
         F.to_json(F.struct(F.col("id"))).alias("key_json"),
         value.alias("value_json"),
-        F.lit(0).alias("partition"),
-        (F.col("ts_ms") * 10 + F.col("seq") % 10).alias("offset"),
+        F.col("partition"),
+        (F.col("__rn") * 2).cast("long").alias("offset"),
     )
-    tombstones = unwrapped.filter(F.col("__deleted")).select(
+    tombstones = base.filter(F.col("__deleted")).select(
         F.to_json(F.struct(F.col("id"))).alias("key_json"),
         F.lit(None).cast("string").alias("value_json"),
-        F.lit(0).alias("partition"),
-        (F.col("ts_ms") * 10 + F.col("seq") % 10 + 1).alias("offset"),
+        F.col("partition"),
+        (F.col("__rn") * 2 + 1).cast("long").alias("offset"),
     )
     return records.unionByName(tombstones)
 

@@ -62,6 +62,32 @@ def test_decode_tolerates_schema_evolution(spark, sf_dir):
     assert rows_set(snap) == rows_set(base)
 
 
+def test_wire_offsets_unique_and_ordered(spark, sf_dir):
+    """The fabricated log must satisfy the broker invariant: offsets are
+    unique and strictly ordered per partition, one key's history lives
+    on one partition, and each delete's tombstone directly follows it."""
+    wire = to_wire(unwrap(generate_envelope_log(spark, sf_dir)))
+    rows = wire.collect()
+    seen = set()
+    for r in rows:
+        key = (r["partition"], r["offset"])
+        assert key not in seen, f"duplicate offset {key}"
+        seen.add(key)
+    # per-key single partition
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key_json"], set()).add(r["partition"])
+    assert all(len(parts) == 1 for parts in by_key.values())
+    # events ordered by offset agree with (ts_ms, seq) ordering: the
+    # decoded latest-state equals the direct snapshot (covered above),
+    # and tombstones (value NULL) sit at odd offsets right after their
+    # delete record
+    for r in rows:
+        if r["value_json"] is None:
+            assert r["offset"] % 2 == 1
+            assert (r["partition"], r["offset"] - 1) in seen
+
+
 def test_kafka_reader_builds(spark):
     """The production reader must at least configure without a broker."""
     reader = kafka_stream_reader(spark, "broker:9092")
