@@ -21,9 +21,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join a skewed fact against a smaller table with key salting:
-    fact rows get a random-but-deterministic salt in [0, buckets); the
-    dim side is replicated once per salt value, so each hot key spreads
-    over ``salt_buckets`` reducers instead of one."""
+    fact rows get an arbitrary-but-join-safe salt in [0, buckets) (the
+    id-derived value can differ across task retries, which is harmless
+    because every salt matches exactly one dim replica); the dim side
+    is replicated once per salt value, so each hot key spreads over
+    ``salt_buckets`` reducers instead of one.
+
+    Only ``inner`` and ``left`` are supported: under right/full outer,
+    every unmatched dim row would surface once per replica —
+    ``salt_buckets`` duplicate output rows."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would emit one row per dim replica for "
+            "unmatched dim keys"
+        )
     salted_fact = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

@@ -21,16 +21,33 @@ event dedup that SURVIVES batch boundaries — a redelivered event can
 arrive in a later micro-batch than its original (the engine's own test
 generator does this on purpose).  The maintainer therefore keeps a
 processed-(ts_ms, seq) log next to the counts and anti-joins each batch
-against it before computing deltas.  At scale the processed log is
-bounded by watermark retention (events older than the source's replay
-window can be compacted away); full crash-atomicity between the two
-writes needs a transactional table format (Delta) — noted, not faked,
-here.
+against it before computing deltas.
+
+Crash-atomicity between the counts write and the processed-log write is
+MVCC-lite: each micro-batch stages BOTH under a version named
+``<run>-<batch_id>`` (``counts/v=...``, ``processed/b=...``) and then
+commits by appending one line to ``_commitlog``; readers and later
+batches only ever see committed versions, so a crash between the
+staging writes leaves orphan directories that the replayed batch simply
+overwrites — never a half-applied state (the manifest-pointer idea
+Delta/Iceberg use, minus compaction).  Versions are scoped by a run id
+derived from the checkpoint location because batch_ids RESTART at 0
+when a checkpoint is lost: a same-run replay (identical batch content,
+guaranteed by Structured Streaming) is skipped via the log, while a
+new run never matches an old version name and instead deduplicates at
+the event level through the processed log — the layer that makes
+checkpoint-loss replay exact.  The commit log lives on the
+driver-local filesystem (same assumption as
+``sinks.write_once_per_batch``; on HDFS/S3 route it through the Hadoop
+FileSystem API).  At scale the per-batch processed dirs are bounded by
+watermark retention and periodically compacted.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -65,34 +82,70 @@ def apply_agg_deltas(counts: DataFrame, deltas: DataFrame) -> DataFrame:
     return merged
 
 
+def _committed_versions(state_path: str) -> list[str]:
+    log_path = os.path.join(state_path, "_commitlog")
+    if not os.path.exists(log_path):
+        return []
+    with open(log_path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def read_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Latest committed counts state (empty frame before first commit)."""
+    versions = _committed_versions(state_path)
+    if not versions:
+        return spark.createDataFrame([], "classification string, cnt bigint")
+    return spark.read.parquet(
+        os.path.join(state_path, "counts", f"v={versions[-1]}")
+    )
+
+
 def run_incremental_counts(
     envelopes: DataFrame, state_path: str, checkpoint_path: str
 ):
     """Maintain the count-by-classification aggregate incrementally
-    from an envelope stream (availableNow)."""
-    import os
+    from an envelope stream (availableNow).  See the module docstring
+    for the versioned-commit (MVCC-lite) exactly-once protocol."""
+    import hashlib
 
     spark = envelopes.sparkSession
-    counts_path = os.path.join(state_path, "counts")
-    processed_path = os.path.join(state_path, "processed")
+    run_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:8]
+    log_path = os.path.join(state_path, "_commitlog")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = f"{run_id}-{batch_id}"
+        committed = _committed_versions(state_path)
+        if version in committed:
+            return  # same-run replay of a fully committed batch: no-op
         fresh = batch_df.dropDuplicates(["ts_ms", "seq"])
-        if os.path.exists(processed_path):
-            seen = spark.read.parquet(processed_path)
+        if committed:
+            seen = spark.read.parquet(
+                *[
+                    os.path.join(state_path, "processed", f"b={v}")
+                    for v in committed
+                ]
+            )
             fresh = fresh.join(seen, ["ts_ms", "seq"], "left_anti")
         fresh = fresh.localCheckpoint(eager=True)  # pin before state writes
         deltas = classification_deltas(fresh)
-        if os.path.exists(counts_path):
-            state = apply_agg_deltas(spark.read.parquet(counts_path), deltas)
+        if committed:
+            state = apply_agg_deltas(read_counts(spark, state_path), deltas)
         else:
             state = deltas.select(
                 "classification", F.col("delta").alias("cnt")
             ).filter(F.col("cnt") != 0)
+        # stage both outputs under this batch's version, then commit by
+        # appending one log line; a crash mid-staging leaves orphans the
+        # replay overwrites, never a half-applied state
         state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            counts_path
+            os.path.join(state_path, "counts", f"v={version}")
         )
-        fresh.select("ts_ms", "seq").write.mode("append").parquet(processed_path)
+        fresh.select("ts_ms", "seq").write.mode("overwrite").parquet(
+            os.path.join(state_path, "processed", f"b={version}")
+        )
+        os.makedirs(state_path, exist_ok=True)
+        with open(log_path, "a") as f:
+            f.write(version + "\n")
 
     return (
         envelopes.writeStream.foreachBatch(merge_batch)

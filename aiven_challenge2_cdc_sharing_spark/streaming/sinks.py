@@ -6,7 +6,14 @@ idempotent the standard way: one output directory per batch_id plus a
 commit marker; a replayed batch sees the marker and skips.  This is
 the file-sink analogue of the reference's id-keyed overwrite
 (consumer_to_opensearch.py:95) — replay tolerance via idempotence, not
-coordination."""
+coordination.
+
+Marker I/O uses driver-local ``os.path``/``open``: correct for local
+filesystems (this repo's deployment), silently degrades to
+write-always-but-still-idempotent on HDFS/S3 where the driver can't
+see the marker — route marker I/O through the Hadoop FileSystem API
+(``spark._jvm.org.apache.hadoop.fs.FileSystem``) to keep the skip
+optimization on object stores."""
 
 from __future__ import annotations
 

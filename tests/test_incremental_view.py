@@ -15,6 +15,7 @@ from aiven_challenge2_cdc_sharing_spark.queries import load_registry
 from aiven_challenge2_cdc_sharing_spark.streaming.incremental import (
     apply_agg_deltas,
     classification_deltas,
+    read_counts,
     run_incremental_counts,
 )
 from aiven_challenge2_cdc_sharing_spark.streaming.runtime import (
@@ -41,7 +42,7 @@ def test_incremental_counts_equal_recompute(spark, sf_dir, tmpdir):
     q.awaitTermination(300)
     got = {
         r["classification"]: r["cnt"]
-        for r in spark.read.parquet(f"{tmpdir}/counts/counts").collect()
+        for r in read_counts(spark, f"{tmpdir}/counts").collect()
     }
     want = {
         r["classification"]: r["cnt"]
@@ -50,6 +51,58 @@ def test_incremental_counts_equal_recompute(spark, sf_dir, tmpdir):
         .collect()
     }
     assert got == want
+
+
+def test_crash_before_commit_is_invisible_and_replay_converges(
+    spark, sf_dir, tmpdir
+):
+    """Crash-atomicity: a batch whose staging dirs were written but whose
+    commit-log line was lost must be invisible to readers (they see the
+    previous committed version), and a fresh run over the same source —
+    new checkpoint, so batch ids restart — must converge back to the
+    exact counts via event-level dedup, with no double-counting."""
+    import os
+
+    log = generate_envelope_log(spark, sf_dir)
+    # 12 files at maxFilesPerTrigger=4 => 3 micro-batches
+    log.repartition(12).write.json(f"{tmpdir}/ev")
+    state = f"{tmpdir}/counts"
+    q = run_incremental_counts(
+        envelope_file_stream(spark, f"{tmpdir}/ev"), state, f"{tmpdir}/ck"
+    )
+    q.awaitTermination(300)
+    before = {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    }
+
+    # simulate losing the LAST commit (staging survived, log line gone)
+    log_path = f"{state}/_commitlog"
+    versions = [ln for ln in open(log_path).read().splitlines() if ln]
+    assert len(versions) >= 2, "need multiple micro-batches for this test"
+    with open(log_path, "w") as f:
+        f.write("\n".join(versions[:-1]) + "\n")
+    # readers now see exactly the previous committed version's content
+    visible = {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    }
+    penultimate = {
+        r["classification"]: r["cnt"]
+        for r in spark.read.parquet(
+            os.path.join(state, "counts", f"v={versions[-2]}")
+        ).collect()
+    }
+    assert visible == penultimate
+
+    # a new run (new checkpoint => new run id, batch ids restart at 0)
+    # re-applies ONLY the never-committed events and converges
+    q2 = run_incremental_counts(
+        envelope_file_stream(spark, f"{tmpdir}/ev"), state, f"{tmpdir}/ck2"
+    )
+    q2.awaitTermination(300)
+    after = {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    }
+    assert after == before
 
 
 def test_same_group_update_is_net_noop(spark, sf_dir):
