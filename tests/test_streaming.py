@@ -73,6 +73,59 @@ def test_stream_restart_is_idempotent(spark, sf_dir, tmpdir):
     assert rows_set(got) == rows_set(expected)
 
 
+def test_untouched_buckets_not_rewritten(spark, sf_dir, tmpdir):
+    """Key-bucketed incremental maintenance: a micro-batch touching one
+    key must rewrite only that key's bucket partition — every other
+    bucket's files stay byte-identical (the stock-parquet analogue of
+    Delta MERGE file pruning)."""
+    import glob
+    import hashlib
+    import os
+
+    events_dir = f"{tmpdir}/events"
+    log = _write_event_json(spark, sf_dir, events_dir)
+    snap = f"{tmpdir}/snapshot"
+    q = run_snapshot_maintenance(
+        envelope_file_stream(spark, events_dir), snap, f"{tmpdir}/ckpt"
+    )
+    q.awaitTermination(300)
+
+    def digests():
+        out = {}
+        for path in glob.glob(f"{snap}/__bucket=*/*.parquet"):
+            bucket = path.split("__bucket=")[1].split("/")[0]
+            with open(path, "rb") as f:
+                out.setdefault(int(bucket), []).append(
+                    (os.path.basename(path), hashlib.md5(f.read()).hexdigest())
+                )
+        return {b: sorted(files) for b, files in out.items()}
+
+    before = digests()
+    assert len(before) > 1, "need multiple buckets for this test"
+
+    # second stream delivers events for exactly one key
+    one_key = log.filter(
+        F.coalesce(F.col("after.id"), F.col("before.id")) == 1
+    )
+    assert one_key.count() > 0
+    one_key.coalesce(1).write.json(f"{tmpdir}/events2")
+    q2 = run_snapshot_maintenance(
+        envelope_file_stream(spark, f"{tmpdir}/events2"), snap, f"{tmpdir}/ckpt2"
+    )
+    q2.awaitTermination(300)
+    after = digests()
+
+    expected_bucket = spark.sql(
+        "SELECT CAST(pmod(xxhash64(CAST(1 AS INT)), 16) AS INT) AS b"
+    ).collect()[0]["b"]
+    changed = {b for b in before if after.get(b) != before[b]}
+    assert changed <= {expected_bucket}, f"rewrote untouched buckets: {changed}"
+    # and the replayed events left the snapshot unchanged (idempotent)
+    got = read_snapshot(spark, snap)
+    want = latest_snapshot(unwrap(log))
+    assert rows_set(got) == rows_set(want)
+
+
 def test_stream_windowed_counts_match_batch(spark, sf_dir, tmpdir):
     events = load_table(spark, sf_dir, "events")
     events_dir = f"{tmpdir}/ev_json"
