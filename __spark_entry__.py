@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "sim_cosine_topk_pandas",
     "sim_label_centroids",
     "mm_decode_features",
+    "mm_decode_png_features",
     "text_chunk_documents",
     "text_token_budget_by_source",
     "dedup_minhash_md5_pairs",
@@ -84,7 +85,6 @@ DRIVER_PRIORITY: list[str] = [
     "agg_rollup_region_nation",
     "win_session_windows",
     "dedup_minhash_md5_signatures",
-    "text_quality_scores",
     "dash_events_per_hour_by_type",
 ]
 

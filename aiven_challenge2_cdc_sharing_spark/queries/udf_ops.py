@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector_udfs import label_centroids, pairwise_cosine
-from ..sources.multimodal import attach_fake_media, decode_media_features
+from ..sources.multimodal import (
+    attach_fake_media,
+    attach_png_media,
+    decode_media_features,
+    decode_real_media,
+)
 from ..tables import load_table
 from . import register
 
@@ -92,3 +97,35 @@ FROM documents
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_features(attach_fake_media(docs))
+
+
+@register(
+    "mm_decode_png_features",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS byte_vals
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n % 16 + 1 AS INTEGER) AS width,
+       CAST(n % 8 + 1 AS INTEGER) AS height,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE list_sum(list_transform(range(0, (n % 16 + 1) * (n % 8 + 1)),
+                                         i -> byte_vals[(i % n) + 1]))
+       END AS BIGINT) AS pixel_sum
+FROM src
+""",
+    doc="REAL media decode under the oracle gate: each document's text is "
+    "encoded into a genuine grayscale PNG (stdlib zlib/struct writer), "
+    "decoded back by the engine's own chunk-parse + inflate + unfilter "
+    "decoder via mapInPandas, and DuckDB recomputes the expected "
+    "dimensions and pixel sum directly from the source text — the decode "
+    "path, not a fake, is what must round-trip",
+)
+def mm_decode_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_real_media(attach_png_media(docs)).select(
+        "doc_id", "width", "height", "pixel_sum"
+    )

@@ -1,13 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step that would use real media libraries (PIL/ffmpeg/...)
-is STUBBED — those libraries are not in this container — behind an
-import-try: if a decoder is importable it is used; otherwise a
-clearly-marked deterministic fake derives "features" from the raw
-bytes.  Everything Spark-side is real and tested: the binary schema,
-the mapInPandas batch shape, partition-parallel execution, and the
-deterministic output contract.
+Two decode tiers:
+- REAL decoders for PNG (pure stdlib: struct + zlib chunk parse,
+  scanline unfilter) and WAV (stdlib ``wave``) — no external media
+  library needed, so the real-decode path is exercised end-to-end in
+  this container, including a DuckDB-oracle-checked registry query
+  over PNGs generated deterministically from document text.
+- the clearly-marked deterministic FAKE for the generic
+  ``image/fake`` payloads (richer formats — JPEG/video — would use
+  PIL/ffmpeg via the import-try; absent here by design).
+
+Everything Spark-side is real and tested either way: the binary
+schema, the mapInPandas batch shape, partition-parallel execution,
+and the deterministic output contract.
 
 At 100 TB the payload column dominates I/O: keep media in its own
 parquet column (columnar pruning skips it unless asked for), process
@@ -18,6 +24,8 @@ executor memory.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,12 +54,137 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _try_real_decoder():
-    try:  # real decode path — absent in this container by design
+    try:  # richer formats (JPEG/...) — absent in this container by design
         import PIL.Image  # noqa: F401
 
         return PIL.Image
     except ImportError:
         return None
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG (filter 0) from raw pixels."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be exactly width*height bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int]:
+    """Real PNG decode (stdlib only): chunk walk -> IHDR dims -> IDAT
+    inflate -> scanline unfilter (all five filter types) -> raw pixels.
+    Returns (width, height, pixel_sum).  8-bit depth; grayscale/RGB/
+    alpha color types."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    width = height = colortype = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype = struct.unpack(">IIBB", data[:10])
+            if bitdepth != 8:
+                raise ValueError(f"unsupported bit depth {bitdepth}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    nch = _PNG_CHANNELS[colortype]
+    stride = width * nch
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _ in range(height):
+        ftype = raw[i]
+        line = bytearray(raw[i + 1 : i + 1 + stride])
+        i += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b, c = prev[x], (prev[x - nch] if x >= nch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, sum(out)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Real WAV decode (stdlib ``wave``): returns (channels,
+    sample_rate, n_frames, mean_abs_amplitude) for 16-bit PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"unsupported sample width {sw}")
+    vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+    amp = (sum(abs(v) for v in vals) / len(vals)) if vals else 0.0
+    return nch, rate, nframes, amp
+
+
+def encode_wav_pcm16(
+    samples: list[int], sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Minimal valid 16-bit PCM WAV from integer samples."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
 
 
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,23 +199,17 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas decode/feature-extract over binary payloads.
-
-    Real decoder (PIL) if importable; otherwise the deterministic fake:
-    width/height derived from byte length, checksum from byte values.
-    The Arrow batch shape (one pandas DataFrame per partition chunk) is
-    identical either way.
+    """mapInPandas feature-extract over generic binary payloads using
+    the deterministic fake decoder (width/height derived from byte
+    length, checksum from byte values).  For real formats use
+    ``decode_real_media``; richer formats (JPEG/...) would dispatch to
+    PIL via ``_try_real_decoder`` when importable.
     """
-    decoder = _try_real_decoder()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.apply(len)
-            if decoder is not None:  # pragma: no cover - not in container
-                raise NotImplementedError(
-                    "real media decode path requires fixture media files"
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -97,3 +224,88 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("amplitude_mean", T.DoubleType()),
+    ]
+)
+
+
+def attach_png_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's text into a REAL grayscale PNG payload:
+    width = n%16+1, height = n%8+1, pixels = the UTF-8 bytes cycled to
+    width*height.  Deterministic, so an oracle can recompute the decoded
+    features from the source text without touching the binary."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_png(text: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            data = t.encode("utf-8")
+            n = len(data)
+            w, h = n % 16 + 1, n % 8 + 1
+            if n == 0:
+                data = b"\x00"
+            need = w * h
+            pixels = (data * (need // len(data) + 1))[:need]
+            return encode_png_gray(pixels, w, h)
+
+        return text.apply(enc)
+
+    return docs.select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        to_png(F.col(text_col)).alias("payload"),
+    )
+
+
+def decode_real_media(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode over binary payloads, dispatched on
+    ``media_type``: PNG (stdlib chunk-parse + inflate + unfilter) and
+    WAV (stdlib ``wave``); unknown types raise.  Same Arrow batch shape
+    as the fake path — this is the production decode slot."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                row = {
+                    "doc_id": doc_id,
+                    "media_type": mtype,
+                    "n_bytes": len(payload),
+                    "width": None,
+                    "height": None,
+                    "pixel_sum": None,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "amplitude_mean": None,
+                }
+                if mtype == "image/png":
+                    w, h, psum = decode_png(payload)
+                    row.update(width=w, height=h, pixel_sum=psum)
+                elif mtype == "audio/wav":
+                    nch, rate, nframes, amp = decode_wav(payload)
+                    row.update(
+                        width=nch,  # channels ride the generic int slot
+                        sample_rate=rate,
+                        n_frames=nframes,
+                        amplitude_mean=amp,
+                    )
+                else:
+                    raise ValueError(f"no real decoder for {mtype!r}")
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURE_SCHEMA])
+
+    return media.mapInPandas(extract, REAL_FEATURE_SCHEMA)
