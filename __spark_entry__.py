@@ -74,6 +74,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_md5_pairs",
     "dedup_cluster_resolution",
     "dedup_simhash_signatures",
+    # -- new this round: never driver-checked --
+    "dedup_embedding_cosine",
+    "sort_global_ordinal_scalable",
     # -- rotation: previously-green regression slice fills the 50-cap --
     "cdc_snapshot",
     "cdc_wire_roundtrip",
@@ -82,8 +85,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_asof_purchase_view",
     "join_broadcast_region_rollup",
     "agg_pricing_summary",
-    "agg_rollup_region_nation",
-    "win_session_windows",
     "dedup_minhash_md5_signatures",
     "dash_events_per_hour_by_type",
 ]

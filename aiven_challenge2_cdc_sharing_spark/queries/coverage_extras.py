@@ -39,6 +39,61 @@ def sort_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_global_ordinal_scalable",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number() OVER (ORDER BY o_orderpriority, o_totalprice DESC,
+                          o_orderkey) AS global_pos
+FROM orders
+""",
+    doc="O2 scale path: the SAME global ordinal as sort_global_orders "
+    "but via the zipWithIndex pattern — range-partition by the sort "
+    "key, rank within each partition (window parallelism = partition "
+    "count), then add broadcast cumulative partition offsets.  No "
+    "single-reducer window anywhere; the only driver data is one "
+    "count per partition",
+)
+def sort_global_ordinal_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    sort_cols = [
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    # range partitioning gives ordered, non-overlapping key ranges, so
+    # global_pos = (rows in earlier partitions) + (rank within mine).
+    # localCheckpoint: range boundaries come from sampling, so the count
+    # job and the rank job MUST see the same physical partitioning
+    ranged = (
+        orders.repartitionByRange(32, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return ranged.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.row_number().over(w) + offset_map[F.col("__pid")])
+        .cast("long")
+        .alias("global_pos"),
+    )
+
+
+@register(
     "agg_rollup_grouping_flags",
     oracle="""
 SELECT r.r_name, n.n_name,

@@ -423,6 +423,64 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+capped AS (
+  SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bucket) <= 2000
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, c.e), 6) AS sim
+FROM capped a JOIN capped c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.e, c.e), 6) >= 0.35
+""",
+    doc="embedding-cosine near-dup detection (the fifth dedup modality): "
+    "vectors bucket by the sign bits of their first 4 dimensions — "
+    "axis-aligned hyperplane LSH that is deterministic and therefore "
+    "exactly recomputable by DuckDB, unlike the random-hyperplane path "
+    "in operators/similarity.py — then a hot-bucket-capped same-bucket "
+    "self-join scores exact cosine and keeps pairs >= 0.35 (the synthetic embeddings top out near 0.51 in-bucket, so the threshold sits where real signal exists).  Shuffle "
+    "carries (bucket, id, vector); cost is sum(bucket^2), never N^2",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_hot_buckets
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(4)
+    )
+    bucketed = cap_hot_buckets(
+        emb.withColumn("__bucket", bucket), ["__bucket"], 2000
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
+@register(
     "dedup_simhash_signatures",
     oracle=None,  # hash-family specific; checked structurally in tests
     doc="SimHash 64-bit signatures (near-dup by small Hamming distance)",
