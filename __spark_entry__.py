@@ -77,14 +77,14 @@ DRIVER_PRIORITY: list[str] = [
     # -- new this round: never driver-checked --
     "dedup_embedding_cosine",
     "sort_global_ordinal_scalable",
+    "join_orders_customer_right",
+    "layout_zorder_orders",
     # -- rotation: previously-green regression slice fills the 50-cap --
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_merge_incremental",
     "cdc_snapshot_at",
     "join_asof_purchase_view",
-    "join_broadcast_region_rollup",
-    "agg_pricing_summary",
     "dedup_minhash_md5_signatures",
     "dash_events_per_hour_by_type",
 ]

@@ -94,6 +94,33 @@ def sort_global_ordinal_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_zorder_orders",
+    oracle="""
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+             (((o_custkey >> i) & 1) << (2*i))
+           + (((datediff('day', DATE '1992-01-01', o_orderdate) >> i) & 1)
+              << (2*i + 1)))) AS BIGINT) AS zval
+FROM orders
+""",
+    doc="Z-order (Morton) layout key over (custkey, order day): the "
+    "multi-column data-skipping layout Delta exposes as OPTIMIZE ZORDER "
+    "BY, as one codegen'd literal-shift expression both engines compute "
+    "bit-identically; operators/layout.py uses it to range-partition + "
+    "sort so parquet min-max stats stay tight in BOTH dimensions",
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import interleave_bits
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        interleave_bits(F.col("o_custkey"), day).alias("zval"),
+    )
+
+
+@register(
     "agg_rollup_grouping_flags",
     oracle="""
 SELECT r.r_name, n.n_name,

@@ -64,6 +64,27 @@ def join_customer_orders_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_orders_customer_right",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, round(o.o_totalprice, 2) AS price
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    doc="J1 right outer join: every customer kept, orderless customers "
+    "carry NULL order columns (the mirrored form of the left join — "
+    "Catalyst normalizes it to a left join with sides swapped)",
+)
+def join_orders_customer_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@register(
     "join_full_outer_nations",
     oracle="""
 SELECT n.n_nationkey,

@@ -451,7 +451,7 @@ WHERE round(list_cosine_similarity(a.e, c.e), 6) >= 0.35
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cap_hot_buckets
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _dot, _norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -460,11 +460,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(4)
     )
+    # norms computed once per VECTOR before the self-join (the join
+    # would otherwise re-aggregate both norms for every candidate pair)
     bucketed = cap_hot_buckets(
-        emb.withColumn("__bucket", bucket), ["__bucket"], 2000
+        emb.withColumn("__bucket", bucket).withColumn("__n", _norm(F.col("e"))),
+        ["__bucket"],
+        2000,
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    sim = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.__n") * F.col("b.__n")), 6
+    )
     return (
         a.join(
             b,

@@ -214,6 +214,55 @@ def test_lsh_bands_must_divide_num_hashes(spark):
         lsh_candidate_pairs(signed, "doc_id", bands=4, num_hashes=10)
 
 
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout must give small per-file bounding boxes in BOTH
+    key dimensions, where a linear sort only bounds its own column.
+    Compare the mean normalized (custkey-span x dateday-span) area per
+    file: z-order should beat date-sort by a wide margin."""
+    import glob
+
+    from aiven_challenge2_cdc_sharing_spark.operators.layout import zorder_by
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).withColumn(
+        "day", F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    )
+
+    z_dir, s_dir = f"{tmp_path}/z", f"{tmp_path}/s"
+    zorder_by(orders, "o_custkey", "day", n_partitions=16).write.parquet(z_dir)
+    orders.repartitionByRange(16, "o_orderdate").sortWithinPartitions(
+        "o_orderdate"
+    ).write.parquet(s_dir)
+
+    bounds = orders.agg(
+        F.max("o_custkey").alias("ck"), F.max("day").alias("dk")
+    ).collect()[0]
+
+    # the data-skipping metric: a single-column point predicate scans
+    # every file whose min-max spans it, so expected scan fraction ~
+    # mean per-file span in that dimension; sum over both dimensions
+    # scores the layout's balance (area product is ~1/n_files for ANY
+    # layout and cannot distinguish them)
+    def mean_spans(d):
+        ck_spans, day_spans = [], []
+        for f in glob.glob(f"{d}/*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min("o_custkey"), F.max("o_custkey"),
+                F.min("day"), F.max("day"),
+            ).collect()[0]
+            ck_spans.append((r[1] - r[0]) / bounds["ck"])
+            day_spans.append((r[3] - r[2]) / bounds["dk"])
+        n = len(ck_spans)
+        return sum(ck_spans) / n, sum(day_spans) / n
+
+    z_ck, z_day = mean_spans(z_dir)
+    s_ck, s_day = mean_spans(s_dir)
+    # date sort: perfect on date (~1/16) but ~full custkey span per
+    # file (sum ~1.0); z-order: ~1/4 each (sum ~0.5)
+    assert z_ck + z_day < 0.75 * (s_ck + s_day), (z_ck, z_day, s_ck, s_day)
+
+
 def test_asof_join_matches_reference_semantics(spark):
     trades = spark.createDataFrame(
         [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0), (3, 5, 7.0)],
