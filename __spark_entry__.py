@@ -79,12 +79,12 @@ DRIVER_PRIORITY: list[str] = [
     "sort_global_ordinal_scalable",
     "join_orders_customer_right",
     "layout_zorder_orders",
+    "udaf_label_norm_mean",
     # -- rotation: previously-green regression slice fills the 50-cap --
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_merge_incremental",
     "cdc_snapshot_at",
-    "join_asof_purchase_view",
     "dedup_minhash_md5_signatures",
     "dash_events_per_hour_by_type",
 ]

@@ -50,6 +50,16 @@ def pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / denom)
 
 
+@F.pandas_udf(T.DoubleType())
+def mean_vector_norm(emb: pd.Series) -> float:
+    """GROUPED-AGG pandas_udf (Series -> scalar): mean L2 norm of a
+    group's embeddings, one numpy reduction per group.  Per-row norms
+    are rounded to 6dp before averaging so the cross-engine oracle
+    compare is immune to summation-order last-bit drift."""
+    mat = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+    return float(np.sqrt((mat * mat).sum(axis=1)).round(6).mean())
+
+
 def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label", dim: int = 64) -> DataFrame:
     """Grouped-map applyInPandas: per-label mean vector (centroid).

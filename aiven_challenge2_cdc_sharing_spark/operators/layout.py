@@ -84,3 +84,16 @@ def zorder_by(
         ),
     )
     return zdf.repartitionByRange(n_partitions, z_col).sortWithinPartitions(z_col)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_partitions: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` to parquet laid out along the (col_a, col_b) Morton
+    curve; the z-column is internal and dropped from the output."""
+    zorder_by(df, col_a, col_b, n_partitions, bits).drop("__z").write.parquet(path)

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_udfs import label_centroids, pairwise_cosine
+from ..functions.vector_udfs import (
+    label_centroids,
+    mean_vector_norm,
+    pairwise_cosine,
+)
 from ..sources.multimodal import (
     attach_fake_media,
     attach_png_media,
@@ -76,6 +80,33 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("centroid", 1), 6).alias("centroid_0"),
         F.round(F.element_at("centroid", 64), 6).alias("centroid_63"),
     )
+
+
+@register(
+    "udaf_label_norm_mean",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(round(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x*x))), 6)), 4) AS mean_norm
+FROM embeddings
+GROUP BY label
+""",
+    doc="§2.10 grouped-AGG pandas_udf (Series -> scalar, numpy batch "
+    "reduction per group) — completes the UDF matrix alongside scalar "
+    "pandas_udf, grouped-map applyInPandas, mapInPandas, and UDTF; "
+    "oracle recomputes the mean embedding norm exactly in SQL",
+)
+def udaf_label_norm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT): compute the count in its own tiny
+    # aggregation and join on the group key
+    norms = emb.groupBy("label").agg(
+        F.round(mean_vector_norm("embedding"), 4).alias("mean_norm")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return norms.join(counts, "label").select("label", "n", "mean_norm")
 
 
 @register(
