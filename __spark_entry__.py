@@ -80,13 +80,13 @@ DRIVER_PRIORITY: list[str] = [
     "join_orders_customer_right",
     "layout_zorder_orders",
     "udaf_label_norm_mean",
+    "tpch_q4_order_priority",
+    "dash_events_sliding_2h",
     # -- rotation: previously-green regression slice fills the 50-cap --
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_merge_incremental",
-    "cdc_snapshot_at",
     "dedup_minhash_md5_signatures",
-    "dash_events_per_hour_by_type",
 ]
 
 

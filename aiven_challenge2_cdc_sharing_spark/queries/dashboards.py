@@ -99,3 +99,39 @@ def dash_events_per_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "dash_events_sliding_2h",
+    oracle="""
+SELECT win_start, event_type, count(*) AS cnt
+FROM (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start
+  FROM events
+)
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+    doc="T6 sliding windows (2h window, 1h slide) as a batch twin: each "
+    "event contributes to exactly two overlapping windows; the oracle "
+    "unnests both window starts per event and aggregates — identical "
+    "window assignment to Spark's epoch-aligned window(ts, '2 hours', "
+    "'1 hour')",
+)
+def dash_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+        )
+        .orderBy("win_start", "event_type")
+    )
