@@ -81,12 +81,12 @@ DRIVER_PRIORITY: list[str] = [
     "layout_zorder_orders",
     "udaf_label_norm_mean",
     "tpch_q4_order_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_bracket_revenue",
     "dash_events_sliding_2h",
     # -- rotation: previously-green regression slice fills the 50-cap --
     "cdc_snapshot",
     "cdc_wire_roundtrip",
-    "cdc_merge_incremental",
-    "dedup_minhash_md5_signatures",
 ]
 
 

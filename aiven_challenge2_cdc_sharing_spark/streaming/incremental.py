@@ -100,6 +100,48 @@ def read_counts(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def compact_state(spark: SparkSession, state_path: str) -> int:
+    """Compact the committed history into one version: union all
+    committed processed dirs into a single dir, carry the latest counts
+    forward, and atomically swap the commit log (write + os.replace) to
+    reference just the compacted version.  Old dirs become orphans
+    (best-effort removed) — a crash anywhere before the log swap leaves
+    the previous log intact and the new dirs ignored, preserving the
+    protocol's invariant that readers only see committed versions.
+
+    At scale this runs periodically (or when the committed-version list
+    exceeds a threshold) so the per-batch anti-join reads one compacted
+    processed table plus a short tail, not one dir per historical batch.
+    Returns the number of versions compacted."""
+    import shutil
+
+    versions = _committed_versions(state_path)
+    if len(versions) <= 1:
+        return 0
+    compact_v = f"compact-{versions[-1]}"
+    processed = spark.read.parquet(
+        *[os.path.join(state_path, "processed", f"b={v}") for v in versions]
+    ).distinct()
+    processed.write.mode("overwrite").parquet(
+        os.path.join(state_path, "processed", f"b={compact_v}")
+    )
+    read_counts(spark, state_path).write.mode("overwrite").parquet(
+        os.path.join(state_path, "counts", f"v={compact_v}")
+    )
+    tmp = os.path.join(state_path, "_commitlog.tmp")
+    with open(tmp, "w") as f:
+        f.write(compact_v + "\n")
+    os.replace(tmp, os.path.join(state_path, "_commitlog"))
+    for v in versions:  # best-effort orphan cleanup
+        shutil.rmtree(
+            os.path.join(state_path, "processed", f"b={v}"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(state_path, "counts", f"v={v}"), ignore_errors=True
+        )
+    return len(versions)
+
+
 def run_incremental_counts(
     envelopes: DataFrame, state_path: str, checkpoint_path: str
 ):

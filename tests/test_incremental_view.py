@@ -15,6 +15,7 @@ from aiven_challenge2_cdc_sharing_spark.queries import load_registry
 from aiven_challenge2_cdc_sharing_spark.streaming.incremental import (
     apply_agg_deltas,
     classification_deltas,
+    compact_state,
     read_counts,
     run_incremental_counts,
 )
@@ -126,3 +127,34 @@ def test_apply_deltas_drops_zero_groups(spark):
         for r in apply_agg_deltas(counts, deltas).collect()
     }
     assert out == {"public": 5, "internal": 2}  # private hit zero, dropped
+
+def test_compaction_preserves_counts_and_dedup(spark, sf_dir, tmpdir):
+    """Compacting the committed history must not change visible counts,
+    and a replay AFTER compaction must still dedupe against the
+    compacted processed log (no double counting)."""
+    log = generate_envelope_log(spark, sf_dir)
+    log.repartition(12).write.json(f"{tmpdir}/ev")
+    state = f"{tmpdir}/counts"
+    q = run_incremental_counts(
+        envelope_file_stream(spark, f"{tmpdir}/ev"), state, f"{tmpdir}/ck"
+    )
+    q.awaitTermination(300)
+    before = {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    }
+
+    n = compact_state(spark, state)
+    assert n >= 2
+    assert {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    } == before
+
+    # full replay from a fresh checkpoint: every event is already in the
+    # compacted processed log, so counts must not move
+    q2 = run_incremental_counts(
+        envelope_file_stream(spark, f"{tmpdir}/ev"), state, f"{tmpdir}/ck2"
+    )
+    q2.awaitTermination(300)
+    assert {
+        r["classification"]: r["cnt"] for r in read_counts(spark, state).collect()
+    } == before
