@@ -339,3 +339,92 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+      FROM lineitem GROUP BY l_partkey) t
+  ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_thr
+""",
+    doc="TPC-H Q17 shape: correlated scalar subquery (revenue from "
+    "below-one-fifth-of-average-quantity line items) decorrelated into "
+    "a per-part aggregate joined back to the fact — the aggregate "
+    "shuffles (partkey, avg) pairs once instead of re-running per row",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thr = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(thr, thr.__pk == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape: bilateral shipping volume between two nations "
+    "by year — two broadcast nation joins under a 3-fact join chain "
+    "with the disjunctive nation-pair predicate evaluated post-join",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    ))
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(cn, F.col("__cnk") == cust.c_nationkey)
+        .join(sn, F.col("__snk") == supp.s_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
