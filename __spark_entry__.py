@@ -86,10 +86,11 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_bracket_revenue",
     "dash_events_sliding_2h",
-    # -- rotation: previously-green regression slice fills any remaining
-    # slots under the 50-cap (round 2: the never-checked set is exactly
-    # 50, so the regression slice starts at position 51 and the r01-green
-    # queries rely on the local oracle gate this round) --
+    # -- positions 51+: never-checked overflow (the driver caps at 50;
+    # these rotate into the window next round) then the regression
+    # slice; r01-green queries rely on the local oracle gate this round --
+    "agg_pivot_status_by_segment",
+    "fn_unpivot_order_measures",
     "cdc_snapshot",
     "cdc_wire_roundtrip",
 ]

@@ -248,3 +248,69 @@ def win_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "agg_pivot_status_by_segment",
+    oracle="""
+SELECT c.c_mktsegment,
+       sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+       sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+       sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    doc="PIVOT: order-status counts spread into columns per market "
+    "segment via groupBy().pivot() with an explicit value list (so the "
+    "plan needs no extra distinct-values job); oracle expresses the "
+    "same rotation as conditional aggregation",
+)
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "fn_unpivot_order_measures",
+    oracle="""
+SELECT o_orderkey, measure, round(value, 2) AS value
+FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+  FROM orders
+)
+ORDER BY o_orderkey, measure
+""",
+    doc="UNPIVOT/melt: wide measure columns rotated into (key, measure, "
+    "value) rows with DataFrame.unpivot — the Spark-native melt; the "
+    "oracle is the equivalent UNION ALL",
+)
+def fn_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return (
+        orders.unpivot(
+            "o_orderkey", ["totalprice", "custkey"], "measure", "value"
+        )
+        .select("o_orderkey", "measure", F.round("value", 2).alias("value"))
+        .orderBy("o_orderkey", "measure")
+    )
