@@ -54,6 +54,7 @@ def load_registry() -> dict[str, Query]:
         llm_ops,
         scalars,
         setops,
+        tpch_full,
         tpch_like,
         udf_ops,
         windows,
