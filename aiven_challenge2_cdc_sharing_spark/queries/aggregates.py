@@ -260,3 +260,57 @@ def agg_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
         )
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+WITH mu AS (
+  SELECT l_returnflag AS rf, avg(l_extendedprice) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covs,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+       round(avg(power(l_extendedprice - mu.m, 3))
+             / power(avg(power(l_extendedprice - mu.m, 2)), 1.5), 5) AS price_skew,
+       round(avg(power(l_extendedprice - mu.m, 4))
+             / power(avg(power(l_extendedprice - mu.m, 2)), 2) - 3, 5) AS price_kurt,
+       count(*) AS n
+FROM lineitem l JOIN mu ON mu.rf = l.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    doc="A3+ statistical aggregates: Pearson correlation, population and "
+    "sample covariance, regression slope, and third/fourth moments.  "
+    "Spark's skewness/kurtosis are POPULATION g1/g2 (DuckDB's built-ins "
+    "are bias-corrected sample versions) so the oracle recomputes them "
+    "from centered moments via a pre-joined per-group mean — centered, "
+    "not raw-moment, so no catastrophic cancellation at 1e5-scale "
+    "prices",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covp"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covs"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "price_per_qty"
+            ),
+            F.round(F.skewness("l_extendedprice"), 5).alias("price_skew"),
+            F.round(F.kurtosis("l_extendedprice"), 5).alias("price_kurt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

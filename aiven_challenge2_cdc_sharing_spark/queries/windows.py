@@ -271,3 +271,33 @@ def win_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.desc("o_totalprice"), F.col("o_orderkey")],
         k=3,
     )
+
+
+@register(
+    "win_value_functions",
+    oracle="""
+SELECT event_id, user_id,
+       round(first_value(value) OVER w, 2) AS first_v,
+       round(last_value(value) OVER wf, 2) AS last_v,
+       round(nth_value(value, 2) OVER wf, 2) AS second_v
+FROM events
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="W2+ value functions: first_value on the default (standard "
+    "RANGE-to-current) frame, last_value/nth_value on the explicit "
+    "full frame — the default frame would make last_value degenerate "
+    "to the current row in BOTH engines, so the full frame is spelled "
+    "out identically on both sides",
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 2).alias("first_v"),
+        F.round(F.last("value").over(wf), 2).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(wf), 2).alias("second_v"),
+    )
