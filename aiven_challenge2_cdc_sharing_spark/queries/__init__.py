@@ -52,6 +52,7 @@ def load_registry() -> dict[str, Query]:
         extras2,
         joins,
         llm_ops,
+        ml_pipeline,
         scalars,
         setops,
         tpch_full,

@@ -1,0 +1,147 @@
+"""Training-data pipeline queries: reproducible train/eval splits,
+per-source mixture sampling, and concat-then-chunk sequence packing —
+the operations between "deduped corpus" and "tokenizer input" in an
+LLM data pipeline, each with an exact DuckDB oracle twin.
+
+All three are pure per-row expressions or single-key window scans:
+no Python UDFs, no driver collects, nothing that changes shape at
+100 TB (the split/mixture hash is embarrassingly parallel; packing
+shuffles once on the source key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.sampling import duck_hash_bucket, mixture_keep, split_assign
+from ..tables import load_table
+from . import register
+
+_EVAL_FRACTION = 0.1
+
+# Mixture weights: up/down-sample sources into the training blend the
+# way web/books/code corpora are re-weighted for pretraining runs.
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.6
+
+
+@register(
+    "ml_split_train_eval",
+    oracle=f"""
+SELECT doc_id, source,
+       {duck_hash_bucket("doc_id", "split")} AS bucket,
+       CASE WHEN {duck_hash_bucket("doc_id", "split")} < {int(_EVAL_FRACTION * 65536)}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+""",
+    doc="reproducible train/eval split by content hash: "
+    "md5('split:'||doc_id) bucket < 10%% of 2^16 -> eval.  Stable "
+    "across engines, partitionings, and re-runs — unlike seeded "
+    "sample(), the same document lands in the same split everywhere",
+)
+def ml_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("doc_id"), "split").alias("bucket"),
+        split_assign(F.col("doc_id"), "split", _EVAL_FRACTION).alias("split"),
+    )
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    return f"(CASE {whens} ELSE {_MIX_DEFAULT} END)"
+
+
+@register(
+    "ml_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {duck_hash_bucket("doc_id", "mix")}
+      < CAST({_mix_rate_sql()} * 65536 AS INTEGER)
+ORDER BY source, doc_id
+""",
+    doc="deterministic data-mixture sampling: per-source keep rates "
+    "(src0 100%%, src1 75%%, src2 50%%, src3 25%%, rest 60%%) applied "
+    "via an independent content-hash band in ONE scan — the "
+    "re-weighting step that turns a raw corpus into a training blend, "
+    "with byte-stable membership",
+)
+def ml_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r)) for s, r in _MIX_RATES.items()
+        ],
+        F.lit(_MIX_DEFAULT),
+    )
+    return (
+        docs.filter(mixture_keep(F.col("doc_id"), rate, "mix"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "ml_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(start_off / 512) AS INTEGER) AS seq_id,
+       CASE WHEN floor(start_off / 512)
+              <> floor((start_off + n_tokens - 1) / 512)
+            THEN TRUE ELSE FALSE END AS spans_boundary
+FROM offs
+ORDER BY source, doc_id
+""",
+    doc="concat-then-chunk sequence packing: documents are concatenated "
+    "per source in deterministic doc_id order and cut into 512-token "
+    "training windows; each doc reports its window id (by start "
+    "offset) and whether it straddles a cut.  The exclusive prefix "
+    "sum is one window scan per source key — the exact packing "
+    "semantics of pretraining dataloaders, derivable as metadata "
+    "without materializing the concatenation",
+)
+def ml_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        docs.select("doc_id", "source", "n_tokens", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("start_off") / budget).cast("int").alias("seq_id"),
+            (
+                F.floor(F.col("start_off") / budget)
+                != F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget)
+            ).alias("spans_boundary"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -279,3 +279,38 @@ def test_asof_join_matches_reference_semantics(spark):
     # uid1 t10 -> quote t8; uid1 t20 -> quote t20 (inclusive); uid2 t15 -> t15
     assert got == {(1, 10): 8, (1, 20): 20, (2, 15): 15}
     # uid3 has no quote: dropped (inner)
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    """The whole point of content-hash splits: the assignment must be a
+    pure function of the key, invariant to partitioning/layout."""
+    from aiven_challenge2_cdc_sharing_spark.operators.sampling import (
+        hash_bucket,
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", split_assign(F.col("doc_id"), "split", 0.1).alias("split")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(7)
+        .select("doc_id", split_assign(F.col("doc_id"), "split", 0.1).alias("split"))
+        .collect()
+    }
+    assert a == b
+    buckets = [
+        r["b"]
+        for r in docs.select(hash_bucket(F.col("doc_id"), "split").alias("b")).collect()
+    ]
+    assert all(0 <= x < 65536 for x in buckets)
+    # independent salts decorrelate: the mix-salt bucket differs from the
+    # split-salt bucket for at least most keys
+    both = docs.select(
+        hash_bucket(F.col("doc_id"), "split").alias("s"),
+        hash_bucket(F.col("doc_id"), "mix").alias("m"),
+    ).collect()
+    assert sum(r["s"] == r["m"] for r in both) < len(both) * 0.01
