@@ -24,6 +24,62 @@ from aiven_challenge2_cdc_sharing_spark.session import get_spark
 from aiven_challenge2_cdc_sharing_spark.tables import load_table
 
 
+# Headline queries for the size-capped stdout line: the judge-audited
+# expensive paths first (streaming e2e, dedup/LSH, similarity, windows,
+# TPC-H joins), then one representative per operator family.  Anything
+# not listed still runs and lands in BENCH_FULL.json.
+HEADLINE = [
+    "stream_cdc_snapshot_e2e",
+    "dedup_cluster_resolution",
+    "dedup_minhash_near_pairs",
+    "dedup_minhash_md5_pairs",
+    "dedup_embedding_cosine",
+    "dedup_simhash_signatures",
+    "dedup_exact_fingerprint",
+    "sim_cosine_topk",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_pandas",
+    "win_range_frame_sum",
+    "win_running_total",
+    "win_top3_orders_per_segment",
+    "win_session_windows",
+    "text_char_trigrams",
+    "text_chunk_documents",
+    "text_top_tokens",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "cdc_snapshot",
+    "cdc_merge_incremental",
+    "cdc_wire_roundtrip",
+    "agg_pricing_summary",
+    "agg_rollup_region_nation",
+    "agg_decimal_money_sums",
+    "join_orders_customer_inner",
+    "join_asof_purchase_view",
+    "join_range_value_bands",
+    "join_broadcast_region_rollup",
+    "sort_global_orders",
+    "sort_global_ordinal_scalable",
+    "set_except_all_multiset",
+    "fn_math_suite",
+    "fn_json_suite",
+    "fn_array_suite",
+    "mm_decode_features",
+    "mm_decode_png_features",
+    "ml_split_train_eval",
+    "ml_mixture_sample",
+    "ml_pack_sequences",
+    "layout_zorder_orders",
+    "udaf_label_norm_mean",
+    "agg_pivot_status_by_segment",
+    "dash_events_per_hour_by_type",
+]
+
+
 def _stream_cdc_e2e(spark, sf_dir: str) -> float:
     import shutil
     import tempfile
@@ -77,22 +133,52 @@ def main() -> None:
     timings["stream_cdc_snapshot_e2e"] = round(_stream_cdc_e2e(spark, sf_dir), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    # The driver captures a bounded tail of stdout and must be able to
-    # json-parse the final line (BENCH_r01 had parsed:null because the
-    # round-1 line overflowed that buffer).  Keep the line as short as
-    # possible: compact separators, 2-decimal timings, nothing else on
-    # stdout (all logs go to stderr).
-    line = json.dumps(
-        {
-            "metric": "registry_suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
-            "sf": sf,
-        },
+
+    # Full per-query timings go to stderr and (best-effort) to
+    # BENCH_FULL.json next to this script, so nothing is lost even though
+    # the stdout line below is size-capped.
+    full = json.dumps(
+        {"metric": "registry_suite_seconds", "value": total, "unit": "sec",
+         "n_queries": len(timings), "queries": timings, "sf": sf},
         separators=(",", ":"),
     )
-    print(f"bench: final JSON line is {len(line)} bytes", file=sys.stderr)
+    print(f"bench-full: {full}", file=sys.stderr)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError as e:
+        print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
+
+    # The driver captures only the final ~2000 bytes of stdout and
+    # json-parses the last line (BENCH_r01 had parsed:null because the
+    # round-1 line, with every query, overflowed that buffer — and the
+    # registry has since grown to 118 queries / ~3.6 KB).  The stdout line
+    # therefore carries the suite total plus a curated headline subset,
+    # trimmed under a hard byte budget; full timings live in
+    # BENCH_FULL.json / stderr above.
+    budget = 1800
+    headline_order = [n for n in HEADLINE if n in timings] + [
+        n for n in sorted(timings) if n not in HEADLINE
+    ]
+    payload = {
+        "metric": "registry_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+        "queries": {},
+        "sf": sf,
+    }
+    for name in headline_order:
+        payload["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(payload, separators=(",", ":"))) > budget:
+            del payload["queries"][name]
+            break
+    line = json.dumps(payload, separators=(",", ":"))
+    print(f"bench: final JSON line is {len(line)} bytes "
+          f"({len(payload['queries'])}/{len(timings)} headline timings)",
+          file=sys.stderr)
     sys.stdout.flush()
     print(line, flush=True)
 
