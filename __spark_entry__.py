@@ -84,13 +84,14 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
+    "dedup_simhash_md5_pairs",
     "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
+    "sim_label_centroids",
     "tpch_q14_promo_revenue",
     # -- positions 51+: round-3 window — deferred TPC-H shapes, then the
     # rows-only approximate ops, then a regression slice of r01 greens --
     "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -107,7 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_signatures",
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_ivf",
-    "sim_label_centroids",
+    "tpch_q12_shipmode_priority",
     "dedup_minhash_near_pairs",
     "cdc_snapshot",
     "cdc_wire_roundtrip",

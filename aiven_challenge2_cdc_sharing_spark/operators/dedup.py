@@ -227,3 +227,96 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
             )
         )
     return hashed.withColumn(out_col, sig).drop("__th")
+
+
+SIMHASH_MD5_BITS = 60  # 15 hex chars of md5 -> fits BIGINT with headroom
+
+
+def simhash_md5(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Cross-engine SimHash: token hash = first 15 hex chars of
+    md5(token) parsed base-16 (60 usable bits).  DuckDB computes the
+    identical value via CAST(concat('0x', substr(md5(t),1,15)) AS
+    BIGINT), so the signature — and the banded Hamming near-pair join
+    built on it — sits under the exact oracle gate.  ``simhash64``
+    (xxhash64-based) remains the fast production path; this is its
+    verifiable twin, same shape as minhash vs md5-minhash."""
+    hashed = df.withColumn(
+        "__th",
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ),
+    )
+    hashes = F.col("__th")
+
+    def _voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_MD5_BITS):
+        vote = F.aggregate(hashes, F.lit(0), _voter(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return hashed.withColumn(out_col, sig).drop("__th")
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 10,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: band the signature into
+    ``bands`` contiguous ``band_bits``-bit slices, bucket-join on any
+    equal band (pigeonhole: Hamming < bands ⇒ some band matches, so
+    recall is exact for distance < bands and approximate above), then
+    verify bit_count(a XOR b) <= max_hamming on candidates only.
+
+    Scale shape mirrors lsh_candidate_pairs: shuffle carries
+    (band_idx, band_val, id) longs — never documents — cost is
+    sum(bucket²) with the same hot-bucket cap."""
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "__sig", "band.band_idx", "band.band_val")
+    if max_bucket_size is not None:
+        banded = cap_hot_buckets(banded, ["band_idx", "band_val"], max_bucket_size)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    hamming = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -29,3 +29,52 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def global_ordinal(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    out_col: str = "global_pos",
+    partitions: int = 32,
+) -> DataFrame:
+    """Global 1-based ordinal over a total order WITHOUT a global
+    window (the zipWithIndex pattern): range-partition by the sort
+    key so key ranges are ordered and non-overlapping, rank within
+    each partition (window parallelism = partition count), then add
+    broadcast cumulative partition offsets.  The only driver-side
+    data is one row count per partition.
+
+    localCheckpoint is load-bearing: range boundaries come from
+    sampling, so the offset-count job and the rank job must see the
+    same physical partitioning.
+
+    Returns ``(df_with_out_col, n_rows)`` — the total comes free from
+    the same per-partition counts, so rank-relative stats
+    (percent_rank = (pos-1)/(N-1), cume_dist = pos/N) need no second
+    pass."""
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        ranged.withColumn(
+            out_col,
+            (F.row_number().over(w) + offset_map[F.col("__pid")]).cast("long"),
+        )
+        .drop("__pid")
+    ), acc

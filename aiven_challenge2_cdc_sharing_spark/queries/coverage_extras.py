@@ -54,6 +54,8 @@ FROM orders
     "count per partition",
 )
 def sort_global_ordinal_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -62,34 +64,9 @@ def sort_global_ordinal_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(),
         F.col("o_orderkey"),
     ]
-    # range partitioning gives ordered, non-overlapping key ranges, so
-    # global_pos = (rows in earlier partitions) + (rank within mine).
-    # localCheckpoint: range boundaries come from sampling, so the count
-    # job and the rank job MUST see the same physical partitioning
-    ranged = (
-        orders.repartitionByRange(32, *sort_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_map = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-    )
-    w = Window.partitionBy("__pid").orderBy(*sort_cols)
-    return ranged.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        (F.row_number().over(w) + offset_map[F.col("__pid")])
-        .cast("long")
-        .alias("global_pos"),
+    ranked, _n = global_ordinal(orders, sort_cols, out_col="global_pos")
+    return ranked.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "global_pos"
     )
 
 
@@ -168,6 +145,37 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_percent_rank_scalable",
+    oracle="""
+SELECT c_custkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    doc="W2 scale path: the SAME percent_rank/cume_dist answer as "
+    "win_percent_rank_cume but with no single-partition window — the "
+    "order has a unique tiebreak so rank == global ordinal, computed "
+    "via the zipWithIndex pattern (range partition + per-partition "
+    "rank + broadcast offsets), then pr=(pos-1)/(N-1), cd=pos/N with "
+    "N from the same partition counts.  Window parallelism = "
+    "partition count at any scale",
+)
+def win_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = global_ordinal(
+        cust, [F.col("c_acctbal"), F.col("c_custkey")], out_col="__pos"
+    )
+    return ranked.select(
+        "c_custkey",
+        F.round((F.col("__pos") - 1) / F.lit(n - 1), 6).alias("pr"),
+        F.round(F.col("__pos") / F.lit(n), 6).alias("cd"),
     )
 
 

@@ -524,12 +524,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_signatures",
-    oracle=None,  # hash-family specific; checked structurally in tests
+    oracle=None,  # xxhash64 family is Spark-specific; md5 twin below is oracled
     doc="SimHash 64-bit signatures (near-dup by small Hamming distance)",
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64(docs, "text").select("doc_id", "simhash")
+
+
+# 60 per-bit majority votes over the token-hash list; generated once so
+# DuckDB evaluates literal shifts exactly like the codegen'd Spark side.
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN ((h >> {b}) & 1) = 1"
+    f" THEN 1 ELSE -1 END)) > 0 THEN CAST(1 AS BIGINT) << {b}"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60)
+)
+
+_SIMHASH_MD5_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(tk,
+           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hv
+  FROM toks
+),
+sig AS (SELECT doc_id, ({_SIMHASH_BIT_TERMS}) AS simhash FROM hs),
+bands AS (
+  SELECT doc_id, simhash, b.bv AS band_idx,
+         (simhash >> (15 * b.bv)) & 32767 AS band_val
+  FROM sig, range(0, 4) b(bv)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands a
+  JOIN bands r ON a.band_idx = r.band_idx AND a.band_val = r.band_val
+              AND a.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand c
+JOIN sig sa ON c.id_a = sa.doc_id
+JOIN sig sb ON c.id_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_simhash_md5_pairs",
+    oracle=_SIMHASH_MD5_PAIRS_SQL,
+    doc="N1 SimHash near-dup under the exact oracle gate: md5-derived "
+    "60-bit signatures (bit-identical in DuckDB), banded into 4x15-bit "
+    "buckets, candidates from bucket collisions only (never N^2), "
+    "verified by Hamming <= 3.  Distance < bands makes pigeonhole "
+    "recall EXACT: the banded join provably finds every qualifying "
+    "pair, so the oracle pins the full near-dup answer, not a sample",
+)
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_md5, simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # localCheckpoint: the band self-join + verify reads signatures three
+    # times; at scale this is the persisted signature table
+    sigs = simhash_md5(docs, "text").select("doc_id", "simhash").localCheckpoint(
+        eager=False
+    )
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
 
 
 @register(

@@ -69,8 +69,18 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_label_centroids",
-    oracle=None,  # grouped-map applyInPandas; checked vs numpy in tests
-    doc="§2.10 grouped-map applyInPandas: per-label embedding centroid",
+    oracle="""
+SELECT label, count(*) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS centroid_0,
+       round(avg(CAST(embedding[64] AS DOUBLE)), 6) AS centroid_63
+FROM embeddings
+GROUP BY label
+""",
+    doc="§2.10 grouped-map applyInPandas: per-label embedding centroid. "
+    "Exact math (per-dim float64 mean of float32 inputs), so the Arrow "
+    "path sits under the oracle gate: DuckDB recomputes each projected "
+    "dimension as avg(embedding[d]) and both engines round to 6dp, "
+    "absorbing summation-order drift",
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from aiven_challenge2_cdc_sharing_spark.functions.vector_udfs import label_centroids
 from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+    simhash_md5,
+    simhash_near_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
@@ -203,6 +205,38 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     # uncapped control on a small slice still pairs everything
     uncapped = lsh_candidate_pairs(signed, "doc_id", max_bucket_size=None)
     assert uncapped.count() >= 499_500
+
+
+def test_simhash_md5_near_pairs_semantics(spark):
+    # identical docs -> identical signature -> hamming 0, always found;
+    # hamming <= 3 recall is exact (pigeonhole over 4 bands); unrelated
+    # docs sit far apart in hamming space and never pair.
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "wholly unrelated vocabulary occupies this document body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_md5(docs, "text").select("doc_id", "simhash")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(sigs, "doc_id", max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_pairs_hot_bucket_cap(spark):
+    # same adversarial shape as the minhash cap test: a giant cohort of
+    # byte-identical docs must not explode the band self-join.
+    rows = [(i, "the same boilerplate footer text appears everywhere")
+            for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_md5(docs, "text").select("doc_id", "simhash").localCheckpoint(
+        eager=False
+    )
+    capped = simhash_near_pairs(sigs, "doc_id", max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (2000, 2001) in got
+    assert len(got) == 1
 
 
 def test_lsh_bands_must_divide_num_hashes(spark):
