@@ -149,6 +149,25 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_event_counts",
+    oracle="""
+SELECT event_type, count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+    doc="skew-mitigation demo under the oracle gate: salted two-phase "
+    "count (operators/skew.py) must equal the plain GROUP BY — the "
+    "hot group spreads over (key, salt) reducers first, then partials "
+    "sum per key.  The oracle proves salting is semantics-preserving",
+)
+def agg_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count
+
+    events = load_table(spark, sf_dir, "events").select("event_type")
+    return salted_count(events, "event_type")
+
+
+@register(
     "win_percent_rank_scalable",
     oracle="""
 SELECT c_custkey,

@@ -214,6 +214,74 @@ def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer shape without lookahead, so Java (Spark) and
+# RE2 (DuckDB) produce identical token streams: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.  Whitespace
+# is pre-normalized to single spaces so the literal-space classes are
+# exhaustive in both engines.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                              '{_BPE_PAT.replace("'", "''")}')) AS bpe_tokens,
+       round(len(regexp_extract_all(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                                    '{_BPE_PAT.replace("'", "''")}')) * 1.0
+             / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS fertility
+FROM documents
+""",
+    doc="token counting both ways the north star asks for: whitespace "
+    "words AND a BPE-ish pretokenizer regex (contractions / letter "
+    "runs / digit runs / punctuation), plus fertility (subword tokens "
+    "per word) — the metric that prices a corpus in tokens.  All "
+    "JVM-side regexp_extract_all; no Python",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    bpe = F.size(F.regexp_extract_all(norm, F.lit(_BPE_PAT), 0))
+    ws = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe * 1.0 / ws, 4).alias("fertility"),
+    )
+
+
+@register(
+    "text_lang_id_stopword",
+    oracle=f"""
+SELECT doc_id, lang,
+       round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> list_contains({_SW_SQL}, t))) * 1.0
+             / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS en_ratio,
+       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> list_contains({_SW_SQL}, t))) * 1.0
+             / len(string_split_regex(lower(trim(text)), '\\s+')) >= 0.1 AS pred_en
+FROM documents
+""",
+    doc="language-ID heuristic: fraction of tokens that are English "
+    "stopwords; >=10%% predicts English.  The honest n-gram-free "
+    "baseline (char-trigram profiles are in text_char_trigrams); "
+    "per-row, embarrassingly parallel",
+)
+def text_lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ratio = stopword_hits(t) * 1.0 / token_count(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_ratio"),
+        (ratio >= 0.1).alias("pred_en"),
+    )
+
+
 @register(
     "dedup_exact_fingerprint",
     oracle="""

@@ -88,11 +88,12 @@ WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
-    doc="TPC-H Q2 shape: min-cost supplier per part in a region.  The "
-    "correlated MIN subquery decorrelates into a per-part aggregate "
-    "joined back to the supply relation (lineitem stands in for "
-    "partsupp); region/nation dims broadcast, one shuffle on partkey "
-    "shared by the supply agg, the min agg, and the join-back",
+    doc="TPC-H Q2 shape: min-cost supplier per part in a region "
+    "(lineitem stands in for partsupp).  The correlated MIN subquery "
+    "decorrelates into min-over-window on the SAME l_partkey "
+    "partitioning the supply aggregate shuffles on — one lineitem "
+    "scan, one fact shuffle, no aggregate-join-back; dims and the "
+    "size/type-filtered part list broadcast",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -107,11 +108,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "EUROPE")
     )
+    # One explicit shuffle on l_partkey serves three consumers: the
+    # (partkey, suppkey) aggregate (subset-clustered is enough), the
+    # min-per-partkey window, and nothing downstream — the decorrelated
+    # MIN subquery becomes a window + filter instead of a second
+    # aggregate joined back, which halves the exchanges and scans
+    # lineitem once instead of twice.
+    from pyspark.sql import Window
+
     supply = (
         li.join(
             F.broadcast(euro_supp.select("s_suppkey")),
             li.l_suppkey == F.col("s_suppkey"),
         )
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
@@ -119,21 +129,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    best = supply.groupBy(F.col("l_partkey").alias("__bpk")).agg(
-        F.min("supply_cost").alias("best_cost")
-    )
-    # fresh scan (not a reuse of `supp`) so the second supplier branch
-    # carries distinct expression ids — avoids the ambiguous-self-join trap
+    best_rows = supply.withColumn(
+        "best_cost", F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supply_cost") == F.col("best_cost"))
     supp_info = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_acctbal", "s_name", "s_nationkey"
     )
     return (
-        part.join(supply, supply.l_partkey == part.p_partkey)
-        .join(
-            best,
-            (F.col("__bpk") == F.col("p_partkey"))
-            & (F.col("supply_cost") == F.col("best_cost")),
-        )
+        best_rows.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(F.broadcast(supp_info), F.col("l_suppkey") == supp_info.s_suppkey)
         .join(nation, supp_info.s_nationkey == nation.n_nationkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
@@ -298,6 +301,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
+    # materialize once: the per-part value table feeds both the global
+    # threshold aggregate and the filter — without this the whole
+    # lineitem join+agg subtree is planned (and scanned) twice
+    supply_value = supply_value.localCheckpoint(eager=False)
     threshold = supply_value.agg((F.sum("value") * 0.002).alias("__thr"))
     return (
         supply_value.crossJoin(F.broadcast(threshold))
@@ -528,16 +535,30 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_late"),
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("__n_late_supp"),
+    # Single pass over the joined lines: the per-order distinct-supplier
+    # counts come from collect_set windows on the SAME l_orderkey
+    # partitioning — no aggregate-then-join-back, so the lineitem join
+    # is scanned once and the only fact shuffle is the window's (the
+    # per-order supplier sets are tiny, so collect_set state is bounded)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    counted = lines.withColumn(
+        "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "__n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
     return (
-        lines.filter(F.col("is_late") == 1)
-        .join(per_order, F.col("__ok") == F.col("l_orderkey"))
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        counted.filter(
+            (F.col("is_late") == 1)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late_supp") == 1)
+        )
         .join(supp, supp.s_suppkey == F.col("l_suppkey"))
         .join(nation, nation.n_nationkey == supp.s_nationkey)
         .filter(F.col("n_name") == "NATION_5")
