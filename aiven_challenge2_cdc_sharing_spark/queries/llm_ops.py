@@ -214,6 +214,70 @@ def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substr(t, CAST(i AS INTEGER), 5)),
+           x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hv
+  FROM norm
+),
+wmin AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(hv) - 3, 1) + 1),
+                        j -> list_min(hv[j:j+3])) AS mins
+  FROM h
+)
+SELECT doc_id,
+       len(list_distinct(mins)) AS n_fp,
+       list_sort(list_distinct(mins)) AS fps
+FROM wmin
+""",
+    doc="document fingerprinting via winnowing (the MOSS scheme): "
+    "rolling char-5-gram hashes, min per sliding window of 4, distinct "
+    "survivors are the fingerprint set — near-identical documents "
+    "share most fingerprints, enabling partial-overlap detection that "
+    "whole-doc md5 (text_fingerprints) cannot.  Hashes are md5-prefix "
+    "60-bit ints so DuckDB reproduces the selection bit-identically; "
+    "per-row expression, embarrassingly parallel, no shuffle",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "__t", F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        )
+        .withColumn(
+            "__hv",
+            F.expr(
+                "transform("
+                "  transform(sequence(1, greatest(length(__t) - 4, 1)),"
+                "            i -> substr(__t, i, 5)),"
+                "  x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn(
+            "__mins",
+            F.expr(
+                "transform(sequence(1, greatest(size(__hv) - 3, 1)),"
+                "          j -> array_min(slice(__hv, j, 4)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("__mins")).alias("n_fp"),
+            F.array_sort(F.array_distinct("__mins")).alias("fps"),
+        )
+    )
+
+
 # GPT-2-style pretokenizer shape without lookahead, so Java (Spark) and
 # RE2 (DuckDB) produce identical token streams: contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs.  Whitespace
