@@ -170,3 +170,26 @@ def mm_decode_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real_media(attach_png_media(docs)).select(
         "doc_id", "width", "height", "pixel_sum"
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       md5(substr(text, CAST(j * 32 + 1 AS INTEGER), 32)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS j
+      FROM documents)
+""",
+    doc="multimodal frame sampling (the video-pipeline shape): binary "
+    "payload -> mapInPandas chop into 32-byte frames -> keep every 4th "
+    "-> one row per sampled frame with its md5.  The corpus is ASCII so "
+    "DuckDB reproduces each frame's hash from substr(text, ...); a real "
+    "pipeline swaps the chop for an ffmpeg keyframe extract behind the "
+    "same seam (sources/multimodal.py:sample_frames)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_media(docs))

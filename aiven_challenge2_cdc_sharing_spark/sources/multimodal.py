@@ -309,3 +309,49 @@ def decode_real_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURE_SCHEMA])
 
     return media.mapInPandas(extract, REAL_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every: int = 4
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload (the video-pipeline
+    shape): chop the payload into fixed-size frames, keep every k-th
+    full frame, emit one row per sampled frame with its checksum.  A
+    real video pipeline swaps the chop for an ffmpeg keyframe extract
+    behind the same mapInPandas seam; the Spark-side contract —
+    binary in, exploded frame rows out, partition-parallel, payload
+    column pruned unless asked for — is identical.
+    """
+    import hashlib
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for j in range(0, len(data) // frame_bytes, every):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    sums.append(
+                        hashlib.md5(
+                            data[j * frame_bytes : (j + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(sampler, FRAME_SCHEMA)
