@@ -50,6 +50,7 @@ def load_registry() -> dict[str, Query]:
         coverage_extras,
         dashboards,
         extras2,
+        ingest,
         joins,
         llm_ops,
         ml_pipeline,
