@@ -54,6 +54,7 @@ def load_registry() -> dict[str, Query]:
         joins,
         llm_ops,
         ml_pipeline,
+        retrieval,
         scalars,
         setops,
         tpch_full,
