@@ -70,7 +70,12 @@ def src_csv_ingest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     path = _tmp("nation_csv")
     formats.write_csv(nation, path)
-    back = formats.valid_rows(formats.read_csv(spark, path, NATION_SCHEMA))
+    # cache() before the quarantine split: Spark refuses plans that
+    # reference ONLY the corrupt-record column from a raw CSV/JSON scan
+    # (e.g. a count() after the IS NULL filter prunes everything else);
+    # caching the parsed rows is the documented workaround and the slice
+    # is tiny by construction.
+    back = formats.valid_rows(formats.read_csv(spark, path, NATION_SCHEMA).cache())
     return back.select("n_nationkey", "n_name", "n_regionkey")
 
 
@@ -97,7 +102,8 @@ def src_jsonl_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _tmp("orders_jsonl")
     formats.write_jsonl(orders, path)
-    back = formats.valid_rows(formats.read_jsonl(spark, path, ORDERS_SCHEMA))
+    # cache() for the same corrupt-only-pruning reason as the CSV query
+    back = formats.valid_rows(formats.read_jsonl(spark, path, ORDERS_SCHEMA).cache())
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),

@@ -22,12 +22,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_COLUMNS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized Spark
-        # reader rejects; read the raw int64 nanos and truncate to micros
-        # (same truncation DuckDB applies), keeping the read distributed.
+        # Some generator versions store ts as TIMESTAMP(NANOS), which the
+        # vectorized Spark reader rejects; with nanosAsLong those files read
+        # the raw int64 nanos, truncated here to micros (same truncation
+        # DuckDB applies). TIMESTAMP(MICROS) files read natively as a
+        # timestamp column and need no conversion — check the read dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Streaming watermarks require TIMESTAMP (LTZ); under the UTC
+            # session timezone this cast is value-identical to the NTZ read
+            # and to what timestamp_micros produced for the nanos files.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
