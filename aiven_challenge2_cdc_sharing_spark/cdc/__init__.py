@@ -10,6 +10,7 @@ from .algebra import (
 )
 from .generator import generate_customer_rows, generate_envelope_log
 from .materialize import apply_changes, latest_snapshot, snapshot_at
+from .scd2 import scd2_history
 
 __all__ = [
     "apply_changes",
@@ -22,6 +23,7 @@ __all__ = [
     "generate_envelope_log",
     "latest_snapshot",
     "route_ops",
+    "scd2_history",
     "snapshot_at",
     "to_wire",
     "unwrap",

@@ -67,3 +67,50 @@ def range_join(
     The band side is always broadcast — a range condition against a
     broadcast table is a map-side operation, no fact shuffle."""
     return fact.join(F.broadcast(bands), (value >= lo) & (value < hi))
+
+
+def binned_range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Bin-bucketed range join (the Databricks/Flink "range join
+    optimization" pattern, expressed as a DataFrame composition).
+
+    A broadcast range join compares EVERY fact row against EVERY band
+    (BNLJ: cost rows × bands).  Binning makes it an equi-join: each
+    band row is exploded into the ``bin_width``-sized bins its
+    [lo, hi) interval covers, each fact row maps to exactly ONE bin,
+    the engine hash-joins on the bin id, and the exact range predicate
+    re-filters the candidates.  Cost drops to rows × (bands overlapping
+    each row's bin) — with non-overlapping bands that's rows × ~1
+    regardless of band count, so at 10k bands this wins by 4 orders of
+    magnitude; the result is identical to ``range_join``.
+
+    Fact rows join at most the bands whose intervals cover their bin,
+    and a fact row is never duplicated across bins (it has one bin), so
+    no post-join dedup is needed.
+    """
+    binned_bands = bands.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bin_width).cast("long"),
+                # hi is exclusive: the last covered bin is ceil(hi/w)-1,
+                # so a hi exactly on a bin boundary does not reach into
+                # the next bin
+                (F.ceil(F.col(hi) / bin_width) - 1).cast("long"),
+            )
+        ),
+    )
+    binned_fact = fact.withColumn(
+        "__bin", F.floor(F.col(value) / bin_width).cast("long")
+    )
+    return (
+        binned_fact.join(F.broadcast(binned_bands), "__bin")
+        .filter((F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi)))
+        .drop("__bin")
+    )

@@ -54,9 +54,11 @@ def load_registry() -> dict[str, Query]:
         joins,
         llm_ops,
         ml_pipeline,
+        pipeline_extras,
         retrieval,
         scalars,
         setops,
+        temporal,
         tpch_full,
         tpch_like,
         udf_ops,

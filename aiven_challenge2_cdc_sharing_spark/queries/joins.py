@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.joins import asof_join
+from ..operators.joins import asof_join, binned_range_join
 from ..tables import load_table
 from . import register
 
@@ -212,6 +212,41 @@ def join_range_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (events.value >= bands.lo) & (events.value < bands.hi),
         )
         .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "join_range_binned_scale",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0), ('high', 250.0, 1000.0)
+)
+SELECT b.band, count(*) AS cnt, round(sum(e.value), 2) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+    doc="J4 scale path: bin-bucketed range join (Databricks range-join-"
+    "optimization pattern) — band intervals exploded into 50-wide bins, "
+    "hash equi-join on bin, exact re-filter. Same oracle as the BNLJ "
+    "variant; cost is rows x bands-per-bin instead of rows x bands",
+)
+def join_range_binned_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = binned_range_join(
+        events, bands, value="value", lo="lo", hi="hi", bin_width=50.0
+    )
+    return (
+        joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("total_value"),

@@ -1,0 +1,155 @@
+"""Temporal / time-series queries: SCD2 history and gap-filled rollups.
+
+``cdc_scd2_history`` extends the CDC flagship surface (the reference
+keeps only current state per key, consumer_to_opensearch.py:95-104)
+with the warehouse-standard Type 2 history table; the oracle re-derives
+every version interval arithmetically from the deterministic generator
+rules (cdc/generator.py), so interval endpoints, version numbers and
+the is_current flag are all value-hash checked.
+
+``ts_gapfill_locf`` is the timescale-style continuous-aggregate shape:
+bucket → aggregate → dense spine → last-observation-carried-forward.
+Spark side: one groupBy shuffle for the per-bucket sums, a broadcast
+spine × users grid (spine is tiny: one row per bucket, independent of
+fact size), and one window pass per user for the fill — at 100 TB the
+grid stays proportional to users × buckets, never to raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cdc import generate_envelope_log, scd2_history
+from ..tables import load_table
+from . import register
+
+# Shares the generator arithmetic with cdc_queries.SNAPSHOT_SQL: insert
+# at t0 = 1704067200000 + id*1000 (phone v1 = id*7919 % 1e7), update at
+# t0+500000 for id%3==0 (phone v2 = id*104729 % 1e7), delete at
+# t0+900000 for id%7==0.  Deletes close the last interval but emit no
+# version row, so is_current = (no update or delete after this row).
+SCD2_SQL = """
+WITH k AS (
+  SELECT CAST(c_custkey AS INTEGER) AS id,
+         c_custkey AS ck,
+         c_name AS full_name,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com' AS email,
+         CASE WHEN c_custkey % 2 = 0 THEN 'public' ELSE 'private' END AS classification,
+         make_timestamp((1704067200 + c_custkey) * 1000000) AS created_at
+  FROM customer
+),
+v1 AS (
+  SELECT id, full_name, email,
+         '+1-' || lpad(CAST(ck * 7919 % 10000000 AS VARCHAR), 7, '0') AS phone,
+         classification, created_at,
+         1 AS version,
+         1704067200000 + ck * 1000 AS valid_from_ms,
+         CASE WHEN ck % 3 = 0 THEN 1704067200000 + ck * 1000 + 500000
+              WHEN ck % 7 = 0 THEN 1704067200000 + ck * 1000 + 900000
+         END AS valid_to_ms
+  FROM k
+),
+v2 AS (
+  SELECT id, full_name, email,
+         '+1-' || lpad(CAST(ck * 104729 % 10000000 AS VARCHAR), 7, '0') AS phone,
+         classification, created_at,
+         2 AS version,
+         1704067200000 + ck * 1000 + 500000 AS valid_from_ms,
+         CASE WHEN ck % 7 = 0 THEN 1704067200000 + ck * 1000 + 900000
+         END AS valid_to_ms
+  FROM k WHERE ck % 3 = 0
+)
+SELECT id, full_name, email, phone, classification, created_at,
+       version, valid_from_ms, valid_to_ms,
+       valid_to_ms IS NULL AS is_current
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+"""
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=SCD2_SQL,
+    doc="SCD Type 2 history from the envelope log: one row per key "
+    "version with [valid_from, valid_to) intervals, version numbers, "
+    "is_current; deletes close intervals, replays dropped. One shuffle "
+    "(both windows share the key partitioning)",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_history(generate_envelope_log(spark, sf_dir))
+
+
+BUCKET_S = 21600  # 6-hour buckets: ~30-day span -> 120 buckets per user
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {BUCKET_S}) * {BUCKET_S} AS BIGINT) AS bucket_s,
+         value
+  FROM events
+),
+agg AS (
+  SELECT user_id, bucket_s, round(sum(value), 2) AS bucket_sum
+  FROM b GROUP BY user_id, bucket_s
+),
+bounds AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM b),
+spine AS (SELECT unnest(generate_series(mn, mx, {BUCKET_S})) AS bucket_s FROM bounds),
+grid AS (
+  SELECT u.user_id, s.bucket_s
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+)
+SELECT g.user_id,
+       make_timestamp(g.bucket_s * 1000000) AS bucket,
+       a.bucket_sum,
+       last_value(a.bucket_sum IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM grid g LEFT JOIN agg a
+  ON g.user_id = a.user_id AND g.bucket_s = a.bucket_s
+""",
+    doc="Gap-filled time-bucket rollup with LOCF interpolation "
+    "(timescale-style continuous aggregate): 6h buckets, dense spine "
+    "per user, NULL gaps + last-observation-carried-forward fill",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / BUCKET_S) * BUCKET_S)
+        .cast("long")
+        .alias("bucket_s"),
+        "value",
+    )
+    agg = b.groupBy("user_id", "bucket_s").agg(
+        F.round(F.sum("value"), 2).alias("bucket_sum")
+    )
+    # spine: one row per bucket across the global span — tiny (span /
+    # 6h), safe to broadcast regardless of fact-table size
+    spine = (
+        b.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.lit(BUCKET_S).cast("long"))
+            ).alias("bucket_s")
+        )
+    )
+    users = events.select("user_id").distinct()
+    grid = users.join(F.broadcast(spine))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "bucket_s"], "left")
+        .withColumn("filled_sum", F.last("bucket_sum", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.timestamp_seconds("bucket_s").alias("bucket"),
+            "bucket_sum",
+            "filled_sum",
+        )
+    )

@@ -1,0 +1,133 @@
+"""Tests for SCD2 history, binned range join, gap-fill LOCF, and the
+pipeline extras (incremental dedup, profiling, quantization)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.cdc import scd2_history
+from aiven_challenge2_cdc_sharing_spark.operators.joins import (
+    binned_range_join,
+    range_join,
+)
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+
+ENV_SCHEMA = (
+    "op string, "
+    "before struct<id:int,full_name:string,email:string,phone:string,"
+    "classification:string,created_at:timestamp>, "
+    "after struct<id:int,full_name:string,email:string,phone:string,"
+    "classification:string,created_at:timestamp>, "
+    "ts_ms long, source_table string, seq long"
+)
+
+
+def _row(id_, phone):
+    return (id_, f"name{id_}", f"e{id_}@x.com", phone, "public",
+            dt.datetime(2024, 1, 1))
+
+
+def test_scd2_versions_intervals_and_delete(spark):
+    # id=1: insert -> update -> delete; id=2: insert only; id=3:
+    # insert + replayed duplicate insert (at-least-once)
+    log = spark.createDataFrame(
+        [
+            ("c", None, _row(1, "p1"), 1000, "customer", 10),
+            ("u", _row(1, "p1"), _row(1, "p2"), 2000, "customer", 11),
+            ("d", _row(1, "p2"), None, 3000, "customer", 12),
+            ("c", None, _row(2, "q1"), 1500, "customer", 20),
+            ("c", None, _row(3, "r1"), 1700, "customer", 30),
+            ("c", None, _row(3, "r1"), 1700, "customer", 30),  # replay
+        ],
+        ENV_SCHEMA,
+    )
+    hist = {
+        (r["id"], r["version"]): r
+        for r in scd2_history(log).collect()
+    }
+    assert set(hist) == {(1, 1), (1, 2), (2, 1), (3, 1)}
+
+    v11 = hist[(1, 1)]
+    assert (v11["valid_from_ms"], v11["valid_to_ms"]) == (1000, 2000)
+    assert v11["phone"] == "p1" and not v11["is_current"]
+
+    v12 = hist[(1, 2)]
+    assert (v12["valid_from_ms"], v12["valid_to_ms"]) == (2000, 3000)
+    assert v12["phone"] == "p2"
+    assert not v12["is_current"], "deleted key must not be current"
+
+    assert hist[(2, 1)]["is_current"] and hist[(2, 1)]["valid_to_ms"] is None
+    assert hist[(3, 1)]["is_current"], "replayed insert collapses to one version"
+
+
+def test_binned_range_join_equals_bnlj_incl_boundaries(spark):
+    # values landing exactly on bin and band boundaries
+    fact = spark.createDataFrame(
+        [(float(v),) for v in [0.0, 49.9, 50.0, 99.99, 100.0, 149.5,
+                               250.0, 999.99, 1000.0, -1.0]],
+        "value double",
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    bnlj = range_join(
+        fact, bands, F.col("value"), F.col("lo"), F.col("hi")
+    ).select("value", "band")
+    binned = binned_range_join(
+        fact, bands, value="value", lo="lo", hi="hi", bin_width=50.0
+    ).select("value", "band")
+    assert sorted(map(tuple, bnlj.collect())) == sorted(map(tuple, binned.collect()))
+    # 1000.0 and -1.0 fall outside every band
+    assert binned.count() == 8
+
+
+def test_binned_range_join_no_duplicate_candidates(spark):
+    # a band spanning many bins must not duplicate matches
+    fact = spark.createDataFrame([(75.0,)], "value double")
+    bands = spark.createDataFrame([("wide", 0.0, 1000.0)], "band string, lo double, hi double")
+    out = binned_range_join(fact, bands, "value", "lo", "hi", bin_width=10.0)
+    assert out.count() == 1
+
+
+def test_gapfill_locf_fills_gaps(spark, sf_dir):
+    df = load_registry()["ts_gapfill_locf"].fn(spark, sf_dir)
+    rows = df.collect()
+    # dense spine: same bucket count for every user
+    users = {}
+    for r in rows:
+        users.setdefault(r["user_id"], []).append(r)
+    counts = {len(v) for v in users.values()}
+    assert len(counts) == 1
+    # there are real gaps, and every gap after the first observation is
+    # carried forward
+    gap_rows = [r for r in rows if r["bucket_sum"] is None]
+    assert gap_rows, "6h buckets on sparse events must contain gaps"
+    for u, rs in users.items():
+        rs.sort(key=lambda r: r["bucket"])
+        seen = None
+        for r in rs:
+            if r["bucket_sum"] is not None:
+                seen = r["bucket_sum"]
+            assert r["filled_sum"] == seen
+
+
+def test_quantization_reconstruction_bound(spark, sf_dir):
+    out = load_registry()["emb_quantize_int8"].fn(spark, sf_dir)
+    rows = out.select("qvec", "rmse", "scale_r").collect()
+    assert rows
+    for r in rows:
+        assert all(-128 <= q <= 127 for q in r["qvec"])
+        # max-abs quantization error per dim is 0.5/scale; RMSE must be
+        # below that bound
+        assert r["rmse"] <= 0.5 / r["scale_r"] + 1e-9
+
+
+def test_incremental_dedup_drops_recrawls_keeps_fresh(spark, sf_dir):
+    out = load_registry()["dedup_incremental_batch"].fn(spark, sf_dir)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids, "fresh docs must survive"
+    assert all(i < 100000 for i in ids), "re-crawled copies must drop"
+    assert all(i % 10 == 7 for i in ids)
