@@ -48,6 +48,7 @@ def load_registry() -> dict[str, Query]:
         aggregates,
         cdc_queries,
         coverage_extras,
+        coverage_round2,
         dashboards,
         extras2,
         ingest,

@@ -131,3 +131,23 @@ def test_incremental_dedup_drops_recrawls_keeps_fresh(spark, sf_dir):
     assert ids, "fresh docs must survive"
     assert all(i < 100000 for i in ids), "re-crawled copies must drop"
     assert all(i % 10 == 7 for i in ids)
+
+
+def test_null_safe_join_is_hash_join_not_bnlj(spark, sf_dir):
+    df = load_registry()["join_null_safe_eq"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_stable_across_partitioning(spark, sf_dir):
+    from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+    fn = load_registry()["ml_stratified_sample_det"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    # hash-bucket membership must not depend on physical layout
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    totals = {r[0]: (r[1], r[2]) for r in a}
+    for seg, (n_total, n_sampled) in totals.items():
+        assert 0 <= n_sampled <= n_total

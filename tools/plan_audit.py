@@ -32,7 +32,22 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 #   customer) each shuffle once per side of their equi-join plus the
 #   year aggregate — 9 exchanges is the floor for the 8-way shape; all
 #   five dims broadcast, no fact is shuffled twice.
-ALLOWED_EXCHANGES = {"dedup_embedding_cosine": 9, "tpch_q8_market_share": 9}
+# - search_bm25_ranking / text_tfidf_top_terms: inverted-index builds —
+#   token explode + tf/df/global-stats aggregates are separate groupBys
+#   by design; every exchange after the explode carries (doc_id, term,
+#   count) longs/shorts, never document text, and df/global stats are
+#   broadcast back.
+# - profile_orders_columns: one branch per profiled column, each an
+#   exact-distinct aggregate (2 exchanges per branch) over a SINGLE
+#   pruned parquet column — the union of 5 independent single-column
+#   plans, not one 10-exchange pipeline.
+ALLOWED_EXCHANGES = {
+    "dedup_embedding_cosine": 9,
+    "tpch_q8_market_share": 9,
+    "search_bm25_ranking": 8,
+    "text_tfidf_top_terms": 9,
+    "profile_orders_columns": 10,
+}
 
 
 def main() -> int:
