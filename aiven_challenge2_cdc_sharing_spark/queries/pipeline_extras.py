@@ -205,3 +205,175 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+@register(
+    "ml_decontaminate_eval",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 8
+                     THEN list_transform(generate_series(1, len(t) - 7),
+                                         i -> array_to_string(t[i:i+7], ' '))
+                     ELSE [] END) AS ng
+  FROM t
+),
+train AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 <> 7),
+eval_g AS (SELECT doc_id, ng FROM g WHERE doc_id % 10 = 7)
+SELECT e.doc_id,
+       count(*) AS n_ngrams,
+       count(*) FILTER (WHERE tr.ng IS NOT NULL) AS n_hits,
+       count(*) FILTER (WHERE tr.ng IS NOT NULL) > 0 AS contaminated
+FROM eval_g e LEFT JOIN train tr ON e.ng = tr.ng
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+    doc="Train/eval decontamination (the 8-gram-overlap check every "
+    "LLM training pipeline runs before benchmark evals): eval docs "
+    "whose word 8-grams appear anywhere in the train split are "
+    "flagged, with hit counts. Shuffle carries n-gram strings once "
+    "for the distinct + once for the join — at 100 TB both sides "
+    "would be md5(ngram) 16-byte keys instead (same plan shape)",
+)
+def ml_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 8,
+                F.expr(
+                    "transform(sequence(0, size(t) - 8),"
+                    " i -> array_join(slice(t, i + 1, 8), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ng"),
+    )
+    train = (
+        grams.filter(F.col("doc_id") % 10 != 7).select("ng").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    eval_g = grams.filter(F.col("doc_id") % 10 == 7)
+    return (
+        eval_g.join(train, "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_hits"),
+            (F.count("__hit") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [] END AS g
+  FROM t
+)
+SELECT doc_id,
+       len(g) AS n_trigrams,
+       round(CASE WHEN len(g) > 0
+                  THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                  ELSE 0.0 END, 6) AS dup_trigram_ratio,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+            ELSE 0.0 END > 0.2 AS flagged
+FROM tri
+ORDER BY doc_id
+""",
+    doc="Gopher/MassiveText-style repetition filter: fraction of "
+    "duplicated word trigrams per document, flagging docs above 0.2 "
+    "— a pure per-row JVM array computation, no shuffle at all",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3),"
+            " i -> array_join(slice(t, i + 1, 3), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ratio = F.when(
+        F.size("g") > 0,
+        1.0 - F.size(F.array_distinct("g")).cast("double") / F.size("g"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        )
+        .withColumn("g", g)
+        .select(
+            "doc_id",
+            F.size("g").alias("n_trigrams"),
+            F.round(ratio, 6).alias("dup_trigram_ratio"),
+            (ratio > 0.2).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ml_domain_reweight",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS n FROM counts)
+SELECT c.source, c.n_docs, c.n_chars_total,
+       round(CAST(c.n_docs AS DOUBLE) / t.n, 6) AS natural_share,
+       round(1.0 / (SELECT count(*) FROM counts), 6) AS target_share,
+       round((1.0 / (SELECT count(*) FROM counts))
+             / (CAST(c.n_docs AS DOUBLE) / t.n), 6) AS sample_weight
+FROM counts c CROSS JOIN tot t
+ORDER BY c.source
+""",
+    doc="Domain mixture reweighting (DoReMi-style static reweight to a "
+    "uniform target): per-source natural share vs target share and "
+    "the per-document sampling weight that achieves it — feeds "
+    "ml_mixture_sample's weighted draw",
+)
+def ml_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    # tiny per-source table: totals via a broadcastable single-row agg
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"), F.count(F.lit(1)).alias("n_sources")
+    )
+    natural = F.col("n_docs").cast("double") / F.col("n")
+    target = 1.0 / F.col("n_sources")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars_total",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / natural, 6).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
