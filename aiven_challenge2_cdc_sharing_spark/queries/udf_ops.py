@@ -193,3 +193,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_fake_media(docs))
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '[.!?]\\s+'),
+                       s -> len(s) > 0)) AS n_sentences
+FROM documents
+ORDER BY doc_id
+""",
+    doc="U3 Python UDTF under the oracle gate: LATERAL split_sentences "
+    "(one doc in, one row per sentence out) aggregated back to a "
+    "per-doc sentence count.  DuckDB's RE2 has no lookbehind, so the "
+    "oracle counts boundary matches ('[.!?]\\s+' consumes one "
+    "delimiter run exactly where the UDTF's '(?<=[.!?])\\s+' splits) "
+    "— same cardinality, which is precisely what a UDTF contributes "
+    "over a scalar UDF.  Span contents are pinned engine-side by "
+    "test_udtf_sentence_splitter",
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n_sentences
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+        """
+    )
