@@ -320,3 +320,65 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def jaccard_threshold_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity self-join at ``threshold``,
+    via prefix filtering (Bayardo et al. All-Pairs / PPJoin).
+
+    MinHash+LSH (above) is the probabilistic path: cheap, but with
+    false negatives.  This is the exact path that stays sub-quadratic:
+    under a global token order, two sets with J(A,B) >= t MUST share a
+    token within each set's first |S| - ceil(t*|S|) + 1 tokens (if the
+    intersection avoided A's prefix it would fit inside A's last
+    ceil(t|A|)-1 tokens, contradicting |A∩B| >= ceil(t|A|)).  So only
+    prefix tokens are exploded/joined: candidate volume is driven by
+    prefix-token collisions, not N^2 — the standard exact
+    similarity-join strategy.  Lexicographic token order keeps the
+    oracle reproducible; production would order by ascending global
+    frequency (rarest-first prefixes collide least) at the cost of one
+    extra frequency join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 dp AFTER the threshold filter on the unrounded value.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    sets = sh.select(id_col, F.sort_array("__sh").alias("__set"))
+    prefix_len = (
+        F.size("__set") - F.ceil(F.lit(threshold) * F.size("__set")) + 1
+    ).cast("int")
+    pre = sets.select(
+        F.col(id_col), F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("__tok")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "__tok")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a")
+    )
+    sets_b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b")
+    )
+    jac = F.size(F.array_intersect("__set_a", "__set_b")).cast(
+        "double"
+    ) / F.size(F.array_union("__set_a", "__set_b"))
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("__j", jac)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )

@@ -377,3 +377,42 @@ def ml_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_jaccard_threshold_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.5
+ORDER BY id_a, id_b
+""",
+    doc="EXACT Jaccard>=0.5 similarity self-join via prefix filtering "
+    "(All-Pairs/PPJoin): only each set's first |S|-ceil(t|S|)+1 "
+    "sorted shingles are exploded and equi-joined, so candidate "
+    "volume tracks prefix collisions, not N^2. The oracle is the "
+    "BRUTE-FORCE all-pairs join — a hash match proves the pruning "
+    "lost nothing (exactness, which MinHash can't claim)",
+)
+def dedup_jaccard_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_threshold_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_threshold_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.5
+    ).orderBy("id_a", "id_b")

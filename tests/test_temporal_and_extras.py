@@ -151,3 +151,40 @@ def test_stratified_sample_stable_across_partitioning(spark, sf_dir):
     totals = {r[0]: (r[1], r[2]) for r in a}
     for seg, (n_total, n_sampled) in totals.items():
         assert 0 <= n_sampled <= n_total
+
+
+def test_jaccard_threshold_join_exact_and_pruned(spark):
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        jaccard_threshold_join,
+        with_shingles,
+    )
+
+    # 3 near-identical docs (one token changed), 3 unrelated docs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "completely different words about spark query planning"),
+        (5, "another unrelated sentence mentioning duckdb oracle checks"),
+        (6, "yet more text that shares nothing with the first cluster"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_threshold_join(df, "doc_id", "text", 0.5).collect()
+    }
+    # brute force reference
+    sh = {
+        r["doc_id"]: set(r["__sh"])
+        for r in with_shingles(df, "text").collect()
+    }
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    assert out == expect
+    assert (1, 2) in out and (1, 3) in out, "near-identical docs must pair"
+    assert not any(a >= 4 or b >= 4 for a, b in out)
