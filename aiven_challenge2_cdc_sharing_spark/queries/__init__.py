@@ -46,6 +46,7 @@ def load_registry() -> dict[str, Query]:
     # import for side effect: submodules register their queries
     from . import (  # noqa: F401
         aggregates,
+        analytics,
         cdc_queries,
         coverage_extras,
         coverage_round2,
