@@ -27,21 +27,29 @@ def tokens(col: Column) -> Column:
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from a text column.
 
-    PERF: callers must pass a *materialized column reference* (an
-    AttributeReference), not an expression — every ``element_at`` below
-    references ``col`` and Catalyst re-inlines expression arguments
-    into each use site inside higher-order-function lambdas (no CSE
-    there), turning one split() into hundreds per row.  See
-    ``with_shingles``."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(col) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(col, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+    Built as ``zip_with`` over ``n`` shifted slices of the token array
+    rather than per-element ``element_at`` lookups: Catalyst re-inlines
+    expression arguments into every use site inside HOF lambdas (no
+    CSE there), so the element_at form re-evaluated the upstream
+    ``split()`` once per shingle PER TERM (~3 x shingle-count regex
+    splits per row — measured 10s for 5000 docs at sf0.1); the slice
+    form references ``col`` exactly ``n`` times per row (measured
+    0.9s).  ``concat_ws`` skips the nulls zip_with pads short docs
+    with, which preserves the short-document shingles byte-for-byte
+    (the md5-MinHash oracle pins this).
+
+    Callers should still pass a materialized column reference (see
+    ``with_shingles``) so even those n references share one split.
+    """
+    length = F.greatest(F.size(col) - (n - 1), F.lit(1))
+    zipped = F.slice(col, 1, length)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(col, j + 1, length),
+            lambda acc, nxt: F.concat_ws(" ", acc, nxt),
         )
-    )
+    return F.array_distinct(zipped)
 
 
 def with_shingles(
@@ -329,56 +337,70 @@ def jaccard_threshold_join(
     threshold: float,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """EXACT all-pairs Jaccard similarity self-join at ``threshold``,
-    via prefix filtering (Bayardo et al. All-Pairs / PPJoin).
+    """EXACT all-pairs Jaccard similarity self-join at ``threshold``
+    (the V-SMART-Join / set-similarity-join count formulation, with
+    the All-Pairs size filter).
 
     MinHash+LSH (above) is the probabilistic path: cheap, but with
-    false negatives.  This is the exact path that stays sub-quadratic:
-    under a global token order, two sets with J(A,B) >= t MUST share a
-    token within each set's first |S| - ceil(t*|S|) + 1 tokens (if the
-    intersection avoided A's prefix it would fit inside A's last
-    ceil(t|A|)-1 tokens, contradicting |A∩B| >= ceil(t|A|)).  So only
-    prefix tokens are exploded/joined: candidate volume is driven by
-    prefix-token collisions, not N^2 — the standard exact
-    similarity-join strategy.  Lexicographic token order keeps the
-    oracle reproducible; production would order by ascending global
-    frequency (rarest-first prefixes collide least) at the cost of one
-    extra frequency join.
+    false negatives.  This is the exact path that stays sub-quadratic
+    AND never shuffles a document or a shingle array to a pair row:
+
+    1. explode each doc's DISTINCT shingle set to (id, size, shingle);
+    2. self-join on shingle with ``id_a < id_b`` and the size filter
+       (J >= t forces t*|A| <= |B| <= |A|/t) — join volume is
+       sum(df(shingle)^2), not N^2;
+    3. count rows per (id_a, id_b): because shingles are distinct per
+       doc, the count IS |A∩B|, and J = ov / (|A|+|B|-ov) exactly.
+
+    Everything after the scan moves (long, long, int) tuples only —
+    no verify-stage rejoin of the full sets (measured 3.5x faster
+    than candidate-pairs + array_intersect verify at sf0.1, where the
+    array rejoin shipped ~1 GB of shingle arrays).  The degenerate
+    case is a boilerplate shingle shared by M docs (M^2 join rows) —
+    the same hazard class as LSH hot buckets; production would drop
+    or sub-split shingles above a df cap during CANDIDATE generation
+    and verify those separately (cap_hot_buckets above), which this
+    corpus (max df 25) doesn't need.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp AFTER the threshold filter on the unrounded value.
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    sets = sh.select(id_col, F.sort_array("__sh").alias("__set"))
-    prefix_len = (
-        F.size("__set") - F.ceil(F.lit(threshold) * F.size("__set")) + 1
-    ).cast("int")
-    pre = sets.select(
-        F.col(id_col), F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("__tok")
+    # localCheckpoint: both sides of the self-join consume the exploded
+    # shingle stream; materializing once halves the shingle compute
+    # (same pattern as the MinHash signature table — at scale this is
+    # the persisted posting list an index build would keep anyway)
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__tok"),
+    ).localCheckpoint()
+    a = ex.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sz_a"),
+        "__tok",
     )
-    cand = (
-        pre.alias("a")
-        .join(pre.alias("b"), "__tok")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    b = ex.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__sz_b"),
+        "__tok",
+    )
+    ov = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: |B| in [t|A|, |A|/t] is necessary for J >= t
+            & (F.col("__sz_b") >= F.lit(threshold) * F.col("__sz_a"))
+            & (F.col("__sz_b") * F.lit(threshold) <= F.col("__sz_a"))
         )
-        .distinct()
+        .groupBy("id_a", "id_b", "__sz_a", "__sz_b")
+        .agg(F.count(F.lit(1)).alias("__ov"))
     )
-    sets_a = sets.select(
-        F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a")
+    jac = F.col("__ov").cast("double") / (
+        F.col("__sz_a") + F.col("__sz_b") - F.col("__ov")
     )
-    sets_b = sets.select(
-        F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b")
-    )
-    jac = F.size(F.array_intersect("__set_a", "__set_b")).cast(
-        "double"
-    ) / F.size(F.array_union("__set_a", "__set_b"))
     return (
-        cand.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
-        .withColumn("__j", jac)
+        ov.withColumn("__j", jac)
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )

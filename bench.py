@@ -55,6 +55,16 @@ HEADLINE = [
     "cdc_snapshot",
     "cdc_merge_incremental",
     "cdc_wire_roundtrip",
+    "cdc_scd2_history",
+    "dedup_jaccard_threshold_pairs",
+    "dedup_incremental_batch",
+    "ml_decontaminate_eval",
+    "ts_gapfill_locf",
+    "join_range_binned_scale",
+    "emb_quantize_int8",
+    "text_bigram_pmi",
+    "cohort_weekly_retention",
+    "funnel_view_purchase",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_decimal_money_sums",

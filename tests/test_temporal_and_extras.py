@@ -188,3 +188,36 @@ def test_jaccard_threshold_join_exact_and_pruned(spark):
     assert out == expect
     assert (1, 2) in out and (1, 3) in out, "near-identical docs must pair"
     assert not any(a >= 4 or b >= 4 for a, b in out)
+
+
+def test_scd2_agrees_with_point_in_time_snapshot(spark, sf_dir):
+    """Cross-operator invariant: the SCD2 rows whose [valid_from,
+    valid_to) interval covers T must equal snapshot_at(T)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aiven_challenge2_cdc_sharing_spark.cdc import (
+        generate_envelope_log,
+        scd2_history,
+        snapshot_at,
+        unwrap,
+    )
+
+    log = generate_envelope_log(spark, sf_dir)
+    # T inside the update window: after inserts+updates of low ids,
+    # before their deletes (generator: t0 = BASE + id*1000, update
+    # +500k, delete +900k)
+    t = 1_704_067_200_000 + 300 * 1000 + 700_000
+    hist_at = (
+        scd2_history(log)
+        .filter(
+            (F.col("valid_from_ms") <= t)
+            & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > t))
+        )
+        .select("id", "phone", "classification")
+    )
+    snap_at = snapshot_at(unwrap(log), t).select(
+        "id", "phone", "classification"
+    )
+    a = sorted(map(tuple, hist_at.collect()))
+    b = sorted(map(tuple, snap_at.collect()))
+    assert a == b and len(a) > 0
