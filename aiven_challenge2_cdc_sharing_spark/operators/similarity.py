@@ -210,6 +210,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     probe_hamming: int = 1,
     max_bucket_size: int | None = 100_000,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to buckets within
     ``probe_hamming`` bit flips of the query's bucket (multi-probe LSH).
@@ -226,8 +227,14 @@ def cosine_topk_lsh(
     truncated deterministically (ordered by id), trading recall inside
     a bucket that is by definition poorly discriminated for a hard
     bound on per-query cost; at scale the real fix is more bits.
+
+    ``planes`` overrides the seeded random hyperplanes; axis-aligned
+    unit planes make the bucketing exactly recomputable by an external
+    SQL engine (the oracle trick `dedup_embedding_cosine` uses) at the
+    cost of ignoring the data's covariance structure.
     """
-    planes = hyperplanes(dim, bits, seed)
+    if planes is None:
+        planes = hyperplanes(dim, bits, seed)
     v = F.col(vec_col).cast("array<double>")
     q = F.col(query_vec_col).cast("array<double>")
     bucketed = vectors.withColumn("__bucket", lsh_bucket(v, planes))

@@ -826,25 +826,119 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_cosine_topk_lsh",
-    oracle=None,  # approximate (bucket-restricted) by design
-    doc="ANN scale path: random-hyperplane LSH buckets (4 bits => ~1/16 of "
-    "candidates scored per query)",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b
+      WHERE vec_id IN (0, 1, 2)),
+probes AS (
+  SELECT query_id, qe,
+         unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)])
+           AS pbucket
+  FROM q
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT p.query_id, v.vec_id,
+         round(list_cosine_similarity(v.e, p.qe), 6) AS sim
+  FROM probes p JOIN b v ON v.bucket = p.pbucket
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+        <= 10
+""",
+    doc="ANN scale path: sign-bit LSH buckets (4 bits => ~1/16 of "
+    "candidates single-probe; Hamming-1 multi-probe scans 5/16), "
+    "axis-aligned planes so the bucket assignment — and therefore the "
+    "whole approximate result — is exactly recomputable by DuckDB. "
+    "The seeded random-hyperplane path stays the operator default and "
+    "is pinned by recall-floor tests instead "
+    "(tests/test_similarity_recall.py)",
 )
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # axis-aligned unit planes: bucket bit i == (embedding[i] > 0),
+    # which the oracle recomputes verbatim; max_bucket_size (100k) is
+    # provably a no-op below ~1.6M vectors so the oracle omits the cap
+    axis_planes = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(4)]
     return cosine_topk_lsh(
-        emb.select("vec_id", "embedding"), queries, dim=64, k=10, bits=4
+        emb.select("vec_id", "embedding"), queries, dim=64, k=10, bits=4,
+        planes=axis_planes,
     )
+
+
+# The IVF pipeline is deterministic end-to-end (centroid init = first
+# n_lists ids, fixed Lloyd iteration count, total tiebreaks), so DuckDB
+# can replay the ENTIRE index build + search by unrolling the two Lloyd
+# iterations as CTE pairs.  These helpers emit the repeated
+# assign-to-nearest / recompute-means CTE bodies.
+def _ivf_assign_cte(src: str, cents: str) -> str:
+    """Nearest-centroid assignment (max cosine, min cid tiebreak)."""
+    return f"""(
+  SELECT vec_id, e, cid AS cluster FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+    FROM {src} v CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+
+
+def _ivf_update_cte(assigned: str) -> str:
+    """Lloyd update: per-(cluster, dim) mean, reassembled in dim order."""
+    return f"""(
+  SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cluster, t.i AS pos, avg(e[t.i]) AS m
+    FROM {assigned}, range(1, 65) t(i)
+    GROUP BY cluster, t.i) GROUP BY cluster
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS cvec
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 16)
+),
+a1 AS {_ivf_assign_cte("vecs", "c0")},
+c1 AS {_ivf_update_cte("a1")},
+a2 AS {_ivf_assign_cte("vecs", "c1")},
+c2 AS {_ivf_update_cte("a2")},
+a3 AS {_ivf_assign_cte("vecs", "c2")},
+qp AS (
+  SELECT query_id, qe, cid AS cluster FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.e, c.cvec) DESC, c.cid) AS rn
+    FROM vecs q CROSS JOIN c2 c WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 4
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.e, p.qe), 6) AS sim
+  FROM qp p JOIN a3 a ON a.cluster = p.cluster)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+        <= 10
+"""
 
 
 @register(
     "sim_cosine_topk_ivf",
-    oracle=None,  # approximate (probed inverted lists) by design
-    doc="ANN scale path 2: IVF — deterministic k-means coarse quantizer, "
-    "n_probe=4 of 16 lists scored per query (~1/4 of candidates)",
+    oracle=_IVF_ORACLE,
+    doc="ANN scale path 2: IVF — deterministic k-means coarse quantizer "
+    "(init = first 16 ids, 2 Lloyd iterations, cosine assignment), "
+    "n_probe=4 of 16 lists scored per query (~1/4 of candidates). "
+    "Oracle: DuckDB replays the ENTIRE index build by unrolling both "
+    "Lloyd iterations as assign/update CTE pairs, then probes and "
+    "scores identically — the approximate result is still a "
+    "deterministic function of the input, so it hash-matches",
 )
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
