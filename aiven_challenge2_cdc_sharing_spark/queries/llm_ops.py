@@ -948,3 +948,178 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb.select("vec_id", "embedding"), queries, k=10, n_lists=16, n_probe=4
     )
+
+
+@register(
+    "text_heavy_hitter_tokens",
+    oracle="""
+WITH tk AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tk)
+SELECT token, count(*) AS cnt
+FROM tk GROUP BY token
+HAVING count(*) > (SELECT n FROM tot) / 100.0
+ORDER BY cnt DESC, token
+""",
+    doc="two-pass EXACT heavy hitters (tokens with freq > N/100): "
+    "pass 1 = per-partition Misra-Gries summaries (capacity 99, "
+    "Arrow-batched mapInPandas) whose union is a guaranteed candidate "
+    "superset by pigeonhole; pass 2 = broadcast semi-join + exact "
+    "count + threshold.  The sketch bounds shuffle size by "
+    "99*n_partitions instead of the distinct-token universe — at "
+    "100 TB the full groupBy the oracle runs is exactly what this "
+    "avoids — yet the output is exact, so the plain GROUP BY/HAVING "
+    "oracle hash-matches",
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters_exact
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", k=100).orderBy(
+        F.desc("cnt"), "token"
+    )
+
+
+@register(
+    "text_dup_ngram_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens, greatest(len(tk) - 7, 0) AS n_grams, tk
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+             i -> {'pos': i,
+                   'g': md5(list_aggregate(tk[i:i+7], 'string_agg', ' '))}))
+             AS u
+    FROM base)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dpos AS (SELECT doc_id, pos, pos + 7 AS e FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM dpos
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, sum(c) AS n_dup_grams, sum(cov_len) AS dup_tokens FROM (
+    SELECT doc_id, island, max(e) - min(pos) + 1 AS cov_len, count(*) AS c
+    FROM isl2 GROUP BY doc_id, island) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+         AS dup_token_frac,
+       coalesce(c.dup_tokens, 0) * 1.0 / b.n_tokens >= 0.2 AS flagged
+FROM base b LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="cross-document duplicated-SPAN detection (the exact-substring "
+    "dedup of Lee et al. 2022, 'Deduplicating Training Data Makes "
+    "Language Models Better', at 8-token granularity): rolling 8-gram "
+    "md5s with positions; grams seen in >=2 distinct docs mark their "
+    "[pos, pos+7] token interval; per-doc interval UNION via "
+    "gaps-and-islands gives exactly how many tokens sit inside "
+    "cross-corpus duplicated spans.  Shuffle carries (16-byte hash, "
+    "doc_id, pos) — never text; the dup-gram set join is a semi-join "
+    "on the hash.  At 100 TB the gram table is the suffix-array "
+    "substitute: same signal, embarrassingly parallel",
+)
+def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokenize(F.col("text")).alias("__tk"),
+    ).select(
+        "doc_id",
+        F.size("__tk").alias("n_tokens"),
+        F.greatest(F.size("__tk") - 7, F.lit(0)).alias("n_grams"),
+        "__tk",
+    )
+    # sequence(1, 0) would yield [1, 0] (Spark sequences run backwards),
+    # so short docs get an explicit empty gram array
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(
+                    "transform(sequence(1, size(__tk) - 7), i -> "
+                    "struct(i AS pos, md5(concat_ws(' ', slice(__tk, i, 8))) AS g))"
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        ).alias("u"),
+    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("g")
+    )
+    dpos = grams.join(dup, "g", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + 7).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.withColumn(
+        "ni",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("ni").over(w_run))
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            (F.max("e") - F.min("pos") + 1).alias("cov_len"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_dup_grams"),
+            F.sum("cov_len").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_grams")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens") >= 0.2
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,108 @@
+"""Misra-Gries heavy hitters (guarantee + exactness) and cross-doc
+duplicated-span detection."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aiven_challenge2_cdc_sharing_spark.operators.sketches import (
+    _mg_shrink,
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+
+def _skewed_items(spark, n_partitions=8):
+    # adversarial mix: 3 true heavy hitters buried in a long uniform
+    # tail that would dominate a naive groupBy's shuffle
+    rows = (
+        [("hot_a",)] * 4000
+        + [("hot_b",)] * 2500
+        + [("hot_c",)] * 1200
+        + [(f"tail_{i % 900}",) for i in range(2300)]
+    )
+    return spark.createDataFrame(rows, "item string").repartition(n_partitions)
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    items = _skewed_items(spark)
+    k = 100
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters_exact(items, "item", k=k).collect()
+    }
+    n = items.count()
+    want = {
+        r["item"]: r["c"]
+        for r in items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > n / k)
+        .collect()
+    }
+    assert got == want
+    assert set(got) == {"hot_a", "hot_b", "hot_c"}
+    assert got["hot_a"] == 4000
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    items = _skewed_items(spark, n_partitions=8)
+    k = 100
+    cand = set(
+        r["item"]
+        for r in misra_gries_candidates(items, "item", capacity=k - 1).collect()
+    )
+    # candidate set is bounded by capacity * partitions, not by the
+    # distinct universe (903 here)
+    assert len(cand) <= (k - 1) * 8
+    assert {"hot_a", "hot_b", "hot_c"} <= cand
+
+
+def test_mg_shrink_merge_rule():
+    c = _mg_shrink({"a": 10, "b": 7, "c": 3, "d": 1}, capacity=2)
+    # cut = 3rd largest (3): a->7, b->4, c,d dropped
+    assert c == {"a": 7, "b": 4}
+    assert _mg_shrink({"a": 2}, capacity=2) == {"a": 2}
+
+
+def test_dup_ngram_spans_known_overlap(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (0, f"{shared} unique tail zero one two three four five six seven"),
+        (1, f"prefix words here {shared} and a different ending entirely now"),
+        (2, "completely unrelated content with no duplicated spans at all ok"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        text_dup_ngram_spans,
+    )
+
+    out = {r["doc_id"]: r for r in text_dup_ngram_spans(spark, str(tmp_path)).collect()}
+    # the shared 8-gram covers exactly its 8 tokens in both docs
+    assert out[0]["n_dup_grams"] == 1 and out[0]["dup_tokens"] == 8
+    assert out[1]["n_dup_grams"] == 1 and out[1]["dup_tokens"] == 8
+    assert out[2]["n_dup_grams"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[2]["flagged"] is False
+    # doc 0 has 18 tokens -> 8/18 > 0.2 => flagged
+    assert out[0]["flagged"] is True
+
+
+def test_dup_ngram_spans_interval_union(spark, tmp_path):
+    # two OVERLAPPING duplicated grams (positions 1 and 2) must count
+    # 9 covered tokens, not 16 — the interval union, not the sum
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = [
+        (0, f"{nine} tail0 a b c d e f g h i"),
+        (1, f"{nine} tail1 j k l m n o p q r"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        text_dup_ngram_spans,
+    )
+
+    out = {r["doc_id"]: r for r in text_dup_ngram_spans(spark, str(tmp_path)).collect()}
+    assert out[0]["n_dup_grams"] == 2
+    assert out[0]["dup_tokens"] == 9
