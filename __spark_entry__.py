@@ -93,6 +93,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- positions 51+: round-3 window — new round-2 ops and deferred
     # TPC-H shapes first, then the rows-only approximate ops, then a
     # regression slice of r01 greens --
+    "text_heavy_hitter_tokens",
+    "text_dup_ngram_spans",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",
@@ -125,6 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dedup_simhash_signatures",
+    # lsh/ivf gained exact oracles in round 2 (deterministic bucketing /
+    # unrolled Lloyd CTEs) — no longer rows-only
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_ivf",
     "tpch_q12_shipmode_priority",
