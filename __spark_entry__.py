@@ -95,6 +95,7 @@ DRIVER_PRIORITY: list[str] = [
     # regression slice of r01 greens --
     "text_heavy_hitter_tokens",
     "text_dup_ngram_spans",
+    "text_perplexity_filter",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -1123,3 +1123,99 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_perplexity_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+uni AS (SELECT t AS tok, count(*) AS cu
+        FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+v AS (SELECT count(*) AS vsz FROM uni),
+grams AS (
+  SELECT doc_id, u.u AS u, u.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(2, len(tk) + 1),
+                                 i -> {'u': tk[i-1], 'w': tk[i]})) AS u
+    FROM toks)
+),
+bi AS (SELECT u, w, count(*) AS cb FROM grams GROUP BY u, w),
+scored AS (
+  SELECT g.doc_id,
+         ln((b.cb + 0.1) / (un.cu + 0.1 * (SELECT vsz FROM v))) AS lp
+  FROM grams g JOIN bi b USING (u, w) JOIN uni un ON g.u = un.tok
+),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS h
+        FROM scored GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(a.h, 6) AS cross_entropy,
+       round(exp(a.h), 4) AS perplexity,
+       coalesce(exp(a.h) > 32.0, false) AS flagged
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+    doc="perplexity quality filter (the CCNet/LLaMA corpus-cleaning "
+    "signal): a bigram LM with add-0.1 smoothing is trained on the "
+    "corpus ITSELF — P(w|u) = (C(u,w)+0.1)/(C(u)+0.1|V|) — and each "
+    "doc is scored by bigram cross-entropy; docs above perplexity 32 "
+    "(~top decile) flag as out-of-distribution.  Entirely "
+    "deterministic (counts + ln), so DuckDB replays LM training AND "
+    "scoring exactly.  Scale shape: two count tables shuffled on "
+    "token/bigram keys, then re-joined to the gram stream — the "
+    "count-then-broadcast-threshold pattern, never a per-doc Python "
+    "loop",
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("__tk")
+    )
+    # sequence(2, 1) would run BACKWARDS for 1-token docs — guard to empty
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__tk") >= 2,
+                F.expr(
+                    "transform(sequence(2, size(__tk)), i -> struct("
+                    "element_at(__tk, i-1) AS u, element_at(__tk, i) AS w))"
+                ),
+            ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "g.u", "g.w")
+    uni = (
+        toks.select(F.explode("__tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vsz = uni.agg(F.count(F.lit(1)).alias("__v"))
+    bi = grams.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        grams.join(bi, ["u", "w"])
+        .join(uni.withColumnRenamed("tok", "u"), "u")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + 0.1) / (F.col("cu") + 0.1 * F.col("__v"))
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), (-F.avg("lp")).alias("h")
+    )
+    return (
+        toks.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("h", 6).alias("cross_entropy"),
+            F.round(F.exp("h"), 4).alias("perplexity"),
+            F.coalesce(F.exp("h") > 32.0, F.lit(False)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
