@@ -1071,6 +1071,10 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
         ).alias("u"),
     ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.g").alias("g"))
+    # the gram stream feeds both the dup-set aggregate and the semi-join
+    # probe; materialize once instead of tokenizing + hashing twice (at
+    # scale this IS the persisted gram/posting table)
+    grams = grams.localCheckpoint()
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("__nd"))
@@ -1170,9 +1174,11 @@ ORDER BY t.doc_id
     "loop",
 )
 def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three consumers (gram stream, unigram counts, final doc spine) —
+    # tokenize once; at scale this is the persisted tokenized corpus
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokenize(F.col("text")).alias("__tk")
-    )
+    ).localCheckpoint()
     # sequence(2, 1) would run BACKWARDS for 1-token docs — guard to empty
     grams = toks.select(
         "doc_id",
