@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_heavy_hitter_tokens",
     "text_dup_ngram_spans",
     "text_perplexity_filter",
+    "dedup_parent_chain_depth",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -1225,3 +1225,56 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_parent_chain_depth",
+    oracle=f"""
+WITH RECURSIVE {_MD5_PAIRS_CTES},
+parent AS (
+  SELECT id_b AS node, min(id_a) AS par FROM cand_pairs GROUP BY id_b
+),
+chain(doc_id, cur, hop) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT c.doc_id, p.par, c.hop + 1
+  FROM chain c JOIN parent p ON p.node = c.cur
+)
+SELECT doc_id, arg_max(cur, hop) AS root, CAST(max(hop) AS INT) AS hops
+FROM chain GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="pointer-chase depth to each doc's greedy dedup representative, "
+    "via WITH RECURSIVE on BOTH engines (Spark 4.x recursive CTE vs "
+    "DuckDB recursive CTE).  parent(d) = min smaller-id near-dup "
+    "neighbor gives a functional graph (out-degree <= 1, ids strictly "
+    "decrease), so the recursion provably terminates with zero row "
+    "explosion — total work = sum of chain depths, each iteration a "
+    "hash join on (node).  The hop histogram is exactly why "
+    "operators/clustering.py's pointer-jumping converges in O(log "
+    "depth) BSP rounds; this query is the declarative-recursion twin "
+    "of that iterative loop",
+)
+def dedup_parent_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each recursive step re-evaluates referenced views — materialize
+    # the pair table once or every iteration replays minhash signing
+    # (16.5s -> ~4s at sf0.1)
+    pairs = dedup_minhash_md5_pairs(spark, sf_dir).localCheckpoint()
+    pairs.createOrReplaceTempView("__pcd_pairs")
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id"
+    ).createOrReplaceTempView("__pcd_docs")
+    return spark.sql(
+        """
+WITH RECURSIVE parent AS (
+  SELECT id_b AS node, min(id_a) AS par FROM __pcd_pairs GROUP BY id_b
+),
+chain(doc_id, cur, hop) AS (
+  SELECT doc_id, doc_id, 0 FROM __pcd_docs
+  UNION ALL
+  SELECT c.doc_id, p.par, c.hop + 1
+  FROM chain c JOIN parent p ON p.node = c.cur
+)
+SELECT doc_id, max_by(cur, hop) AS root, CAST(max(hop) AS INT) AS hops
+FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+    )
