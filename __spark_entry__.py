@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_dup_ngram_spans",
     "text_perplexity_filter",
     "dedup_parent_chain_depth",
+    "fn_variant_roundtrip",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

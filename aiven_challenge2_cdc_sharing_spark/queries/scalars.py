@@ -226,3 +226,46 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(emb), 6).alias("max_elem"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "fn_variant_roundtrip",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       event_type AS meta_type,
+       CAST(extract(hour FROM ts) AS INTEGER) AS meta_hour,
+       round(value * 2, 4) AS val2
+FROM events
+""",
+    doc="Spark 4.x VARIANT (open semi-structured type): typed columns "
+    "-> to_json -> parse_json(VARIANT) -> variant_get typed paths "
+    "(nested object + array index).  The oracle reads the SAME values "
+    "straight off the base columns, so a hash match proves the "
+    "variant encode/decode round-trip is lossless — the law that "
+    "matters, not any engine's internal binary layout",
+)
+def fn_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.hour("ts").alias("hour"),
+                ).alias("meta"),
+                F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            )
+        ).alias("__j"),
+    )
+    v = ev.select("event_id", F.parse_json("__j").alias("__v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(__v, '$.k', 'int')").alias("k_val"),
+        F.expr("variant_get(__v, '$.meta.type', 'string')").alias("meta_type"),
+        F.expr("variant_get(__v, '$.meta.hour', 'int')").alias("meta_hour"),
+        F.round(F.expr("variant_get(__v, '$.vals[1]', 'double')"), 4).alias(
+            "val2"
+        ),
+    )
