@@ -28,7 +28,7 @@ capacity + batch distinct count, never by partition distinct count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
