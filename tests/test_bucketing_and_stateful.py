@@ -111,3 +111,64 @@ def test_stateful_running_profiles(spark, sf_dir, tmpdir):
         .collect()
     }
     assert final == expected
+
+
+def test_stateful_running_profiles_v2_parity(spark, sf_dir, tmpdir):
+    """Same semantics on the Spark 4.x state-v2 API
+    (transformWithStateInPandas): final per-user profile equals the
+    batch aggregate — and therefore equals the v1 operator's result.
+
+    Skips where the state-v2 wire protocol's protobuf dependency is
+    absent (this container); the operator itself import-guards."""
+    from aiven_challenge2_cdc_sharing_spark.streaming.stateful import (
+        _HAS_TWS,
+        running_user_profiles_v2,
+    )
+
+    if not _HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs protobuf")
+
+    events = load_table(spark, sf_dir, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    os.makedirs(f"{tmpdir}/in")
+    for i, part in enumerate((half1, half2)):
+        part.coalesce(1).write.mode("overwrite").json(f"{tmpdir}/src_{i}")
+        f = glob.glob(f"{tmpdir}/src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/in/{i:02d}.json")
+        os.utime(f"{tmpdir}/in/{i:02d}.json", (time.time() + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/in")
+    )
+    q = (
+        running_user_profiles_v2(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_v2")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_v2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY n_events DESC) AS rn FROM profiles_v2)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == expected
