@@ -48,3 +48,44 @@ def test_dedup_clusters_no_pairs(spark):
     out = dedup_clusters(docs, pairs)
     assert out.filter("is_survivor").count() == 5
     assert out.filter("cluster_id != doc_id").count() == 0
+
+def test_heavy_hitters_empty_input(spark):
+    from aiven_challenge2_cdc_sharing_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    items = spark.createDataFrame([], "item string")
+    assert heavy_hitters_exact(items, "item", k=10).count() == 0
+
+
+def test_dup_ngram_spans_short_docs(spark, tmp_path):
+    # docs below the 8-token gram width must yield zero grams, not a
+    # backwards Spark sequence() blowup
+    docs = [(0, "only three tokens"), (1, "x"), (2, "")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        text_dup_ngram_spans,
+    )
+
+    out = text_dup_ngram_spans(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(r["n_dup_grams"] == 0 and not r["flagged"] for r in out)
+
+
+def test_perplexity_single_token_docs(spark, tmp_path):
+    # 1-token docs have no bigrams: null entropy, unflagged — and no
+    # backwards sequence() on the gram builder
+    docs = [(0, "hello"), (1, "hello world hello world")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        text_perplexity_filter,
+    )
+
+    out = {r["doc_id"]: r for r in text_perplexity_filter(spark, str(tmp_path)).collect()}
+    assert out[0]["n_bigrams"] == 0
+    assert out[0]["perplexity"] is None and out[0]["flagged"] is False
+    assert out[1]["n_bigrams"] == 3 and out[1]["perplexity"] is not None
