@@ -189,7 +189,17 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (the verify step)."""
+    """Exact shingle-Jaccard for candidate pairs (the verify step).
+
+    Both join sides recompute the shingle projection deliberately.
+    Two alternatives were measured at sf0.1 and REJECTED: (a)
+    localCheckpoint'ing the shingle table (5.5s -> 6.4s — writing fat
+    shingle arrays to the block manager costs more than pipelined
+    recomputation of a scan+split), and (b) a candidate-id semi-join
+    before shingling (5.5s -> 8.1s — this corpus's near-dup density
+    puts ~every doc in some candidate pair, so it saved no work and
+    added a shuffle plus a barrier).  At production density, where
+    candidates << corpus, (b) becomes the right call."""
     sh = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col).alias("__jid"), F.col("__sh")
     )
