@@ -57,6 +57,10 @@ HEADLINE = [
     "cdc_wire_roundtrip",
     "cdc_scd2_history",
     "dedup_jaccard_threshold_pairs",
+    "dedup_parent_chain_depth",
+    "text_dup_ngram_spans",
+    "text_perplexity_filter",
+    "text_heavy_hitter_tokens",
     "dedup_incremental_batch",
     "ml_decontaminate_eval",
     "ts_gapfill_locf",
