@@ -1255,26 +1255,25 @@ FROM chain GROUP BY doc_id ORDER BY doc_id
     "of that iterative loop",
 )
 def dedup_parent_chain_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # each recursive step re-evaluates referenced views — materialize
+    # each recursive step re-evaluates referenced relations — materialize
     # the pair table once or every iteration replays minhash signing
     # (16.5s -> ~4s at sf0.1)
     pairs = dedup_minhash_md5_pairs(spark, sf_dir).localCheckpoint()
-    pairs.createOrReplaceTempView("__pcd_pairs")
-    load_table(spark, sf_dir, "documents").select(
-        "doc_id"
-    ).createOrReplaceTempView("__pcd_docs")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return spark.sql(
         """
 WITH RECURSIVE parent AS (
-  SELECT id_b AS node, min(id_a) AS par FROM __pcd_pairs GROUP BY id_b
+  SELECT id_b AS node, min(id_a) AS par FROM {pairs} GROUP BY id_b
 ),
 chain(doc_id, cur, hop) AS (
-  SELECT doc_id, doc_id, 0 FROM __pcd_docs
+  SELECT doc_id, doc_id, 0 FROM {docs}
   UNION ALL
   SELECT c.doc_id, p.par, c.hop + 1
   FROM chain c JOIN parent p ON p.node = c.cur
 )
 SELECT doc_id, max_by(cur, hop) AS root, CAST(max(hop) AS INT) AS hops
 FROM chain GROUP BY doc_id ORDER BY doc_id
-"""
+""",
+        pairs=pairs,
+        docs=docs,
     )
