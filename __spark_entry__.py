@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_perplexity_filter",
     "dedup_parent_chain_depth",
     "fn_variant_roundtrip",
+    "search_fuzzy_match",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

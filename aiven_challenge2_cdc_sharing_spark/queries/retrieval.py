@@ -175,3 +175,49 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", F.round(tfidf, 4).alias("tfidf"))
         .orderBy("source", F.desc("tfidf"), "term")
     )
+
+
+@register(
+    "search_fuzzy_match",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+probes AS (
+  SELECT unnest(['jion', 'hsah', 'bacth', 'partitoin']) AS probe
+)
+SELECT p.probe, t.token,
+       CAST(levenshtein(p.probe, t.token) AS INTEGER) AS dist
+FROM probes p JOIN toks t ON levenshtein(p.probe, t.token) <= 2
+ORDER BY p.probe, dist, t.token
+""",
+    doc="fuzzy term matching (the OpenSearch `fuzzy`/`match` "
+    "fuzziness=2 query, README.md's search DSL): misspelled probes "
+    "against the DISTINCT analyzed-token universe by Levenshtein "
+    "edit distance.  Scale shape: dedup the token universe FIRST "
+    "(distinct tokens << token stream), then a broadcast "
+    "nested-loop against the tiny probe set — the edit-distance "
+    "scan never touches the corpus itself, mirroring how a fuzzy "
+    "query walks an index's term dictionary, not its postings",
+)
+def search_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [("jion",), ("hsah",), ("bacth",), ("partitoin",)], "probe string"
+    )
+    return (
+        toks.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "dist", F.levenshtein("probe", "token").cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("probe", "token", "dist")
+        .orderBy("probe", "dist", "token")
+    )
