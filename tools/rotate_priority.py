@@ -1,0 +1,67 @@
+"""Regenerate __spark_entry__.DRIVER_PRIORITY for the next round.
+
+The driver caps each round's CORRECTNESS run at ~50 registry entries,
+taken in dict order.  This tool reads every CORRECTNESS_r*.json in the
+repo root and orders the registry so that:
+
+1. queries with NO driver row in any round so far come first (oracle-
+   bearing before rows-only, preserving current registry order within
+   each group), then
+2. queries whose latest row errored (excluding documented no_oracle),
+   then
+3. everything already green, oldest-checked first (regression
+   rotation).
+
+Prints the new list as Python source to paste into __spark_entry__.py
+(it does not edit the file — the list is load-bearing and reviewed).
+
+Usage: python tools/rotate_priority.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = load_registry()
+    checked: dict[str, tuple[int, bool]] = {}  # name -> (round, ok)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        for name, row in json.load(open(path)).items():
+            ok = row.get("err") in (None, "no_oracle")
+            prev = checked.get(name)
+            if prev is None or rnd >= prev[0]:
+                checked[name] = (rnd, ok)
+
+    names = list(registry)
+    never = [n for n in names if n not in checked]
+    never_oracle = [n for n in never if registry[n].oracle is not None]
+    never_rows_only = [n for n in never if registry[n].oracle is None]
+    errored = [n for n in names if n in checked and not checked[n][1]]
+    green = sorted(
+        (n for n in names if n in checked and checked[n][1]),
+        key=lambda n: checked[n][0],
+    )
+
+    ordered = never_oracle + never_rows_only + errored + green
+    print(f"# {len(never_oracle)} never-checked oracle-bearing, "
+          f"{len(never_rows_only)} never-checked rows-only, "
+          f"{len(errored)} errored, {len(green)} green (oldest first)")
+    print("DRIVER_PRIORITY: list[str] = [")
+    for n in ordered:
+        print(f'    "{n}",')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
