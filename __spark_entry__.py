@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_parent_chain_depth",
     "fn_variant_roundtrip",
     "search_fuzzy_match",
+    "agg_listagg_nations",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

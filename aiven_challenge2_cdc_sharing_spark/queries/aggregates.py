@@ -314,3 +314,39 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_listagg_nations",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       count(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    doc="LISTAGG / grouped string concatenation (the warehouse "
+    "reporting staple): per-region sorted nation roster.  "
+    "collect_list is unordered across partitions, so the sort "
+    "happens INSIDE the aggregate result (array_sort before join) — "
+    "the only way grouped concatenation is deterministic on a "
+    "distributed engine",
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
