@@ -100,6 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "fn_variant_roundtrip",
     "search_fuzzy_match",
     "agg_listagg_nations",
+    "dash_week_over_week_movers",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -135,3 +135,58 @@ def dash_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@register(
+    "dash_week_over_week_movers",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         event_type,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2
+),
+wow AS (
+  SELECT week, event_type, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM weekly
+)
+SELECT week, event_type, total, prev,
+       round((total - prev) / prev * 100, 2) AS pct_change
+FROM wow
+WHERE prev IS NOT NULL
+ORDER BY week, event_type
+""",
+    doc="week-over-week movers (the trend panel on every ops "
+    "dashboard): weekly sums per event type, LAG one period, percent "
+    "change.  The window partitions on event_type ONLY AFTER the "
+    "weekly aggregation has shrunk the data to (weeks x types) rows — "
+    "tiny-domain window partitioning is safe on an aggregate, fatal "
+    "on the raw stream (see PLANS.md low-cardinality note)",
+)
+def dash_week_over_week_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    weekly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            "event_type",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.withColumn("prev", F.lag("total").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "week",
+            "event_type",
+            "total",
+            "prev",
+            F.round((F.col("total") - F.col("prev")) / F.col("prev") * 100, 2).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy("week", "event_type")
+    )
