@@ -101,6 +101,7 @@ DRIVER_PRIORITY: list[str] = [
     "search_fuzzy_match",
     "agg_listagg_nations",
     "dash_week_over_week_movers",
+    "ts_user_profile_similarity",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

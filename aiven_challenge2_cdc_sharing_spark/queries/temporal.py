@@ -153,3 +153,85 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_sum",
         )
     )
+
+
+# 24 conditional sums make the hour-of-day profile DENSE by
+# construction (missing hours coalesce to 0) — no pivot, no gap-fill
+# join, and both engines build the identical array.
+_HOUR_TERMS_SQL = ", ".join(
+    f"coalesce(round(sum(CASE WHEN extract(hour FROM ts) = {h} "
+    f"THEN value END), 4), 0)"
+    for h in range(24)
+)
+
+
+@register(
+    "ts_user_profile_similarity",
+    oracle=f"""
+WITH prof AS (
+  SELECT user_id, [{_HOUR_TERMS_SQL}] AS profile
+  FROM events GROUP BY user_id
+),
+probes AS (SELECT user_id AS query_id, profile AS qp FROM prof
+           WHERE user_id IN (0, 1, 2))
+SELECT query_id, user_id, sim FROM (
+  SELECT p.query_id, v.user_id,
+         round(list_cosine_similarity(v.profile, p.qp), 6) AS sim
+  FROM prof v CROSS JOIN probes p
+  WHERE v.user_id <> p.query_id
+)
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, user_id)
+        <= 5
+ORDER BY query_id, sim DESC, user_id
+""",
+    doc="time-series similarity search (the EDBT'19 streaming-series "
+    "theme, done batch): each user's 24-dim hour-of-day activity "
+    "profile — dense by construction from 24 conditional sums, no "
+    "pivot/gap-fill — then cosine top-5 neighbors for 3 probe users. "
+    "Scale shape: one groupBy builds all profiles (map-side partial "
+    "agg over 24 columns), probes broadcast, zero fact re-shuffles — "
+    "identical to the embedding ANN baseline but with the vector "
+    "MANUFACTURED from event time series",
+)
+def ts_user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    prof = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.round(
+                            F.sum(
+                                F.when(F.hour("ts") == h, F.col("value"))
+                            ),
+                            4,
+                        ),
+                        F.lit(0.0),
+                    )
+                    for h in range(24)
+                ]
+            ).alias("profile")
+        )
+    )
+    probes = prof.filter(F.col("user_id").isin(0, 1, 2)).select(
+        F.col("user_id").alias("query_id"), F.col("profile").alias("qp")
+    )
+    scored = (
+        prof.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "user_id",
+            F.round(cosine(F.col("profile"), F.col("qp")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "user_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("query_id", F.desc("sim"), "user_id")
+    )
