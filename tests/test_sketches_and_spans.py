@@ -106,3 +106,35 @@ def test_dup_ngram_spans_interval_union(spark, tmp_path):
     out = {r["doc_id"]: r for r in text_dup_ngram_spans(spark, str(tmp_path)).collect()}
     assert out[0]["n_dup_grams"] == 2
     assert out[0]["dup_tokens"] == 9
+
+
+def test_mg_shrink_guarantee_property():
+    """Property (Misra-Gries invariant, checked purely on the shrink
+    rule): after shrinking a counter multiset to capacity k, any item
+    whose true count exceeds (total - residual_total) ... i.e. the
+    classic bound: count error per item <= (total decremented) <=
+    total/(k+1).  Random multisets, no Spark needed."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        k = rng.randint(1, 8)
+        universe = [f"t{i}" for i in range(rng.randint(1, 30))]
+        stream = [rng.choice(universe) for _ in range(rng.randint(1, 400))]
+        # exact counts
+        exact: dict = {}
+        for t in stream:
+            exact[t] = exact.get(t, 0) + 1
+        # streaming MG via repeated merge of singleton batches
+        counters: dict = {}
+        for t in stream:
+            counters[t] = counters.get(t, 0) + 1
+            counters = _mg_shrink(counters, k)
+        n = len(stream)
+        # every item with count > n/(k+1) must survive
+        for t, c in exact.items():
+            if c > n / (k + 1):
+                assert t in counters, (t, c, n, k, counters)
+        # MG counters never overcount
+        for t, c in counters.items():
+            assert c <= exact[t]
