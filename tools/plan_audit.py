@@ -41,6 +41,12 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 #   exact-distinct aggregate (2 exchanges per branch) over a SINGLE
 #   pruned parquet column — the union of 5 independent single-column
 #   plans, not one 10-exchange pipeline.
+# - text_perplexity_filter: LM-build shape, same family as the
+#   BM25/TF-IDF index builds above — unigram and bigram count
+#   aggregates are separate groupBys by design, and the gram stream
+#   re-joins both count tables (exchanges carry (doc_id, u, w) and
+#   count tuples, never document text; the tokenized corpus is
+#   localCheckpoint'ed so text is scanned exactly once).
 # Queries whose PLAN is deliberately the Python-expansion tier: the
 # UDTF surface (U3) exists precisely for one-row-in-many-out Python
 # logic no builtin expresses; its BatchEvalPythonUDTF node is the
@@ -54,6 +60,7 @@ ALLOWED_EXCHANGES = {
     "search_bm25_ranking": 8,
     "text_tfidf_top_terms": 9,
     "profile_orders_columns": 10,
+    "text_perplexity_filter": 10,
 }
 
 
