@@ -118,3 +118,37 @@ def test_check_constraints_quarantine(spark, sf_dir):
     valid, quarantined = check_constraints(snap.unionByName(bad))
     assert quarantined.count() == 3
     assert valid.count() == snap.count()
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """A column added to the source table mid-stream (the classic
+    Debezium schema-evolution event): later envelopes carry an extra
+    field in before/after.  Reading the log with mergeSchema and
+    running the SAME unwrap/snapshot algebra must null-fill the new
+    column for pre-evolution rows and keep last-writer-wins intact —
+    no operator changes, the algebra is schema-generic (`row.*`)."""
+    v1 = [
+        (1, "c", None, {"id": 1, "val": "a"}, 1000, 0),
+        (2, "c", None, {"id": 2, "val": "b"}, 1001, 1),
+    ]
+    v2 = [
+        # post-evolution envelopes: new column `tier` present
+        (1, "u", {"id": 1, "val": "a", "tier": None},
+         {"id": 1, "val": "a2", "tier": "gold"}, 2000, 2),
+        (3, "c", None, {"id": 3, "val": "c", "tier": "basic"}, 2001, 3),
+    ]
+    s1 = ("id long, op string, before struct<id:long,val:string>, "
+          "after struct<id:long,val:string>, ts_ms long, seq long")
+    s2 = ("id long, op string, "
+          "before struct<id:long,val:string,tier:string>, "
+          "after struct<id:long,val:string,tier:string>, ts_ms long, seq long")
+    spark.createDataFrame(v1, s1).write.parquet(str(tmp_path / "log"))
+    spark.createDataFrame(v2, s2).write.mode("append").parquet(
+        str(tmp_path / "log")
+    )
+    log = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "log")
+    )
+    snap = latest_snapshot(unwrap(log.drop("id")))
+    got = {r["id"]: (r["val"], r["tier"]) for r in snap.collect()}
+    assert got == {1: ("a2", "gold"), 2: ("b", None), 3: ("c", "basic")}
