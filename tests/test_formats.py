@@ -118,3 +118,47 @@ def test_orc_filter_pushdown_survives(spark, tmp_path, sf_dir):
     assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)" in plan
     # column pruning: the scan reads 2 columns, not 6
     assert "ReadSchema: struct<p_partkey:bigint,p_size:int>" in plan
+
+
+def test_binaryfile_crawl_ingest_parity(spark, sf_dir, tmp_path):
+    """Raw-file crawl ingestion: media that arrives as LOOSE FILES on
+    disk/object store (the way image corpora actually land) read via
+    the binaryFile source, then pushed through the same mapInPandas
+    decode seam as the column-embedded path — features must match
+    byte-for-byte."""
+    from aiven_challenge2_cdc_sharing_spark.sources.multimodal import (
+        attach_png_media,
+        decode_real_media,
+    )
+    from aiven_challenge2_cdc_sharing_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_png_media(docs)
+    # spill each payload to its own file, keyed by doc_id
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    for r in media.select("doc_id", "payload").collect():
+        (crawl / f"{r['doc_id']}.png").write_bytes(bytes(r["payload"]))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(str(crawl))
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.lit("image/png").alias("media_type"),
+            F.col("content").alias("payload"),
+        )
+    )
+    from_files = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in decode_real_media(files).collect()
+    }
+    from_column = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in decode_real_media(media).collect()
+    }
+    assert from_files == from_column
+    assert len(from_files) == 20
