@@ -1,7 +1,10 @@
 """LLM training-data pipeline operators (SURVEY.md §2.11 + north star):
 dedup (exact + MinHash/SimHash near-dup), similarity search, text
-analysis.  Approximate operators register rows-only (no SQL twin);
-everything exact is oracle-checked.
+analysis.  Nearly everything is oracle-checked — including the
+approximate ANN paths, whose deterministic index builds DuckDB replays
+exactly (axis-plane LSH buckets; unrolled Lloyd CTEs).  Only the
+xxhash64-based fast paths register rows-only, each with an oracled md5
+twin.
 """
 
 from __future__ import annotations
