@@ -102,6 +102,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_listagg_nations",
     "dash_week_over_week_movers",
     "ts_user_profile_similarity",
+    "dash_rolling_7d_active_users",
+    "dash_event_transitions",
+    "dq_assertions_orders",
+    "emb_standardize_dims",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -190,3 +190,102 @@ def dash_week_over_week_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+@register(
+    "dash_rolling_7d_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+spine AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT s.day, d.user_id
+  FROM spine s JOIN du d
+    ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS active_7d
+FROM contrib GROUP BY day ORDER BY day
+""",
+    doc="rolling 7-day distinct active users (the DAU/WAU panel): "
+    "sliding-window COUNT DISTINCT is not frame-expressible (distinct "
+    "doesn't decompose), so each (day, user) membership joins to the "
+    "<=7 window ends it can serve — the standard explode-to-windows "
+    "rewrite.  Shuffle carries (day, user_id) pairs deduped FIRST, so "
+    "volume is active-pairs x 7, bounded and skew-free; the window "
+    "join is a broadcast of the tiny day spine",
+)
+def dash_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    spine = du.select("day").distinct()
+    contrib = du.alias("d").join(
+        F.broadcast(spine.alias("s")),
+        (F.col("d.day") >= F.date_sub(F.col("s.day"), 6))
+        & (F.col("d.day") <= F.col("s.day")),
+    )
+    return (
+        contrib.groupBy(F.col("s.day").cast("timestamp").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "dash_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM cnt
+ORDER BY from_type, to_type
+""",
+    doc="event transition matrix (first-order Markov counts + row-"
+    "normalized probabilities — the 'what do users do next' panel): "
+    "LEAD over each user's event sequence, then count per (from, to) "
+    "and normalize within from_type.  One shuffle on user_id for the "
+    "sequence window (the natural partition key, high cardinality), "
+    "one tiny (types x types) aggregate after",
+)
+def dash_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    ).orderBy("from_type", "to_type")

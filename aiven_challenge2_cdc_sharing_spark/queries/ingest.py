@@ -138,3 +138,65 @@ def src_orc_ingest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
         F.max("p_size").alias("max_size"),
     )
+
+
+@register(
+    "dq_assertions_orders",
+    oracle="""
+SELECT 'orderkey_unique' AS rule,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'custkey_ref_integrity',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'status_accepted_values',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0
+ORDER BY rule
+""",
+    doc="data-quality assertion suite (the dbt-test / Deequ shape): "
+    "uniqueness, referential integrity (anti-join), accepted values, "
+    "and range checks each reduce to one violation count; the report "
+    "is their union.  Each rule scans only its pruned columns; the "
+    "ref-integrity anti-join broadcasts the customer keys.  At 100 TB "
+    "this is the pre-ingest gate run before anything joins the lake",
+)
+def dq_assertions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(rule: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(rule).alias("rule"), F.col("violations").cast("long")
+        )
+
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
+    )
+    ref = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations"))
+    )
+    vals = orders.filter(
+        ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    pos = orders.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    return (
+        one("orderkey_unique", uniq)
+        .unionByName(one("custkey_ref_integrity", ref))
+        .unionByName(one("status_accepted_values", vals))
+        .unionByName(one("totalprice_positive", pos))
+        .orderBy("rule")
+    )

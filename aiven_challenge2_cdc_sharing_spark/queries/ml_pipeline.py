@@ -145,3 +145,62 @@ def ml_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "emb_standardize_dims",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+stats AS (
+  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd FROM flat GROUP BY pos
+),
+z AS (
+  SELECT f.vec_id, f.pos,
+         round((f.v - s.mu) / CASE WHEN s.sd = 0 THEN 1 ELSE s.sd END, 6) AS zv
+  FROM flat f JOIN stats s USING (pos)
+)
+SELECT vec_id,
+       round(list_min(list(zv ORDER BY pos)), 6) AS z_min,
+       round(list_max(list(zv ORDER BY pos)), 6) AS z_max,
+       round(list_sum(list(zv ORDER BY pos)), 4) AS z_sum
+FROM z GROUP BY vec_id ORDER BY vec_id
+""",
+    doc="feature standardization (the ML-preprocessing pass): "
+    "per-DIMENSION mean/stddev over the corpus (posexplode -> "
+    "per-(dim) aggregate — shuffles scalars, never vectors), z-score "
+    "each component, reassemble in dimension order.  Zero-variance "
+    "dims divide by 1 (the sklearn StandardScaler convention).  "
+    "Summarized per vector (min/max/sum of z) so the oracle compares "
+    "64-dim results without 64 columns",
+)
+def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("e").alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    stats = flat.groupBy("pos").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    )
+    z = flat.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.round(
+            (F.col("v") - F.col("mu"))
+            / F.when(F.col("sd") == 0, F.lit(1.0)).otherwise(F.col("sd")),
+            6,
+        ).alias("zv"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.round(F.min("zv"), 6).alias("z_min"),
+            F.round(F.max("zv"), 6).alias("z_max"),
+            F.round(F.sum("zv"), 4).alias("z_sum"),
+        )
+        .orderBy("vec_id")
+    )
