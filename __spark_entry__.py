@@ -106,6 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "dash_event_transitions",
     "dq_assertions_orders",
     "emb_standardize_dims",
+    "ts_anomaly_daily_values",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

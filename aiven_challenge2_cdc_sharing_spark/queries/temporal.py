@@ -235,3 +235,62 @@ def ts_user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.desc("sim"), "user_id")
     )
+
+
+@register(
+    "ts_anomaly_daily_values",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT day, total,
+         avg(total) OVER w AS mu,
+         stddev_pop(total) OVER w AS sd,
+         count(*) OVER w AS n_prior
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, total,
+       round(mu, 2) AS trailing_mean,
+       round((total - mu) / sd, 4) AS z,
+       (abs((total - mu) / sd) > 3.0) AS is_anomaly
+FROM scored WHERE n_prior = 7
+ORDER BY day
+""",
+    doc="trailing-window anomaly detection (the ops-monitoring panel): "
+    "daily totals scored against the prior 7 days' mean/stddev "
+    "(frame excludes the current row — no self-contamination), "
+    "|z| > 3 flags.  The global-ordered window runs on the DAILY "
+    "aggregate (a few hundred rows), not the raw stream — same "
+    "tiny-after-aggregation rule as the WoW movers query; warm-up "
+    "days with fewer than 7 priors are excluded deterministically",
+)
+def ts_anomaly_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "total",
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_pop("total").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(F.col("n_prior") == 7)
+        .select(
+            "day",
+            "total",
+            F.round("mu", 2).alias("trailing_mean"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
