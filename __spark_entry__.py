@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "dq_assertions_orders",
     "emb_standardize_dims",
     "ts_anomaly_daily_values",
+    "text_url_canonicalize",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -1280,3 +1280,84 @@ FROM chain GROUP BY doc_id ORDER BY doc_id
         pairs=pairs,
         docs=docs,
     )
+
+
+# Deterministic messy-URL builder shared by both engines (CASE on
+# doc_id % 4): scheme case, www prefix, trailing slash, utm params,
+# fragments — the variance a real crawl exhibits for ONE logical page.
+_URL_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'https://WWW.' || source || '.example/doc/' || doc_id
+              || '/?utm_source=feed&ref=' || lang || '#top'
+  WHEN 1 THEN 'https://' || source || '.example/doc/' || doc_id
+              || '?ref=' || lang
+  WHEN 2 THEN 'HTTP://' || source || '.example/doc/' || doc_id
+              || '?utm_campaign=x'
+  ELSE 'https://www.' || source || '.example/doc/' || doc_id || '/'
+END"""
+
+
+@register(
+    "text_url_canonicalize",
+    oracle=f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '://([^/]+)', 1)) AS host0,
+         regexp_extract(url, '://[^/]*(/[^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM u
+),
+canon AS (
+  SELECT doc_id, url,
+         'https://' || regexp_replace(host0, '^www\\.', '')
+         || regexp_replace(path0, '/$', '')
+         || CASE WHEN len(kept) > 0
+                 THEN '?' || list_aggregate(list_sort(kept), 'string_agg', '&')
+                 ELSE '' END AS canonical
+  FROM (SELECT doc_id, url, host0, path0,
+               list_filter(string_split(query0, '&'),
+                           p -> p <> '' AND p NOT LIKE 'utm_%') AS kept
+        FROM parts)
+)
+SELECT doc_id, url, canonical,
+       count(*) OVER (PARTITION BY canonical) AS n_same_canonical
+FROM canon ORDER BY doc_id
+""",
+    doc="URL canonicalization (the dedup key of every web crawl): "
+    "scheme/host-case folding, www and trailing-slash stripping, "
+    "utm_* tracking-param removal, fragment drop, param sorting — "
+    "Spark uses the real parse_url; the oracle recomputes with "
+    "regexps over the same deterministically-messed URLs and must "
+    "agree on every canonical form AND its duplicate count.  Pure "
+    "per-row JVM expressions + one count window on the canonical key",
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.selectExpr("doc_id", f"{_URL_SQL} AS url")
+    host = F.regexp_replace(
+        F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")), r"/$", ""
+    )
+    kept = F.filter(
+        F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(
+            F.size(kept) > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+        ).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canonical")
+    return (
+        u.withColumn("canonical", canonical)
+        .withColumn("n_same_canonical", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
