@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_standardize_dims",
     "ts_anomaly_daily_values",
     "text_url_canonicalize",
+    "user_behavior_entropy",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

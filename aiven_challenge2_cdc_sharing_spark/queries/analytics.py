@@ -140,3 +140,54 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "user_behavior_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(t.tot AS BIGINT) AS n_events,
+       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy,
+       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)) / ln(5), 6)
+         AS entropy_norm
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.tot
+ORDER BY c.user_id
+""",
+    doc="behavioral entropy per user (Shannon entropy of the event-type "
+    "distribution, normalized by ln(num types)) — the engagement-"
+    "diversity feature every churn/segmentation model starts with.  "
+    "Two aggregates sharing the user_id partitioning (the per-type "
+    "count reuses the exchange of the per-user total join); all JVM "
+    "expressions, exact oracle",
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.lit(5.0)), 6
+            ).alias("entropy_norm"),
+        )
+        .select(
+            "user_id",
+            F.col("tot").cast("long").alias("n_events"),
+            "entropy",
+            "entropy_norm",
+        )
+        .orderBy("user_id")
+    )
