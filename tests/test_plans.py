@@ -73,3 +73,39 @@ def test_cdc_snapshot_single_shuffle(spark, sf_dir):
     # generator union + unwrap + one window: exactly one exchange per
     # union branch feeding the single row_number shuffle
     assert num_exchanges(q.fn(spark, sf_dir)) <= 4
+
+
+def test_rolling_actives_broadcasts_spine(spark, sf_dir):
+    """The rolling-distinct window rewrite must broadcast the tiny day
+    spine (its join is a range predicate — broadcast NLJ is correct;
+    a shuffled cartesian would not be)."""
+    q = load_registry()["dash_rolling_7d_active_users"]
+    plan = explain_str(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ts_profile_similarity_broadcasts_probes(spark, sf_dir):
+    q = load_registry()["ts_user_profile_similarity"]
+    assert has_broadcast_join(q.fn(spark, sf_dir))
+
+
+def test_heavy_hitters_python_confined_to_sketch(spark, sf_dir):
+    """Python appears ONLY in the pass-1 MG sketch (MapInPandas); the
+    exact-count pass and threshold join stay JVM-side."""
+    import re
+
+    q = load_registry()["text_heavy_hitter_tokens"]
+    plan = explain_str(q.fn(spark, sf_dir))
+    # formatted plans print each node twice (tree + detail) — count
+    # distinct operator instances via the "(<id>) MapInPandas" headers
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_perplexity_scans_documents_once(spark, sf_dir):
+    """The localCheckpoint'ed token table means documents parquet is
+    scanned exactly once across the LM build and scoring."""
+    q = load_registry()["text_perplexity_filter"]
+    plan = explain_str(q.fn(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, plan
