@@ -109,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "ts_anomaly_daily_values",
     "text_url_canonicalize",
     "user_behavior_entropy",
+    "dash_value_percentiles_daily",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

@@ -289,3 +289,37 @@ def dash_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "dash_value_percentiles_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    doc="daily P50/P95/P99 value percentiles per event type (the "
+    "latency-SLO panel): EXACT linear-interpolation percentiles "
+    "(Spark percentile == DuckDB quantile_cont), one hash aggregate "
+    "on (day, type).  Exact percentile buffers per group are bounded "
+    "by group size; at 100 TB with huge groups the approx_percentile "
+    "twin (agg_approx_percentile_band, tolerance-gated) is the scale "
+    "path — both live in this registry deliberately",
+)
+def dash_value_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("day", "event_type")
+    )
