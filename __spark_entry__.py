@@ -110,6 +110,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_url_canonicalize",
     "user_behavior_entropy",
     "dash_value_percentiles_daily",
+    "ml_cluster_safe_split",
     "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",

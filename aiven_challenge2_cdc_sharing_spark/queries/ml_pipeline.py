@@ -204,3 +204,62 @@ def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _cluster_safe_split_oracle() -> str:
+    # llm_ops is always imported before this module by load_registry
+    # (alphabetical) and has no back-import, so this is cycle-free
+    from .llm_ops import _MD5_PAIRS_CTES
+
+    bucket = duck_hash_bucket("coalesce(c.component, d.doc_id)", "csplit")
+    return f"""
+WITH RECURSIVE {_MD5_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand_pairs
+),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON e.dst = w.node
+  WHERE w.r <> e.src
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       CASE WHEN {bucket} < {int(0.1 * 65536)}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "ml_cluster_safe_split",
+    oracle=_cluster_safe_split_oracle(),
+    doc="leakage-safe train/eval split: hash-split on the near-dup "
+    "CLUSTER id, not the doc id — a naive per-doc split puts "
+    "near-identical documents on both sides of the split (silent "
+    "eval contamination); splitting the cluster keeps every near-dup "
+    "set wholly in one partition.  Composes dedup_cluster_resolution "
+    "(exact CC over capped LSH pairs) with the deterministic "
+    "hash-bucket splitter; the oracle recomputes BOTH (recursive-CTE "
+    "CC + md5 bucket) so the leakage-safety property itself is "
+    "hash-verified",
+)
+def ml_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import dedup_clusters
+    from ..operators.sampling import split_assign
+    from .llm_ops import dedup_minhash_md5_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_md5_pairs(spark, sf_dir)
+    clusters = dedup_clusters(docs, pairs)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_assign(F.col("cluster_id"), "csplit", 0.1).alias("split"),
+    ).orderBy("doc_id")

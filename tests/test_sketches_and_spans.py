@@ -138,3 +138,40 @@ def test_mg_shrink_guarantee_property():
         # MG counters never overcount
         for t, c in counters.items():
             assert c <= exact[t]
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_dir):
+    """The property the operator exists for: no near-dup cluster is
+    divided across train/eval.  Also demonstrate the hazard is real —
+    with synthetic multi-doc clusters, a naive per-doc hash split DOES
+    divide some cluster (eval contamination)."""
+    import pyspark.sql.functions as F
+
+    from aiven_challenge2_cdc_sharing_spark.operators.clustering import (
+        dedup_clusters,
+    )
+    from aiven_challenge2_cdc_sharing_spark.operators.sampling import (
+        split_assign,
+    )
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    # 100 clusters of 4 consecutive ids each
+    pairs = spark.sql(
+        """SELECT id * 4 + j AS id_a, id * 4 + j + 1 AS id_b
+           FROM range(100) CROSS JOIN (SELECT explode(sequence(0, 2)) j)"""
+    )
+    clusters = dedup_clusters(docs, pairs)
+    out = clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_assign(F.col("cluster_id"), "csplit", 0.1).alias("split"),
+        split_assign(F.col("doc_id"), "csplit", 0.1).alias("naive_split"),
+    )
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_safe"),
+        F.count_distinct("naive_split").alias("n_naive"),
+    )
+    assert per_cluster.filter(F.col("n_safe") > 1).count() == 0
+    # the hazard is real: at 10% eval over 100 4-doc clusters, some
+    # cluster is split by the per-doc hash with overwhelming odds
+    assert per_cluster.filter(F.col("n_naive") > 1).count() > 0
