@@ -346,6 +346,7 @@ def jaccard_threshold_join(
     text_col: str,
     threshold: float,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity self-join at ``threshold``
     (the V-SMART-Join / set-similarity-join count formulation, with
@@ -367,24 +368,51 @@ def jaccard_threshold_join(
     than candidate-pairs + array_intersect verify at sf0.1, where the
     array rejoin shipped ~1 GB of shingle arrays).  The degenerate
     case is a boilerplate shingle shared by M docs (M^2 join rows) —
-    the same hazard class as LSH hot buckets; production would drop
-    or sub-split shingles above a df cap during CANDIDATE generation
-    and verify those separately (cap_hot_buckets above), which this
-    corpus (max df 25) doesn't need.
+    the same hazard class as LSH hot buckets.
+
+    ``max_shingle_df`` is the guard: shingles whose document frequency
+    exceeds the cap are dropped from the shingle UNIVERSE before the
+    join (set sizes are recomputed over the surviving shingles, so the
+    Jaccard stays internally consistent).  This is a deterministic,
+    oracle-replicable semantic — a boilerplate header shared by M docs
+    contributes M^2 join rows uncapped, 0 capped — and it is also what
+    you want linguistically: a shingle in >cap documents carries no
+    dedup signal (it is the stop-phrase of shingle space).  The hot-df
+    set is tiny by construction (few distinct shingles can exceed a
+    large df), so the exclusion is a broadcast anti-join; the df
+    aggregation is one map-side-combining pass over the posting list
+    the join scans anyway.  ``None`` keeps the exact uncapped
+    semantics (and skips both extra jobs).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp AFTER the threshold filter on the unrounded value.
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    ex0 = sh.select(F.col(id_col), F.explode("__sh").alias("__tok"))
+    if max_shingle_df is not None:
+        hot = (
+            ex0.groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__tok")
+        )
+        ex0 = ex0.join(F.broadcast(hot), "__tok", "left_anti")
+        sz = ex0.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+        ex0 = ex0.join(sz, id_col)
+    else:
+        # uncapped: the array size IS the set size — no extra job
+        ex0 = (
+            sh.select(
+                F.col(id_col),
+                F.size("__sh").alias("__sz"),
+                F.explode("__sh").alias("__tok"),
+            )
+        )
     # localCheckpoint: both sides of the self-join consume the exploded
     # shingle stream; materializing once halves the shingle compute
     # (same pattern as the MinHash signature table — at scale this is
     # the persisted posting list an index build would keep anyway)
-    ex = sh.select(
-        F.col(id_col),
-        F.size("__sh").alias("__sz"),
-        F.explode("__sh").alias("__tok"),
-    ).localCheckpoint()
+    ex = ex0.localCheckpoint()
     a = ex.select(
         F.col(id_col).alias("id_a"),
         F.col("__sz").alias("__sz_a"),

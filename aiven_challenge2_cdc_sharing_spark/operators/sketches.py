@@ -46,9 +46,25 @@ def misra_gries_candidates(
 ) -> DataFrame:
     """Per-partition MG summaries; returns distinct candidate items.
 
-    Guarantee: contains every item with global count > N/(capacity+1).
+    Guarantee: contains every NON-NULL item with global count >
+    N/(capacity+1), where N counts non-null rows.  Nulls are filtered
+    up front rather than silently dropped inside pandas: value_counts
+    ignores NaN and a null key can never match the pass-2 semi-join
+    anyway (SQL null equality), so admitting them would just skew the
+    threshold.  The output schema carries the INPUT column's Spark
+    type — item identity must survive the mapInPandas round-trip
+    bit-exactly or pass 2's semi-join misses the candidate (a string
+    cast would e.g. collapse int 1 and string '1').
     """
     import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(
+            item_col, items.schema[item_col].dataType, nullable=False
+        )
+    ])
 
     def summarize(batches):
         counters: dict = {}
@@ -60,7 +76,8 @@ def misra_gries_candidates(
 
     return (
         items.select(item_col)
-        .mapInPandas(summarize, schema=f"{item_col} string")
+        .filter(F.col(item_col).isNotNull())
+        .mapInPandas(summarize, schema=out_schema)
         .distinct()
     )
 
@@ -79,6 +96,7 @@ def heavy_hitters_exact(
     N/k threshold is computed from a 1-row count aggregate joined in
     by broadcast (no driver-side collect in the plan).
     """
+    items = items.filter(F.col(item_col).isNotNull())
     cand = misra_gries_candidates(items, item_col, capacity=k - 1)
     total = items.agg(F.count(F.lit(1)).alias("__n"))
     return (

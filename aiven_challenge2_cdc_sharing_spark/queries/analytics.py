@@ -149,38 +149,45 @@ WITH c AS (
   SELECT user_id, event_type, count(*) AS n
   FROM events GROUP BY user_id, event_type
 ),
-t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id),
+k AS (SELECT greatest(count(DISTINCT event_type), 2) AS n_types FROM events)
 SELECT c.user_id,
        CAST(t.tot AS BIGINT) AS n_events,
        round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy,
-       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)) / ln(5), 6)
-         AS entropy_norm
+       round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot))
+             / ln((SELECT n_types FROM k)), 6) AS entropy_norm
 FROM c JOIN t USING (user_id)
 GROUP BY c.user_id, t.tot
 ORDER BY c.user_id
 """,
     doc="behavioral entropy per user (Shannon entropy of the event-type "
-    "distribution, normalized by ln(num types)) — the engagement-"
-    "diversity feature every churn/segmentation model starts with.  "
-    "Two aggregates sharing the user_id partitioning (the per-type "
-    "count reuses the exchange of the per-user total join); all JVM "
-    "expressions, exact oracle",
+    "distribution, normalized by ln(num OBSERVED types)) — the "
+    "engagement-diversity feature every churn/segmentation model "
+    "starts with.  The normalizer is computed from the data (1-row "
+    "countDistinct aggregate, broadcast crossJoin; scalar subquery in "
+    "the oracle), not a hardcoded domain size, so entropy_norm stays "
+    "in [0,1] whatever the event_type domain; greatest(k,2) guards "
+    "the degenerate 1-type corpus where ln(1)=0 would divide by "
+    "zero.  Two aggregates sharing the user_id partitioning (the "
+    "per-type count reuses the exchange of the per-user total join); "
+    "all JVM expressions, exact oracle",
 )
 def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_types = ev.agg(
+        F.greatest(F.count_distinct("event_type"), F.lit(2)).alias("__k")
     )
     t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
     p = F.col("n") / F.col("tot")
     return (
         c.join(t, "user_id")
-        .groupBy("user_id", "tot")
+        .crossJoin(F.broadcast(n_types))
+        .groupBy("user_id", "tot", "__k")
         .agg(
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
             F.round(
-                -F.sum(p * F.log(p)) / F.log(F.lit(5.0)), 6
+                -F.sum(p * F.log(p)) / F.log(F.col("__k").cast("double")), 6
             ).alias("entropy_norm"),
         )
         .select(

@@ -281,9 +281,12 @@ def win_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_status_by_segment",
     oracle="""
 SELECT c.c_mktsegment,
-       sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-       sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-       sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+       CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_F,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_O,
+       CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_P
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment

@@ -152,7 +152,9 @@ wow AS (
   FROM weekly
 )
 SELECT week, event_type, total, prev,
-       round((total - prev) / prev * 100, 2) AS pct_change
+       round((total - prev)
+             / (CASE WHEN prev = 0 THEN NULL ELSE prev END) * 100, 2)
+         AS pct_change
 FROM wow
 WHERE prev IS NOT NULL
 ORDER BY week, event_type
@@ -162,7 +164,10 @@ ORDER BY week, event_type
     "change.  The window partitions on event_type ONLY AFTER the "
     "weekly aggregation has shrunk the data to (weeks x types) rows — "
     "tiny-domain window partitioning is safe on an aggregate, fatal "
-    "on the raw stream (see PLANS.md low-cardinality note)",
+    "on the raw stream (see PLANS.md low-cardinality note).  A zero "
+    "prior week is NULLed before the division on BOTH engines: Spark "
+    "/0 -> NULL but DuckDB IEEE /0.0 -> +/-Inf, so an unguarded "
+    "prev=0 would diverge",
 )
 def dash_week_over_week_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -184,9 +189,14 @@ def dash_week_over_week_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "total",
             "prev",
-            F.round((F.col("total") - F.col("prev")) / F.col("prev") * 100, 2).alias(
-                "pct_change"
-            ),
+            F.round(
+                (F.col("total") - F.col("prev"))
+                / F.when(F.col("prev") == 0, F.lit(None)).otherwise(
+                    F.col("prev")
+                )
+                * 100,
+                2,
+            ).alias("pct_change"),
         )
         .orderBy("week", "event_type")
     )

@@ -240,7 +240,7 @@ wmin AS (
 )
 SELECT doc_id,
        len(list_distinct(mins)) AS n_fp,
-       list_sort(list_distinct(mins)) AS fps
+       array_to_string(list_sort(list_distinct(mins)), ',') AS fps
 FROM wmin
 """,
     doc="document fingerprinting via winnowing (the MOSS scheme): "
@@ -276,7 +276,11 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(F.array_distinct("__mins")).alias("n_fp"),
-            F.array_sort(F.array_distinct("__mins")).alias("fps"),
+            # CSV string, not array<long>: a top-level array column
+            # breaks the driver's pandas canonicalizer
+            F.concat_ws(",", F.array_sort(F.array_distinct("__mins"))).alias(
+                "fps"
+            ),
         )
     )
 
@@ -379,14 +383,11 @@ def dedup_distinct_doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_near_pairs",
-    oracle=None,  # approximate candidate generation; verified pairs only
-    doc="MinHash+LSH near-dup: signature -> banded buckets -> candidate "
-    "pairs -> exact shingle-Jaccard verify >= 0.5; shuffle is "
-    "O(bands*N) band hashes, never N^2 comparisons",
-)
-def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_near_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION fast path: xxhash64 MinHash -> banded LSH ->
+    exact-Jaccard verify.  xxhash64 has no DuckDB twin, so this path is
+    bench/pytest-pinned only; the driver-facing registry row below runs
+    the md5-family pipeline, whose every stage an oracle replays."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # localCheckpoint: the LSH band self-join consumes the signatures
     # twice; materializing once halves the signature compute (and at
@@ -504,7 +505,7 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = cap_hot_buckets(
         sigs.selectExpr("doc_id", stack_expr), ["band", "sig"], 64
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -515,6 +516,74 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    oracle=f"""
+WITH {_MD5_PAIRS_CTES},
+toks2 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks2
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)), 6) AS jaccard
+  FROM cand_pairs p
+  JOIN sh2 a ON p.id_a = a.doc_id
+  JOIN sh2 b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified
+WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+""",
+    doc="the FULL MinHash near-dup pipeline under the exact oracle "
+    "gate: md5-family signatures -> banded buckets (hot-bucket cap "
+    "64, replicated in SQL) -> candidate pairs -> exact "
+    "shingle-Jaccard verify >= 0.5.  Shuffle is O(bands*N) band "
+    "hashes plus the candidate verify, never N^2 comparisons.  The "
+    "xxhash64 signature family (operators/dedup.py minhash_signature) "
+    "stays the production fast path — same pipeline shape, cheaper "
+    "hash — pinned by pytest and bench.py rather than an oracle, "
+    "since xxhash64 has no DuckDB twin",
+)
+def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_hot_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = _md5_minhash_signatures(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (band, sig)".format(
+        N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
+    )
+    # localCheckpoint: both sides of the band self-join consume the
+    # capped band table; without it the 6 md5s/shingle are computed
+    # twice (measured 11.2s -> 9.0s at sf0.1)
+    banded = cap_hot_buckets(
+        sigs.selectExpr("doc_id", stack_expr), ["band", "sig"], 64
+    ).localCheckpoint(eager=False)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        jaccard_pairs(cands, docs, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -657,12 +726,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash_signatures",
-    oracle=None,  # xxhash64 family is Spark-specific; md5 twin below is oracled
-    doc="SimHash 64-bit signatures (near-dup by small Hamming distance)",
-)
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_signatures_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fast path: xxhash64-derived 64-bit SimHash — no DuckDB
+    twin, so bench/pytest-pinned; the registry row below computes the
+    md5-family signature the oracle replays bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash64(docs, "text").select("doc_id", "simhash")
 
@@ -676,8 +743,7 @@ _SIMHASH_BIT_TERMS = " + ".join(
     for b in range(60)
 )
 
-_SIMHASH_MD5_PAIRS_SQL = f"""
-WITH toks AS (
+_SIMHASH_MD5_SIG_CTES = f"""toks AS (
   SELECT doc_id,
          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
   FROM documents
@@ -688,7 +754,10 @@ hs AS (
            t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hv
   FROM toks
 ),
-sig AS (SELECT doc_id, ({_SIMHASH_BIT_TERMS}) AS simhash FROM hs),
+sig AS (SELECT doc_id, ({_SIMHASH_BIT_TERMS}) AS simhash FROM hs)"""
+
+_SIMHASH_MD5_PAIRS_SQL = f"""
+WITH {_SIMHASH_MD5_SIG_CTES},
 bands AS (
   SELECT doc_id, simhash, b.bv AS band_idx,
          (simhash >> (15 * b.bv)) & 32767 AS band_val
@@ -708,6 +777,26 @@ JOIN sig sb ON c.id_b = sb.doc_id
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 ORDER BY id_a, id_b
 """
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+WITH {_SIMHASH_MD5_SIG_CTES}
+SELECT doc_id, simhash FROM sig
+""",
+    doc="SimHash 60-bit signatures under the exact oracle gate: "
+    "md5-derived token hashes, per-bit +/-1 majority vote, one "
+    "codegen'd expression per row — DuckDB rebuilds every signature "
+    "bit-identically from the raw text.  The xxhash64 64-bit variant "
+    "(operators/dedup.py simhash64) stays the production fast path, "
+    "pinned by pytest and bench.py (no DuckDB xxhash twin)",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_md5
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_md5(docs, "text").select("doc_id", "simhash")
 
 
 @register(
@@ -777,7 +866,8 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_budget_by_source",
     oracle="""
 SELECT source,
-       sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens,
+       CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+         AS total_tokens,
        count(*) AS n_docs,
        round(avg(len(string_split_regex(lower(trim(text)), '\\s+'))), 2)
          AS avg_tokens
@@ -868,12 +958,17 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     # axis-aligned unit planes: bucket bit i == (embedding[i] > 0),
-    # which the oracle recomputes verbatim; max_bucket_size (100k) is
-    # provably a no-op below ~1.6M vectors so the oracle omits the cap
+    # which the oracle recomputes verbatim.  max_bucket_size=None here
+    # because the oracle scores every bucket member: the default cap
+    # only coincides with uncapped semantics while EVERY bucket holds
+    # <=100k vectors (worst case N <= 100k, not 16*100k — skew can put
+    # nearly all of N in one bucket), and a silent truncation at larger
+    # SFs would diverge from the oracle.  The capped path is exercised
+    # by the recall tests, which replicate the cap explicitly.
     axis_planes = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(4)]
     return cosine_topk_lsh(
         emb.select("vec_id", "embedding"), queries, dim=64, k=10, bits=4,
-        planes=axis_planes,
+        planes=axis_planes, max_bucket_size=None,
     )
 
 

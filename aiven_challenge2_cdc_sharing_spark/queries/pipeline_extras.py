@@ -156,7 +156,9 @@ q AS (
          list_transform(embedding, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qvec
   FROM scaled
 )
-SELECT vec_id, qvec, round(scale, 6) AS scale_r,
+SELECT vec_id,
+       array_to_string(qvec, ',') AS qvec_csv,
+       round(scale, 6) AS scale_r,
        round(sqrt(list_sum(list_transform(
                list_zip(embedding, qvec),
                p -> pow(p[1] - p[2] / scale, 2)
@@ -166,7 +168,9 @@ FROM q
     doc="Max-abs int8 scalar quantization of the embedding column "
     "(faiss-SQ8 shape): per-vector scale, int codes, reconstruction "
     "RMSE — all JVM higher-order functions, floor(x+0.5) rounding on "
-    "both engines",
+    "both engines. The code vector ships as a CSV string (concat_ws / "
+    "array_to_string): a raw array<int> top-level column breaks the "
+    "driver's pandas sort_values canonicalizer (unhashable list).",
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -187,7 +191,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        "qvec",
+        F.concat_ws(",", F.col("qvec")).alias("qvec_csv"),
         F.round("scale", 6).alias("scale_r"),
         F.round(
             F.sqrt(
@@ -336,7 +340,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_domain_reweight",
     oracle="""
 WITH counts AS (
-  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
   FROM documents GROUP BY source
 ),
 tot AS (SELECT sum(n_docs) AS n FROM counts)
@@ -386,11 +391,18 @@ WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
   FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS tok FROM sh0),
+hot AS (SELECT tok FROM ex GROUP BY tok HAVING count(*) > 1000),
+sh AS (
+  SELECT doc_id, list(tok) AS s
+  FROM ex WHERE tok NOT IN (SELECT tok FROM hot)
+  GROUP BY doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -402,17 +414,20 @@ SELECT id_a, id_b, round(j, 6) AS jaccard
 FROM pairs WHERE j >= 0.5
 ORDER BY id_a, id_b
 """,
-    doc="EXACT Jaccard>=0.5 similarity self-join via prefix filtering "
-    "(All-Pairs/PPJoin): only each set's first |S|-ceil(t|S|)+1 "
-    "sorted shingles are exploded and equi-joined, so candidate "
-    "volume tracks prefix collisions, not N^2. The oracle is the "
-    "BRUTE-FORCE all-pairs join — a hash match proves the pruning "
-    "lost nothing (exactness, which MinHash can't claim)",
+    doc="EXACT Jaccard>=0.5 similarity self-join (All-Pairs count "
+    "formulation with size filter), with the shingle-df cap ACTIVE "
+    "(max_shingle_df=1000) and REPLICATED in the oracle — both "
+    "engines drop shingles in >1000 docs from the universe, so the "
+    "semantics agree at every scale factor, not just where the cap "
+    "is a no-op. The oracle is the BRUTE-FORCE all-pairs join — a "
+    "hash match proves the pruning lost nothing (exactness, which "
+    "MinHash can't claim)",
 )
 def dedup_jaccard_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_threshold_join
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_threshold_join(
-        docs, id_col="doc_id", text_col="text", threshold=0.5
+        docs, id_col="doc_id", text_col="text", threshold=0.5,
+        max_shingle_df=1000,
     ).orderBy("id_a", "id_b")

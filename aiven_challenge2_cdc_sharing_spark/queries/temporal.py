@@ -255,8 +255,10 @@ scored AS (
 )
 SELECT day, total,
        round(mu, 2) AS trailing_mean,
-       round((total - mu) / sd, 4) AS z,
-       (abs((total - mu) / sd) > 3.0) AS is_anomaly
+       round((total - mu) / (CASE WHEN sd = 0 THEN NULL ELSE sd END), 4) AS z,
+       coalesce(abs((total - mu)
+                    / (CASE WHEN sd = 0 THEN NULL ELSE sd END)) > 3.0,
+                FALSE) AS is_anomaly
 FROM scored WHERE n_prior = 7
 ORDER BY day
 """,
@@ -266,7 +268,11 @@ ORDER BY day
     "|z| > 3 flags.  The global-ordered window runs on the DAILY "
     "aggregate (a few hundred rows), not the raw stream — same "
     "tiny-after-aggregation rule as the WoW movers query; warm-up "
-    "days with fewer than 7 priors are excluded deterministically",
+    "days with fewer than 7 priors are excluded deterministically. "
+    "A flat trailing window (sd=0) is explicitly NULLed on BOTH "
+    "engines before the division: Spark's Divide returns NULL on /0 "
+    "but DuckDB's IEEE float division yields +/-Inf, so an unguarded "
+    "flat window would silently diverge (z NULL vs Inf)",
 )
 def ts_anomaly_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -282,7 +288,11 @@ def ts_anomaly_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("total").over(w).alias("sd"),
         F.count(F.lit(1)).over(w).alias("n_prior"),
     )
-    z = (F.col("total") - F.col("mu")) / F.col("sd")
+    # sd=0 (flat trailing window) -> z NULL, is_anomaly FALSE; Spark's
+    # Divide gives NULL on /0 natively but the guard is explicit so the
+    # convention is engine-independent (mirrors the oracle's CASE)
+    sd_safe = F.when(F.col("sd") == 0, F.lit(None)).otherwise(F.col("sd"))
+    z = (F.col("total") - F.col("mu")) / sd_safe
     return (
         scored.filter(F.col("n_prior") == 7)
         .select(
@@ -290,7 +300,7 @@ def ts_anomaly_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             F.round("mu", 2).alias("trailing_mean"),
             F.round(z, 4).alias("z"),
-            (F.abs(z) > 3.0).alias("is_anomaly"),
+            F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
         )
         .orderBy("day")
     )

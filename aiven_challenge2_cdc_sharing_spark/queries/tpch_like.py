@@ -106,10 +106,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q12_shipmode_priority",
     oracle="""
 SELECT l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -170,7 +170,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_money_sums",
     oracle="""
 SELECT o_orderstatus,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS exact_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS exact_total,
        count(*) AS cnt
 FROM orders
 GROUP BY o_orderstatus
@@ -178,14 +178,20 @@ ORDER BY o_orderstatus
 """,
     doc="exact money arithmetic: DECIMAL sums are bit-exact across "
     "engines with no float rounding games — the correctness path for "
-    "financial aggregation at scale",
+    "financial aggregation at scale. The comparison surface is the "
+    "DECIMAL rendered as a string on BOTH engines: pandas would "
+    "otherwise widen DuckDB's DECIMAL(38,2) sum to lossy float64 "
+    "(1.233171e+09 — cents gone) while Spark keeps object Decimals, "
+    "failing the driver's hash even though the values are identical.",
 )
 def agg_decimal_money_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("exact_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("exact_total"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("o_orderstatus")

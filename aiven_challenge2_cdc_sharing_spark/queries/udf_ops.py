@@ -127,8 +127,8 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
        CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
-       list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 1000003
-         AS byte_sum_mod
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+            % 1000003 AS BIGINT) AS byte_sum_mod
 FROM documents
 """,
     doc="multimodal plumbing: binary payload column -> mapInPandas decode "

@@ -142,6 +142,26 @@ def main() -> None:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # xxhash64 production fast paths: registry rows run the md5 family
+    # (oracle-replayable); the cheap-hash variants are still measured
+    # here so a fast-path regression is visible in BENCH_FULL.json
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        _minhash_near_pairs_xxhash,
+        _simhash_signatures_xxhash,
+    )
+
+    for name, fn in (
+        ("bench_minhash_near_pairs_xxhash", _minhash_near_pairs_xxhash),
+        ("bench_simhash_signatures_xxhash", _simhash_signatures_xxhash),
+    ):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
     # end-to-end streaming CDC: envelope JSON -> file stream ->
     # foreachBatch MERGE -> published snapshot (wall seconds)
     timings["stream_cdc_snapshot_e2e"] = round(_stream_cdc_e2e(spark, sf_dir), 3)

@@ -57,6 +57,29 @@ def test_mg_candidates_bounded_and_superset(spark):
     assert {"hot_a", "hot_b", "hot_c"} <= cand
 
 
+def test_heavy_hitters_non_string_items_and_nulls(spark):
+    """ADVICE r02: the mapInPandas schema must carry the INPUT dtype
+    (not hardcoded string) and null items are excluded explicitly."""
+    rows = [(7,)] * 500 + [(13,)] * 310 + [(None,)] * 400
+    rows += [(i,) for i in range(100, 200)]
+    items = spark.createDataFrame(rows, "item int").repartition(4)
+
+    cand = misra_gries_candidates(items, "item", capacity=9)
+    # dtype survives the round-trip: int stays int
+    assert cand.schema["item"].dataType.typeName() == "integer"
+    cvals = {r["item"] for r in cand.collect()}
+    assert 7 in cvals and 13 in cvals
+    assert None not in cvals
+
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters_exact(items, "item", k=3).collect()
+    }
+    # threshold is over NON-NULL N (910): 7 (500) and 13 (310) clear
+    # N/3; nulls are neither candidates nor part of the denominator
+    assert got == {7: 500, 13: 310}
+
+
 def test_mg_shrink_merge_rule():
     c = _mg_shrink({"a": 10, "b": 7, "c": 3, "d": 1}, capacity=2)
     # cut = 3rd largest (3): a->7, b->4, c,d dropped

@@ -116,10 +116,14 @@ def test_gapfill_locf_fills_gaps(spark, sf_dir):
 
 def test_quantization_reconstruction_bound(spark, sf_dir):
     out = load_registry()["emb_quantize_int8"].fn(spark, sf_dir)
-    rows = out.select("qvec", "rmse", "scale_r").collect()
+    # qvec ships as a CSV string (driver-canonical; raw arrays break
+    # the driver's pandas canonicalizer) — parse it back for the bound
+    rows = out.select("qvec_csv", "rmse", "scale_r").collect()
     assert rows
     for r in rows:
-        assert all(-128 <= q <= 127 for q in r["qvec"])
+        qvec = [int(x) for x in r["qvec_csv"].split(",")]
+        assert qvec
+        assert all(-128 <= q <= 127 for q in qvec)
         # max-abs quantization error per dim is 0.5/scale; RMSE must be
         # below that bound
         assert r["rmse"] <= 0.5 / r["scale_r"] + 1e-9
@@ -188,6 +192,79 @@ def test_jaccard_threshold_join_exact_and_pruned(spark):
     assert out == expect
     assert (1, 2) in out and (1, 3) in out, "near-identical docs must pair"
     assert not any(a >= 4 or b >= 4 for a, b in out)
+    # a cap far above every shingle's df must not change the result
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_threshold_join(
+            df, "doc_id", "text", 0.5, max_shingle_df=1000
+        ).collect()
+    }
+    assert capped == expect
+
+
+def test_jaccard_shingle_df_cap_bounds_boilerplate_blowup(spark):
+    """Adversarial fixture: M docs share one boilerplate preamble.
+
+    Uncapped, the shared shingles alone contribute ~M^2 join rows (the
+    100-TB hazard VERDICT r02 flagged).  With max_shingle_df below M
+    the boilerplate shingles leave the universe: candidate volume is
+    bounded by the unique tails, and docs whose ONLY content is the
+    boilerplate can no longer pair on it.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        jaccard_threshold_join,
+    )
+
+    boiler = "this document is confidential and intended solely for the recipient"
+    m = 40
+    rows = [(i, f"{boiler} unique tail {i} payload alpha beta") for i in range(m)]
+    # plus one true near-dup pair that shares a RARE tail
+    rows += [
+        (100, "rare shared tail gamma delta epsilon zeta eta theta"),
+        (101, "rare shared tail gamma delta epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = jaccard_threshold_join(df, "doc_id", "text", 0.5)
+    capped = jaccard_threshold_join(
+        df, "doc_id", "text", 0.5, max_shingle_df=10
+    )
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+
+    # the rare-tail pair survives the cap (its shingles have df=2)
+    assert (100, 101) in cap_pairs
+    # boilerplate-only similarity is gone: no pair among the M docs
+    assert not any(a < m and b < m for a, b in cap_pairs)
+    # uncapped, the boilerplate dominates each doc's shingle set and
+    # manufactures O(M^2) "duplicate" pairs — the blowup the cap kills
+    boiler_pairs = {(a, b) for a, b in un_pairs if a < m and b < m}
+    assert len(boiler_pairs) > m  # super-linear without the cap
+
+    # join-volume bound, measured where it blows up: rows flowing into
+    # the pair-groupBy are sum(df(shingle)^2) over surviving shingles
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        with_shingles,
+    )
+
+    def join_volume(cap):
+        dfreq = (
+            with_shingles(df, "text")
+            .select(F.explode("__sh").alias("__tok"))
+            .groupBy("__tok")
+            .count()
+        )
+        if cap:
+            dfreq = dfreq.filter(F.col("count") <= cap)
+        return (
+            dfreq.select(F.sum(F.col("count") * F.col("count")).alias("v"))
+            .collect()[0]["v"]
+        )
+
+    v_un, v_cap = join_volume(None), join_volume(10)
+    assert v_cap * 5 < v_un, (v_cap, v_un)
 
 
 def test_scd2_agrees_with_point_in_time_snapshot(spark, sf_dir):

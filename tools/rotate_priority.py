@@ -4,11 +4,12 @@ The driver caps each round's CORRECTNESS run at ~50 registry entries,
 taken in dict order.  This tool reads every CORRECTNESS_r*.json in the
 repo root and orders the registry so that:
 
-1. queries with NO driver row in any round so far come first (oracle-
-   bearing before rows-only, preserving current registry order within
-   each group), then
-2. queries whose latest row errored (excluding documented no_oracle),
-   then
+1. queries whose LATEST driver row is not fully green (err, or any of
+   rows/schema/hash false) come first — these are fixed-and-requeued
+   re-checks and must land inside the next 50-row window, then
+2. queries with NO driver row in any round so far (oracle-bearing
+   before rows-only, preserving current registry order within each
+   group), then
 3. everything already green, oldest-checked first (regression
    rotation).
 
@@ -37,7 +38,13 @@ def main() -> int:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         for name, row in json.load(open(path)).items():
-            ok = row.get("err") in (None, "no_oracle")
+            # fully green = no (real) error AND no explicit false on
+            # any of the three matches; None means the driver ran a
+            # weaker rows-only check, which still counts as its verdict
+            ok = row.get("err") in (None, "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
             prev = checked.get(name)
             if prev is None or rnd >= prev[0]:
                 checked[name] = (rnd, ok)
@@ -52,10 +59,11 @@ def main() -> int:
         key=lambda n: checked[n][0],
     )
 
-    ordered = never_oracle + never_rows_only + errored + green
-    print(f"# {len(never_oracle)} never-checked oracle-bearing, "
+    ordered = errored + never_oracle + never_rows_only + green
+    print(f"# {len(errored)} re-checks (latest row not green), "
+          f"{len(never_oracle)} never-checked oracle-bearing, "
           f"{len(never_rows_only)} never-checked rows-only, "
-          f"{len(errored)} errored, {len(green)} green (oldest first)")
+          f"{len(green)} green (oldest first)")
     print("DRIVER_PRIORITY: list[str] = [")
     for n in ordered:
         print(f'    "{n}",')
