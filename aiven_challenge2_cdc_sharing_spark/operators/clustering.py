@@ -48,6 +48,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_sum = None
     # Each round: (1) take the min label over graph neighbors, then
     # (2) pointer-jump (component := label of component — union-find
     # path compression), which squares the propagation distance per
@@ -82,18 +83,25 @@ def connected_components(
                     F.coalesce("__plabel", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # Convergence probe that doubles as the checkpoint's
+        # materializing action — ONE job per round where the previous
+        # formulation ran two (eager checkpoint, then a labels-join
+        # count).  Labels move monotonically downward (component :=
+        # least(old, ...)), so sum(component) strictly decreases until
+        # the fixpoint and equality of consecutive sums IS convergence.
+        # decimal(38,0) keeps the sum exact for any realistic node-id
+        # domain (no int64 wraparound false-positive).
+        new_sum = (
+            new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
         )
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

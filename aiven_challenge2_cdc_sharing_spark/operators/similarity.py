@@ -65,20 +65,34 @@ def cosine_topk_bruteforce(
 def _assign_nearest(
     vectors: DataFrame, centroids: DataFrame, vec_col: str, out_col: str
 ) -> DataFrame:
-    """Attach the id of the nearest (by cosine) broadcast centroid."""
+    """Attach the id of the nearest (by cosine) centroid.
+
+    The centroid table collapses to ONE row holding a sorted
+    struct-array, broadcast to every task; the argmin is then
+    ``array_max`` over per-centroid (sim, -cid) structs — a map-only
+    expression with no shuffle.  The previous formulation (broadcast
+    join to k rows/vector + row_number window partitioned by vec id)
+    produced the same assignment but shuffled and sorted k*N rows per
+    Lloyd iteration; at cluster scale that is three avoidable k*N
+    exchanges per k-means build.  Tie-breaking matches the old window
+    exactly: struct comparison is field-ordered, so max (sim, -cid) ==
+    first row of ORDER BY sim DESC, cid ASC (verified identical output
+    at sf0.1)."""
     v = F.col(vec_col).cast("array<double>")
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "__csim", cosine(v, F.col("__cvec"))
+    cent_row = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("__cid", "__cvec"))).alias("__cents")
     )
-    # first column is the row id — sufficient (and cheap) partition key
-    w = Window.partitionBy(vectors.columns[0]).orderBy(
-        F.desc("__csim"), F.col("__cid")
+    scored = vectors.join(F.broadcast(cent_row))
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine(v, c["__cvec"]).alias("s"),
+                (-c["__cid"]).alias("negid"),
+            ),
+        )
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*vectors.columns, F.col("__cid").alias(out_col))
-    )
+    return scored.select(*vectors.columns, (-best["negid"]).alias(out_col))
 
 
 def train_ivf_centroids(
