@@ -134,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_signatures",
     "dedup_minhash_near_pairs",
     "dedup_jaccard_threshold_pairs",
+    "dedup_containment_pairs",
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_merge_incremental",

@@ -348,6 +348,55 @@ def simhash_near_pairs(
     )
 
 
+def _shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Materialized (id, set-size, shingle) posting list shared by the
+    exact set-similarity joins (Jaccard + containment).
+
+    With ``max_shingle_df``, hot-shingle exclusion is a per-ROW
+    ``array_except`` against the (tiny, by construction) hot set folded
+    into one broadcast row: sizes are then just ``size()`` of the
+    filtered array, so the whole posting-list build is a single map
+    pass.  (An earlier formulation anti-joined the exploded stream and
+    re-aggregated per-doc sizes — a full posting-list shuffle the
+    broadcast form never pays.)  The localCheckpoint materializes the
+    list once for both sides of the self-join — at scale this is the
+    persisted posting list an index build would keep anyway."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    if max_shingle_df is not None:
+        ex_all = sh.select(F.col(id_col), F.explode("__sh").alias("__tok"))
+        hot_row = (
+            ex_all.groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .agg(F.collect_list("__tok").alias("__hot"))
+        )
+        ex0 = (
+            sh.join(F.broadcast(hot_row))
+            .withColumn("__sh2", F.array_except("__sh", "__hot"))
+            .select(
+                F.col(id_col),
+                F.size("__sh2").alias("__sz"),
+                F.explode("__sh2").alias("__tok"),
+            )
+        )
+    else:
+        # uncapped: the array size IS the set size — no extra job
+        ex0 = (
+            sh.select(
+                F.col(id_col),
+                F.size("__sh").alias("__sz"),
+                F.explode("__sh").alias("__tok"),
+            )
+        )
+    return ex0.localCheckpoint()
+
+
 def jaccard_threshold_join(
     df: DataFrame,
     id_col: str,
@@ -395,45 +444,7 @@ def jaccard_threshold_join(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp AFTER the threshold filter on the unrounded value.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    if max_shingle_df is not None:
-        # Hot-shingle exclusion as a per-ROW array_except against the
-        # (tiny, by construction) hot set folded into one broadcast
-        # row: sizes are then just size() of the filtered array, so
-        # the whole posting-list build is a single map pass.  The
-        # previous formulation anti-joined the exploded stream and
-        # re-aggregated per-doc sizes — a full posting-list shuffle
-        # the broadcast form never pays.
-        ex_all = sh.select(F.col(id_col), F.explode("__sh").alias("__tok"))
-        hot_row = (
-            ex_all.groupBy("__tok")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_shingle_df)
-            .agg(F.collect_list("__tok").alias("__hot"))
-        )
-        ex0 = (
-            sh.join(F.broadcast(hot_row))
-            .withColumn("__sh2", F.array_except("__sh", "__hot"))
-            .select(
-                F.col(id_col),
-                F.size("__sh2").alias("__sz"),
-                F.explode("__sh2").alias("__tok"),
-            )
-        )
-    else:
-        # uncapped: the array size IS the set size — no extra job
-        ex0 = (
-            sh.select(
-                F.col(id_col),
-                F.size("__sh").alias("__sz"),
-                F.explode("__sh").alias("__tok"),
-            )
-        )
-    # localCheckpoint: both sides of the self-join consume the exploded
-    # shingle stream; materializing once halves the shingle compute
-    # (same pattern as the MinHash signature table — at scale this is
-    # the persisted posting list an index build would keep anyway)
-    ex = ex0.localCheckpoint()
+    ex = _shingle_postings(df, id_col, text_col, shingle_n, max_shingle_df)
     a = ex.select(
         F.col(id_col).alias("id_a"),
         F.col("__sz").alias("__sz_a"),
@@ -462,4 +473,61 @@ def jaccard_threshold_join(
         ov.withColumn("__j", jac)
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment C(A→B) = |A∩B| / |A| at
+    ``threshold`` — the partial-duplicate / doc-inside-doc detector
+    that Jaccard structurally misses: a paragraph quoted whole inside
+    a 50x longer page has Jaccard ~0.02 but containment ~1.0.
+    Training pipelines use it to catch boilerplate-wrapped reposts and
+    quote-expansion dupes that survive symmetric dedup.
+
+    Same count formulation and posting-list shape as
+    ``jaccard_threshold_join`` (the two share ``_shingle_postings``),
+    but the pair predicate is ``id_a != id_b`` (direction matters) and
+    the only admissible size filter is one-sided: C >= t and
+    |A∩B| <= |B| force |B| >= t*|A| — there is no upper bound on |B|
+    because a tiny doc may be contained in an arbitrarily large one.
+    Join volume is still sum(df(shingle)^2), never N^2, and the
+    ``max_shingle_df`` cap applies identically.
+
+    Returns (id_a, id_b, containment): id_a's shingle set is covered
+    by id_b at >= threshold; containment rounded to 6 dp AFTER the
+    threshold filter on the unrounded value.
+    """
+    ex = _shingle_postings(df, id_col, text_col, shingle_n, max_shingle_df)
+    a = ex.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sz_a"),
+        "__tok",
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__sz_b"),
+        "__tok",
+    )
+    ov = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            # one-sided size filter: C >= t forces |B| >= t|A|
+            & (F.col("__sz_b") >= F.lit(threshold) * F.col("__sz_a"))
+        )
+        .groupBy("id_a", "id_b", "__sz_a")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    cont = F.col("__ov").cast("double") / F.col("__sz_a")
+    return (
+        ov.withColumn("__c", cont)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
     )

@@ -431,3 +431,51 @@ def dedup_jaccard_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, id_col="doc_id", text_col="text", threshold=0.5,
         max_shingle_df=1000,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS tok FROM sh0),
+hot AS (SELECT tok FROM ex GROUP BY tok HAVING count(*) > 1000),
+sh AS (
+  SELECT doc_id, list(tok) AS s
+  FROM ex WHERE tok NOT IN (SELECT tok FROM hot)
+  GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+)
+SELECT id_a, id_b, round(c, 6) AS containment
+FROM pairs WHERE c >= 0.8
+ORDER BY id_a, id_b
+""",
+    doc="DIRECTIONAL partial-dup detection: shingle containment "
+    "C(A->B) = |A∩B|/|A| >= 0.8 with the same shingle-df cap (1000) "
+    "as the Jaccard join, replicated in the oracle.  Catches "
+    "doc-inside-doc duplication (quoted reposts, boilerplate-wrapped "
+    "copies) that symmetric Jaccard structurally misses; the oracle "
+    "is the brute-force all-ordered-pairs join, so a hash match "
+    "proves the posting-list pruning (one-sided size filter "
+    "|B| >= t|A|) lossless",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(
+        docs, id_col="doc_id", text_col="text", threshold=0.8,
+        max_shingle_df=1000,
+    ).orderBy("id_a", "id_b")

@@ -94,8 +94,16 @@ LIMIT 20
 def search_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    glob = toks.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # global stats straight off the documents table (mirrors the
+    # oracle's gstats CTE): count + avg of the per-row token-array
+    # size — no explode, no token-stream shuffle.  The previous
+    # groupBy(doc_id) over the exploded stream shuffled every token
+    # occurrence to recover a number already known per row.
+    glob = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("avgdl"),
     )
     tf = (
         toks.filter(F.col("term").isin(QUERY_TERMS))

@@ -109,3 +109,38 @@ def test_perplexity_scans_documents_once(spark, sf_dir):
     q = load_registry()["text_perplexity_filter"]
     plan = explain_str(q.fn(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Nearest-centroid assignment folds the centroids into ONE
+    broadcast row and takes an array_max argmin per vector — the plan
+    must show no Window (old shape: row_number over a k*N scored
+    join) and no vector-side exchange; the only exchange allowed is
+    the 16-row centroid fold itself."""
+    from aiven_challenge2_cdc_sharing_spark.operators.similarity import (
+        _assign_nearest,
+        train_ivf_centroids,
+    )
+    from aiven_challenge2_cdc_sharing_spark.plans.inspect import num_exchanges
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(vectors).localCheckpoint(eager=True)
+    df = _assign_nearest(
+        vectors.select("vec_id", "embedding"), cents, "embedding", "__cluster"
+    )
+    s = explain_str(df)
+    assert "Window" not in s, s
+    assert has_broadcast_join(df)
+    assert num_exchanges(df) <= 2, s
+
+
+def test_simhash_single_pass_expression(spark, sf_dir):
+    """The SimHash signature must stay a single aggregate pass over the
+    token-hash array (vote-counter array + sign fold).  The per-bit
+    formulation leaked 60 `aggregate(` scans into the plan and fell
+    out of whole-stage codegen (~10x slower)."""
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import simhash_md5
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = explain_str(simhash_md5(docs, "text"))
+    assert s.count("aggregate(") <= 8, s.count("aggregate(")

@@ -298,3 +298,55 @@ def test_scd2_agrees_with_point_in_time_snapshot(spark, sf_dir):
     a = sorted(map(tuple, hist_at.collect()))
     b = sorted(map(tuple, snap_at.collect()))
     assert a == b and len(a) > 0
+
+
+def test_containment_join_directional_vs_jaccard(spark):
+    """Doc-inside-doc: the quoted paragraph is ~fully contained in the
+    long page (containment ~1 in that direction only) while Jaccard is
+    far below any useful threshold — the case the directional operator
+    exists for."""
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        containment_join,
+        jaccard_threshold_join,
+        with_shingles,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, f"intro text before the quote {quote} and a long commentary {filler}"),
+        (3, "entirely unrelated content about query planning and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, "doc_id", "text", 0.8).collect()
+    }
+    # brute-force reference over every ordered pair
+    sh = {r["doc_id"]: set(r["__sh"]) for r in with_shingles(df, "text").collect()}
+    expect = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= 0.8:
+                expect[(a, b)] = round(c, 6)
+    assert cont == expect
+    assert (1, 2) in cont, "quote must be detected inside the page"
+    assert (2, 1) not in cont, "containment is directional"
+    # symmetric Jaccard misses this pair entirely at the same threshold
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_threshold_join(df, "doc_id", "text", 0.8).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+    # df-cap path returns the same answer when no shingle is hot
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(
+            df, "doc_id", "text", 0.8, max_shingle_df=1000
+        ).collect()
+    }
+    assert capped == expect
