@@ -135,8 +135,13 @@ def main() -> None:
             if kk > max_k:
                 continue
             t0 = time.time()
-            out = fn(docs).count()
+            df = fn(docs)
+            # noop sink, not count(): count() lets Catalyst prune the
+            # computed columns entirely (a per-row signature stage
+            # would be measured as a bare scan)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            out = df.count()
             print(f"| {name} ({kk}x) | {n} | {dt:.1f} s | {out} |", flush=True)
     spark.stop()
 
