@@ -47,6 +47,13 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 #   re-joins both count tables (exchanges carry (doc_id, u, w) and
 #   count tuples, never document text; the tokenized corpus is
 #   localCheckpoint'ed so text is scanned exactly once).
+# - user_behavior_entropy: per-(user,type) counts -> per-user totals
+#   join -> final entropy aggregate, plus the 2-phase observed-domain
+#   count_distinct and the ordered output.  Every exchange moves
+#   (user_id, count) longs, never event rows; collapsing the
+#   total-join into a collect_list fold would change the Spark-side
+#   float summation order away from the oracle's SUM — not worth
+#   risking the 6-dp hash for a shuffle of longs.
 # Queries whose PLAN is deliberately the Python-expansion tier: the
 # UDTF surface (U3) exists precisely for one-row-in-many-out Python
 # logic no builtin expresses; its BatchEvalPythonUDTF node is the
@@ -61,6 +68,7 @@ ALLOWED_EXCHANGES = {
     "text_tfidf_top_terms": 9,
     "profile_orders_columns": 10,
     "text_perplexity_filter": 10,
+    "user_behavior_entropy": 9,
 }
 
 
