@@ -137,6 +137,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_containment_pairs",
     "cdc_snapshot",
     "cdc_wire_roundtrip",
+    "cdc_kafka_wire_decode",
     "cdc_merge_incremental",
     "cdc_count_by_classification",
 ]

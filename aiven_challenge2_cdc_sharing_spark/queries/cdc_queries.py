@@ -126,6 +126,37 @@ def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_kafka_wire_decode",
+    oracle=SNAPSHOT_SQL,
+    doc="S1/S3/T8 Kafka wire-contract twin: the envelope log serialized "
+    "to Kafka's BINARY key/value wire schema (JSON key struct, "
+    "flattened value with delete-rewrite, trailing tombstones, "
+    "per-partition monotonic offsets) and decoded by "
+    "sources/kafka_shape.py:decode_kafka_records — the exact transform "
+    "a broker-backed readStream feeds (id parsed from the key STRUCT, "
+    "fixing reference latent bug B, consumer_to_opensearch.py:74) — "
+    "then snapshotted; must equal the direct snapshot.  No broker can "
+    "exist in this container (terraform/main.tf:47-92 provisions the "
+    "real one); this row puts every line of the decode path the broker "
+    "would feed under the oracle gate instead of pytest alone",
+)
+def cdc_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.kafka_shape import decode_kafka_records
+
+    wire = to_wire(unwrap(generate_envelope_log(spark, sf_dir)))
+    kafka_shaped = wire.select(
+        F.col("key_json").cast("binary").alias("key"),
+        F.col("value_json").cast("binary").alias("value"),
+        F.col("partition"),
+        F.col("offset"),
+    )
+    decoded = decode_kafka_records(kafka_shaped)
+    return latest_snapshot(decoded, key_cols=("id",), order_cols=("offset",)).drop(
+        "offset"
+    )
+
+
+@register(
     "cdc_snapshot_at",
     oracle="""
 SELECT

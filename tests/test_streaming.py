@@ -161,3 +161,38 @@ def test_peek_one(spark, sf_dir, tmpdir):
     rows = peek_one(spark, events_dir, f"{tmpdir}/peek_ckpt")
     assert len(rows) == 1
     assert rows[0]["op"] in {"c", "u", "d"}
+
+
+def test_stream_chaos_chunking_order_robust(spark, sf_dir, tmpdir):
+    """T2/T4 adversarial parity: a key's insert/update/delete SCATTERED
+    across different files (hash of seq + seed), consumed one file per
+    micro-batch — so per-key history spans micro-batches, in arrival
+    orders that differ per seed — must always converge to the batch
+    snapshot.  This is the formal check that the merge orders on
+    (ts_ms, seq), never on arrival: an update landing in an earlier
+    micro-batch than its insert, or a delete arriving before the row
+    it deletes, must still resolve identically."""
+    from aiven_challenge2_cdc_sharing_spark.schemas import CDC_ENVELOPE
+
+    log = generate_envelope_log(spark, sf_dir)
+    expected = rows_set(latest_snapshot(unwrap(log)))
+    for seed in (7, 23):
+        events_dir = f"{tmpdir}/events_{seed}"
+        (
+            log.repartition(
+                8, F.pmod(F.xxhash64(F.col("seq") + seed), F.lit(8))
+            )
+            .write.mode("overwrite")
+            .json(events_dir)
+        )
+        stream = (
+            spark.readStream.schema(CDC_ENVELOPE)
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+        )
+        q = run_snapshot_maintenance(
+            stream, f"{tmpdir}/snap_{seed}", f"{tmpdir}/ckpt_{seed}"
+        )
+        q.awaitTermination(300)
+        got = rows_set(read_snapshot(spark, f"{tmpdir}/snap_{seed}"))
+        assert got == expected, f"chaos chunking diverged for seed {seed}"
