@@ -55,8 +55,10 @@ HEADLINE = [
     "cdc_snapshot",
     "cdc_merge_incremental",
     "cdc_wire_roundtrip",
+    "cdc_kafka_wire_decode",
     "cdc_scd2_history",
     "dedup_jaccard_threshold_pairs",
+    "dedup_containment_pairs",
     "dedup_parent_chain_depth",
     "text_dup_ngram_spans",
     "text_perplexity_filter",
