@@ -150,9 +150,28 @@ def _ordered():
     return [(n, registry[n]) for n in prio + rest]
 
 
+def _with_worker_imports(fn):
+    """The driver runs these with ITS OWN SparkSession, possibly built
+    from a cwd where this package isn't importable by name — which
+    breaks the pandas-UDF queries, whose module-level functions pickle
+    by reference and must be re-imported inside the Python workers.
+    Ship the package to workers (addPyFile, idempotent) before the
+    first query runs on any given session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aiven_challenge2_cdc_sharing_spark.session import (
+            ensure_workers_can_import,
+        )
+
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in _ordered()}
+    return {name: _with_worker_imports(q.fn) for name, q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
