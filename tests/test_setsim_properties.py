@@ -66,3 +66,55 @@ def test_setsim_joins_equal_brute_force(spark, texts, threshold):
         for r in containment_join(df, "doc_id", "text", threshold).collect()
     }
     assert cont == _brute(sh, threshold, directional=True)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_connected_components_equals_union_find(spark, edges):
+    """The iterative min-label + pointer-jump CC must equal a plain
+    union-find on generator-searched graphs: chains, self-parallel
+    edges, reversed duplicates, multiple components, stars — the
+    shapes that probe convergence (the monotone-sum probe must not
+    exit early) and label minimality."""
+    from aiven_challenge2_cdc_sharing_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # brute force: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    if not edges:
+        return  # operator contract: labels exist only for nodes with edges
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
