@@ -25,7 +25,8 @@ def entry(spark: SparkSession) -> DataFrame:
     Debezium-envelope log -> unwrap -> last-writer-wins snapshot ->
     count-by-classification (the reference's headline dashboard)."""
     registry = load_registry()
-    return registry["cdc_count_by_classification"].fn(spark, SMOKE_SF_DIR)
+    fn = _with_worker_imports(registry["cdc_count_by_classification"].fn)
+    return fn(spark, SMOKE_SF_DIR)
 
 
 # The driver verifies registry queries in dict order and round 1 showed it

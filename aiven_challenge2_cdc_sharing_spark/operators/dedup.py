@@ -473,6 +473,18 @@ def jaccard_threshold_join(
     the join scans anyway.  ``None`` keeps the exact uncapped
     semantics (and skips both extra jobs).
 
+    PPJoin-style PREFIX filtering (index only each doc's first
+    |A| - ceil(t|A|) + 1 sorted shingles for candidate generation,
+    then verify) was prototyped and REJECTED on measurement: at sf0.1
+    with the df-cap active it is ~2x SLOWER warm (2.96s -> 6.09s) —
+    the split into candidate-distinct + verify joins adds two shuffles
+    and a barrier, while the df-cap has already removed exactly the
+    high-frequency postings whose df^2 cost prefix filtering exists to
+    avoid.  At a scale where sum(df^2) of MID-frequency shingles
+    dominates the extra shuffles, the two-pass form wins; revisit then
+    (both variants verified output-identical, including under the
+    hypothesis property suite).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp AFTER the threshold filter on the unrounded value.
     """
