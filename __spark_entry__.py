@@ -136,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_near_pairs",
     "dedup_jaccard_threshold_pairs",
     "dedup_containment_pairs",
+    "text_bpe_train_merges",
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_kafka_wire_decode",

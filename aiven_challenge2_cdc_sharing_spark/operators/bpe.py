@@ -1,0 +1,134 @@
+"""BPE merge training — tokenizer induction as corpus-level DataFrame ops.
+
+The registry's other text ops ANALYZE with a fixed tokenizer
+(``text_bpe_token_counts`` applies a GPT-2-style pretokenizer regex);
+this operator LEARNS one: the classic byte-pair-encoding training loop
+(Sennrich et al. 2016, the tokenizer-construction algorithm behind
+GPT/LLaMA vocabularies), run as iterative Spark jobs over the corpus
+vocabulary.
+
+Representation trick that keeps every round JVM-side AND exactly
+replayable by a SQL oracle: a word's symbol sequence is its symbols
+joined by an out-of-band separator (U+001F).  Then
+
+- pair counting is a 2-gram zip_with over the split array, weighted by
+  corpus word frequency (one groupBy per round — the vocabulary table,
+  not the corpus, is what iterates, exactly like single-node BPE
+  trainers);
+- applying the winning merge is ``replace(sym, l||SEP||r, l||r)`` —
+  string replace is left-to-right non-overlapping in both Spark and
+  DuckDB, which IS BPE's leftmost-first merge semantics (verified:
+  "a a a" under merge (a,a) -> "aa a");
+- the argmax is deterministic: highest count, then lexicographically
+  smallest (l, r) — both engines compare strings bytewise.
+
+Scale shape: after the one corpus pass that builds (word, freq), every
+round touches only the distinct-word vocabulary (|V| rows, shuffling
+(symbol-pair, count) pairs).  The per-round winner is a bounded 1-row
+collect — the driver coordinates rounds, the cluster counts pairs —
+which is how distributed tokenizer training actually runs; at 100 TB
+the corpus pass dominates and happens once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BPE_SEP = "\x1f"
+
+
+def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(sym, freq): distinct lowercased whitespace words with corpus
+    frequencies, symbols initialized to characters.  Words containing
+    the separator byte are dropped (defensive; none exist in text)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", F.concat_ws(BPE_SEP, F.split(F.col("w"), "")))
+        .select("sym", "freq")
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table — the
+    model artifact a tokenizer ships — as (merge_rank, l, r, merged,
+    pair_count), built from the per-round winners (a K-row
+    driver-side result, like a trained centroid table)."""
+    spark: SparkSession = docs.sparkSession
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    merges = []
+    for k in range(n_merges):
+        pairs = (
+            vocab.withColumn("__a", F.split("sym", BPE_SEP))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(__a, 1, greatest(size(__a)-1, 0)),"
+                        "         slice(__a, 2, greatest(size(__a)-1, 0)),"
+                        "         (x, y) -> struct(x AS l, y AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((k, l, r, l + r, int(cnt)))
+        vocab = vocab.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(l + BPE_SEP + r), F.lit(l + r)),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, l string, r string, merged string, pair_count long"
+    )
+
+
+def bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of the identical training loop, rounds unrolled
+    as CTE chains (v0 -> p_k/b_k/v_{k+1}); chr(31) is the separator."""
+    sql = """
+WITH v0 AS (
+  SELECT array_to_string(string_split(w, ''), chr(31)) AS sym, freq FROM (
+    SELECT w, count(*) AS freq FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ) WHERE length(w) > 0 AND NOT contains(w, chr(31))
+    GROUP BY w)
+)"""
+    prev = "v0"
+    sel = []
+    for k in range(n_merges):
+        sql += f""",
+p{k} AS (
+  SELECT l, r, sum(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(a)),
+                  i -> {{'l': a[i], 'r': a[i+1]}}), recursive := true)
+    FROM (SELECT string_split(sym, chr(31)) AS a, freq FROM {prev})
+  ) GROUP BY l, r
+),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k + 1} AS (
+  SELECT replace(sym, (SELECT l || chr(31) || r FROM b{k}),
+                      (SELECT l || r FROM b{k})) AS sym, freq
+  FROM {prev}
+)"""
+        sel.append(
+            f"SELECT {k} AS merge_rank, l, r, l || r AS merged, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        )
+        prev = f"v{k + 1}"
+    return sql + "\n" + " UNION ALL ".join(sel) + " ORDER BY merge_rank"

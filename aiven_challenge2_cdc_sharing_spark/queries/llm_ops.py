@@ -1456,3 +1456,29 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_same_canonical", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
     )
+
+
+from ..operators.bpe import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(6),
+    doc="tokenizer INDUCTION, not just application: the classic BPE "
+    "training loop (Sennrich et al. 2016) learns 6 merges from the "
+    "corpus vocabulary — per round, corpus-frequency-weighted adjacent "
+    "symbol-pair counts, deterministic argmax (count desc, pair asc), "
+    "leftmost-nonoverlapping merge via string replace on a "
+    "separator-joined symbol encoding both engines implement "
+    "identically.  The oracle unrolls all 6 rounds as CTE chains and "
+    "must reproduce every winner — including round 6, whose winning "
+    "pair contains a symbol learned in round 1 ('m'+'er'), proving the "
+    "iteration feeds back.  Rounds iterate the distinct-word "
+    "vocabulary, never the corpus; the per-round winner is a bounded "
+    "1-row collect (driver coordinates, cluster counts)",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=6).orderBy("merge_rank")

@@ -198,3 +198,55 @@ def test_cluster_safe_split_no_leakage(spark, sf_dir):
     # the hazard is real: at 10% eval over 100 4-doc clusters, some
     # cluster is split by the per-doc hash with overwhelming odds
     assert per_cluster.filter(F.col("n_naive") > 1).count() > 0
+
+
+def _bpe_reference(words: list[str], k: int):
+    """Plain-Python BPE trainer: same argmax + leftmost-merge rules."""
+    from collections import Counter
+
+    freq = Counter(words)
+    vocab = {w: list(w) for w in freq}
+    out = []
+    for rank in range(k):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, l + r, cnt))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    return out
+
+
+def test_bpe_train_matches_reference_and_tiebreak(spark):
+    from aiven_challenge2_cdc_sharing_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    # merged symbols must feed later rounds: "aaa" learns (a,a) then (aa,a)
+    corpora = [
+        "low low low lower lower newest newest newest newest".split(),
+        ["aaa", "aaa", "ab", "ab", "cd", "cd"],  # tie (a,b) vs (c,d) -> lexicographic
+    ]
+    for words in corpora:
+        docs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+        )
+        got = [
+            (r["merge_rank"], r["l"], r["r"], r["merged"], r["pair_count"])
+            for r in bpe_train_merges(docs, "text", n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == _bpe_reference(words, 4), words
