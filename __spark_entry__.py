@@ -137,6 +137,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_jaccard_threshold_pairs",
     "dedup_containment_pairs",
     "text_bpe_train_merges",
+    "text_bpe_encode_compression",
     "cdc_snapshot",
     "cdc_wire_roundtrip",
     "cdc_kafka_wire_decode",

@@ -38,11 +38,13 @@ from pyspark.sql import functions as F
 BPE_SEP = "\x1f"
 
 
-def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+def word_vocab(
+    docs: DataFrame, text_col: str, keep_word: bool = False
+) -> DataFrame:
     """(sym, freq): distinct lowercased whitespace words with corpus
     frequencies, symbols initialized to characters.  Words containing
     the separator byte are dropped (defensive; none exist in text)."""
-    return (
+    v = (
         docs.select(
             F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -52,8 +54,8 @@ def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("sym", F.concat_ws(BPE_SEP, F.split(F.col("w"), "")))
-        .select("sym", "freq")
     )
+    return v.select("w", "sym", "freq") if keep_word else v.select("sym", "freq")
 
 
 def bpe_train_merges(
@@ -96,12 +98,15 @@ def bpe_train_merges(
     )
 
 
-def bpe_oracle_sql(n_merges: int = 6) -> str:
-    """DuckDB replay of the identical training loop, rounds unrolled
-    as CTE chains (v0 -> p_k/b_k/v_{k+1}); chr(31) is the separator."""
-    sql = """
+def _bpe_cte_chain(n_merges: int, carry_word: bool) -> tuple[str, str, list[str]]:
+    """(cte_sql, final_vocab_cte, [winner_cte names]) — the training
+    rounds unrolled as CTE chains (v0 -> p_k/b_k/v_{k+1}); chr(31) is
+    the separator.  ``carry_word`` threads the original word through
+    every round so an apply step can join back to occurrences."""
+    wcol = "w, " if carry_word else ""
+    sql = f"""
 WITH v0 AS (
-  SELECT array_to_string(string_split(w, ''), chr(31)) AS sym, freq FROM (
+  SELECT {wcol}array_to_string(string_split(w, ''), chr(31)) AS sym, freq FROM (
     SELECT w, count(*) AS freq FROM (
       SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       FROM documents
@@ -109,7 +114,7 @@ WITH v0 AS (
     GROUP BY w)
 )"""
     prev = "v0"
-    sel = []
+    winners = []
     for k in range(n_merges):
         sql += f""",
 p{k} AS (
@@ -122,13 +127,89 @@ p{k} AS (
 ),
 b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
 v{k + 1} AS (
-  SELECT replace(sym, (SELECT l || chr(31) || r FROM b{k}),
+  SELECT {wcol}replace(sym, (SELECT l || chr(31) || r FROM b{k}),
                       (SELECT l || r FROM b{k})) AS sym, freq
   FROM {prev}
 )"""
-        sel.append(
-            f"SELECT {k} AS merge_rank, l, r, l || r AS merged, "
-            f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
-        )
+        winners.append(f"b{k}")
         prev = f"v{k + 1}"
+    return sql, prev, winners
+
+
+def bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB replay of the identical training loop."""
+    sql, _, winners = _bpe_cte_chain(n_merges, carry_word=False)
+    sel = [
+        f"SELECT {k} AS merge_rank, l, r, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM {b}"
+        for k, b in enumerate(winners)
+    ]
     return sql + "\n" + " UNION ALL ".join(sel) + " ORDER BY merge_rank"
+
+
+def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
+    """Train the merges AND apply them: per-source corpus compression
+    stats from the encoded vocabulary joined back to occurrences."""
+    sql, final, _ = _bpe_cte_chain(n_merges, carry_word=True)
+    return (
+        sql
+        + f""",
+enc AS (
+  SELECT w, len(string_split(sym, chr(31))) AS n_tok FROM {final}
+),
+occ AS (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 AND NOT contains(w, chr(31))
+)
+SELECT o.source,
+       CAST(sum(e.n_tok) AS BIGINT) AS bpe_tokens,
+       CAST(sum(length(o.w)) AS BIGINT) AS n_chars,
+       round(sum(length(o.w)) * 1.0 / sum(e.n_tok), 6) AS chars_per_token
+FROM occ o JOIN enc e USING (w)
+GROUP BY o.source
+ORDER BY o.source"""
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, text_col: str, group_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Train ``n_merges`` merges on the corpus, encode every word with
+    them, and report per-group compression: (group, bpe_tokens,
+    n_chars, chars_per_token).  Encoding happens once per DISTINCT
+    word (the vocabulary, with the K merges applied as K string
+    replaces) and broadcast-joins back to word occurrences — the
+    occurrences stream is scanned once and never carries symbols."""
+    merges = [
+        (r["l"], r["r"])
+        for r in bpe_train_merges(docs, text_col, n_merges).collect()
+    ]
+    enc = word_vocab(docs, text_col, keep_word=True)
+    sym = F.col("sym")
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
+    enc = enc.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
+    occ = (
+        docs.select(
+            F.col(group_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
+    )
+    return (
+        occ.join(F.broadcast(enc), "w")
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_tok").cast("long").alias("bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy(group_col)
+    )

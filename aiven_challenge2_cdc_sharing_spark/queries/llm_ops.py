@@ -1482,3 +1482,25 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", n_merges=6).orderBy("merge_rank")
+
+
+from ..operators.bpe import bpe_apply_oracle_sql as _bpe_apply_oracle_sql  # noqa: E402
+
+
+@register(
+    "text_bpe_encode_compression",
+    oracle=_bpe_apply_oracle_sql(6),
+    doc="the train->apply loop closed: the 6 learned BPE merges encode "
+    "every word and per-source compression (chars/token) is reported — "
+    "the metric tokenizer builders actually optimize.  Encoding runs "
+    "once per DISTINCT word (K string replaces over the vocabulary) "
+    "and broadcast-joins back to the occurrence stream, which is "
+    "scanned once and never carries symbols.  Oracle replays training "
+    "AND application (word carried through the unrolled rounds, "
+    "occurrence join in SQL)",
+)
+def text_bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, "text", "source", n_merges=6)

@@ -250,3 +250,43 @@ def test_bpe_train_matches_reference_and_tiebreak(spark):
             .collect()
         ]
         assert got == _bpe_reference(words, 4), words
+
+
+def test_bpe_encode_compression_matches_reference(spark):
+    from aiven_challenge2_cdc_sharing_spark.operators.bpe import (
+        bpe_encode_stats,
+    )
+
+    words = "low low low lower lower newest newest newest newest".split()
+    docs = spark.createDataFrame(
+        [(i, w, "s1" if i % 2 == 0 else "s2") for i, w in enumerate(words)],
+        "doc_id int, text string, source string",
+    )
+    got = {
+        r["source"]: (r["bpe_tokens"], r["n_chars"], r["chars_per_token"])
+        for r in bpe_encode_stats(docs, "text", "source", n_merges=4).collect()
+    }
+    # python reference: train on full corpus, encode each occurrence
+    merges = _bpe_reference(words, 4)
+    def encode(w):
+        syms = list(w)
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+    import collections
+    expect = collections.defaultdict(lambda: [0, 0])
+    for i, w in enumerate(words):
+        src = "s1" if i % 2 == 0 else "s2"
+        expect[src][0] += encode(w)
+        expect[src][1] += len(w)
+    for src, (tok, chars) in expect.items():
+        assert got[src][0] == tok and got[src][1] == chars, src
+        assert got[src][2] == round(chars / tok, 6)
+    # BPE merges only ever shrink the token count vs characters
+    assert all(v[2] >= 1.0 for v in got.values())
