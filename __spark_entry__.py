@@ -111,6 +111,10 @@ DRIVER_PRIORITY: list[str] = [
     # (green in r02 but its semantics changed this round: shingle-df
     # cap now ACTIVE and replicated in the oracle — re-verify), then a
     # regression slice of r01 greens (oldest verdicts first) --
+    "dedup_semantic_pairs",
+    "search_hybrid_rrf",
+    "agg_hll_sketch_partial_merge",
+    "ml_feature_hashing",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

@@ -575,3 +575,87 @@ def containment_join(
         .filter(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.40,
+    n_clusters: int = 16,
+    iters: int = 2,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """Semantic near-dup pairs over an embedding column — the SemDeDup
+    formulation (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the vectors, then enumerate pairs ONLY within a cluster and keep
+    those with cosine >= ``threshold``.  This is the seventh dedup
+    modality: where `dedup_embedding_cosine` buckets by fixed sign-bit
+    hyperplanes (data-independent LSH), this one learns the partition
+    from the data — clusters adapt to the embedding distribution, so
+    for the same candidate budget the pair recall concentrates where
+    the semantic mass actually is.
+
+    Scale shape: the k-means build is `train_ivf_centroids` (the IVF
+    coarse quantizer — deterministic init, broadcast argmin assignment,
+    (cluster, dim, partial-sum) update shuffles; vectors never shuffle
+    during training).  The pair join shuffles each vector ONCE on its
+    cluster id; join volume is sum(cluster_size^2), never N^2.
+    ``max_cluster_size`` hard-bounds the quadratic term exactly like
+    LSH hot-bucket caps: a degenerate cluster (k too small for N, or a
+    collapsed centroid) is truncated deterministically by id.  At 100
+    TB you would raise n_clusters so N/k stays ~10^4 (SemDeDup used
+    k=50k for 5B embeddings) and persist the trained centroids as an
+    index artifact; both knobs are this function's parameters.
+
+    Norms are computed once per vector BEFORE the self-join (the pair
+    row then does one dot product + one divide; re-deriving norms
+    per-pair would square that work).
+
+    Returns (id_a, id_b, sim) with id_a < id_b, sim rounded to 6 dp,
+    filtered on the rounded value (keeps the cross-engine oracle
+    representation-stable).
+    """
+    from .similarity import _assign_nearest, _dot, _norm, train_ivf_centroids
+
+    vecs = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
+    )
+    cents = train_ivf_centroids(
+        vecs, n_clusters, iters=iters, id_col=id_col, vec_col="__e"
+    ).localCheckpoint(eager=True)
+    assigned = _assign_nearest(vecs, cents, "__e", "__cluster").withColumn(
+        "__n", _norm(F.col("__e"))
+    )
+    if max_cluster_size is not None:
+        # truncate, don't drop: an oversized cluster still contributes
+        # its first max_cluster_size members (by id) — unlike the LSH
+        # hot-bucket cap, which excludes the bucket wholesale, because
+        # a huge semantic cluster is exactly where the duplicates are
+        wc = Window.partitionBy("__cluster").orderBy(id_col)
+        assigned = (
+            assigned.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cluster_size)
+            .drop("__rn")
+        )
+    a = assigned.select(
+        "__cluster",
+        F.col(id_col).alias("id_a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "__cluster",
+        F.col(id_col).alias("id_b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        _dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    return (
+        a.join(b, "__cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

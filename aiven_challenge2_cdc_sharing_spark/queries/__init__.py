@@ -50,6 +50,7 @@ def load_registry() -> dict[str, Query]:
         cdc_queries,
         coverage_extras,
         coverage_round2,
+        coverage_round3,
         dashboards,
         extras2,
         ingest,

@@ -1,0 +1,312 @@
+"""Round-3 coverage: semantic dedup, hybrid retrieval fusion,
+mergeable-sketch distinct counting, and the hashing-trick vectorizer.
+
+Four operators a 100-TB training-data pipeline runs daily, each under
+the exact DuckDB oracle gate:
+
+- ``dedup_semantic_pairs`` — SemDeDup (k-means, then within-cluster
+  cosine): the data-adaptive counterpart to the sign-bit-LSH modality
+  in ``dedup_embedding_cosine``.
+- ``search_hybrid_rrf`` — reciprocal-rank fusion of the BM25 lexical
+  ranking and the cosine semantic ranking: the standard hybrid-search
+  reducer (Cormack et al., SIGIR'09), and the query every RAG serving
+  stack runs.
+- ``agg_hll_sketch_partial_merge`` — distinct counting via MERGEABLE
+  HLL sketches: per-shard partials unioned into a global estimate.
+  This is the only distinct-count shape that survives 100 TB: partial
+  sketches are built map-side per partition/day and merged in O(k),
+  while exact countDistinct must shuffle every key.  The estimate has
+  no exact SQL twin, so (like ``agg_approx_count_distinct``) the query
+  asserts its own tolerance and the oracle pins exact + TRUE.
+- ``ml_feature_hashing`` — the hashing-trick bag-of-words vectorizer
+  (Weinberger et al., ICML'09): token -> md5-derived bucket in a fixed
+  64-dim space, so the feature map needs NO vocabulary build, no
+  global state, and is embarrassingly parallel — the property that
+  makes it the default featurizer at corpus scale.  Output is packed
+  as a sorted "idx:count" string (driver-canonical; a raw map/array
+  column would break the driver's pandas sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import semantic_dedup_pairs
+from ..tables import load_table
+from . import register
+from .llm_ops import _ivf_assign_cte, _ivf_update_cte
+
+# ---------------------------------------------------------------- semantic
+
+# The oracle replays the ENTIRE deterministic k-means build (init =
+# first 16 ids, 2 Lloyd iterations — the same unrolled CTE pairs the
+# sim_cosine_topk_ivf oracle uses), takes the final assignment, and
+# brute-forces pairs within each cluster.  A hash match therefore
+# proves assignment AND pair enumeration, not just the cosine math.
+_SEMANTIC_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS cvec
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 16)
+),
+a1 AS {_ivf_assign_cte("vecs", "c0")},
+c1 AS {_ivf_update_cte("a1")},
+a2 AS {_ivf_assign_cte("vecs", "c1")},
+c2 AS {_ivf_update_cte("a2")},
+a3 AS {_ivf_assign_cte("vecs", "c2")}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.40
+"""
+
+
+@register(
+    "dedup_semantic_pairs",
+    oracle=_SEMANTIC_ORACLE,
+    doc="SemDeDup-style semantic near-dup pairs (arXiv:2303.09540): "
+    "deterministic k-means (16 clusters, 2 Lloyd iterations) partitions "
+    "the embeddings, pairs enumerate ONLY within a cluster — "
+    "sum(cluster^2) join volume, never N^2 — and survive at cosine >= "
+    "0.40.  max_cluster_size=None here because the oracle scores every "
+    "cluster member (the capped path truncates deterministically by id "
+    "and is pinned by pytest instead); at scale you raise n_clusters so "
+    "N/k stays ~10^4 and persist the centroids as an index artifact",
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb.select("vec_id", "embedding"),
+        threshold=0.40,
+        n_clusters=16,
+        iters=2,
+        max_cluster_size=None,
+    )
+
+
+# ----------------------------------------------------------------- hybrid
+
+_RRF_K = 60
+_TOP_N = 20
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+  FROM (
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    gstats AS (
+      SELECT count(*) AS n_docs,
+             avg(len(string_split_regex(lower(trim(text)), '\\s+'))) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM toks WHERE term IN ('join', 'window', 'vector')
+      GROUP BY ALL
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln(1 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * (1.2 + 1)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / g.avgdl))) AS s
+      FROM tf t JOIN df d USING (term) CROSS JOIN gstats g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS score
+    FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT {_TOP_N}
+  )
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sem AS (
+  SELECT vec_id AS doc_id, sim,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS sr
+  FROM (
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             e, (SELECT e FROM vecs WHERE vec_id = 0)), 6) AS sim
+    FROM vecs
+    QUALIFY row_number() OVER (ORDER BY sim DESC, vec_id) <= {_TOP_N}
+  )
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       coalesce(l.lr, 0) AS lex_rank,
+       coalesce(s.sr, 0) AS sem_rank,
+       round(coalesce(1.0 / ({_RRF_K} + l.lr), 0)
+           + coalesce(1.0 / ({_RRF_K} + s.sr), 0), 6) AS rrf
+FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id LIMIT {_TOP_N}
+""",
+    doc="hybrid search: reciprocal-rank fusion (k=60) of the BM25 "
+    "lexical top-20 and the cosine semantic top-20 (query = vec_id 0, "
+    "joined on doc_id==vec_id).  Both input rankings rank on ROUNDED "
+    "scores with a doc_id tiebreak so ranks are cross-engine stable; "
+    "ranks coalesce to 0 instead of NULL so the rank columns stay "
+    "integer-kinded through the driver's pandas canonicalization.  "
+    "Scale shape: each leg is its existing scalable query; the fusion "
+    "itself joins two top-N tables — broadcast-sized by construction",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import search_bm25_ranking
+
+    lex = search_bm25_ranking(spark, sf_dir).select("doc_id", "score")
+    wl = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("lr"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__e")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("__e").alias("__q")
+    )
+    from ..operators.similarity import cosine
+
+    sem = (
+        emb.join(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("__e"), F.col("__q")), 6).alias("sim"),
+        )
+    )
+    ws = Window.orderBy(F.desc("sim"), F.col("doc_id"))
+    sem = (
+        sem.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= _TOP_N)
+        .select("doc_id", F.col("__rn").alias("sr"))
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lr").cast("long"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("sr").cast("long"), F.lit(0)).alias("sem_rank"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_TOP_N)
+
+
+# ---------------------------------------------------------------- sketches
+
+
+@register(
+    "agg_hll_sketch_partial_merge",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="mergeable-sketch distinct counting: per-shard HLL sketches "
+    "(Datasketches HllSketch, lgK=12) built independently — exactly "
+    "how per-partition/per-day partials exist at 100 TB — then merged "
+    "with hll_union_agg and estimated.  The merge is the point: "
+    "sketch union is associative+commutative, so the global distinct "
+    "count needs O(shards * 2^lgK) work after the map pass, while "
+    "exact countDistinct shuffles every key.  The oracle pins the "
+    "exact count per group and the sketch path asserts its own <=5% "
+    "error (HLL lgK=12 rse ~0.8%, so 5% is a stable margin)",
+)
+def agg_hll_sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    partials = orders.groupBy(
+        "o_orderstatus", (F.col("o_custkey") % 8).alias("__shard")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("__sk"))
+    merged = partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = (
+        orders.distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("exact_custs"))
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_custs",
+        (
+            F.abs(F.col("__est") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs")
+        ).alias("within_5pct"),
+    )
+
+
+# ----------------------------------------------------------- feature hash
+
+_HASH_DIM = 64
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {_HASH_DIM}
+           AS idx
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  )
+),
+c AS (SELECT doc_id, idx, count(*) AS cnt FROM tk GROUP BY ALL)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       string_agg(idx || ':' || cnt, ' ' ORDER BY idx) AS features
+FROM c GROUP BY doc_id
+""",
+    doc="hashing-trick vectorizer (Weinberger et al. '09): token -> "
+    f"md5-hash % {_HASH_DIM} feature bucket, per-doc counts packed as a "
+    "sorted 'idx:count' string.  No vocabulary pass, no global state, "
+    "no shuffle beyond the per-doc count combine — the only featurizer "
+    "shape that runs in one map-side pass at corpus scale.  md5 is the "
+    "cross-engine hash (both engines agree byte-for-byte); production "
+    "would use xxhash64, pinned by pytest like the other fast paths",
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
+        F.lit(_HASH_DIM),
+    )
+    counts = (
+        toks.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+                lambda s: F.concat_ws(
+                    ":", s["idx"].cast("string"), s["cnt"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("features"),
+    )

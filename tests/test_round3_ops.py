@@ -1,0 +1,163 @@
+"""Round-3 operator tests: SemDeDup semantic pairs (including the
+cluster-size truncation the oracle query can't exercise), the
+hashing-trick vectorizer, HLL sketch merge invariance, RRF fusion
+arithmetic, and streaming dedup-within-watermark."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+    semantic_dedup_pairs,
+)
+from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+    agg_hll_sketch_partial_merge,
+    ml_feature_hashing,
+    search_hybrid_rrf,
+)
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+
+def test_semantic_pairs_are_ordered_thresholded_unique(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = semantic_dedup_pairs(emb, threshold=0.30, n_clusters=8).collect()
+    assert pairs, "synthetic embeddings should contain semantic near-dups"
+    seen = set()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.sim >= 0.30
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+
+
+def test_semantic_cap_truncates_by_id_not_drops(spark):
+    # 10 identical vectors all land in one cluster — the degenerate
+    # case the cap exists for.  cap=4 must keep the 4 SMALLEST ids and
+    # emit C(4,2)=6 pairs; the LSH-style wholesale bucket drop would
+    # emit 0 and silently skip the one cluster that is all duplicates.
+    rows = [Row(vec_id=i, embedding=[1.0, 0.5, -0.25, 2.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows)
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.99, n_clusters=2, max_cluster_size=4
+    ).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert len(pairs) == 6
+    assert ids == {0, 1, 2, 3}
+    assert all(r.sim == 1.0 for r in pairs)
+
+
+def test_semantic_cap_one_means_no_pairs(spark):
+    rows = [Row(vec_id=i, embedding=[1.0, 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows)
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.0, n_clusters=2, max_cluster_size=1
+    ).collect()
+    assert pairs == []
+
+
+def test_feature_hashing_buckets_and_counts(spark, sf_dir):
+    out = ml_feature_hashing(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        parts = [p.split(":") for p in r.features.split(" ")]
+        idxs = [int(i) for i, _ in parts]
+        cnts = [int(c) for _, c in parts]
+        assert all(0 <= i < 64 for i in idxs)
+        assert idxs == sorted(idxs)
+        assert len(set(idxs)) == len(idxs)
+        assert sum(cnts) == r.n_tokens
+
+
+def test_hll_union_of_partials_equals_single_sketch(spark, sf_dir):
+    # THE mergeable-sketch property: a sketch built in 8 independent
+    # shards and unioned must estimate identically to one sketch over
+    # the whole column (HLL union is lossless for same-lgK sketches).
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    single = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias(
+            "est"
+        )
+    ).collect()[0].est
+    merged = (
+        orders.groupBy((F.col("o_custkey") % 8).alias("__shard"))
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert single == merged
+
+
+def test_hll_partial_merge_within_tolerance(spark, sf_dir):
+    out = agg_hll_sketch_partial_merge(spark, sf_dir).collect()
+    assert out
+    assert all(r.within_5pct for r in out)
+
+
+def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    out = search_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    rrfs = [r.rrf for r in out]
+    assert rrfs == sorted(rrfs, reverse=True)
+    for r in out:
+        expect = 0.0
+        if r.lex_rank > 0:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.sem_rank > 0:
+            expect += 1.0 / (60 + r.sem_rank)
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+        assert r.lex_rank > 0 or r.sem_rank > 0
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="round3_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark, tmpdir):
+    # at-least-once transports redeliver: the same (k, ts) arriving
+    # twice within the watermark window must reach the sink once.
+    rows = [
+        {"k": 1, "ts": "2026-01-01 00:00:00", "v": "a"},
+        {"k": 1, "ts": "2026-01-01 00:00:00", "v": "a"},  # dup delivery
+        {"k": 2, "ts": "2026-01-01 00:00:30", "v": "b"},
+        {"k": 1, "ts": "2026-01-01 00:05:00", "v": "c"},  # same key, later
+    ]
+    import json
+
+    with open(f"{tmpdir}/in.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "k INT, ts STRING, v STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(tmpdir)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k", "ts"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("r3_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.k, str(r.ts), r.v)
+        for r in spark.sql("SELECT * FROM r3_dedup_sink").collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00", "a"),
+        (2, "2026-01-01 00:00:30", "b"),
+        (1, "2026-01-01 00:05:00", "c"),
+    }
