@@ -112,6 +112,8 @@ DRIVER_PRIORITY: list[str] = [
     # cap now ACTIVE and replicated in the oracle — re-verify), then a
     # regression slice of r01 greens (oldest verdicts first) --
     "dedup_semantic_pairs",
+    "cdc_snapshot_diff",
+    "text_gopher_quality_filter",
     "search_hybrid_rrf",
     "agg_hll_sketch_partial_merge",
     "ml_feature_hashing",

@@ -310,3 +310,167 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("features"),
     )
+
+
+# ------------------------------------------------------------ CDC diff
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH m AS (SELECT max(c_custkey) // 2 AS h FROM customer),
+old_snap AS (
+  SELECT CAST(c_custkey AS INTEGER) AS id,
+         CASE WHEN c_custkey % 3 = 0 AND c_custkey <= h + 100
+              THEN '+1-' || lpad(CAST(c_custkey * 104729 % 10000000 AS VARCHAR), 7, '0')
+              ELSE '+1-' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')
+         END AS phone
+  FROM customer, m
+  WHERE c_custkey <= h + 600
+    AND NOT (c_custkey % 7 = 0 AND c_custkey <= h - 300)
+),
+new_snap AS (
+  SELECT CAST(c_custkey AS INTEGER) AS id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN '+1-' || lpad(CAST(c_custkey * 104729 % 10000000 AS VARCHAR), 7, '0')
+              ELSE '+1-' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')
+         END AS phone
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT coalesce(o.id, n.id) AS id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       o.phone AS phone_old,
+       n.phone AS phone_new
+FROM old_snap o FULL JOIN new_snap n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.phone <> n.phone
+""",
+    doc="CDC snapshot DIFF — the change-data-feed report every sharing "
+    "consumer wants: materialize the point-in-time snapshot at "
+    "T1 = base + (max_id/2)*1000 + 600s and the final snapshot from the "
+    "same envelope log, full-outer-join on key, and classify each key "
+    "as added / removed / changed (phone is the only mutable column). "
+    "At T1 the tail half of the inserts, the late updates, and the "
+    "late deletes haven't landed, so all three classes are populated. "
+    "The oracle derives both snapshots independently from the "
+    "generator's integer-arithmetic rules.  Scale shape: two "
+    "last-writer-wins reductions over the SAME log scan + one key "
+    "join; the diff never ships full rows, only the key and the "
+    "compared column",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc import generate_envelope_log, latest_snapshot, unwrap
+    from ..cdc.generator import BASE_MS
+
+    events = unwrap(generate_envelope_log(spark, sf_dir))
+    t1 = events.agg(
+        (
+            F.expr("max(id) div 2").cast("long") * 1000
+            + F.lit(BASE_MS)
+            + F.lit(600_000)
+        ).alias("__t1")
+    )
+    old = latest_snapshot(
+        events.join(F.broadcast(t1))
+        .filter(F.col("ts_ms") <= F.col("__t1"))
+        .drop("__t1")
+    ).select(F.col("id"), F.col("phone").alias("phone_old"))
+    new = latest_snapshot(events).select(
+        F.col("id"), F.col("phone").alias("phone_new")
+    )
+    return (
+        old.join(new, "id", "full")
+        .withColumn(
+            "change_type",
+            F.when(F.col("phone_old").isNull(), "added")
+            .when(F.col("phone_new").isNull(), "removed")
+            .otherwise(F.lit("changed")),
+        )
+        .filter(
+            F.col("phone_old").isNull()
+            | F.col("phone_new").isNull()
+            | (F.col("phone_old") != F.col("phone_new"))
+        )
+        .select("id", "change_type", "phone_old", "phone_new")
+    )
+
+
+# --------------------------------------------------------- gopher rules
+
+_STOPS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+
+
+@register(
+    "text_gopher_quality_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_avg(list_transform(toks, x -> CAST(len(x) AS DOUBLE))), 4)
+           AS mean_word_len,
+         len(list_distinct(list_filter(
+           toks, x -> list_contains({_STOPS!r}, x)))) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, n_stopwords,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND (n_stopwords >= 2) AS keep,
+       CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'word_count'
+            WHEN mean_word_len NOT BETWEEN 3 AND 10 THEN 'mean_word_len'
+            WHEN n_stopwords < 2 THEN 'stopwords'
+            ELSE 'ok' END AS verdict
+FROM s
+""",
+    doc="composite Gopher-style quality filter (Rae et al. 2021, the "
+    "rule set behind MassiveText and most corpus cleaning since): "
+    "word-count bounds, mean-word-length bounds, minimum distinct "
+    "stopword presence — each doc gets keep + the FIRST failing rule "
+    "as a verdict, which is what a pipeline operator reports so "
+    "filter-rate dashboards can attribute removals per rule.  All "
+    "per-row JVM array expressions, zero shuffle — the filter runs at "
+    "scan speed on 100 TB",
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+        )
+        / n_words,
+        4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOPS])
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+    )
+    words_ok = F.col("n_words").between(50, 100_000)
+    mwl_ok = F.col("mean_word_len").between(3, 10)
+    stop_ok = F.col("n_stopwords") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        (words_ok & mwl_ok & stop_ok).alias("keep"),
+        F.when(~words_ok, "word_count")
+        .when(~mwl_ok, "mean_word_len")
+        .when(~stop_ok, "stopwords")
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )

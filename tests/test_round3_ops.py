@@ -161,3 +161,51 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
         (2, "2026-01-01 00:00:30", "b"),
         (1, "2026-01-01 00:05:00", "c"),
     }
+
+
+def test_cdc_snapshot_diff_has_all_three_classes(spark):
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        cdc_snapshot_diff,
+    )
+
+    # sf0.01: at sf0.001 the generator's fixed +500s/+900s event-time
+    # offsets exceed the whole id range (max_id=150 -> 150s), so the
+    # T1 cut can only land inside the delete stream and the diff is
+    # all-'removed' (still oracle-consistent); from max_id ~1000 the
+    # three op streams overlap in time and every class is populated.
+    rows = cdc_snapshot_diff(spark, "/root/testdata/sf0.01").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    assert set(by_type) == {"added", "removed", "changed"}
+    assert all(r.phone_old is None and r.phone_new for r in by_type["added"])
+    assert all(r.phone_new is None and r.phone_old for r in by_type["removed"])
+    assert all(
+        r.phone_old and r.phone_new and r.phone_old != r.phone_new
+        for r in by_type["changed"]
+    )
+    # changed rows are exactly the late phone updates (id % 3 == 0)
+    assert all(r.id % 3 == 0 for r in by_type["changed"])
+    # removed rows are exactly the late deletes (id % 7 == 0)
+    assert all(r.id % 7 == 0 for r in by_type["removed"])
+
+
+def test_gopher_filter_attributes_first_failing_rule(spark, sf_dir):
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        text_gopher_quality_filter,
+    )
+
+    rows = text_gopher_quality_filter(spark, sf_dir).collect()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped, "filter must discriminate on the synthetic corpus"
+    for r in kept:
+        assert r.verdict == "ok"
+        assert 50 <= r.n_words <= 100_000
+        assert r.n_stopwords >= 2
+    for r in dropped:
+        assert r.verdict in {"word_count", "mean_word_len", "stopwords"}
+        if r.verdict == "stopwords":
+            # first-match attribution: earlier rules must have passed
+            assert 50 <= r.n_words <= 100_000
+            assert 3 <= r.mean_word_len <= 10
