@@ -638,6 +638,12 @@ def semantic_dedup_pairs(
             .filter(F.col("__rn") <= max_cluster_size)
             .drop("__rn")
         )
+    # materialize the assignment once: both sides of the self-join
+    # consume it, and without the cut each side replays the broadcast
+    # argmin + norm over the full vector table (the same reason the
+    # posting list in _shingle_postings checkpoints) — at scale this
+    # is the persisted cluster-assignment table an index build keeps
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         "__cluster",
         F.col(id_col).alias("id_a"),

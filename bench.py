@@ -93,6 +93,12 @@ HEADLINE = [
     "udaf_label_norm_mean",
     "agg_pivot_status_by_segment",
     "dash_events_per_hour_by_type",
+    "dedup_semantic_pairs",
+    "search_hybrid_rrf",
+    "agg_hll_sketch_partial_merge",
+    "ml_feature_hashing",
+    "cdc_snapshot_diff",
+    "text_gopher_quality_filter",
 ]
 
 

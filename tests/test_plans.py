@@ -144,3 +144,54 @@ def test_simhash_single_pass_expression(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     s = explain_str(simhash_md5(docs, "text"))
     assert s.count("aggregate(") <= 8, s.count("aggregate(")
+
+
+def test_semantic_dedup_no_cartesian_single_cluster_shuffle(spark, sf_dir):
+    # the pair join must be an equi-join on the cluster id (sum(c^2)
+    # volume), never a cartesian/BNLJ over the vectors
+    q = load_registry()["dedup_semantic_pairs"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    # the assignment is checkpointed and consumed by both join sides,
+    # so NO nested-loop join survives in the pair-join plan at all
+    assert "BroadcastNestedLoopJoin" not in s
+    # any EQUI join on the cluster id is fine (AQE picks broadcast at
+    # test scale, sort-merge at cluster scale)
+    assert (
+        "SortMergeJoin" in s
+        or "ShuffledHashJoin" in s
+        or "BroadcastHashJoin" in s
+    )
+
+
+def test_hybrid_rrf_fusion_joins_are_small(spark, sf_dir):
+    # both legs end in top-N; the fusion join must not shuffle the
+    # full corpus — the semantic leg broadcasts the single query vector
+    q = load_registry()["search_hybrid_rrf"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "TakeOrderedAndProject" in s  # final top-20
+
+
+def test_hll_partial_merge_is_two_level_agg(spark, sf_dir):
+    # shard partials then union-merge: two HashAggregate pairs, and the
+    # sketch column (binary) must never appear in a scan (it is derived)
+    q = load_registry()["agg_hll_sketch_partial_merge"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert s.count("HashAggregate") >= 4  # partial+final for each level
+    assert "SortAggregate" not in s
+
+
+def test_feature_hashing_scans_two_columns_once(spark, sf_dir):
+    q = load_registry()["ml_feature_hashing"]
+    df = q.fn(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1, "documents must be scanned exactly once"
+    assert set(schemas[0]) <= {"doc_id", "text"}
+
+
+def test_gopher_filter_is_scan_speed(spark, sf_dir):
+    # pure per-row expression work: no exchange at all in the plan
+    q = load_registry()["text_gopher_quality_filter"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "Exchange" not in s
