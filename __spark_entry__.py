@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     # cap now ACTIVE and replicated in the oracle — re-verify), then a
     # regression slice of r01 greens (oldest verdicts first) --
     "dedup_semantic_pairs",
+    "dedup_incremental_near",
     "cdc_snapshot_diff",
     "text_gopher_quality_filter",
     "search_hybrid_rrf",

@@ -474,3 +474,91 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("verdict"),
     )
+
+
+# ------------------------------------------------- incremental near-dup
+
+
+@register(
+    "dedup_incremental_near",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0:' || x))) AS sig_0,
+         list_min(list_transform(s, x -> md5('1:' || x))) AS sig_1,
+         list_min(list_transform(s, x -> md5('2:' || x))) AS sig_2,
+         list_min(list_transform(s, x -> md5('3:' || x))) AS sig_3,
+         list_min(list_transform(s, x -> md5('4:' || x))) AS sig_4,
+         list_min(list_transform(s, x -> md5('5:' || x))) AS sig_5
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band, sig_0 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+  UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+  UNION ALL SELECT doc_id, 3, sig_3 FROM sigs
+  UNION ALL SELECT doc_id, 4, sig_4 FROM sigs
+  UNION ALL SELECT doc_id, 5, sig_5 FROM sigs
+),
+index_side AS (
+  SELECT doc_id, band, sig FROM banded WHERE doc_id % 5 <> 0
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= 64
+),
+batch_side AS (
+  SELECT doc_id, band, sig FROM banded WHERE doc_id % 5 = 0
+)
+SELECT b.doc_id AS new_id,
+       min(i.doc_id) AS dup_of,
+       count(DISTINCT i.doc_id) AS n_corpus_hits
+FROM batch_side b JOIN index_side i
+  ON b.band = i.band AND b.sig = i.sig
+GROUP BY b.doc_id
+""",
+    doc="INCREMENTAL near-dup: the daily-crawl shape — an existing "
+    "corpus (doc_id%5!=0) owns a banded MinHash index (md5 family, 6 "
+    "bands, hot buckets capped at 64 on the INDEX side); the new batch "
+    "(doc_id%5==0) probes it with a plain (band, sig) equi-join.  No "
+    "corpus self-join ever happens: probe cost is |batch|*bands rows "
+    "against an index lookup, which is why LSH dedup stays incremental "
+    "at 100 TB — the band table is the persisted index artifact "
+    "(localCheckpoint stands in for it here), and each day only the "
+    "batch is signed and joined.  Output: each new doc that collides "
+    "with the corpus, its smallest colliding corpus id, and how many "
+    "corpus docs it hit",
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_hot_buckets
+    from .llm_ops import N_MD5_SIGS, _md5_minhash_signatures
+
+    sigs = _md5_minhash_signatures(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (band, sig)".format(
+        N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
+    )
+    banded = sigs.selectExpr("doc_id", stack_expr)
+    index_side = cap_hot_buckets(
+        banded.filter(F.col("doc_id") % 5 != 0), ["band", "sig"], 64
+    ).localCheckpoint(eager=False)
+    batch_side = banded.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch_side.alias("b")
+        .join(
+            index_side.alias("i"),
+            (F.col("b.band") == F.col("i.band"))
+            & (F.col("b.sig") == F.col("i.sig")),
+        )
+        .groupBy(F.col("b.doc_id").alias("new_id"))
+        .agg(
+            F.min(F.col("i.doc_id")).alias("dup_of"),
+            F.countDistinct(F.col("i.doc_id")).alias("n_corpus_hits"),
+        )
+    )

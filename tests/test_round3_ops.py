@@ -209,3 +209,21 @@ def test_gopher_filter_attributes_first_failing_rule(spark, sf_dir):
             # first-match attribution: earlier rules must have passed
             assert 50 <= r.n_words <= 100_000
             assert 3 <= r.mean_word_len <= 10
+
+
+def test_incremental_near_probe_shape(spark, sf_dir):
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        dedup_incremental_near,
+    )
+
+    df = dedup_incremental_near(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "synthetic corpus should contain cross-split near-dups"
+    for r in rows:
+        assert r.new_id % 5 == 0  # probes come only from the batch
+        assert r.dup_of % 5 != 0  # hits come only from the corpus index
+        assert r.n_corpus_hits >= 1
+    # one probe join, no corpus self-join: exactly one non-broadcast
+    # join may appear in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
