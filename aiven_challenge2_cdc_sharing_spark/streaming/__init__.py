@@ -3,6 +3,7 @@ from .incremental import (
     classification_deltas,
     run_incremental_counts,
 )
+from .ingest import run_dedup_ingest
 from .runtime import (
     envelope_file_stream,
     peek_one,
@@ -22,6 +23,7 @@ __all__ = [
     "peek_one",
     "progress_summary",
     "read_snapshot",
+    "run_dedup_ingest",
     "run_incremental_counts",
     "run_snapshot_maintenance",
     "running_user_profiles",

@@ -227,3 +227,82 @@ def test_incremental_near_probe_shape(spark, sf_dir):
     # join may appear in the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_streaming_dedup_ingest_content_addressed(spark, tmpdir):
+    import json
+
+    from aiven_challenge2_cdc_sharing_spark.streaming import run_dedup_ingest
+
+    in_dir = f"{tmpdir}/in"
+    import os
+
+    os.makedirs(in_dir)
+    # batch 1: three docs, one in-batch duplicate pair (ids 1, 2)
+    with open(f"{in_dir}/b1.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "alpha beta gamma"},
+            {"doc_id": 3, "text": "delta epsilon"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    q = run_dedup_ingest(
+        spark.readStream.schema("doc_id LONG, text STRING").option(
+            "maxFilesPerTrigger", 1
+        ).json(in_dir),
+        f"{tmpdir}/corpus",
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)
+    # batch 2 (separate run, same checkpoint lineage): one cross-batch
+    # duplicate of doc 3 and one novel doc
+    with open(f"{in_dir}/b2.json", "w") as f:
+        for r in [
+            {"doc_id": 4, "text": "delta epsilon"},
+            {"doc_id": 5, "text": "zeta eta"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    q = run_dedup_ingest(
+        spark.readStream.schema("doc_id LONG, text STRING").option(
+            "maxFilesPerTrigger", 1
+        ).json(in_dir),
+        f"{tmpdir}/corpus",
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)
+    corpus = spark.read.parquet(f"{tmpdir}/corpus")
+    rows = {(r.doc_id, r.text) for r in corpus.collect()}
+    # in-batch dup resolved to min id; cross-batch dup rejected
+    assert rows == {
+        (1, "alpha beta gamma"),
+        (3, "delta epsilon"),
+        (5, "zeta eta"),
+    }
+    texts = [r.text for r in corpus.collect()]
+    assert len(texts) == len(set(texts))
+
+
+def test_streaming_dedup_ingest_replay_is_noop(spark, tmpdir):
+    import json
+    import os
+    import shutil as sh
+
+    from aiven_challenge2_cdc_sharing_spark.streaming import run_dedup_ingest
+
+    in_dir = f"{tmpdir}/in"
+    os.makedirs(in_dir)
+    with open(f"{in_dir}/b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "only doc"}) + "\n")
+    for attempt in range(2):
+        # losing the checkpoint between runs forces a full REPLAY of the
+        # input — the at-least-once worst case; content addressing must
+        # make the second pass a no-op
+        sh.rmtree(f"{tmpdir}/ckpt", ignore_errors=True)
+        q = run_dedup_ingest(
+            spark.readStream.schema("doc_id LONG, text STRING").json(in_dir),
+            f"{tmpdir}/corpus",
+            f"{tmpdir}/ckpt",
+        )
+        q.awaitTermination(300)
+    corpus = spark.read.parquet(f"{tmpdir}/corpus")
+    assert corpus.count() == 1

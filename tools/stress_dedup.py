@@ -126,6 +126,51 @@ def main() -> None:
         ("CC cluster resolution", cc_full, 3),
     ]
 
+    def incremental_probe(docs):
+        # the r3 incremental shape inlined against the replicated corpus:
+        # xxhash64 signatures (fast path), batch = doc_id%5==0 probes the
+        # capped band table of the rest
+        from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+            cap_hot_buckets,
+        )
+
+        signed = minhash_signature(docs, "text", num_hashes=16)
+        width = 4
+        banded = signed.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.xxhash64(
+                                F.slice("minhash", b * width + 1, width)
+                            ).alias("band_hash"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_hash")
+        index_side = cap_hot_buckets(
+            banded.filter(F.col("doc_id") % 5 != 0),
+            ["band_idx", "band_hash"],
+            10_000,
+        ).localCheckpoint(eager=False)
+        batch_side = banded.filter(F.col("doc_id") % 5 == 0)
+        return (
+            batch_side.alias("b")
+            .join(
+                index_side.alias("i"),
+                (F.col("b.band_idx") == F.col("i.band_idx"))
+                & (F.col("b.band_hash") == F.col("i.band_hash")),
+            )
+            .groupBy(F.col("b.doc_id").alias("new_id"))
+            .agg(F.min(F.col("i.doc_id")).alias("dup_of"))
+        )
+
+    stages.append(("incremental LSH index probe", incremental_probe, 10))
+
     print("| pipeline | docs | wall | output rows |")
     print("|---|---|---|---|")
     for kk in (1, 3, 10):
@@ -143,6 +188,41 @@ def main() -> None:
             dt = time.time() - t0
             out = df.count()
             print(f"| {name} ({kk}x) | {n} | {dt:.1f} s | {out} |", flush=True)
+
+    # ---- semantic dedup: replicated embeddings, n_clusters scaled with
+    # K so N/k stays constant (the SemDeDup prescription — the honest
+    # scale response is more clusters, not bigger cluster self-joins)
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    print("| semantic dedup | vectors | n_clusters | wall | output pairs |")
+    print("|---|---|---|---|---|")
+    for kk in (1, 3, 10):
+        reps = spark.range(kk).select(F.col("id").alias("__rep"))
+        vecs = (
+            emb.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("vec_id") + F.col("__rep") * 1_000_000_000).alias(
+                    "vec_id"
+                ),
+                "embedding",
+            )
+            .localCheckpoint()
+        )
+        n = vecs.count()
+        t0 = time.time()
+        df = semantic_dedup_pairs(
+            vecs, threshold=0.40, n_clusters=16 * kk, iters=2
+        )
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        out = df.count()
+        print(
+            f"| semantic pairs ({kk}x) | {n} | {16 * kk} | {dt:.1f} s | {out} |",
+            flush=True,
+        )
     spark.stop()
 
 
