@@ -585,6 +585,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     iters: int = 2,
     max_cluster_size: int | None = 10_000,
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """Semantic near-dup pairs over an embedding column — the SemDeDup
     formulation (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
@@ -616,17 +617,22 @@ def semantic_dedup_pairs(
     filtered on the rounded value (keeps the cross-engine oracle
     representation-stable).
     """
-    from .similarity import _assign_nearest, _dot, _norm, train_ivf_centroids
+    from .similarity import _assign, _dot, _norm, train_ivf_centroids
 
     vecs = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
     )
     cents = train_ivf_centroids(
-        vecs, n_clusters, iters=iters, id_col=id_col, vec_col="__e"
+        vecs,
+        n_clusters,
+        iters=iters,
+        id_col=id_col,
+        vec_col="__e",
+        assign_strategy=assign_strategy,
     ).localCheckpoint(eager=True)
-    assigned = _assign_nearest(vecs, cents, "__e", "__cluster").withColumn(
-        "__n", _norm(F.col("__e"))
-    )
+    assigned = _assign(
+        vecs, cents, "__e", "__cluster", n_clusters, assign_strategy
+    ).withColumn("__n", _norm(F.col("__e")))
     if max_cluster_size is not None:
         # truncate, don't drop: an oversized cluster still contributes
         # its first max_cluster_size members (by id) — unlike the LSH

@@ -306,3 +306,18 @@ def test_streaming_dedup_ingest_replay_is_noop(spark, tmpdir):
         q.awaitTermination(300)
     corpus = spark.read.parquet(f"{tmpdir}/corpus")
     assert corpus.count() == 1
+
+
+def test_matmul_assignment_parity_with_hof(spark, sf_dir):
+    # the BLAS fast path must agree with the JVM expression argmin
+    # (same init, same tiebreak); disagreement is possible only on
+    # float near-ties, which the synthetic embeddings don't produce
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hof = semantic_dedup_pairs(
+        emb, threshold=0.30, n_clusters=8, assign_strategy="hof"
+    )
+    mm = semantic_dedup_pairs(
+        emb, threshold=0.30, n_clusters=8, assign_strategy="matmul"
+    )
+    as_set = lambda df: {(r.id_a, r.id_b, r.sim) for r in df.collect()}
+    assert as_set(hof) == as_set(mm)
