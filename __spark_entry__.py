@@ -118,6 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     "search_hybrid_rrf",
     "agg_hll_sketch_partial_merge",
     "ml_feature_hashing",
+    "emb_pca_top_component",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

@@ -562,3 +562,66 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("i.doc_id")).alias("n_corpus_hits"),
         )
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+def _pca_iter_cte(vin: str, w: str, vout: str) -> str:
+    """One matvec + normalize round (MATERIALIZED: the chained CTEs
+    otherwise inline recursively and the plan doubles per round)."""
+    return f"""
+{w} AS MATERIALIZED (
+  SELECT i, sum(c * {vin}.vj) AS wi
+  FROM cov JOIN {vin} ON cov.j = {vin}.j
+  GROUP BY i
+),
+{vout} AS MATERIALIZED (
+  SELECT i AS j, wi / (SELECT sqrt(sum(wi * wi)) FROM {w}) AS vj FROM {w}
+)"""
+
+
+_PCA_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+mu AS MATERIALIZED (
+  SELECT t.i - 1 AS p, avg(e[t.i]) AS m
+  FROM vecs, range(1, 65) t(i) GROUP BY t.i
+),
+m2 AS MATERIALIZED (
+  SELECT ti.i - 1 AS i, tj.i - 1 AS j, avg(e[ti.i] * e[tj.i]) AS m2
+  FROM vecs, range(1, 65) ti(i), range(1, 65) tj(i)
+  GROUP BY ti.i, tj.i
+),
+cov AS MATERIALIZED (
+  SELECT m2.i, m2.j, m2.m2 - a.m * b.m AS c
+  FROM m2 JOIN mu a ON m2.i = a.p JOIN mu b ON m2.j = b.p
+),
+v0 AS (SELECT t.i - 1 AS j, 0.125 AS vj FROM range(1, 65) t(i)),
+{",".join(_pca_iter_cte(f"v{k}", f"w{k + 1}", f"v{k + 1}") for k in range(8))},
+sgn AS (
+  SELECT CASE WHEN (max([abs(vj), vj]))[2] < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM v8
+)
+SELECT j AS pos, round(v8.vj * sgn.s, 6) AS loading
+FROM v8, sgn ORDER BY pos
+"""
+
+
+@register(
+    "emb_pca_top_component",
+    oracle=_PCA_ORACLE,
+    doc="distributed PCA top component: covariance as ONE scan emitting "
+    "per-row flattened outer products (d2-group map-side partial "
+    "aggregation — the textbook distributed Gram matrix), then 8 power "
+    "iterations over the d2-row covariance table (matvec = join + "
+    "d-group sum; data never re-read).  Deterministic: fixed v0=1/8, "
+    "fixed iteration count, largest-|loading|-positive sign convention "
+    "— so DuckDB replays the ENTIRE build as unrolled matvec/normalize "
+    "CTE pairs and the hash must match.  Past d~1k the d2 explode "
+    "gives way to per-partition numpy X.T@X partials (the "
+    "mapInPandas/BLAS route the matmul assignment already takes)",
+)
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb.select("embedding"), "embedding", dim=64)
