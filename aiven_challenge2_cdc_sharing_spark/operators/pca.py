@@ -21,10 +21,11 @@ Scale design (the part that matters at 100 TB):
   iteration cost is O(d²), independent of N.  The per-iteration
   ``localCheckpoint`` keeps the plan flat (8 chained tiny jobs, the
   same device the CC loop uses).
-- d = 64 here; past d ~ 1k the d² explode stops being reasonable and
-  you would switch to block-partitioned Gram accumulation in a
-  grouped-map pandas UDF (one numpy ``X.T @ X`` per partition, summed
-  — the `_assign_nearest_matmul` lesson applied to moments).
+- d = 64 here; past d ~ 1k the d² explode stops being reasonable —
+  ``covariance_long_blocked`` below IS that scale path: one numpy
+  ``X.T @ X`` per Arrow batch inside ``mapInPandas`` (the
+  `_assign_nearest_matmul` lesson applied to moments), parity-tested
+  against the exploded form to <1e-9.
 
 Determinism: fixed v₀ = 1/√d, fixed iteration count, and a sign
 convention (the component with the largest |loading| is positive, ties
@@ -117,4 +118,76 @@ def pca_top_component(
             F.round(F.col("vj") * F.col("__s"), 6).alias("loading"),
         )
         .orderBy("pos")
+    )
+
+
+def covariance_long_blocked(
+    vectors: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """(i, j, c) covariance in long form — the large-d path.
+
+    ``covariance_long`` explodes d² scalars per ROW, which is the right
+    shape while d² rows stay cheap relative to a Python round-trip; by
+    d ~ 1k (1M scalars per row) the explode dominates the scan.  This
+    variant instead computes one numpy ``X.T @ X`` partial PER ARROW
+    BATCH inside ``mapInPandas`` — each batch emits exactly d² partial
+    sums (plus a count and per-dim sums for the mean), so the shuffle
+    is ``batches x d²`` regardless of row count and the flop-heavy part
+    runs in BLAS.  The final reduce is a d²-group sum, identical to the
+    exploded path from the aggregator's point of view.
+
+    Bit-for-bit equality with ``covariance_long`` is NOT promised (BLAS
+    sums associate differently); the parity test bounds the drift at
+    1e-9, far below the 6-dp rounding every consumer applies.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_sums = dim * dim
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            g = x.T @ x  # d x d second-moment partial
+            s = x.sum(axis=0)  # per-dim sum for the mean
+            yield pd.DataFrame(
+                {
+                    "idx": range(n_sums + dim + 1),
+                    "val": np.concatenate(
+                        (g.ravel(), s, [float(len(pdf))])
+                    ),
+                }
+            )
+
+    parts = vectors.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(gram_partials, "idx long, val double")
+    totals = parts.groupBy("idx").agg(F.sum("val").alias("t"))
+    n_row = totals.filter(F.col("idx") == n_sums + dim).select(
+        F.col("t").alias("__n")
+    )
+    mu = totals.filter(
+        (F.col("idx") >= n_sums) & (F.col("idx") < n_sums + dim)
+    ).select((F.col("idx") - n_sums).alias("p"), F.col("t").alias("__s"))
+    m2 = totals.filter(F.col("idx") < n_sums).select(
+        F.expr(f"idx div {dim}").alias("i"),
+        (F.col("idx") % dim).cast("long").alias("j"),
+        F.col("t").alias("__g"),
+    )
+    mu_i = mu.select(F.col("p").alias("i"), F.col("__s").alias("__si"))
+    mu_j = mu.select(F.col("p").alias("j"), F.col("__s").alias("__sj"))
+    return (
+        m2.join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .join(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("__g") / F.col("__n")
+                - (F.col("__si") / F.col("__n")) * (F.col("__sj") / F.col("__n"))
+            ).alias("c"),
+        )
     )

@@ -353,3 +353,22 @@ def test_pca_matches_numpy_eigendecomposition(spark, sf_dir):
     # and the iterate must concentrate variance: Rayleigh quotient of
     # the result strictly dominates the average eigenvalue direction
     assert float(v @ C @ v) > C.trace() / 64 * 1.5
+
+
+def test_blocked_gram_parity_with_exploded_covariance(spark, sf_dir):
+    import numpy as np
+
+    from aiven_challenge2_cdc_sharing_spark.operators.pca import (
+        covariance_long,
+        covariance_long_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    a = {(r.i, r.j): r.c for r in covariance_long(emb, "embedding", 64).collect()}
+    b = {
+        (r.i, r.j): r.c
+        for r in covariance_long_blocked(emb, "embedding", 64).collect()
+    }
+    assert set(a) == set(b) and len(a) == 64 * 64
+    drift = max(abs(a[k] - b[k]) for k in a)
+    assert drift < 1e-9, f"BLAS-vs-exploded drift {drift}"
