@@ -119,6 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_hll_sketch_partial_merge",
     "ml_feature_hashing",
     "emb_pca_top_component",
+    "emb_random_projection",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

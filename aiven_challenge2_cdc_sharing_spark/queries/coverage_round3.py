@@ -625,3 +625,81 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb.select("embedding"), "embedding", dim=64)
+
+
+# --------------------------------------------------- random projection
+
+_JL_K = 16  # target dimensionality
+_JL_D = 64  # source dimensionality
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic Achlioptas +-1 projection matrix: sign(k, j) is
+    derived from md5(f"{k}:{j}"), which Python, Spark, and DuckDB all
+    compute byte-identically — the cross-engine replacement for a
+    seeded RNG (engines don't share RNG streams; they DO share md5)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(_JL_D)
+        ]
+        for k in range(_JL_K)
+    ]
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+rmat AS (
+  SELECT tk.i - 1 AS k, tj.i - 1 AS j,
+         CASE WHEN strpos('01234567',
+                substr(md5((tk.i - 1) || ':' || (tj.i - 1)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS r
+  FROM range(1, {_JL_K} + 1) tk(i), range(1, {_JL_D} + 1) tj(i)
+)
+SELECT v.vec_id, rmat.k,
+       round(sum(v.e[rmat.j + 1] * rmat.r) / sqrt({_JL_K}.0), 6) AS y
+FROM vecs v, rmat
+GROUP BY v.vec_id, rmat.k
+""",
+    doc="Johnson-Lindenstrauss random projection (Achlioptas +-1 "
+    f"variant): {_JL_D}-dim embeddings down to {_JL_K} dims with "
+    "pairwise distances preserved in expectation — the cheap "
+    "dimensionality cut run before ANN indexing at corpus scale.  The "
+    "projection matrix is md5-derived, so it needs NO shared RNG: the "
+    "operator is a pure per-row map (zero shuffle beyond the final "
+    "shape) and DuckDB rebuilds the identical matrix to replay it.  "
+    "Long-form (vec_id, k, y) output keeps the driver canonicalizer "
+    "happy",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__e")
+    )
+    rmat = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in _jl_signs()
+        ]
+    )
+    scale = _JL_K**0.5
+    y = F.transform(
+        rmat,
+        lambda row: F.round(
+            F.aggregate(
+                F.zip_with(F.col("__e"), row, lambda x, r: x * r),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.lit(scale),
+            6,
+        ),
+    )
+    return emb.select(
+        "vec_id", F.posexplode(y).alias("k", "y")
+    ).select("vec_id", F.col("k").cast("long").alias("k"), "y")

@@ -372,3 +372,31 @@ def test_blocked_gram_parity_with_exploded_covariance(spark, sf_dir):
     assert set(a) == set(b) and len(a) == 64 * 64
     drift = max(abs(a[k] - b[k]) for k in a)
     assert drift < 1e-9, f"BLAS-vs-exploded drift {drift}"
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    import numpy as np
+
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        emb_random_projection,
+    )
+
+    rows = emb_random_projection(spark, sf_dir).collect()
+    ncols = max(r.k for r in rows) + 1
+    ids = sorted({r.vec_id for r in rows})
+    y = {i: np.zeros(ncols) for i in ids}
+    for r in rows:
+        y[r.vec_id][r.k] = r.y
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    rng_pairs = [(ids[i], ids[i + 1]) for i in range(0, min(len(ids) - 1, 40), 2)]
+    ratios = []
+    for a, b in rng_pairs:
+        d_orig = np.linalg.norm(emb[a] - emb[b])
+        d_proj = np.linalg.norm(y[a] - y[b])
+        if d_orig > 1e-9:
+            ratios.append(d_proj / d_orig)
+    # JL with k=16: distances preserved in expectation, individual
+    # pairs within a loose multiplicative band
+    assert 0.4 < float(np.median(ratios)) < 1.6
+    assert all(0.2 < r < 2.5 for r in ratios)
