@@ -120,6 +120,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_feature_hashing",
     "emb_pca_top_component",
     "emb_random_projection",
+    "ml_weighted_sample_es",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

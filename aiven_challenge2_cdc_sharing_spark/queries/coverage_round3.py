@@ -703,3 +703,49 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode(y).alias("k", "y")
     ).select("vec_id", F.col("k").cast("long").alias("k"), "y")
+
+
+# ------------------------------------------------- weighted sampling
+
+# 16^15 = 2^60: the md5-derived 15-hex integer maps to u in (0,1) by
+# (h + 0.5) / 2^60 — a power of two, so the divisor is exact in double
+_ES_DENOM = float(1 << 60)
+
+
+@register(
+    "ml_weighted_sample_es",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((CAST(concat('0x', substr(md5('es:' || doc_id), 1, 15))
+                        AS BIGINT) + 0.5) / {_ES_DENOM}) / n_chars, 9) AS skey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, skey
+FROM k ORDER BY skey DESC, doc_id LIMIT 100
+""",
+    doc="weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES, Inf.Proc.Lett. 2006): each doc draws u from its md5 (the "
+    "cross-engine RNG) and the top-k by ln(u)/w — here w = n_chars, "
+    "i.e. longer docs proportionally likelier — is a exact weighted "
+    "sample.  This is THE distributed weighted-sampling shape: one "
+    "per-row key, then a top-k (TakeOrdered — partial top-k per "
+    "partition, never a global sort of N), no rejection loop, no "
+    "sequential state.  Keys round to 9 dp before ranking so a 1-ulp "
+    "libm ln() divergence can't flip the cross-engine order",
+)
+def ml_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    skey = F.round(
+        F.log((h + F.lit(0.5)) / F.lit(_ES_DENOM)) / F.col("n_chars"), 9
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", skey.alias("skey"))
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(100)
+    )

@@ -400,3 +400,65 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     # pairs within a loose multiplicative band
     assert 0.4 < float(np.median(ratios)) < 1.6
     assert all(0.2 < r < 2.5 for r in ratios)
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        ml_weighted_sample_es,
+    )
+
+    sample = ml_weighted_sample_es(spark, sf_dir).collect()
+    assert len(sample) == 100
+    docs = load_table(spark, sf_dir, "documents").collect()
+    corpus_avg = sum(d.n_chars for d in docs) / len(docs)
+    sample_avg = sum(r.n_chars for r in sample) / len(sample)
+    # w = n_chars: the weighted sample must overrepresent long docs
+    assert sample_avg > corpus_avg * 1.1
+    # ...and be a deterministic function of the input
+    again = ml_weighted_sample_es(spark, sf_dir).collect()
+    assert [r.doc_id for r in sample] == [r.doc_id for r in again]
+
+
+def test_streaming_session_window(spark, tmpdir):
+    import json
+
+    # native session_window in STREAMING mode (the batch twin is
+    # win_session_windows): events <5min apart merge; the watermark
+    # closes sessions so append mode can emit them
+    rows = [
+        {"u": 1, "ts": "2026-01-01 00:00:00"},
+        {"u": 1, "ts": "2026-01-01 00:03:00"},   # same session
+        {"u": 1, "ts": "2026-01-01 00:20:00"},   # new session
+        {"u": 2, "ts": "2026-01-01 00:01:00"},
+        {"u": 9, "ts": "2026-01-01 02:00:00"},   # advances watermark
+    ]
+    import os
+
+    os.makedirs(f"{tmpdir}/sess_in")
+    with open(f"{tmpdir}/sess_in/a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("u INT, ts STRING")
+        .json(f"{tmpdir}/sess_in")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("u"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("r3_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdir}/sess_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.u, str(r.session_window.start)[11:16], r.n)
+        for r in spark.sql("SELECT * FROM r3_sessions").collect()
+    }
+    assert (1, "00:00", 2) in got   # two events merged into one session
+    assert (1, "00:20", 1) in got   # gap > 5min opened a new session
+    assert (2, "00:01", 1) in got

@@ -47,6 +47,11 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 #   re-joins both count tables (exchanges carry (doc_id, u, w) and
 #   count tuples, never document text; the tokenized corpus is
 #   localCheckpoint'ed so text is scanned exactly once).
+# - search_hybrid_rrf: composes the full BM25 index-build (its own
+#   audited exchange budget above) with the semantic leg and the
+#   fusion join; every exchange past the BM25 ones moves top-20-sized
+#   tables (the rank windows run on <=20 rows), so the count is the
+#   sum of two audited shapes, not a new hazard.
 # - user_behavior_entropy: per-(user,type) counts -> per-user totals
 #   join -> final entropy aggregate, plus the 2-phase observed-domain
 #   count_distinct and the ordered output.  Every exchange moves
@@ -65,6 +70,7 @@ ALLOWED_EXCHANGES = {
     "dedup_embedding_cosine": 9,
     "tpch_q8_market_share": 9,
     "search_bm25_ranking": 8,
+    "search_hybrid_rrf": 9,
     "text_tfidf_top_terms": 9,
     "profile_orders_columns": 10,
     "text_perplexity_filter": 10,
