@@ -195,3 +195,26 @@ def check_constraints(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
         & F.col("email").isNotNull()
     )
     return rows.filter(valid_pred), rows.filter(~valid_pred)
+
+
+def union_evolving_logs(*logs: DataFrame) -> DataFrame:
+    """Schema-evolution union for envelope logs: later capture epochs
+    may carry MORE columns in their before/after images (the ALTER
+    TABLE ADD COLUMN case Debezium streams through transparently —
+    its value schema just grows).  ``unionByName(allowMissingColumns)``
+    recurses into the nested structs, NULL-filling the missing fields
+    of earlier epochs, so one ``unwrap`` downstream flattens every
+    epoch into the WIDEST row shape and last-writer-wins snapshots
+    carry the evolved schema with NULLs where history predates the
+    column — exactly Postgres' own semantics for rows that were never
+    updated after the ALTER.
+
+    Cites reference behavior: the connector config
+    (terraform/main.tf:250-258) pins no value schema — OpenSearch's
+    dynamic mapping absorbed new fields silently; here the evolution
+    is explicit, typed, and testable.
+    """
+    out = logs[0]
+    for nxt in logs[1:]:
+        out = out.unionByName(nxt, allowMissingColumns=True)
+    return out

@@ -462,3 +462,37 @@ def test_streaming_session_window(spark, tmpdir):
     assert (1, "00:00", 2) in got   # two events merged into one session
     assert (1, "00:20", 1) in got   # gap > 5min opened a new session
     assert (2, "00:01", 1) in got
+
+
+def test_cdc_schema_evolution_union_unwrap_snapshot(spark):
+    from aiven_challenge2_cdc_sharing_spark.cdc import latest_snapshot, unwrap
+    from aiven_challenge2_cdc_sharing_spark.cdc.algebra import (
+        union_evolving_logs,
+    )
+
+    epoch1 = spark.createDataFrame(
+        [
+            ("c", None, (1, "alice"), 10, "customer", 1),
+            ("c", None, (2, "bob"), 11, "customer", 2),
+        ],
+        "op string, before struct<id:int,name:string>, "
+        "after struct<id:int,name:string>, ts_ms long, "
+        "source_table string, seq long",
+    )
+    # epoch 2: ALTER TABLE added `email`; also updates row 1
+    epoch2 = spark.createDataFrame(
+        [
+            ("c", None, (3, "carol", "c@e"), 20, "customer", 3),
+            ("u", (1, "alice", None), (1, "alice", "a@e"), 21, "customer", 4),
+        ],
+        "op string, before struct<id:int,name:string,email:string>, "
+        "after struct<id:int,name:string,email:string>, ts_ms long, "
+        "source_table string, seq long",
+    )
+    snap = latest_snapshot(unwrap(union_evolving_logs(epoch1, epoch2)))
+    rows = {r.id: (r.name, r.email) for r in snap.collect()}
+    assert rows == {
+        1: ("alice", "a@e"),   # updated after the ALTER -> filled
+        2: ("bob", None),      # never touched since -> NULL, like Postgres
+        3: ("carol", "c@e"),   # born with the new column
+    }
