@@ -121,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_pca_top_component",
     "emb_random_projection",
     "ml_weighted_sample_es",
+    "mm_decode_wav_features",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

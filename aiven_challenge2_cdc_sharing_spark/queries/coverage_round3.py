@@ -749,3 +749,47 @@ def ml_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("skey"), "doc_id")
         .limit(100)
     )
+
+
+# ------------------------------------------------------- audio decode
+
+
+@register(
+    "mm_decode_wav_features",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(greatest(n, 1) AS INTEGER) AS n_frames,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round(list_avg(list_transform(b, x -> abs(x - 128) * 128.0)),
+                       4)
+       END AS amplitude_mean
+FROM src
+""",
+    doc="REAL audio decode under the oracle gate (the WAV twin of "
+    "mm_decode_png_features): each document's text becomes a genuine "
+    "16-bit PCM WAV (stdlib wave writer, one sample per byte), the "
+    "engine decodes it back with the stdlib wave reader inside "
+    "mapInPandas, and DuckDB recomputes channel count, rate, frame "
+    "count, and mean |amplitude| from the source text — the decode "
+    "path itself round-trips, not a stub.  The corpus is ASCII so "
+    "ascii(c) is the byte value",
+)
+def mm_decode_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import attach_wav_media, decode_real_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_real_media(attach_wav_media(docs)).select(
+        "doc_id",
+        F.col("width").alias("channels"),
+        "sample_rate",
+        "n_frames",
+        F.round("amplitude_mean", 4).alias("amplitude_mean"),
+    )

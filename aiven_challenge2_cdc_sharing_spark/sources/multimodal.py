@@ -355,3 +355,26 @@ def sample_frames(
             )
 
     return media.mapInPandas(sampler, FRAME_SCHEMA)
+
+
+def attach_wav_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encode each document's text into a REAL 16-bit PCM WAV payload:
+    one mono sample per UTF-8 byte, s = (byte - 128) * 128, 8 kHz.
+    Deterministic, so an oracle can recompute frame counts and mean
+    amplitude directly from the source text (the audio twin of
+    ``attach_png_media``)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_wav(text: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            data = t.encode("utf-8")
+            samples = [(b - 128) * 128 for b in data] or [0]
+            return encode_wav_pcm16(samples, sample_rate=8000)
+
+        return text.apply(enc)
+
+    return docs.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        to_wav(F.col(text_col)).alias("payload"),
+    )
