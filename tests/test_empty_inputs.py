@@ -89,3 +89,50 @@ def test_perplexity_single_token_docs(spark, tmp_path):
     assert out[0]["n_bigrams"] == 0
     assert out[0]["perplexity"] is None and out[0]["flagged"] is False
     assert out[1]["n_bigrams"] == 3 and out[1]["perplexity"] is not None
+
+
+def test_semantic_dedup_tiny_inputs(spark):
+    # fewer vectors than clusters: the k-means init takes what exists;
+    # 1 vector => no pairs; 2 identical vectors => exactly one pair
+    from pyspark.sql import Row
+
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    one = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    assert semantic_dedup_pairs(one, threshold=0.0, n_clusters=4).count() == 0
+    two = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 2.0]), Row(vec_id=2, embedding=[1.0, 2.0])]
+    )
+    got = semantic_dedup_pairs(two, threshold=0.5, n_clusters=4).collect()
+    assert [(r.id_a, r.id_b, r.sim) for r in got] == [(1, 2, 1.0)]
+
+
+def test_containment_and_jaccard_empty_docs(spark):
+    from pyspark.sql import Row
+
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        containment_join,
+        jaccard_threshold_join,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_threshold_join(empty, "doc_id", "text", 0.5).count() == 0
+    assert containment_join(empty, "doc_id", "text", 0.5).count() == 0
+    # single doc: no pairs either way
+    one = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    assert jaccard_threshold_join(one, "doc_id", "text", 0.5).count() == 0
+
+
+def test_covariance_of_single_vector_is_zero(spark):
+    from pyspark.sql import Row
+
+    from aiven_challenge2_cdc_sharing_spark.operators.pca import (
+        covariance_long,
+    )
+
+    one = spark.createDataFrame([Row(embedding=[3.0, -1.0, 2.0])])
+    cov = covariance_long(one, "embedding", 3).collect()
+    assert len(cov) == 9
+    assert all(abs(r.c) < 1e-12 for r in cov)
