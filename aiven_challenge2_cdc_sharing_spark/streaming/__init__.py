@@ -3,6 +3,7 @@ from .incremental import (
     classification_deltas,
     run_incremental_counts,
 )
+from .fanout import run_shared_serving
 from .ingest import run_dedup_ingest
 from .runtime import (
     envelope_file_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "progress_summary",
     "read_snapshot",
     "run_dedup_ingest",
+    "run_shared_serving",
     "run_incremental_counts",
     "run_snapshot_maintenance",
     "running_user_profiles",

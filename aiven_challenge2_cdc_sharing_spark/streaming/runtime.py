@@ -51,6 +51,41 @@ def envelope_file_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 N_SNAPSHOT_BUCKETS = 16
 
 
+def merge_snapshot_batch(
+    batch_df: DataFrame, snapshot_path: str, n_buckets: int
+) -> None:
+    """One micro-batch's idempotent state merge (the body of
+    ``run_snapshot_maintenance``, reusable from multi-sink pipelines):
+    unwrap, bucket by key hash, rewrite only touched buckets."""
+    spark = batch_df.sparkSession
+    changes = unwrap(batch_df).withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int"),
+    )
+    # pin: consumed twice (touched-bucket probe + merge) and the
+    # merge output overwrites a table we read below
+    changes = changes.localCheckpoint(eager=True)
+    touched = [
+        r["__bucket"] for r in changes.select("__bucket").distinct().collect()
+    ]
+    if not touched:
+        return
+    if os.path.exists(snapshot_path):
+        prior = spark.read.parquet(snapshot_path).filter(
+            F.col("__bucket").isin(touched)
+        )
+        state = merge_state(prior, changes)
+    else:
+        state = latest_state(changes)
+    (
+        state.localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(snapshot_path)
+    )
+
+
 def run_snapshot_maintenance(
     envelopes: DataFrame,
     snapshot_path: str,
@@ -85,35 +120,8 @@ def run_snapshot_maintenance(
     random keys touches every bucket (worst case = full rewrite, same
     as round 1), but real CDC batches are small and key-local.
     """
-    spark = envelopes.sparkSession
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        changes = unwrap(batch_df).withColumn(
-            "__bucket",
-            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int"),
-        )
-        # pin: consumed twice (touched-bucket probe + merge) and the
-        # merge output overwrites a table we read below
-        changes = changes.localCheckpoint(eager=True)
-        touched = [
-            r["__bucket"] for r in changes.select("__bucket").distinct().collect()
-        ]
-        if not touched:
-            return
-        if os.path.exists(snapshot_path):
-            prior = spark.read.parquet(snapshot_path).filter(
-                F.col("__bucket").isin(touched)
-            )
-            state = merge_state(prior, changes)
-        else:
-            state = latest_state(changes)
-        (
-            state.localCheckpoint(eager=True)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(snapshot_path)
-        )
+        merge_snapshot_batch(batch_df, snapshot_path, n_buckets)
 
     writer = (
         envelopes.writeStream.foreachBatch(merge_batch)

@@ -496,3 +496,49 @@ def test_cdc_schema_evolution_union_unwrap_snapshot(spark):
         2: ("bob", None),      # never touched since -> NULL, like Postgres
         3: ("carol", "c@e"),   # born with the new column
     }
+
+
+def test_shared_serving_fanout_matches_batch_path(spark, sf_dir, tmpdir):
+    from aiven_challenge2_cdc_sharing_spark.cdc import (
+        generate_envelope_log,
+        latest_snapshot,
+        unwrap,
+    )
+    from aiven_challenge2_cdc_sharing_spark.streaming import (
+        envelope_file_stream,
+        run_shared_serving,
+    )
+
+    log = generate_envelope_log(spark, sf_dir)
+    log.repartition(6).write.mode("overwrite").json(f"{tmpdir}/ev")
+    q = run_shared_serving(
+        envelope_file_stream(spark, f"{tmpdir}/ev"),
+        f"{tmpdir}/serve",
+        f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(300)
+    expected = latest_snapshot(unwrap(log))
+    exp_counts = {
+        (r.classification, r.cnt)
+        for r in expected.groupBy("classification")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got_counts = {
+        (r.classification, r.cnt)
+        for r in spark.read.parquet(f"{tmpdir}/serve/counts").collect()
+    }
+    assert got_counts == exp_counts
+    exp_recent = [
+        r.id
+        for r in expected.orderBy(
+            F.desc("created_at"), F.desc("id")
+        ).limit(10).collect()
+    ]
+    got_recent = [
+        r.id
+        for r in spark.read.parquet(f"{tmpdir}/serve/recent")
+        .orderBy(F.desc("created_at"), F.desc("id"))
+        .collect()
+    ]
+    assert got_recent == exp_recent
