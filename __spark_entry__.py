@@ -122,6 +122,8 @@ DRIVER_PRIORITY: list[str] = [
     "emb_random_projection",
     "ml_weighted_sample_es",
     "mm_decode_wav_features",
+    "ml_eval_auc_prf",
+    "ml_eval_calibration_bins",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

@@ -793,3 +793,171 @@ def mm_decode_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.round("amplitude_mean", 4).alias("amplitude_mean"),
     )
+
+
+# --------------------------------------------------- evaluation metrics
+
+# Deterministic "model": score = sigmoid-ish monotone map of the first
+# embedding dimension; positive class = label 0.  The point is the
+# METRIC math, which is the same for any real model's scores.
+_SCORE_SQL = "round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)"
+
+
+@register(
+    "ml_eval_auc_prf",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score,
+         vec_id
+  FROM embeddings
+),
+ranked AS (
+  SELECT y, score, rank() OVER (ORDER BY score) AS r,
+         count(*) OVER (PARTITION BY score) AS tied
+  FROM scored
+),
+stats AS (
+  SELECT CAST(sum(y) AS BIGINT) AS p,
+         CAST(count(*) - sum(y) AS BIGINT) AS n,
+         -- midrank sum of positives (rank() gives the LOW rank of a
+         -- tie group; midrank = low + (ties-1)/2)
+         sum(CASE WHEN y = 1 THEN r + (tied - 1) / 2.0 ELSE 0 END) AS rsum
+  FROM ranked
+),
+cm AS (
+  SELECT CAST(sum(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored
+)
+SELECT stats.p, stats.n, cm.tp, cm.fp, cm.fn,
+       round((stats.rsum - stats.p * (stats.p + 1) / 2.0)
+             / (stats.p * stats.n), 6) AS auc,
+       round(cm.tp * 1.0 / nullif(cm.tp + cm.fp, 0), 6) AS precision_,
+       round(cm.tp * 1.0 / nullif(cm.tp + cm.fn, 0), 6) AS recall_,
+       round(2.0 * cm.tp / nullif(2 * cm.tp + cm.fp + cm.fn, 0), 6) AS f1
+FROM stats, cm
+""",
+    doc="distributed model evaluation: EXACT ROC-AUC via the "
+    "Mann-Whitney rank-sum identity with midranks for ties — computed "
+    "over the SCORE HISTOGRAM, not the rows: a groupBy(score) with "
+    "map-side combine collapses N rows to at most 10^6 distinct "
+    "6-dp scores, and only that histogram flows through the ordered "
+    "cumulative scan (no O(P*N) pair enumeration, no N-row global "
+    "window) — the only AUC formulation that survives 100 TB of "
+    "scores.  Plus the 0.5-threshold confusion counts and "
+    "precision/recall/F1 in the same pass.  Scores and labels are a "
+    "deterministic function of the embeddings so the oracle replays "
+    "everything",
+)
+def ml_eval_auc_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    # score histogram: the only thing the ordered scan ever sees.
+    # midrank of a tie group = (#rows strictly below) + (group size+1)/2
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn(
+        "cum_before", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    stats = hist.agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n"),
+        F.sum(
+            F.col("pos")
+            * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rsum"),
+    )
+    cm = scored.agg(
+        F.sum(((F.col("score") >= 0.5) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("score") >= 0.5) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("score") < 0.5) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+    )
+    return stats.crossJoin(cm).select(
+        "p",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            (F.col("rsum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n")),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6
+        ).alias("recall_"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+@register(
+    "ml_eval_calibration_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score
+  FROM embeddings
+)
+SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y), 6) AS pos_rate
+FROM scored GROUP BY bin
+""",
+    doc="calibration / reliability bins: decile-bucket the scores, "
+    "compare mean predicted probability to observed positive rate per "
+    "bin — the standard calibration diagnostic, one groupBy with "
+    "map-side combine.  Same deterministic score/label derivation as "
+    "ml_eval_auc_prf",
+)
+def ml_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("pos_rate"),
+        )
+    )

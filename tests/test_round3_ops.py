@@ -542,3 +542,25 @@ def test_shared_serving_fanout_matches_batch_path(spark, sf_dir, tmpdir):
         .collect()
     ]
     assert got_recent == exp_recent
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    import numpy as np
+
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round3 import (
+        ml_eval_auc_prf,
+    )
+
+    row = ml_eval_auc_prf(spark, sf_dir).collect()[0]
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    y = np.array([1 if r.label == 0 else 0 for r in emb])
+    s = np.round(1.0 / (1.0 + np.exp(-np.array([r.embedding[0] for r in emb],
+                                               dtype=np.float64) * 4)), 6)
+    # reference AUC by explicit pair counting (wins + half-ties)
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - round(float(ref), 6)) <= 1e-6
+    assert row.p == len(pos) and row.n == len(neg)
+    assert 0 <= row.f1 <= 1
