@@ -961,3 +961,75 @@ def ml_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("y"), 6).alias("pos_rate"),
         )
     )
+
+
+# ------------------------------------------- sliding distinct via HLL
+
+_H6 = 21_600  # 6-hour stride in seconds
+_WIN = 4      # 4 strides = 24 h window
+
+
+@register(
+    "dash_sliding_distinct_hll",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 1000000) // {_H6}) * {_H6} AS f6
+  FROM events
+),
+m AS (
+  SELECT user_id, f6 - t.k * {_H6} AS ws
+  FROM e, unnest([0, 1, 2, 3]) t(k)
+)
+SELECT ws AS ws_epoch,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM m GROUP BY ws
+""",
+    doc="sliding-window distinct users (24 h window, 6 h stride) via "
+    "MERGED HOURLY HLL PARTIALS: each hour's sketch is built exactly "
+    "once, and every 24 h window unions the 24 member-hour sketches it "
+    "covers (each hour explodes into its 4 containing windows) — so "
+    "the raw events are scanned once regardless of how many "
+    "overlapping windows exist, where the naive form re-scans and "
+    "re-distincts per window.  This is the composition that makes "
+    "sliding distinct counts viable at 100 TB: mergeable partials + "
+    "window membership as an explode.  Oracle pins the exact distinct "
+    "per window; the sketch path asserts its own <=5% error",
+)
+def dash_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("s")
+    )
+    h6 = F.expr(f"(s div {_H6}) * {_H6}")
+    offs = F.explode(F.array(*[F.lit(k) for k in range(_WIN)])).alias("k")
+    # hourly sketches: one per hour, built once
+    hourly = ev.groupBy(F.expr("(s div 3600) * 3600").alias("h")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = (
+        hourly.select(
+            "sk",
+            F.expr(f"(h div {_H6}) * {_H6}").alias("h6"),
+            offs,
+        )
+        .select("sk", (F.col("h6") - F.col("k") * _H6).alias("ws"))
+        .groupBy("ws")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    )
+    exact = (
+        ev.select("user_id", h6.alias("f6"))
+        .select("user_id", "f6", offs)
+        .select("user_id", (F.col("f6") - F.col("k") * _H6).alias("ws"))
+        .distinct()
+        .groupBy("ws")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    return exact.join(merged, "ws").select(
+        F.col("ws").alias("ws_epoch"),
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
