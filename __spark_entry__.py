@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_eval_auc_prf",
     "ml_eval_calibration_bins",
     "dash_sliding_distinct_hll",
+    "text_pipeline_e2e",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

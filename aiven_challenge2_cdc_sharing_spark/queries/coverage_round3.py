@@ -1033,3 +1033,162 @@ def dash_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+# ------------------------------------------------ end-to-end pipeline
+
+
+@register(
+    "text_pipeline_e2e",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+-- stage 1: Gopher-style quality filter (same rules as
+-- text_gopher_quality_filter)
+quality AS (
+  SELECT doc_id, text, len(tk) AS n_tokens
+  FROM toks
+  WHERE len(tk) BETWEEN 50 AND 100000
+    AND list_avg(list_transform(tk, x -> CAST(len(x) AS DOUBLE)))
+        BETWEEN 3 AND 10
+    AND len(list_distinct(list_filter(
+          tk, x -> list_contains({_STOPS!r}, x)))) >= 2
+),
+-- stage 2: exact dedup on the md5 fingerprint, min-id survivor
+exact AS (
+  SELECT doc_id, text, n_tokens
+  FROM quality
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+-- stage 3: greedy near-dup dedup — banded md5-family MinHash; a doc
+-- survives iff no SMALLER doc shares any of its 6 band signatures
+sh AS (
+  SELECT doc_id, n_tokens,
+         list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM (SELECT e.doc_id, e.n_tokens,
+               string_split_regex(lower(trim(e.text)), '\\s+') AS tk
+        FROM exact e)
+),
+banded AS (
+  SELECT doc_id, n_tokens, t.b AS band,
+         list_min(list_transform(s, x -> md5(t.b || ':' || x))) AS sig
+  FROM sh, unnest([0, 1, 2, 3, 4, 5]) t(b)
+),
+surv AS (
+  SELECT doc_id, min(n_tokens) AS n_tokens, min(gmin) AS group_min
+  FROM (
+    SELECT doc_id, n_tokens,
+           min(doc_id) OVER (PARTITION BY band, sig) AS gmin
+    FROM banded)
+  GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, n_tokens FROM surv WHERE group_min = doc_id
+),
+-- stage 4: leakage-free split on a doc_id content hash (9:1)
+split AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('split:' || doc_id), 1, 15))
+                    AS BIGINT) % 10 = 0
+              THEN 'eval' ELSE 'train' END AS split,
+         n_tokens
+  FROM kept
+)
+-- stage 5: per-split budget
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM split GROUP BY split
+""",
+    doc="the WHOLE corpus-cleaning pipeline as one DataFrame program "
+    "under one hash: Gopher quality filter -> exact md5 dedup "
+    "(min-id survivor) -> greedy near-dup dedup (banded md5 MinHash; "
+    "a doc survives iff no smaller doc shares any band signature — "
+    "the one-hop greedy representative of dedup_parent_chain_depth) "
+    "-> 9:1 content-hash split -> per-split doc/token budget.  Every "
+    "stage reuses an operator already oracle-checked in isolation; "
+    "this row proves the COMPOSITION — the hash covers all five "
+    "stages end-to-end.  Scale shape: two narrow shuffles (fingerprint "
+    "groups, band signatures), everything else per-row",
+)
+def text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(tk)
+    mean_wl = F.aggregate(
+        tk, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(tk)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tk), F.array(*[F.lit(s) for s in _STOPS])
+        )
+    )
+    quality = docs.withColumn("n_tokens", n_tokens).filter(
+        n_tokens.between(50, 100_000)
+        & mean_wl.between(3, 10)
+        & (n_stop >= 2)
+    )
+    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sh = with_shingles(exact, "text", 3)
+
+    def _salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    banded = sh.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_min(
+                            F.transform(F.col("__sh"), _salted(b))
+                        ).alias("sig"),
+                    )
+                    for b in range(6)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "n_tokens", "bs.band", "bs.sig")
+    w_band = Window.partitionBy("band", "sig")
+    per_doc_min = (
+        banded.withColumn("__gmin", F.min("doc_id").over(w_band))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.min("__gmin").alias("__group_min"),
+        )
+    )
+    kept = per_doc_min.filter(F.col("__group_min") == F.col("doc_id"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    return (
+        kept.withColumn(
+            "split", F.when(bucket == 0, "eval").otherwise(F.lit("train"))
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
