@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "ml_eval_calibration_bins",
     "dash_sliding_distinct_hll",
     "text_pipeline_e2e",
+    "join_lateral_top2_orders",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

@@ -1192,3 +1192,41 @@ def text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# -------------------------------------------------------- lateral join
+
+
+@register(
+    "join_lateral_top2_orders",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+WHERE c.c_custkey <= 200
+""",
+    doc="correlated LATERAL subquery join (Spark 4 SQL surface): each "
+    "customer joins the top-2 of ITS OWN orders — the per-row "
+    "dependent subquery shape ANSI LATERAL exists for.  Catalyst "
+    "decorrelates it into the same window/top-k-per-group plan the "
+    "DataFrame form produces (DataFrame twin: win_top3_orders_per_"
+    "segment), so the declarative surface costs nothing at scale; the "
+    "oracle runs the identical LATERAL SQL",
+)
+def join_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql("""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM __lat_customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM __lat_orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey <= 200
+""")
