@@ -127,6 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     "dash_sliding_distinct_hll",
     "text_pipeline_e2e",
     "join_lateral_top2_orders",
+    "fn_try_suite",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

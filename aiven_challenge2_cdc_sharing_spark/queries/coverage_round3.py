@@ -1230,3 +1230,53 @@ FROM __lat_customer c JOIN LATERAL (
 ) t
 WHERE c.c_custkey <= 200
 """)
+
+
+# ------------------------------------------------------ try_* functions
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+SELECT o_orderkey,
+       round(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice / (o_custkey % 3) END, 4) AS safe_div,
+       CAST(NULL AS BIGINT) AS overflow_add,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+       CASE WHEN o_orderkey % 4 + 1 <= 3
+            THEN (['a', 'b', 'c'])[CAST(o_orderkey % 4 + 1 AS INTEGER)]
+            ELSE NULL END AS elem,
+       TRY_CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 3) AS DOUBLE)
+         AS prefix_num
+FROM orders
+""",
+    doc="ANSI error-safe function surface: try_divide (NULL on /0), "
+    "try_add (NULL on bigint overflow — pinned against Long.MAX so "
+    "every row overflows and the oracle states the known NULL), "
+    "try_cast (non-numeric string -> NULL), try_element_at (index 0 / "
+    "out-of-range -> NULL).  The production posture for pipelines that "
+    "must not die row-by-row: under ANSI mode these return NULL where "
+    "the unguarded forms raise, and the plan stays whole-stage codegen",
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 4
+        ).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"), F.col("o_orderkey") + 1
+        ).alias("overflow_add"),
+        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast(
+            "int"
+        ).alias("status_as_int"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("o_orderkey") % 4 + 1).cast("int"),
+        ).alias("elem"),
+        F.try_to_number(
+            F.substring(F.col("o_totalprice").cast("string"), 1, 3),
+            F.lit("999"),
+        ).cast("double").alias("prefix_num"),
+    )
