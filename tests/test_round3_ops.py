@@ -564,3 +564,32 @@ def test_auc_matches_sklearn_free_reference(spark, sf_dir):
     assert abs(row.auc - round(float(ref), 6)) <= 1e-6
     assert row.p == len(pos) and row.n == len(neg)
     assert 0 <= row.f1 <= 1
+
+
+def test_observe_metrics_ride_the_cdc_pass(spark, sf_dir):
+    # Observation API: pipeline health metrics (rows, deletes, null
+    # keys) accumulate DURING the snapshot pass — no second scan, the
+    # operational-metrics posture for a 100-TB job where "count it
+    # again" costs another full read
+    from pyspark.sql import Observation
+
+    from aiven_challenge2_cdc_sharing_spark.cdc import (
+        generate_envelope_log,
+        latest_snapshot,
+        unwrap,
+    )
+
+    obs = Observation("cdc_batch_health")
+    unwrapped = unwrap(generate_envelope_log(spark, sf_dir)).observe(
+        obs,
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.col("__deleted").cast("int")).alias("deletes"),
+        F.sum(F.col("id").isNull().cast("int")).alias("null_keys"),
+    )
+    snap = latest_snapshot(unwrapped)
+    n_live = snap.count()  # one action drives both result and metrics
+    m = obs.get
+    assert m["null_keys"] == 0
+    assert m["deletes"] > 0
+    assert m["events"] > m["deletes"]
+    assert n_live < m["events"]  # dedup + deletes shrink the snapshot
