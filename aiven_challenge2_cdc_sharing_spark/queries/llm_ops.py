@@ -252,7 +252,7 @@ FROM wmin
     "per-row expression, embarrassingly parallel, no shuffle",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.withColumn(
             "__t", F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -436,7 +436,7 @@ def _md5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import with_shingles
 
     docs = with_shingles(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+        load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text"), "text"
     )
     def _salted(i: int):
         # NB: must be a ONE-arg lambda — a second parameter (even with a
@@ -812,7 +812,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_md5, simhash_near_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     # localCheckpoint: the band self-join + verify reads signatures three
     # times; at scale this is the persisted signature table
     sigs = simhash_md5(docs, "text").select("doc_id", "simhash").localCheckpoint(
@@ -1145,7 +1145,7 @@ ORDER BY doc_id
 def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     base = docs.select(
         "doc_id",
         tokenize(F.col("text")).alias("__tk"),

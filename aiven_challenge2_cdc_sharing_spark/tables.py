@@ -18,9 +18,27 @@ from .schemas import TABLE_NAMES, TESTDATA_COLUMNS
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """``spread=True`` repartitions the scan up to the session's core
+    count when the file arrives in fewer splits.  The driver's test
+    tables are single-row-group parquet files, so a scan is ONE
+    partition and any CPU-heavy per-row stage (per-doc md5 signatures,
+    winnowing) runs on 1 of 32 threads — measured 4.0 s -> 0.6 s for
+    the winnowing fingerprints at sf0.1.  On a real corpus the scan
+    already has many splits and the repartition is a no-op by the
+    partition-count check; opt in ONLY where per-row compute dominates,
+    because for shuffle-bound queries (the set-similarity joins) the
+    extra exchange costs more than the map parallelism buys."""
     if name not in TESTDATA_COLUMNS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if spread:
+        df = load_table(spark, sf_dir, name)
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        return df
     if name == "events":
         # Some generator versions store ts as TIMESTAMP(NANOS), which the
         # vectorized Spark reader rejects; with nanosAsLong those files read
