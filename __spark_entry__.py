@@ -128,6 +128,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pipeline_e2e",
     "join_lateral_top2_orders",
     "fn_try_suite",
+    "dash_top_event_paths",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

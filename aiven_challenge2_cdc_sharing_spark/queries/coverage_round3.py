@@ -1280,3 +1280,50 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("999"),
         ).cast("double").alias("prefix_num"),
     )
+
+
+# ------------------------------------------------------ path mining
+
+
+@register(
+    "dash_top_event_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       count(*) AS n
+FROM ordered
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+""",
+    doc="sequential-pattern mining: the 10 most common 3-event paths "
+    "across user journeys — two lead() calls over one per-user window "
+    "turn every event into its 3-gram, then a plain count + top-10.  "
+    "One key shuffle (user_id) + one agg shuffle on the path string; "
+    "the same shape mines any n-gram depth at 100 TB because paths "
+    "never materialize beyond (n-gram, count) pairs",
+)
+def dash_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        ordered.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
