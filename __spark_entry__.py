@@ -129,6 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_lateral_top2_orders",
     "fn_try_suite",
     "dash_top_event_paths",
+    "agg_regr_value_by_hour",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

@@ -1327,3 +1327,41 @@ def dash_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------- regression aggs
+
+
+@register(
+    "agg_regr_value_by_hour",
+    oracle="""
+SELECT event_type,
+       CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS n,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+         AS intercept,
+       round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+       round(regr_avgx(value, CAST(hour(ts) AS DOUBLE)), 6) AS mean_hour,
+       round(regr_avgy(value, CAST(hour(ts) AS DOUBLE)), 6) AS mean_value
+FROM events
+GROUP BY event_type
+""",
+    doc="SQL-standard regression aggregates (regr_slope / intercept / "
+    "r2 / avgx / avgy / count): per-event-type OLS of value against "
+    "hour-of-day in ONE grouped aggregate — no per-group collect, no "
+    "UDF; the moments accumulate map-side exactly like sum/avg, which "
+    "is why single-feature regression is free at 100 TB.  Both "
+    "engines implement the identical SQL-standard definitions",
+)
+def agg_regr_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("mean_hour"),
+        F.round(F.regr_avgy(y, x), 6).alias("mean_value"),
+    )
