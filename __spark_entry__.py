@@ -130,6 +130,7 @@ DRIVER_PRIORITY: list[str] = [
     "fn_try_suite",
     "dash_top_event_paths",
     "agg_regr_value_by_hour",
+    "agg_bitwise_flags",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",

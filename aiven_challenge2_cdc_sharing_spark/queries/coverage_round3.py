@@ -1365,3 +1365,34 @@ def agg_regr_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("mean_hour"),
         F.round(F.regr_avgy(y, x), 6).alias("mean_value"),
     )
+
+
+# ------------------------------------------------------ bitwise aggs
+
+
+@register(
+    "agg_bitwise_flags",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+       CAST(bit_or(o_orderkey % 256) AS BIGINT) AS flags_or,
+       CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="bitwise aggregate surface (bit_and / bit_or / bit_xor): the "
+    "flag-column reduction pattern — per-group AND answers 'does every "
+    "row set this bit', OR answers 'does any', XOR gives the parity "
+    "fingerprint.  Plain map-side-combining aggregates; both engines "
+    "share the SQL-standard semantics",
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (F.col("o_orderkey") % 256)
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and(flags).cast("long").alias("flags_and"),
+        F.bit_or(flags).cast("long").alias("flags_or"),
+        F.bit_xor(flags).cast("long").alias("flags_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
