@@ -106,11 +106,16 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
     "tpch_q20_promotion_suppliers",
-    # -- positions 51+: the round-4 window, already ordered — the last
-    # never-checked names first, then dedup_jaccard_threshold_pairs
-    # (green in r02 but its semantics changed this round: shingle-df
-    # cap now ACTIVE and replicated in the oracle — re-verify), then a
-    # regression slice of r01 greens (oldest verdicts first) --
+    # -- positions 51+: the round-4 window, already ordered — the 20
+    # round-3 additions first (semantic/incremental dedup, CDC diff,
+    # Gopher filter, RRF hybrid search, HLL merge, feature hashing,
+    # PCA, JL projection, A-ES sampling, WAV round-trip, eval metrics,
+    # sliding-HLL, e2e pipeline, LATERAL, try_*, path mining, regr/bit
+    # aggs — each gated locally at sf0.001/0.01/0.1), then the last
+    # never-checked names, then dedup_jaccard_threshold_pairs (green in
+    # r02 but its semantics changed in r3: shingle-df cap now ACTIVE
+    # and replicated in the oracle — re-verify), then a regression
+    # slice of r01 greens (oldest verdicts first) --
     "dedup_semantic_pairs",
     "dedup_incremental_near",
     "cdc_snapshot_diff",
