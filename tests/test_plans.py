@@ -195,3 +195,37 @@ def test_gopher_filter_is_scan_speed(spark, sf_dir):
     q = load_registry()["text_gopher_quality_filter"]
     s = explain_str(q.fn(spark, sf_dir))
     assert "Exchange" not in s
+
+
+def test_try_suite_stays_in_codegen(spark, sf_dir):
+    # NULL-on-error functions must not break whole-stage codegen or
+    # add any exchange — the whole point is scan-speed safety
+    q = load_registry()["fn_try_suite"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "Exchange" not in s
+    # formatted plans flag codegen'd nodes with a "*" prefix
+    assert "* Project" in s
+
+
+def test_regr_aggs_are_single_grouped_aggregate(spark, sf_dir):
+    # all six regression moments ride ONE partial+final aggregate pair
+    q = load_registry()["agg_regr_value_by_hour"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert s.count("Exchange") <= 2  # one agg exchange (+AQE read)
+    assert "SortAggregate" not in s
+
+
+def test_path_mining_single_key_shuffle_plus_topk(spark, sf_dir):
+    q = load_registry()["dash_top_event_paths"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in s  # top-10, never a global sort
+    assert "CartesianProduct" not in s
+
+
+def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
+    # the correlated LATERAL subquery must NOT execute per-row: the
+    # plan is the same window/group-limit shape as the DataFrame form
+    q = load_registry()["join_lateral_top2_orders"]
+    s = explain_str(q.fn(spark, sf_dir))
+    assert "CartesianProduct" not in s
+    assert "WindowGroupLimit" in s or "Window" in s
