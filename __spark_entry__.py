@@ -29,100 +29,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, SMOKE_SF_DIR)
 
 
-# The driver verifies registry queries in dict order and round 1 showed it
-# caps the per-round CORRECTNESS run at 50 entries (CORRECTNESS_r01.json had
-# exactly the first 50).  Positions 1-50 are therefore the never-
-# driver-checked oracle-bearing queries, one representative slice per
-# operator family — including the round-2 additions (SCD2 history, exact
-# Jaccard threshold join, eval decontamination, int8 quantization);
-# remaining round-2 ops and the deferred TPC-H shapes queue at 51+ for
-# the round-3 window.  Every name here passed the local oracle gate
-# (tools/oracle_check.py, sf0.01) before being queued; rotate this list
-# each round so every query eventually gets a driver row.
+# The driver verifies registry queries in dict order and caps the per-round
+# CORRECTNESS run at 50 entries, so positions 1-50 are the round-4 window:
+# the 46 never-driver-checked queries (regenerated via
+# tools/rotate_priority.py from CORRECTNESS_r01-r03), then the three
+# stale/never-green re-checks the round-3 verdict called out explicitly —
+# agg_approx_count_distinct (r1 no_oracle; redesigned dedup-first with a
+# tolerance oracle, never re-checked — it was MISSING from this list
+# entirely last round, effective position 109), dedup_minhash_near_pairs
+# (r1 no_oracle; full-pipeline oracle added in r3), and
+# dedup_jaccard_threshold_pairs (green in r02 but the shingle-df cap
+# changed its semantics in r3 — the old green row no longer attests the
+# shipping code) — then one regression slot re-checking the oldest green
+# (agg_stats_by_segment, r01).  Every name passed the local 3-scale
+# oracle gate (tools/oracle_check.py at sf0.001/0.01/0.1) before queuing.
 DRIVER_PRIORITY: list[str] = [
-    # -- positions 1-5: round-2 failures, fixed (driver-canonical output
-    # types: integer sums CAST to BIGINT in the oracle, decimals
-    # compared as strings, array columns emitted as CSV/JSON strings) —
-    # re-queued so CORRECTNESS_r03 records the green --
-    "text_token_budget_by_source",
-    "mm_decode_features",
-    "agg_decimal_money_sums",
-    "agg_pivot_status_by_segment",
-    "emb_quantize_int8",
-    # -- 6-8: the only S-layer queries with no driver row (ingest
-    # formats: CSV / JSONL / ORC -> same schema as the parquet scan) --
-    "src_csv_ingest_nation",
-    "src_jsonl_ingest_orders",
-    "src_orc_ingest_part",
-    # -- 9-15: never-checked queries whose oracles were hazard-fixed or
-    # ADVICE-fixed this round (dtype casts, array->CSV, zero-division
-    # guards, observed-domain entropy normalizer, uncapped LSH oracle
-    # parity) — checked early so a regression is visible this round --
-    "text_winnow_fingerprints",
-    "tpch_q12_shipmode_priority",
-    "ml_domain_reweight",
-    "ts_anomaly_daily_values",
-    "dash_week_over_week_movers",
-    "user_behavior_entropy",
-    "sim_cosine_topk_lsh",
-    # -- 16-20: the operator-matrix gaps VERDICT r02 called out (U3
-    # UDTF, A4 tolerance oracles, IVF ANN, centroid agg, multimodal
-    # frame sampling) --
-    "udtf_sentence_stats",
-    "agg_approx_percentile_band",
-    "sim_cosine_topk_ivf",
-    "sim_label_centroids",
-    "mm_frame_sample",
-    # -- 21-34: round-2 text/ML additions, never driver-checked --
-    "text_heavy_hitter_tokens",
-    "text_dup_ngram_spans",
-    "text_perplexity_filter",
-    "ml_cluster_safe_split",
-    "dedup_parent_chain_depth",
-    "fn_variant_roundtrip",
-    "search_fuzzy_match",
-    "agg_listagg_nations",
-    "ts_user_profile_similarity",
-    "dash_rolling_7d_active_users",
-    "dash_event_transitions",
-    "dq_assertions_orders",
-    "emb_standardize_dims",
-    "text_url_canonicalize",
-    # -- 35-50: deferred TPC-H shapes (q12 above; q21/q22 queue at 51+
-    # for the round-4 window) --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    "tpch_q20_promotion_suppliers",
-    # -- positions 51+: the round-4 window, already ordered — the 20
-    # round-3 additions first (semantic/incremental dedup, CDC diff,
-    # Gopher filter, RRF hybrid search, HLL merge, feature hashing,
-    # PCA, JL projection, A-ES sampling, WAV round-trip, eval metrics,
-    # sliding-HLL, e2e pipeline, LATERAL, try_*, path mining, regr/bit
-    # aggs — each gated locally at sf0.001/0.01/0.1), then the last
-    # never-checked names, then dedup_jaccard_threshold_pairs (green in
-    # r02 but its semantics changed in r3: shingle-df cap now ACTIVE
-    # and replicated in the oracle — re-verify), then a regression
-    # slice of r01 greens (oldest verdicts first) --
+    "funnel_view_purchase",
+    "cohort_weekly_retention",
+    "agg_value_histogram",
+    "cdc_kafka_wire_decode",
+    "agg_salted_event_counts",
+    "win_percent_rank_scalable",
+    "ml_stratified_sample_det",
+    "text_bigram_pmi",
+    "privacy_k_anonymity",
+    "join_null_safe_eq",
+    "text_bpe_token_counts",
+    "text_lang_id_stopword",
+    "dedup_simhash_signatures",
+    "text_bpe_train_merges",
+    "text_bpe_encode_compression",
     "dedup_semantic_pairs",
-    "dedup_incremental_near",
-    "cdc_snapshot_diff",
-    "text_gopher_quality_filter",
     "search_hybrid_rrf",
     "agg_hll_sketch_partial_merge",
     "ml_feature_hashing",
+    "cdc_snapshot_diff",
+    "text_gopher_quality_filter",
+    "dedup_incremental_near",
     "emb_pca_top_component",
     "emb_random_projection",
     "ml_weighted_sample_es",
@@ -136,39 +79,166 @@ DRIVER_PRIORITY: list[str] = [
     "dash_top_event_paths",
     "agg_regr_value_by_hour",
     "agg_bitwise_flags",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
     "dash_value_percentiles_daily",
-    "ts_gapfill_locf",
     "join_range_binned_scale",
     "dedup_incremental_batch",
     "profile_orders_columns",
-    "ml_stratified_sample_det",
-    "text_bigram_pmi",
-    "privacy_k_anonymity",
-    "join_null_safe_eq",
     "text_repetition_ratio",
-    "funnel_view_purchase",
-    "cohort_weekly_retention",
-    "agg_value_histogram",
-    "agg_salted_event_counts",
-    "win_percent_rank_scalable",
-    "text_bpe_token_counts",
-    "text_lang_id_stopword",
+    "dedup_containment_pairs",
     "search_bm25_ranking",
     "text_tfidf_top_terms",
-    "dedup_simhash_signatures",
+    "ts_gapfill_locf",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "agg_approx_count_distinct",
     "dedup_minhash_near_pairs",
     "dedup_jaccard_threshold_pairs",
-    "dedup_containment_pairs",
-    "text_bpe_train_merges",
-    "text_bpe_encode_compression",
+    "agg_stats_by_segment",
+    # -- positions 51+: fresh round-4 additions first (never checked,
+    # 3-scale gated — next round's window), then already-green
+    # queries, oldest driver verdict first (regression rotation) --
+    "text_bpe_train_merges_batched",
+    "agg_pricing_summary",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_having_top_spenders",
+    "agg_median_quantile",
+    "agg_stddev_variance",
     "cdc_snapshot",
-    "cdc_wire_roundtrip",
-    "cdc_kafka_wire_decode",
-    "cdc_merge_incremental",
     "cdc_count_by_classification",
-]
+    "cdc_new_customers_over_time",
+    "cdc_recent_customers",
+    "cdc_wire_roundtrip",
+    "cdc_snapshot_at",
+    "sort_global_orders",
+    "agg_rollup_grouping_flags",
+    "win_percent_rank_cume",
+    "fn_array_split_ops",
+    "cdc_merge_incremental",
+    "win_session_windows",
+    "text_doc_stats",
+    "text_quality_scores",
+    "text_top_tokens",
+    "text_fingerprints",
+    "text_lang_distribution",
+    "text_redact_pii",
+    "text_char_trigrams",
+    "dedup_exact_fingerprint",
+    "dedup_distinct_doc_count",
+    "dedup_minhash_md5_signatures",
+    "dash_count_by_segment",
+    "dash_orders_per_month",
+    "dash_recent_orders",
+    "dash_events_per_hour_by_type",
+    "agg_bool_countif",
+    "agg_quartiles",
+    "fn_datediff_suite",
+    "fn_string_extras",
+    "dash_orders_per_month_dense",
+    "join_orders_customer_inner",
+    "join_customer_orders_left",
+    "join_full_outer_nations",
+    "join_broadcast_region_rollup",
+    "join_semi_active_customers",
+    "join_anti_dormant_customers",
+    "join_range_value_bands",
+    "join_asof_purchase_view",
+    "join_stream_static_enrich",
+    "agg_stats_moments",
+    "sort_global_ordinal_scalable",
+    "layout_zorder_orders",
+    "fn_unpivot_order_measures",
+    "dedup_minhash_md5_pairs",
+    "dedup_cluster_resolution",
+    "dedup_embedding_cosine",
+    "dedup_simhash_md5_pairs",
+    "text_chunk_documents",
+    "sim_cosine_topk",
+    "dash_events_sliding_2h",
+    "join_orders_customer_right",
+    "ml_split_train_eval",
+    "ml_mixture_sample",
+    "ml_pack_sequences",
+    "ml_decontaminate_eval",
+    "fn_string_suite",
+    "fn_datetime_suite",
+    "fn_math_suite",
+    "fn_json_suite",
+    "fn_conditional_suite",
+    "fn_map_suite",
+    "fn_array_suite",
+    "set_union_all_names",
+    "set_union_distinct_nationkeys",
+    "set_intersect_nationkeys",
+    "set_except_nationkeys",
+    "set_except_all_multiset",
+    "set_intersect_all_multiset",
+    "cdc_scd2_history",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "sim_cosine_topk_pandas",
+    "udaf_label_norm_mean",
+    "mm_decode_png_features",
+    "win_rank_orders_by_price",
+    "win_ntile_quartiles",
+    "win_lag_lead_user_events",
+    "win_running_total",
+    "win_moving_sum",
+    "win_range_frame_sum",
+    "win_latest_event_per_user",
+    "win_top3_orders_per_segment",
+    "win_value_functions",
+    "agg_listagg_nations",
+    "user_behavior_entropy",
+    "agg_pivot_status_by_segment",
+    "agg_approx_percentile_band",
+    "text_winnow_fingerprints",
+    "text_token_budget_by_source",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "text_heavy_hitter_tokens",
+    "text_dup_ngram_spans",
+    "text_perplexity_filter",
+    "dedup_parent_chain_depth",
+    "text_url_canonicalize",
+    "dash_week_over_week_movers",
+    "dash_rolling_7d_active_users",
+    "dash_event_transitions",
+    "src_csv_ingest_nation",
+    "src_jsonl_ingest_orders",
+    "src_orc_ingest_part",
+    "dq_assertions_orders",
+    "emb_standardize_dims",
+    "ml_cluster_safe_split",
+    "emb_quantize_int8",
+    "ml_domain_reweight",
+    "search_fuzzy_match",
+    "fn_variant_roundtrip",
+    "ts_user_profile_similarity",
+    "ts_anomaly_daily_values",
+    "tpch_q6_forecast_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_revenue",
+    "agg_decimal_money_sums",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q19_bracket_revenue",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q7_nation_volume",
+    "sim_label_centroids",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "udtf_sentence_stats",]
 
 
 def _ordered():

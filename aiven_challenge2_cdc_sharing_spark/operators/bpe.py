@@ -98,6 +98,129 @@ def bpe_train_merges(
     )
 
 
+def _safe_merge_batch(
+    ranked: list[tuple[str, str, int]],
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the ranked (l, r, cnt) candidates that the
+    SEQUENTIAL trainer is guaranteed to pick in the same order.
+
+    Three conditions, all required for exactness (not heuristics):
+
+    - **pairwise symbol-disjoint prefix**: accepted pairs share no
+      symbol (l, r, or the merged token l+r).  Merging (a,b) only
+      changes counts of pairs touching a, b, or ab — disjoint pairs
+      keep their exact counts through every merge in the batch.
+    - **strict count cutoff**: every accepted count must be strictly
+      greater than the best excluded candidate's.  A merge can CREATE
+      pairs (x, ab) whose count is bounded by a conflicting parent
+      pair — (x,a), (b,y), or (b,a) for the self-chain (ab,ab) — all
+      of which share a symbol with the merge and therefore rank below
+      the prefix, so strictness guarantees no such created pair can
+      tie an accepted one and steal its turn via the lexicographic
+      tie-break.
+    - **run-self-merge bound**: the one created pair whose parent is
+      NOT a conflicting lower-ranked pair is (aa,aa) from accepting
+      (a,a) — its parent is the accepted pair itself (a run of n 'a's
+      holds n-1 (a,a) pairs and floor(n/2)-1 (aa,aa) pairs, so
+      count(aa,aa) <= floor(count(a,a)/2)).  Every acceptance after
+      an l==r pair must exceed that bound strictly, or sequential
+      could pick the created (aa,aa) first on a tie.
+
+    Worst case (all candidates share symbols, or ties at the cutoff)
+    degenerates to batch size 1 == the sequential trainer.
+    """
+    used: set[str] = set()
+    accepted: list[tuple[str, str, int]] = []
+    cutoff = None
+    run_bound = -1  # max floor(cnt/2) over accepted l==r pairs
+    for l, r, cnt in ranked:
+        merged = l + r
+        if l in used or r in used or merged in used or cnt <= run_bound:
+            cutoff = cnt
+            break
+        used.update((l, r, merged))
+        accepted.append((l, r, cnt))
+        if l == r:
+            run_bound = max(run_bound, cnt // 2)
+    if cutoff is not None:
+        accepted = [t for t in accepted if t[2] > cutoff]
+    return accepted
+
+
+def bpe_train_merges_batched(
+    docs: DataFrame, text_col: str, n_merges: int = 6, batch: int = 8
+) -> DataFrame:
+    """EXACTLY the ``bpe_train_merges`` merge table, with driver
+    round-trips bounded by ~n_merges/batch instead of n_merges.
+
+    The sequential trainer is inherently one Spark job per merge (each
+    merge depends on the last) — at a real 32k-merge vocabulary that
+    is 32k driver round-trips.  This variant fetches the top ``batch``
+    candidates per round (a bounded batch-row collect) and applies the
+    provably-safe prefix (see ``_safe_merge_batch``): every accepted
+    merge is one the sequential trainer would have made, in the same
+    order, so the output — and the ``text_bpe_train_merges`` oracle
+    hash — is identical by construction, not just empirically.
+    Parity-tested against the sequential trainer and the tie-heavy
+    adversarial corpus in tests/test_bpe_batched.py.
+    """
+    spark: SparkSession = docs.sparkSession
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        pairs = (
+            vocab.withColumn("__a", F.split("sym", BPE_SEP))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(__a, 1, greatest(size(__a)-1, 0)),"
+                        "         slice(__a, 2, greatest(size(__a)-1, 0)),"
+                        "         (x, y) -> struct(x AS l, y AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        want = min(batch, n_merges - len(merges))
+        # fetch one extra row: the cutoff candidate the strictness
+        # rule compares against (limit(want) alone couldn't see it)
+        ranked = [
+            (row["l"], row["r"], int(row["cnt"]))
+            for row in pairs.orderBy(F.desc("cnt"), "l", "r")
+            .limit(want + 1)
+            .collect()
+        ]
+        if not ranked:
+            break
+        accepted = _safe_merge_batch(ranked)
+        # the prefix rule may admit the sentinel row; never exceed want
+        accepted = accepted[:want]
+        if len(ranked) > want:
+            # pairs OUTSIDE the fetched window have cnt <= the
+            # sentinel's, and any of them conflicting with an accepted
+            # merge can parent created pairs up to that count — the
+            # strict cutoff must therefore also hold against the
+            # sentinel, not only against in-window conflicts
+            accepted = [t for t in accepted if t[2] > ranked[want][2]]
+        if not accepted:
+            # conflict at position 1 can't happen (prefix of 1 is
+            # always safe unless the strict cutoff kills it: a tie
+            # between rank-1 and rank-2 still picks rank-1 first in
+            # BOTH trainers, so fall back to the single best pair)
+            accepted = ranked[:1]
+        sym = F.col("sym")
+        for l, r, cnt in accepted:
+            merges.append((len(merges), l, r, l + r, cnt))
+            sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
+        vocab = vocab.withColumn("sym", sym).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, l string, r string, merged string, pair_count long",
+    )
+
+
 def _bpe_cte_chain(n_merges: int, carry_word: bool) -> tuple[str, str, list[str]]:
     """(cte_sql, final_vocab_cte, [winner_cte names]) — the training
     rounds unrolled as CTE chains (v0 -> p_k/b_k/v_{k+1}); chr(31) is
@@ -105,7 +228,7 @@ def _bpe_cte_chain(n_merges: int, carry_word: bool) -> tuple[str, str, list[str]
     every round so an apply step can join back to occurrences."""
     wcol = "w, " if carry_word else ""
     sql = f"""
-WITH v0 AS (
+WITH v0 AS MATERIALIZED (
   SELECT {wcol}array_to_string(string_split(w, ''), chr(31)) AS sym, freq FROM (
     SELECT w, count(*) AS freq FROM (
       SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -117,7 +240,7 @@ WITH v0 AS (
     winners = []
     for k in range(n_merges):
         sql += f""",
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT l, r, sum(freq) AS cnt FROM (
     SELECT freq,
            unnest(list_transform(range(1, len(a)),
@@ -125,8 +248,8 @@ p{k} AS (
     FROM (SELECT string_split(sym, chr(31)) AS a, freq FROM {prev})
   ) GROUP BY l, r
 ),
-b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-v{k + 1} AS (
+b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k + 1} AS MATERIALIZED (
   SELECT {wcol}replace(sym, (SELECT l || chr(31) || r FROM b{k}),
                       (SELECT l || r FROM b{k})) AS sym, freq
   FROM {prev}

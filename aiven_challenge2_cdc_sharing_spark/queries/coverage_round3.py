@@ -624,7 +624,15 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_top_component(emb.select("embedding"), "embedding", dim=64)
+    # gram pinned to 'exploded': the oracle replays the exploded
+    # association order, and at sf0.1 (100k rows) gram='auto' would
+    # take the blocked-BLAS path whose ~1e-9 float drift can flip a
+    # 6-dp rounding boundary nondeterministically (ADVICE r3); the
+    # blocked path stays covered by test_pca_blocked_matches_exploded,
+    # and pinning also drops the auto probe's extra count() job
+    return pca_top_component(
+        emb.select("embedding"), "embedding", dim=64, gram="exploded"
+    )
 
 
 # --------------------------------------------------- random projection
@@ -1275,10 +1283,13 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("a"), F.lit("b"), F.lit("c")),
             (F.col("o_orderkey") % 4 + 1).cast("int"),
         ).alias("elem"),
-        F.try_to_number(
-            F.substring(F.col("o_totalprice").cast("string"), 1, 3),
-            F.lit("999"),
-        ).cast("double").alias("prefix_num"),
+        # try_cast (not try_to_number with a '999' format) so both
+        # engines share cast semantics: a sub-100 price makes the
+        # 3-char prefix contain '.' (e.g. '85.'), which the format
+        # parse NULLs but a cast reads as 85.0 (ADVICE r3)
+        F.substring(F.col("o_totalprice").cast("string"), 1, 3)
+        .try_cast("double")
+        .alias("prefix_num"),
     )
 
 

@@ -1484,6 +1484,31 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, "text", n_merges=6).orderBy("merge_rank")
 
 
+@register(
+    "text_bpe_train_merges_batched",
+    oracle=_bpe_oracle_sql(12),
+    doc="the BPE trainer's SCALE PATH: identical merge table, driver "
+    "round-trips bounded at ~n_merges/batch instead of n_merges (at a "
+    "real 32k-merge vocabulary the sequential loop is 32k Spark jobs). "
+    "Per round the top `batch` candidates are fetched (bounded k-row "
+    "collect) and the provably-safe prefix applied: pairwise "
+    "symbol-disjoint, strictly above the best excluded count, and "
+    "strictly above floor(cnt/2) after any l==r acceptance (the "
+    "run-self-merge (aa,aa) bound) — so every accepted merge is one "
+    "the sequential trainer would make, in the same order, by "
+    "construction.  The oracle replays the SEQUENTIAL trainer (12 "
+    "unrolled rounds): a hash match IS the parity proof under the "
+    "driver gate",
+)
+def text_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges_batched(docs, "text", n_merges=12, batch=8).orderBy(
+        "merge_rank"
+    )
+
+
 from ..operators.bpe import bpe_apply_oracle_sql as _bpe_apply_oracle_sql  # noqa: E402
 
 

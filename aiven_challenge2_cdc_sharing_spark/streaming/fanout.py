@@ -29,15 +29,68 @@ At scale, per-batch cost = touched-bucket merge + two scans of the
 (pruned) state table; the raw stream is read ONCE for any number of
 sinks, which is the point — transport fan-out multiplies consumers,
 engine fan-out multiplies only cheap derived writes.
+
+Publish protocol: the derived artifacts are SERVING paths, so they are
+never rewritten in place (a parquet ``mode("overwrite")`` deletes then
+writes — an external reader listing the directory mid-overwrite sees
+missing or partial files).  Each batch instead writes a fresh
+versioned directory under ``.versions/`` and atomically repoints a
+symlink at it (``symlink`` + ``rename`` — atomic on POSIX), so a
+reader resolving ``counts/`` always sees exactly one complete,
+immutable version.  The previous version is retained one batch (a
+reader that resolved the link just before the swap can finish its
+scan) and garbage-collected after.  On an object store, the same
+contract is a versioned prefix plus a small ``_LATEST`` manifest
+written via put-then-rename; the state table already gets this
+atomicity from dynamic partition overwrite.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .runtime import merge_snapshot_batch, read_snapshot
+
+
+def _publish_atomic(
+    df: DataFrame, base_dir: str, name: str, batch_id: int
+) -> None:
+    """Write ``df`` as ``base_dir/name`` with an atomic symlink swap.
+
+    Local-filesystem implementation of the versioned-publish contract
+    (this repo's streaming sinks are file-based); strips a ``file:``
+    scheme if present.  Keeps the CURRENT and PREVIOUS versions on
+    disk, removing older ones only after the swap succeeds.
+    """
+    root = base_dir[5:] if base_dir.startswith("file:") else base_dir
+    vroot = os.path.join(root, ".versions")
+    os.makedirs(vroot, exist_ok=True)
+    vdir = os.path.join(vroot, f"{name}_v{batch_id}")
+    df.write.mode("overwrite").parquet(vdir)
+    # swap: symlink to a temp name, then rename over the serving path —
+    # rename(2) replaces an existing symlink atomically
+    tmp_link = os.path.join(root, f".{name}_link_tmp")
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(vdir, tmp_link)
+    final = os.path.join(root, name)
+    if os.path.isdir(final) and not os.path.islink(final):
+        # first publish over a legacy in-place directory: remove it so
+        # the rename can land (one-time, not the steady-state path)
+        shutil.rmtree(final)
+    os.rename(tmp_link, final)
+    # GC everything older than the previous version
+    versions = sorted(
+        (d for d in os.listdir(vroot) if d.startswith(f"{name}_v")),
+        key=lambda d: int(d.rsplit("_v", 1)[1]),
+    )
+    for stale in versions[:-2]:
+        shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
 
 
 def run_shared_serving(
@@ -57,20 +110,22 @@ def run_shared_serving(
         snap = read_snapshot(spark, f"{base_dir}/state").localCheckpoint(
             eager=True
         )
-        (
+        _publish_atomic(
             snap.groupBy("classification")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .repartition(1)
-            .write.mode("overwrite")
-            .parquet(f"{base_dir}/counts")
+            .repartition(1),
+            base_dir,
+            "counts",
+            batch_id,
         )
-        (
+        _publish_atomic(
             snap.select("id", "full_name", "classification", "created_at")
             .orderBy(F.desc("created_at"), F.desc("id"))
             .limit(10)
-            .repartition(1)
-            .write.mode("overwrite")
-            .parquet(f"{base_dir}/recent")
+            .repartition(1),
+            base_dir,
+            "recent",
+            batch_id,
         )
 
     return (

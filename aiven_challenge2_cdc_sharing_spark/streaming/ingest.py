@@ -27,12 +27,21 @@ remainder.  Three properties fall out:
 - **restart-safe without coordination**: the only state is the corpus
   itself.
 
+Concurrency contract: SINGLE WRITER per corpus path.  Two concurrent
+ingest streams can both pass the anti-join for the same novel document
+and both append it — the probe-then-append is not transactional.  Run
+one ingest stream per corpus (the checkpoint already enforces one
+query per checkpoint path); multi-writer needs a table format with
+optimistic commit (Delta/Iceberg MERGE), not bare parquet append.
+
 Cites reference behavior: consumer_to_opensearch.py:61 (auto-commit
 at-least-once consumption) and :70-77 (idempotent upsert by key) — the
 same idempotence contract, keyed by content instead of primary key.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -64,8 +73,21 @@ def run_dedup_ingest(
         )
         try:
             seen = spark.read.parquet(corpus_path).select("__fp")
-        except AnalysisException:
-            seen = None  # first batch: corpus doesn't exist yet
+        except AnalysisException as exc:
+            # ONLY a missing corpus means "first batch".  Any other
+            # analysis failure (corrupt footer, schema problem, denied
+            # path) must surface — swallowing it would silently
+            # re-admit every document in the batch.
+            cond = getattr(exc, "getCondition", lambda: None)() or ""
+            local = (
+                corpus_path[5:]
+                if corpus_path.startswith("file:")
+                else corpus_path
+            )
+            if "PATH_NOT_FOUND" in cond or not os.path.exists(local):
+                seen = None  # first batch: corpus doesn't exist yet
+            else:
+                raise
         if seen is not None:
             batch = batch.join(seen, "__fp", "left_anti")
         batch.write.mode("append").parquet(corpus_path)
