@@ -98,6 +98,11 @@ DRIVER_PRIORITY: list[str] = [
     # 3-scale gated — next round's window), then already-green
     # queries, oldest driver verdict first (regression rotation) --
     "text_bpe_train_merges_batched",
+    "cep_purchase_within_hour",
+    "agg_count_min_probe",
+    "agg_equidepth_histogram",
+    "dedup_edit_distance_pairs",
+    "graph_pagerank_suppliers",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -51,6 +51,7 @@ def load_registry() -> dict[str, Query]:
         coverage_extras,
         coverage_round2,
         coverage_round3,
+        coverage_round4,
         dashboards,
         extras2,
         ingest,

@@ -1,0 +1,479 @@
+"""Round-4 operator additions: sequence CEP, Count-Min sketch,
+equi-depth histogram, SymSpell edit-distance join, bipartite PageRank.
+
+Each closes a family gap rather than adding a variant: event-sequence
+pattern matching with a time constraint (the MATCH_RECOGNIZE / Flink
+CEP shape), a deterministic mergeable Count-Min sketch (completing the
+sketch family next to HLL partials and Misra-Gries), equi-DEPTH
+histograms (the quantile-binning twin of the equi-width
+``agg_value_histogram``), a deletion-neighborhood edit-distance join
+(the 9th dedup modality — typo-class near-dup, the SymSpell candidate
+scheme), and PageRank (iterative graph analytics beyond connected
+components).  All five are exactly replayable in DuckDB — including
+the sketch and the 5 unrolled PageRank iterations.
+
+Reference provenance: the reference has no analytics engine of its own
+(consumer loop at consumer_to_opensearch.py:67-96; dashboards at
+README.md:150-160); these are north-star extensions per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+# ------------------------------------------------ sequence CEP
+
+
+@register(
+    "cep_purchase_within_hour",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+p AS (
+  SELECT v.user_id, v.v_ts, min(e.ts) AS p_ts
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'purchase'
+   AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+  GROUP BY v.user_id, v.v_ts
+)
+SELECT p.user_id,
+       CAST(p.p_ts IS NOT NULL AND count(er.event_id) = 0 AS BOOLEAN)
+         AS converted,
+       CASE WHEN p.p_ts IS NOT NULL AND count(er.event_id) = 0
+            THEN CAST(date_diff('second', p.v_ts, p.p_ts) AS BIGINT)
+            END AS secs_to_purchase
+FROM p LEFT JOIN events er
+  ON er.user_id = p.user_id AND er.event_type = 'error'
+ AND er.ts > p.v_ts AND er.ts < p.p_ts
+GROUP BY p.user_id, p.p_ts, p.v_ts
+ORDER BY p.user_id
+""",
+    doc="MATCH_RECOGNIZE / Flink-CEP-shaped sequence detection: per "
+    "user, did a purchase follow the FIRST view within one hour with "
+    "no intervening error?  (view -> [^error]* -> purchase within 1h.) "
+    "Three keyed stages — first-view agg, bounded-follow agg, "
+    "absence check — all shuffling on user_id, so at 100 TB the plan "
+    "is one partitioning reused across stages (AQE coalesces the "
+    "co-partitioned joins); no window scans the full event history "
+    "per row, and state per user is two timestamps, which is also the "
+    "streaming formulation (applyInPandasWithState carrying v_ts/p_ts)",
+)
+def cep_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts_cand")
+    )
+    p = (
+        v.join(
+            pur,
+            (v.user_id == pur.user_id)
+            & (F.col("p_ts_cand") > F.col("v_ts"))
+            & (
+                F.col("p_ts_cand")
+                <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left",
+        )
+        .groupBy(v.user_id, "v_ts")
+        .agg(F.min("p_ts_cand").alias("p_ts"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    joined = p.join(
+        err,
+        (p.user_id == err.user_id)
+        & (F.col("e_ts") > F.col("v_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left",
+    )
+    clean = F.col("p_ts").isNotNull() & (F.count("e_ts") == 0)
+    return (
+        joined.groupBy(p.user_id, "v_ts", "p_ts")
+        .agg(
+            clean.alias("converted"),
+            F.when(
+                clean,
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+                ).cast("long"),
+            ).alias("secs_to_purchase"),
+        )
+        .select("user_id", "converted", "secs_to_purchase")
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------ Count-Min sketch
+
+_CM_DEPTH = 3
+_CM_WIDTH = 32
+
+
+@register(
+    "agg_count_min_probe",
+    oracle=f"""
+WITH toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 3
+),
+cells AS (
+  SELECT i, ('0x' || substr(md5(w), i * 8 + 1, 8))::BIGINT % {_CM_WIDTH}
+           AS col, count(*) AS cnt
+  FROM toks, (SELECT unnest(range({_CM_DEPTH})) AS i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT w, count(*) AS exact FROM toks GROUP BY w
+)
+SELECT p.w AS token,
+       CAST(p.exact AS BIGINT) AS exact_cnt,
+       CAST(min(c.cnt) AS BIGINT) AS cm_estimate,
+       CAST(min(c.cnt) >= p.exact AS BOOLEAN) AS never_underestimates
+FROM probes p
+JOIN cells c
+  ON c.col = ('0x' || substr(md5(p.w), c.i * 8 + 1, 8))::BIGINT
+             % {_CM_WIDTH}
+GROUP BY p.w, p.exact
+ORDER BY token
+""",
+    doc="Count-Min sketch (Cormode & Muthukrishnan '05) built as a "
+    "mergeable aggregate and probed for every distinct token, next to "
+    "its exact count: depth 3 x width 32, hash rows = independent "
+    "8-hex slices of one md5, so the sketch is DETERMINISTIC and "
+    "DuckDB replays cell-for-cell — the oracle checks the estimates "
+    "themselves plus the one-sided error invariant (est >= exact, "
+    "always true by construction).  The cell table IS the merged "
+    "sketch: groupBy (row, col) sum is map-side-combined, each "
+    "partition contributes its partial sketch and merge = cell-wise "
+    "add (Mergeable Summaries, PODS'12) — d*w = 96 counters total "
+    "regardless of corpus size, vs the unbounded distinct universe a "
+    "full groupBy would shuffle.  Width 32 is deliberately small so "
+    "collisions actually occur at test scale and the estimate/exact "
+    "gap is exercised; production sizing is w = ceil(e/eps)",
+)
+def agg_count_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z]+")
+        ).alias("w")
+    ).filter(F.length("w") >= 3)
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
+    ).alias("i")
+    cells = (
+        toks.select("w", rows)
+        .select(
+            "i",
+            F.conv(
+                F.expr("substring(md5(w), i * 8 + 1, 8)"), 16, 10
+            ).cast("long").__mod__(_CM_WIDTH).alias("col"),
+        )
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    probe_cols = probes.select(
+        "w", "exact", rows
+    ).select(
+        "w",
+        "exact",
+        "i",
+        F.conv(
+            F.expr("substring(md5(w), i * 8 + 1, 8)"), 16, 10
+        ).cast("long").__mod__(_CM_WIDTH).alias("col"),
+    )
+    return (
+        probe_cols.join(F.broadcast(cells), ["i", "col"])
+        .groupBy("w", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("exact").cast("long").alias("exact_cnt"),
+            F.col("est").cast("long").alias("cm_estimate"),
+            (F.col("est") >= F.col("exact")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+# ------------------------------------------------ equi-depth histogram
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM ranked GROUP BY bin ORDER BY bin
+""",
+    doc="equi-DEPTH histogram (quantile binning): ntile(8) with a "
+    "total tiebreak order, then per-bin count/lo/hi — the optimizer-"
+    "statistics twin of the equi-width agg_value_histogram.  The "
+    "global ntile is the scale caveat: a single-direction sort, which "
+    "Spark executes as a range-partitioned sort (sampled boundaries), "
+    "so at 100 TB this is the same cost class as sort_global_orders; "
+    "the approximate alternative (approx_percentile boundaries + one "
+    "scan of bucket assignment) is the production path when exact "
+    "bin population parity doesn't matter",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(8).over(w).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ------------------------------------------------ edit-distance join
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 3
+),
+d0 AS (SELECT w, w AS v FROM toks),
+d1 AS (
+  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
+  FROM toks, (SELECT unnest(range(1, 9)) AS i) WHERE i <= length(w)
+),
+d2 AS (
+  SELECT w, substr(v, 1, i - 1) || substr(v, i + 1) AS v
+  FROM d1, (SELECT unnest(range(1, 9)) AS i) WHERE i <= length(v)
+),
+vars AS (
+  SELECT DISTINCT w, v FROM (
+    SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL
+    SELECT * FROM d2)
+),
+cand AS (
+  SELECT DISTINCT a.w AS w1, b.w AS w2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+)
+SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(w1, w2) <= 2
+ORDER BY w1, w2
+""",
+    doc="the 9th dedup modality: typo-class near-duplicates via an "
+    "edit-distance self-join with SymSpell deletion-neighborhood "
+    "candidate generation (Garbe's scheme; sound AND complete: two "
+    "strings within Levenshtein distance k always share a variant "
+    "obtainable by <= k deletions from each — the alignment's "
+    "unmatched positions).  Each distinct token emits O(len^2) "
+    "delete-variants, candidates come from ONE equi-join on the "
+    "variant string, and only candidates pay the O(mn) levenshtein — "
+    "never the V^2 token cross-product, which is what makes the shape "
+    "hold on a 100 TB vocabulary (variant table ~ V * len^2 rows, "
+    "equi-join shuffles hash-partitioned variants; hot variants like "
+    "short stems are the skew hazard and would get the same df-cap "
+    "treatment as the Jaccard join's shingle cap)",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    # delete-variants up to depth 2, as one JVM-side HOF chain:
+    # d1 = all single-deletes, d2 = single-deletes of d1
+    d1 = F.expr(
+        "transform(sequence(1, length(w)), "
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"
+    )
+    vars_df = (
+        toks.select(
+            "w",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("w")),
+                    F.expr(
+                        "array_union("
+                        " transform(sequence(1, length(w)),"
+                        "  i -> concat(substring(w, 1, i - 1),"
+                        "              substring(w, i + 1))),"
+                        " flatten(transform("
+                        "  transform(sequence(1, length(w)),"
+                        "   i -> concat(substring(w, 1, i - 1),"
+                        "               substring(w, i + 1))),"
+                        "  v -> transform(sequence(1, length(v)),"
+                        "   j -> concat(substring(v, 1, j - 1),"
+                        "               substring(v, j + 1))))))"
+                    ),
+                )
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    a = vars_df.select(F.col("w").alias("w1"), "v")
+    b = vars_df.select(F.col("w").alias("w2"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("w1", "w2").cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("w1", "w2")
+    )
+
+
+# ------------------------------------------------ PageRank
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    sql = """
+WITH fwd AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM fwd
+  UNION ALL SELECT dst AS src, src AS dst FROM fwd
+),
+deg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+),
+n AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n)"""
+    prev = "r0"
+    for k in range(_PR_ITERS):
+        sql += f""",
+r{k + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         (1 - {_PR_DAMP}) / n.n
+           + {_PR_DAMP} * sum(r.rank / d.outdeg) AS rank
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst, n.n
+)"""
+        prev = f"r{k + 1}"
+    return (
+        sql
+        + f"""
+SELECT node, round(rank, 10) AS rank
+FROM {prev}
+ORDER BY rank DESC, node LIMIT 20"""
+    )
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the bipartite customer-supplier purchase graph "
+    "(edges = distinct (custkey, suppkey) pairs from orders x "
+    "lineitem, bidirected so the chain is irreducible): 5 power "
+    "iterations at damping 0.85 from the uniform vector, top-20 nodes. "
+    " The iterative-graph twin of dedup_cluster_resolution: every "
+    "iteration is join(rank, edges) + groupBy(dst) — rank and edge "
+    "tables both hash-partitioned on the join key, so one partitioning "
+    "is reused across all 5 rounds and data is never re-scanned; "
+    "localCheckpoint truncates the growing lineage exactly as the CC "
+    "operator does.  Bidirecting removes dangling nodes by "
+    "construction (every node has outdegree >= 1), which is why no "
+    "dangling-mass redistribution term is needed.  Deterministic: "
+    "fixed iteration count and uniform start; DuckDB replays all 5 "
+    "rounds as MATERIALIZED CTEs (inlining would be exponential) and "
+    "the 10-dp rounded ranks hash-match — float association drift "
+    "(~1e-15 relative on ~1e-3 ranks) is orders of magnitude inside "
+    "the rounding margin",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.agg(F.count(F.lit(1)).alias("__n"))
+    rank = deg.join(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    contrib_edges = edges.join(
+        deg.select("src", "outdeg"), "src"
+    ).localCheckpoint(eager=False)
+    for _ in range(_PR_ITERS):
+        rank = (
+            contrib_edges.join(
+                rank, contrib_edges.src == rank.node
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__m"))
+            .join(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("__n")
+                    + F.lit(_PR_DAMP) * F.col("__m")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        rank.select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
