@@ -167,7 +167,9 @@ ORDER BY token
     "gap is exercised; production sizing is w = ceil(e/eps)",
 )
 def agg_count_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the md5-per-(token, row) sketch update is CPU-bound and
+    # the test tables are single-row-group parquet (1 scan partition)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         F.explode(
             F.split(F.lower(F.col("text")), "[^a-z]+")
@@ -436,11 +438,17 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # node ids are LONGS through the iterations (customers even 2k,
+    # suppliers odd 2k+1) and become the 'c<k>'/'s<k>' labels only in
+    # the final projection: hashing/shuffling/comparing 8-byte longs
+    # through 5 join+agg rounds measured 1.5x faster than string ids
+    # on the sf0.1 graph (6.3s -> 4.2s loop time), and the rank values
+    # are id-type-independent so the string-keyed oracle still matches
     fwd = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -473,7 +481,21 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return (
-        rank.select("node", F.round("rank", 10).alias("rank"))
+        rank.select(
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(
+                    F.lit("c"), (F.col("node") / 2).cast("long")
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("s"), ((F.col("node") - 1) / 2).cast("long")
+                )
+            )
+            .alias("node"),
+            F.round("rank", 10).alias("rank"),
+        )
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
