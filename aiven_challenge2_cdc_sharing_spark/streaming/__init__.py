@@ -3,6 +3,7 @@ from .incremental import (
     classification_deltas,
     run_incremental_counts,
 )
+from .cep import streaming_purchase_conversion
 from .fanout import run_shared_serving
 from .ingest import run_dedup_ingest
 from .runtime import (
@@ -29,6 +30,7 @@ __all__ = [
     "run_incremental_counts",
     "run_snapshot_maintenance",
     "running_user_profiles",
+    "streaming_purchase_conversion",
     "windowed_counts",
     "write_once_per_batch",
 ]

@@ -1,0 +1,136 @@
+"""Streaming CEP parity: the stateful pattern machine must converge to
+the batch ``cep_purchase_within_hour`` verdicts under per-key in-order
+delivery across micro-batches."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+from aiven_challenge2_cdc_sharing_spark.streaming import (
+    streaming_purchase_conversion,
+)
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+
+def test_streaming_cep_matches_batch(spark, sf_dir, tmpdir):
+    events = load_table(spark, sf_dir, "events")
+    # three ts-ordered micro-batches: per-key in-order delivery, the
+    # operator's stated contract (global ts split implies per-user
+    # order too)
+    t1, t2 = (
+        events.selectExpr(
+            "percentile_approx(ts, 0.33) p1", "percentile_approx(ts, 0.66) p2"
+        ).collect()[0]
+    )
+    parts = [
+        events.filter(F.col("ts") <= F.lit(t1)),
+        events.filter((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        events.filter(F.col("ts") > F.lit(t2)),
+    ]
+    os.makedirs(f"{tmpdir}/in")
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").json(f"{tmpdir}/src_{i}")
+        f = glob.glob(f"{tmpdir}/src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/in/{i:02d}.json")
+        os.utime(f"{tmpdir}/in/{i:02d}.json", (time.time() + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/in")
+    )
+    last: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            last[r["user_id"]] = (r["converted"], r["secs_to_purchase"])
+
+    q = (
+        streaming_purchase_conversion(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = {
+        r["user_id"]: (r["converted"], r["secs_to_purchase"])
+        for r in load_registry()["cep_purchase_within_hour"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert last == expected
+    assert len(expected) > 0
+    # sf0.001's event density yields no in-window conversion (sf0.01
+    # has 4) — both-verdict coverage comes from the synthetic test
+    # below, which drives the machine through flip and block paths
+
+
+def test_streaming_cep_verdict_can_flip_across_batches(spark, tmpdir):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, mins):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, typ, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # batch 1: u1 views; batch 2: error; batch 3: purchase in-window
+    batches = [
+        [ev(1, 1, "view", 0), ev(2, 2, "view", 0)],
+        [ev(3, 1, "error", 10), ev(4, 2, "purchase", 15)],
+        [ev(5, 1, "purchase", 20)],
+    ]
+    os.makedirs(f"{tmpdir}/in")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").json(f"{tmpdir}/src_{i}")
+        f = glob.glob(f"{tmpdir}/src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/in/{i:02d}.json")
+        os.utime(f"{tmpdir}/in/{i:02d}.json", (time.time() + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/in")
+    )
+    history: list[dict] = []
+
+    def capture(batch_df, batch_id):
+        history.append(
+            {
+                r["user_id"]: (r["converted"], r["secs_to_purchase"])
+                for r in batch_df.collect()
+            }
+        )
+
+    q = (
+        streaming_purchase_conversion(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(history) == 3
+    # u1: anchored -> still open -> closed-but-blocked by the earlier error
+    assert history[0][1] == (False, None)
+    assert history[1][1] == (False, None)
+    assert history[2][1] == (False, None)
+    # u2: anchored -> converted at +15min, verdict flips False -> True
+    assert history[0][2] == (False, None)
+    assert history[1][2] == (True, 900)
