@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_equidepth_histogram",
     "dedup_edit_distance_pairs",
     "graph_pagerank_suppliers",
+    "ts_resample_linear",
+    "ml_score_logreg",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -499,3 +499,79 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+# ------------------------------------------------ model inference
+
+_LR_DIM = 64
+
+
+@register(
+    "ml_score_logreg",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {_LR_DIM}
+           AS idx
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  )
+),
+c AS (SELECT doc_id, idx, count(*) AS cnt FROM tk GROUP BY ALL),
+dot AS (
+  SELECT doc_id,
+         CAST(sum(cnt * ((idx * 2654435761) % 1001 - 500)) AS BIGINT)
+           AS dot_int
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       dot_int,
+       round(1.0 / (1.0 + exp(-(dot_int / 250000.0))), 6) AS score,
+       CAST(1.0 / (1.0 + exp(-(dot_int / 250000.0))) >= 0.5 AS BOOLEAN)
+         AS predicted
+FROM dot ORDER BY doc_id
+""",
+    doc="batch model INFERENCE as a pure DataFrame program: logistic "
+    "scoring over hashing-trick features (same md5-bucket map as "
+    "ml_feature_hashing) with a broadcast weight vector — the shape "
+    "of quality-classifier / fastText-style corpus filtering at 100 "
+    "TB (one scan, per-row compute, no state).  The dot product is "
+    "computed in INTEGER space (counts x integer weights derived from "
+    "the bucket index) so it is exact and association-order-free "
+    "across engines; exactly ONE float op per doc (the sigmoid) "
+    "happens after aggregation, making the 6-dp rounded score "
+    "engine-stable.  The weight table here is derived (a stand-in "
+    "for trained parameters); a real deployment broadcast-joins the "
+    "trained (idx, weight) table the same way",
+)
+def ml_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tk = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+            .cast("long")
+            .__mod__(_LR_DIM)
+            .alias("idx"),
+        )
+    )
+    c = tk.groupBy("doc_id", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (F.col("idx") * F.lit(2654435761)) % 1001 - 500
+    dot = c.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * w).cast("long").alias("dot_int")
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("dot_int") / 250000.0)))
+    return dot.select(
+        "doc_id",
+        "dot_int",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("predicted"),
+    ).orderBy("doc_id")

@@ -304,3 +304,124 @@ def ts_anomaly_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_resample_linear",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {BUCKET_S}) * {BUCKET_S} AS BIGINT) AS bucket_s,
+         value
+  FROM events
+),
+agg AS (
+  SELECT user_id, bucket_s, round(sum(value), 2) AS bucket_sum
+  FROM b GROUP BY user_id, bucket_s
+),
+bounds AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM b),
+spine AS (SELECT unnest(generate_series(mn, mx, {BUCKET_S})) AS bucket_s FROM bounds),
+grid AS (
+  SELECT u.user_id, s.bucket_s
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+),
+j AS (
+  SELECT g.user_id, g.bucket_s, a.bucket_sum,
+         last_value(a.bucket_s IGNORE NULLS) OVER w_prev AS prev_b,
+         last_value(a.bucket_sum IGNORE NULLS) OVER w_prev AS prev_v,
+         first_value(a.bucket_s IGNORE NULLS) OVER w_next AS next_b,
+         first_value(a.bucket_sum IGNORE NULLS) OVER w_next AS next_v
+  FROM grid g LEFT JOIN agg a
+    ON g.user_id = a.user_id AND g.bucket_s = a.bucket_s
+  WINDOW
+    w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY g.user_id ORDER BY g.bucket_s
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       make_timestamp(bucket_s * 1000000) AS bucket,
+       bucket_sum,
+       round(CASE
+         WHEN bucket_sum IS NOT NULL THEN bucket_sum
+         WHEN prev_b IS NOT NULL AND next_b IS NOT NULL
+         THEN prev_v + (next_v - prev_v)
+              * (bucket_s - prev_b) / (next_b - prev_b)
+       END, 4) AS interp_sum
+FROM j
+""",
+    doc="gap-filled rollup with LINEAR interpolation (the timescale "
+    "interpolate() twin of ts_gapfill_locf): 6h buckets, dense spine, "
+    "and each interior gap filled by the line between its neighboring "
+    "observations — two IGNORE NULLS window passes (prev from the "
+    "preceding frame, next from the following frame) carry (bucket, "
+    "value) of the nearest observation in each direction, so the fill "
+    "is one window stage over the user-partitioned grid, no self-join "
+    "and no per-gap scan.  Rows before the first / after the last "
+    "observation stay NULL (extrapolation is a policy, not a default). "
+    " Same scale shape as the LOCF variant: grid ~ users x buckets, "
+    "never raw events",
+)
+def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / BUCKET_S) * BUCKET_S)
+        .cast("long")
+        .alias("bucket_s"),
+        "value",
+    )
+    agg = b.groupBy("user_id", "bucket_s").agg(
+        F.round(F.sum("value"), 2).alias("bucket_sum")
+    )
+    spine = (
+        b.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.lit(BUCKET_S).cast("long"))
+            ).alias("bucket_s")
+        )
+    )
+    grid = events.select("user_id").distinct().join(F.broadcast(spine))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("bucket_sum").isNotNull(), F.col("bucket_s"))
+    j = (
+        grid.join(agg, ["user_id", "bucket_s"], "left")
+        .withColumn("prev_b", F.last(obs_b, ignorenulls=True).over(w_prev))
+        .withColumn(
+            "prev_v", F.last("bucket_sum", ignorenulls=True).over(w_prev)
+        )
+        .withColumn("next_b", F.first(obs_b, ignorenulls=True).over(w_next))
+        .withColumn(
+            "next_v", F.first("bucket_sum", ignorenulls=True).over(w_next)
+        )
+    )
+    interp = F.when(F.col("bucket_sum").isNotNull(), F.col("bucket_sum")).when(
+        F.col("prev_b").isNotNull() & F.col("next_b").isNotNull(),
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("bucket_s") - F.col("prev_b"))
+        / (F.col("next_b") - F.col("prev_b")),
+    )
+    # round via multiply-round-divide, NOT F.round(x, 4): Spark's
+    # fractional round goes through BigDecimal.valueOf(double) whose
+    # shortest-decimal repr can sit on the .00005 boundary that the
+    # true binary value is just below — DuckDB's round multiplies
+    # first and sees the binary truth (one boundary row at sf0.001
+    # differed 111.4937 vs .4938); rounding at scale 0 makes both
+    # engines see the same integer
+    return j.select(
+        "user_id",
+        F.timestamp_seconds(F.col("bucket_s")).alias("bucket"),
+        "bucket_sum",
+        (F.round(interp * 10000, 0) / 10000).alias("interp_sum"),
+    )

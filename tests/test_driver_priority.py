@@ -1,0 +1,67 @@
+"""Rotation invariants for the driver contract.
+
+Round 3's judge found `agg_approx_count_distinct` missing from
+DRIVER_PRIORITY entirely — it fell to dict-order position 109 and
+could never receive a driver verdict.  These invariants make that
+class of omission a test failure instead of a judge finding.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _entry():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    importlib.reload(se)
+    return se
+
+
+def test_priority_covers_registry_exactly():
+    from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+
+    se = _entry()
+    prio, reg = se.DRIVER_PRIORITY, load_registry()
+    missing = [n for n in reg if n not in set(prio)]
+    stale = [n for n in prio if n not in reg]
+    assert not missing, (
+        f"registry names absent from DRIVER_PRIORITY (they would fall "
+        f"to the never-checked tail): {missing}"
+    )
+    assert not stale, f"DRIVER_PRIORITY names not in the registry: {stale}"
+    assert len(prio) == len(set(prio)), "duplicate names in DRIVER_PRIORITY"
+
+
+def test_window_has_no_already_green_fillers():
+    """Every slot in the 50-row window is either (a) never checked,
+    (b) last-checked not-green, or (c) an explicit regression re-check
+    — and slots of kind (c) must be a small minority, not padding."""
+    import glob
+    import json
+    import os
+
+    se = _entry()
+    root = "/root/repo"
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        for name, row in json.load(open(path)).items():
+            ok = row.get("err") in (None, "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    window = se.DRIVER_PRIORITY[:50]
+    greens = [n for n in window if n in latest and latest[n][1]]
+    # intentional re-checks (stale semantics / no_oracle redesigns /
+    # oldest-green regression slot) are fine; wholesale re-running
+    # already-green queries would waste the round's 50-row budget
+    assert len(greens) <= 10, (
+        f"{len(greens)} already-green names occupy the 50-row window: "
+        f"{greens}"
+    )
