@@ -105,6 +105,8 @@ DRIVER_PRIORITY: list[str] = [
     "graph_pagerank_suppliers",
     "ts_resample_linear",
     "ml_score_logreg",
+    "dash_peak_concurrency",
+    "basket_copurchase_pairs",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -575,3 +575,157 @@ def ml_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("predicted"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ sweep-line concurrency
+
+
+@register(
+    "dash_peak_concurrency",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marks)
+  GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT s_start AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT s_end + INTERVAL 1 SECOND AS t, -1 AS d FROM sessions
+),
+sweep AS (
+  SELECT t, sum(sum(d)) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM deltas GROUP BY t
+)
+SELECT CAST(max(live) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) AS BIGINT) AS n_change_points
+FROM sweep
+""",
+    doc="sweep-line interval analytics: peak concurrent user sessions. "
+    "Sessions come from the same 30-min-gap sessionization as "
+    "win_session_windows; each emits +1 at start and -1 just past its "
+    "inclusive end, the change points are aggregated per timestamp "
+    "(the map-side combine step — ties collapse BEFORE the running "
+    "sum, which is what makes the sweep associative), and one "
+    "cumulative sum over the ordered delta stream yields the live "
+    "count.  The global ordered sum is the scale caveat — but it runs "
+    "over CHANGE POINTS (2 per session), not events, and at 100 TB "
+    "you'd partition the sweep by coarse time range and prefix-sum "
+    "the per-range totals (a two-level scan), same cost class as "
+    "sort_global_ordinal_scalable",
+)
+def dash_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_order))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = (
+        marks.withColumn("sid", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sessions.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select(
+            (F.col("s_end") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w_sweep = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").alias("dd"))
+        .select("t", F.sum("dd").over(w_sweep).alias("live"))
+    )
+    return sweep.agg(
+        F.max("live").cast("long").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("long").alias("n_change_points"),
+    )
+
+
+# ------------------------------------------------ market basket
+
+
+@register(
+    "basket_copurchase_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+    doc="market-basket co-occurrence (the candidate-pair step of "
+    "A-priori / the input to item-item recommenders): distinct "
+    "(order, part) pairs self-joined per order, support >= 2, top-20. "
+    " Pair volume is sum over orders of k^2 where k = items per order "
+    "(TPC-H k <= 7) — bounded by the BASKET size, never by catalog or "
+    "order count, which is the property that keeps this tractable at "
+    "100 TB; degenerate mega-baskets (a cart with 10^4 items) would "
+    "get the same cap-and-truncate treatment as the dedup joins' "
+    "hot-shingle cap.  One shuffle on orderkey for the self-join, one "
+    "on the pair for the count",
+)
+def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -145,3 +145,37 @@ def test_pagerank_suppliers_dominate(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True)
     assert 0 < sum(ranks) < 1
     assert all(r > 0 for r in ranks)
+
+
+def test_peak_concurrency_synthetic_overlaps(spark, tmpdir):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, mins):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, "click", 1.0, "{}")
+
+    # u1: one session [0, 10]; u2: [5, 20]; u3: [8, 9]; u4: [60, 61]
+    # (a new session, outside the others) -> peak 3 during [8, 9]
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 10),
+        ev(3, 2, 5), ev(4, 2, 20),
+        ev(5, 3, 8), ev(6, 3, 9),
+        ev(7, 4, 60), ev(8, 4, 61),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    r = _q("dash_peak_concurrency")(spark, str(tmpdir)).collect()[0]
+    assert r["peak_concurrency"] == 3
+    # inclusive ends: a session ending exactly when another starts
+    # still overlaps for that second (the -1 lands one second later)
+    rows2 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 10), ev(4, 2, 20)]
+    spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    r2 = _q("dash_peak_concurrency")(spark, str(tmpdir)).collect()[0]
+    assert r2["peak_concurrency"] == 2
