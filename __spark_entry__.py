@@ -107,6 +107,8 @@ DRIVER_PRIORITY: list[str] = [
     "ml_score_logreg",
     "dash_peak_concurrency",
     "basket_copurchase_pairs",
+    "sim_sparse_tfidf_pairs",
+    "ts_outliers_mad",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -729,3 +729,194 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ------------------------------------------------ sparse TF-IDF cosine
+
+_TFIDF_DF_CAP = 100
+
+
+@register(
+    "sim_sparse_tfidf_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS term
+  FROM toks, (SELECT unnest(range(1, 4000)) AS i)
+  WHERE i + 2 <= len(a)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY ALL),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) <= {_TFIDF_DF_CAP}
+),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_a
+JOIN nrm nb ON nb.doc_id = d.doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT 20
+""",
+    doc="sparse-vector similarity via an inverted index: TF-IDF over "
+    "word 3-grams, cosine between docs computed ONLY where they share "
+    "a term (posting-list self-join + per-pair dot aggregation) — the "
+    "sparse twin of dedup_embedding_cosine, and the join shape of "
+    "every BM25/TF-IDF dedup pass.  Pair work is sum over terms of "
+    "df^2, never N^2, and the df cap (<= {_TFIDF_DF_CAP}; max "
+    "observed df at sf0.1 is 25, so the cap is headroom, not an "
+    "approximation here) bounds the quadratic term exactly like the "
+    "Jaccard join's shingle cap.  Norms aggregate per doc before the "
+    "join, so the pair stage ships (doc, term, weight) scalars only; "
+    "top-20 ordered on the ROUNDED cosine with id tiebreaks so the "
+    "cutoff is cross-engine stable",
+)
+def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 3 "
+                "THEN transform(sequence(1, size(split(lower(trim(text)), "
+                "'\\\\s+')) - 2), i -> concat("
+                " element_at(split(lower(trim(text)), '\\\\s+'), i), ' ',"
+                " element_at(split(lower(trim(text)), '\\\\s+'), i + 1), ' ',"
+                " element_at(split(lower(trim(text)), '\\\\s+'), i + 2)))"
+                "ELSE array() END"
+            )
+        ).alias("term"),
+    )
+    tf = grams.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _TFIDF_DF_CAP)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ robust outliers (MAD)
+
+
+@register(
+    "ts_outliers_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(d.med, 4) AS med,
+       round(m.mad, 4) AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (
+         WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med, m.mad
+ORDER BY d.event_type
+""",
+    doc="robust outlier detection via median absolute deviation — the "
+    "heavy-tail-safe twin of the z-score anomaly query "
+    "(ts_anomaly_daily_values): per event type, median, MAD, and the "
+    "count of values beyond 3 scaled MADs (1.4826 = consistency "
+    "constant for normal data).  Exact medians are the scale caveat: "
+    "each needs an ordered scan per group (Spark runs "
+    "percentile(0.5) as a typed aggregate, fine for bounded group "
+    "counts; an unbounded group universe would switch to "
+    "approx_percentile's mergeable sketch).  Two aggregate passes by "
+    "construction — MAD is a median OF deviations from a median — "
+    "with the per-type medians broadcast back both times",
+)
+def ts_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
