@@ -178,12 +178,14 @@ def agg_count_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.explode(
         F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
     ).alias("i")
+    # md5 once per token occurrence, then slice per depth row — the
+    # explode would otherwise recompute the digest _CM_DEPTH times
     cells = (
-        toks.select("w", rows)
+        toks.select(F.md5("w").alias("h"), rows)
         .select(
             "i",
             F.conv(
-                F.expr("substring(md5(w), i * 8 + 1, 8)"), 16, 10
+                F.expr("substring(h, i * 8 + 1, 8)"), 16, 10
             ).cast("long").__mod__(_CM_WIDTH).alias("col"),
         )
         .groupBy("i", "col")
