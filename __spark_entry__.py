@@ -109,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "basket_copurchase_pairs",
     "sim_sparse_tfidf_pairs",
     "ts_outliers_mad",
+    "cep_regex_journey_patterns",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -922,3 +922,77 @@ def ts_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ regex sequence CEP
+
+
+@register(
+    "cep_regex_journey_patterns",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'error' THEN 'e'
+                                    ELSE 's' END, ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+         AS browse_buy,
+       CAST(len(regexp_extract_all(s, 'ec*e')) AS BIGINT)
+         AS error_loops,
+       CAST(regexp_matches(s, 'v.*p') AS BOOLEAN) AS ever_converted
+FROM seq ORDER BY user_id
+""",
+    doc="regex CEP over symbolized journeys — the generalization of "
+    "cep_purchase_within_hour to ARBITRARY sequence patterns: each "
+    "user's ordered event types collapse to a one-char-per-event "
+    "string (v/c/p/e/s), and patterns become plain regexes "
+    "(browse-then-buy 'vc*p', error loops 'ec*e', any-conversion "
+    "'v.*p') counted with leftmost non-overlapping semantics — which "
+    "Java regex and RE2 agree on for these star-height-1 patterns.  "
+    "One shuffle (the per-user ordered agg); the symbol string is "
+    "bounded by events-per-user, the per-key state a streaming "
+    "version would carry.  At 100 TB journeys stay kilobytes because "
+    "the alphabet is event TYPES, and a hot user with millions of "
+    "events would be windowed first (the session or time-bucket ops) "
+    "— the same cap discipline as the dedup joins",
+)
+def cep_regex_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, sym))), x -> x.sym)"
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(s, 'vc*p', 0)"))
+        .cast("long")
+        .alias("browse_buy"),
+        F.size(F.expr("regexp_extract_all(s, 'ec*e', 0)"))
+        .cast("long")
+        .alias("error_loops"),
+        F.expr("s rlike 'v.*p'").alias("ever_converted"),
+    ).orderBy("user_id")
