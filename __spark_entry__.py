@@ -110,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "sim_sparse_tfidf_pairs",
     "ts_outliers_mad",
     "cep_regex_journey_patterns",
+    "ts_cusum_drift",
+    "ab_test_conversion",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

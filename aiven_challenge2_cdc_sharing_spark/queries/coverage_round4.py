@@ -996,3 +996,198 @@ def cep_regex_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("error_loops"),
         F.expr("s rlike 'v.*p'").alias("ever_converted"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------ CUSUM change-point
+
+
+@register(
+    "ts_cusum_drift",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT avg(total) AS mu, stddev_samp(total) AS sigma
+  FROM (SELECT total FROM daily ORDER BY day LIMIT 10)
+),
+s AS (
+  SELECT d.day, d.total, b.mu, b.sigma,
+         sum(d.total - b.mu - 0.5 * b.sigma) OVER w AS s_hi,
+         sum(d.total - b.mu + 0.5 * b.sigma) OVER w AS s_lo
+  FROM daily d CROSS JOIN base b
+  WINDOW w AS (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT day, total, mu, sigma,
+         s_hi - min(s_hi) OVER w AS cusum_hi,
+         max(s_lo) OVER w - s_lo AS cusum_lo
+  FROM s
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, total,
+       round(cusum_hi, 4) AS cusum_hi,
+       round(cusum_lo, 4) AS cusum_lo,
+       CAST(cusum_hi > 4 * sigma OR cusum_lo > 4 * sigma AS BOOLEAN)
+         AS drift
+FROM c ORDER BY day
+""",
+    doc="CUSUM change-point detection over the daily value series — "
+    "the sequential-drift twin of the point-anomaly ops (z-score, "
+    "MAD): baseline mean/std from the first 10 days, slack k=0.5 "
+    "sigma, threshold h=4 sigma.  The textbook recursion "
+    "C_t = max(0, C_{t-1} + dev_t) is NOT a window aggregate, but its "
+    "closed form IS: C_t = S_t - min_{j<=t} S_j for the running "
+    "deviation sum S — two stacked window passes (cumsum, then "
+    "running extreme of the cumsum), both engines express it "
+    "declaratively and whole-stage-codegen it.  The window is "
+    "unpartitioned but runs over DAYS (one row per day after the "
+    "aggregate), so the single-partition stage is bounded by the "
+    "calendar, not the data",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    first10 = daily.orderBy("day").limit(10)
+    base = first10.agg(
+        F.avg("total").alias("mu"),
+        F.stddev_samp("total").alias("sigma"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = daily.join(F.broadcast(base)).select(
+        "day",
+        "total",
+        "mu",
+        "sigma",
+        F.sum(
+            F.col("total") - F.col("mu") - 0.5 * F.col("sigma")
+        ).over(w).alias("s_hi"),
+        F.sum(
+            F.col("total") - F.col("mu") + 0.5 * F.col("sigma")
+        ).over(w).alias("s_lo"),
+    )
+    c = s.select(
+        "day",
+        "total",
+        "sigma",
+        (F.col("s_hi") - F.min("s_hi").over(w)).alias("cusum_hi"),
+        (F.max("s_lo").over(w) - F.col("s_lo")).alias("cusum_lo"),
+    )
+    return c.select(
+        "day",
+        "total",
+        F.round("cusum_hi", 4).alias("cusum_hi"),
+        F.round("cusum_lo", 4).alias("cusum_lo"),
+        (
+            (F.col("cusum_hi") > 4 * F.col("sigma"))
+            | (F.col("cusum_lo") > 4 * F.col("sigma"))
+        ).alias("drift"),
+    ).orderBy("day")
+
+
+# ------------------------------------------------ A/B significance
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+WITH assign AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase'
+                    AND ts < TIMESTAMP '2024-01-03' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT arm, count(*) AS n, sum(converted) AS conv
+  FROM assign GROUP BY arm
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+    max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+    max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+       CAST(abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS BOOLEAN)
+         AS significant_95
+FROM wide
+""",
+    doc="two-proportion z-test on deterministically hash-assigned "
+    "arms — the experimentation-platform readout: users split by "
+    "md5('ab1:'||id)%2 (the salted-hash assignment real A/B systems "
+    "use, reproducible across engines and runs, no RNG), per-user "
+    "conversion = a purchase inside the first-two-day window "
+    "(any-purchase saturates to p=1 over the 30-day fixture and "
+    "zeroes the pooled variance), pooled-variance z and the 95% "
+    "verdict.  One user-level aggregate, one 2-row arm aggregate, "
+    "one pivot — entirely map-side-combinable; at 100 TB the "
+    "per-user dedup is the only shuffle",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    early = (F.col("event_type") == "purchase") & (
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    assign = ev.groupBy("user_id").agg(
+        F.max(F.when(early, 1).otherwise(0)).alias("converted")
+    ).select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(2)
+        .alias("arm"),
+        "converted",
+    )
+    agg = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
