@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "cep_regex_journey_patterns",
     "ts_cusum_drift",
     "ab_test_conversion",
+    "udaf_source_stats_arrow",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

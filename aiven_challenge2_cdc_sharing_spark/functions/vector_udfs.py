@@ -87,3 +87,59 @@ def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
         )
 
     return embeddings.groupBy(label_col).applyInPandas(centroid, out_schema)
+
+
+def source_stats_arrow(docs):
+    """Per-source doc-length stats via ``applyInArrow`` — the
+    Arrow-native grouped path (Spark 4), completing the Python API
+    matrix next to pandas_udf / applyInPandas / mapInPandas /
+    grouped-agg / UDTF.  The group's batches arrive as a
+    ``pyarrow.Table`` and never materialize a pandas object, so
+    there's no BlockManager copy on either side of the fence —
+    the right call when the per-group logic is itself expressible
+    in Arrow compute kernels (here: count/mean/stddev/minmax of
+    n_chars).  Stats here are also JVM-expressible, which is
+    deliberate: the DuckDB oracle pins the Arrow path's results
+    against plain SQL, proving the API wiring rather than novel
+    math."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: no type annotations on the callback — PySpark resolves
+    # annotation strings against the module namespace, and pyarrow is
+    # imported locally here, so "pa.Table" hints make the eval-type
+    # inference crash with an UnboundLocalError
+    def stats(key, tbl):
+        col = tbl["n_chars"]
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "source": [key[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "mean_chars": pa.array(
+                    [round(pc.mean(col).as_py(), 4)], pa.float64()
+                ),
+                "sd_chars": pa.array(
+                    [
+                        round(pc.stddev(col, ddof=1).as_py(), 4)
+                        if n > 1
+                        else None
+                    ],
+                    pa.float64(),
+                ),
+                "min_chars": pa.array(
+                    [pc.min(col).as_py()], pa.int64()
+                ),
+                "max_chars": pa.array(
+                    [pc.max(col).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        stats,
+        schema=(
+            "source string, n_docs long, mean_chars double, "
+            "sd_chars double, min_chars long, max_chars long"
+        ),
+    )

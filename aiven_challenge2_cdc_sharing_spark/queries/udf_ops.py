@@ -228,3 +228,33 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+@register(
+    "udaf_source_stats_arrow",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(stddev_samp(n_chars), 4) AS sd_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc="grouped Arrow-native compute via applyInArrow (Spark 4): the "
+    "group's rows arrive as a pyarrow.Table, stats run in Arrow "
+    "compute kernels, and no pandas object is ever materialized on "
+    "either side of the serialization fence — the lowest-overhead "
+    "grouped-Python path, completing the API matrix next to "
+    "pandas_udf / applyInPandas / mapInPandas / grouped-agg / UDTF.  "
+    "Stats chosen to be JVM-expressible ON PURPOSE: the plain-SQL "
+    "oracle pins the Arrow path's wiring (grouping, schema mapping, "
+    "null handling) rather than novel math",
+)
+def udaf_source_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector_udfs import source_stats_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_stats_arrow(docs.select("source", "n_chars")).orderBy(
+        "source"
+    )
