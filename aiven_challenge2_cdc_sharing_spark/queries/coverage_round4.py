@@ -819,6 +819,12 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
         )
     )
+    # w feeds THREE consumers (both posting sides + the norms);
+    # without truncation Catalyst re-derives the whole
+    # explode->tf->df->join chain per consumer (plan audit counted 42
+    # exchanges, 3.4s) — one localCheckpoint collapses it to the
+    # materialized weight table reused three times
+    w = w.localCheckpoint(eager=False)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

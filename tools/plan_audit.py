@@ -66,7 +66,12 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 # still warns.
 ALLOWED_PYTHON = {"udtf_sentence_stats"}
 
+# - ts_outliers_mad: two exact-median passes by construction (MAD is a
+#   median OF deviations from a median): each percentile is a 2-phase
+#   typed aggregate and the deviation stream re-joins the broadcast
+#   median between them; every exchange moves (type, double) pairs.
 ALLOWED_EXCHANGES = {
+    "ts_outliers_mad": 8,
     "dedup_embedding_cosine": 9,
     "tpch_q8_market_share": 9,
     "search_bm25_ranking": 8,
