@@ -113,6 +113,8 @@ DRIVER_PRIORITY: list[str] = [
     "ts_cusum_drift",
     "ab_test_conversion",
     "udaf_source_stats_arrow",
+    "agg_corr_matrix_lineitem",
+    "prep_winsorize_values",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

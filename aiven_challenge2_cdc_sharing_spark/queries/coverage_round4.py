@@ -1197,3 +1197,141 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+# ------------------------------------------------ correlation matrix
+
+
+@register(
+    "agg_corr_matrix_lineitem",
+    oracle="""
+SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS r
+FROM lineitem
+UNION ALL
+SELECT 'quantity', 'discount', round(corr(l_quantity, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'quantity', 'tax', round(corr(l_quantity, l_tax), 6)
+FROM lineitem
+UNION ALL
+SELECT 'extendedprice', 'discount',
+       round(corr(l_extendedprice, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'extendedprice', 'tax', round(corr(l_extendedprice, l_tax), 6)
+FROM lineitem
+UNION ALL
+SELECT 'discount', 'tax', round(corr(l_discount, l_tax), 6)
+FROM lineitem
+ORDER BY col_a, col_b
+""",
+    doc="pairwise Pearson correlation matrix over the lineitem "
+    "measures in ONE aggregation pass: all six corr() aggregates "
+    "share the single scan and each is a moments accumulator "
+    "(sum x, sum y, sum xy, sum x2, sum y2, n) that combines "
+    "map-side — the feature-analysis prelude every modeling pipeline "
+    "runs, at a cost independent of row count beyond the scan.  "
+    "Long-form (col_a, col_b, r) output; the oracle's UNION of six "
+    "single-corr scans is the semantic spec while the engine runs "
+    "one multi-aggregate pass — same values, different plan, which "
+    "is the point",
+)
+def agg_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity", "extendedprice", "l_quantity", "l_extendedprice"),
+        ("quantity", "discount", "l_quantity", "l_discount"),
+        ("quantity", "tax", "l_quantity", "l_tax"),
+        ("extendedprice", "discount", "l_extendedprice", "l_discount"),
+        ("extendedprice", "tax", "l_extendedprice", "l_tax"),
+        ("discount", "tax", "l_discount", "l_tax"),
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(ca, cb), 6).alias(f"{a}|{b}")
+            for a, b, ca, cb in pairs
+        ]
+    )
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"`{a}|{b}`").alias("r"),
+                    )
+                    for a, b, _, _ in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.col_a", "p.col_b", "p.r").orderBy(
+        "col_a", "col_b"
+    )
+
+
+# ------------------------------------------------ winsorization
+
+
+@register(
+    "prep_winsorize_values",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE e.value < b.lo) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(count(*) FILTER (WHERE e.value > b.hi) AS BIGINT)
+         AS n_clipped_hi,
+       round(avg(greatest(b.lo, least(b.hi, e.value))), 4)
+         AS winsorized_mean,
+       round(avg(e.value), 4) AS raw_mean
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    doc="percentile winsorization — the robust-preprocessing step "
+    "(clip to [P1, P99] per group) every feature pipeline applies "
+    "before scale-sensitive math: per-type discrete percentile "
+    "bounds (percentile_disc picks an actual data value, identical "
+    "on both engines — no interpolation drift), broadcast back, "
+    "clip with greatest/least, report clipped counts and the "
+    "mean-shift.  Two aggregate passes (bounds, then clipped stats), "
+    "the bounds table is group-count-sized and broadcast — at 100 TB "
+    "the second pass is the only full scan and it carries no state "
+    "beyond the running means",
+)
+def prep_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+        .alias("hi"),
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo"), 1).otherwise(0)
+            ).cast("long").alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi"), 1).otherwise(0)
+            ).cast("long").alias("n_clipped_hi"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
