@@ -39,9 +39,19 @@ def main() -> int:
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         for name, row in json.load(open(path)).items():
             # fully green = no (real) error AND no explicit false on
-            # any of the three matches; None means the driver ran a
-            # weaker rows-only check, which still counts as its verdict
-            ok = row.get("err") in (None, "no_oracle") and not any(
+            # any of the three matches.  A 'no_oracle' row counted as
+            # a verdict ONLY while the query still has no oracle: once
+            # an oracle exists, the old rows-only row no longer
+            # attests anything and the query must re-check (this is
+            # exactly how agg_approx_count_distinct went invisible
+            # for two rounds — judge finding, round 3).
+            has_oracle = (
+                name in registry and registry[name].oracle is not None
+            )
+            ok = (
+                row.get("err") is None
+                or (row.get("err") == "no_oracle" and not has_oracle)
+            ) and not any(
                 row.get(k) is False
                 for k in ("rows_match", "schema_match", "hash_match")
             )
