@@ -276,12 +276,15 @@ WITH toks AS (
 ),
 d0 AS (SELECT w, w AS v FROM toks),
 d1 AS (
+  -- position range 1..40 is a hard ceiling well above any plausible
+  -- token length (Spark side uses sequence(1, length(w)) unbounded);
+  -- the i <= length() guard makes extra positions no-ops
   SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
-  FROM toks, (SELECT unnest(range(1, 9)) AS i) WHERE i <= length(w)
+  FROM toks, (SELECT unnest(range(1, 41)) AS i) WHERE i <= length(w)
 ),
 d2 AS (
   SELECT w, substr(v, 1, i - 1) || substr(v, i + 1) AS v
-  FROM d1, (SELECT unnest(range(1, 9)) AS i) WHERE i <= length(v)
+  FROM d1, (SELECT unnest(range(1, 41)) AS i) WHERE i <= length(v)
 ),
 vars AS (
   SELECT DISTINCT w, v FROM (
@@ -746,9 +749,11 @@ WITH toks AS (
   FROM documents
 ),
 grams AS (
+  -- positions generated from len(a) per document: no fixed ceiling
+  -- that a long document could silently overflow (Spark side uses
+  -- sequence(1, size-2) unbounded)
   SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS term
-  FROM toks, (SELECT unnest(range(1, 4000)) AS i)
-  WHERE i + 2 <= len(a)
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(a) - 1, 1))) AS i)
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY ALL),
 df AS (

@@ -90,8 +90,13 @@ def _fold_events(
         {
             "user_id": [key[0]],
             "converted": [converted],
+            # per-timestamp second truncation (p//1s - v//1s), NOT the
+            # floor of the microsecond delta: the batch twin computes
+            # unix_timestamp(p) - unix_timestamp(v), each truncated to
+            # whole seconds first, and the two differ by 1s whenever
+            # frac(p) < frac(v).
             "secs_to_purchase": [
-                (p_us - v_us) // 1_000_000 if converted else None
+                p_us // 1_000_000 - v_us // 1_000_000 if converted else None
             ],
         }
     )

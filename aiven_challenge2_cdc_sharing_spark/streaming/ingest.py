@@ -79,12 +79,21 @@ def run_dedup_ingest(
             # path) must surface — swallowing it would silently
             # re-admit every document in the batch.
             cond = getattr(exc, "getCondition", lambda: None)() or ""
+            # the os.path.exists fallback is only meaningful for local
+            # paths; for s3://, hdfs:// etc. it is always False and
+            # would misclassify a corrupt-footer/permission failure as
+            # "first batch", silently re-admitting every document
+            is_local = "://" not in corpus_path or corpus_path.startswith(
+                "file:"
+            )
             local = (
                 corpus_path[5:]
                 if corpus_path.startswith("file:")
                 else corpus_path
             )
-            if "PATH_NOT_FOUND" in cond or not os.path.exists(local):
+            if "PATH_NOT_FOUND" in cond or (
+                is_local and not os.path.exists(local)
+            ):
                 seen = None  # first batch: corpus doesn't exist yet
             else:
                 raise

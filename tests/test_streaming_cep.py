@@ -18,7 +18,13 @@ from aiven_challenge2_cdc_sharing_spark.streaming import (
 from aiven_challenge2_cdc_sharing_spark.tables import load_table
 
 
-def test_streaming_cep_matches_batch(spark, sf_dir, tmpdir):
+def test_streaming_cep_matches_batch(spark, tmpdir):
+    # sf0.01, not the default sf0.001: the smaller fixture has ZERO
+    # in-window conversions, so parity there never exercises
+    # secs_to_purchase (a 1s truncation bug survived exactly that gap)
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_CEP_SF_DIR", "/root/testdata/sf0.01"
+    )
     events = load_table(spark, sf_dir, "events")
     # three ts-ordered micro-batches: per-key in-order delivery, the
     # operator's stated contract (global ts split implies per-user
@@ -69,9 +75,9 @@ def test_streaming_cep_matches_batch(spark, sf_dir, tmpdir):
     }
     assert last == expected
     assert len(expected) > 0
-    # sf0.001's event density yields no in-window conversion (sf0.01
-    # has 4) — both-verdict coverage comes from the synthetic test
-    # below, which drives the machine through flip and block paths
+    # the whole point of running at sf0.01: some users must actually
+    # convert so secs_to_purchase parity is exercised, not vacuous
+    assert any(v[0] for v in expected.values())
 
 
 def test_streaming_cep_verdict_can_flip_across_batches(spark, tmpdir):
@@ -134,3 +140,43 @@ def test_streaming_cep_verdict_can_flip_across_batches(spark, tmpdir):
     # u2: anchored -> converted at +15min, verdict flips False -> True
     assert history[0][2] == (False, None)
     assert history[1][2] == (True, 900)
+
+
+def test_streaming_cep_subsecond_truncation_parity(spark, tmpdir):
+    """frac(purchase_ts) < frac(view_ts) is the case where floor of the
+    microsecond delta and per-timestamp second truncation differ by 1s;
+    the batch twin (unix_timestamp each side) uses the latter."""
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    v = dt.datetime(2025, 1, 1, 12, 0, 0, 900_000)
+    p = dt.datetime(2025, 1, 1, 12, 10, 0, 100_000)
+    df = spark.createDataFrame(
+        [(1, v, 7, "view", 1.0, "{}"), (2, p, 7, "purchase", 1.0, "{}")],
+        schema,
+    )
+    df.coalesce(1).write.mode("overwrite").json(f"{tmpdir}/src")
+    os.makedirs(f"{tmpdir}/in")
+    shutil.copy(glob.glob(f"{tmpdir}/src/part-*.json")[0], f"{tmpdir}/in/0.json")
+    stream = spark.readStream.schema(df.schema).json(f"{tmpdir}/in")
+    out: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            out[r["user_id"]] = (r["converted"], r["secs_to_purchase"])
+
+    q = (
+        streaming_purchase_conversion(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # truncated delta: 12:10:00 - 12:00:00 = 600s; the floored
+    # microsecond delta would be 599s
+    assert out == {7: (True, 600)}
