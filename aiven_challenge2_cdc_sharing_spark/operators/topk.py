@@ -78,3 +78,48 @@ def global_ordinal(
         )
         .drop("__pid")
     ), acc
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    val_col: str,
+    out_col: str = "prefix_sum",
+    partitions: int = 32,
+) -> DataFrame:
+    """Running sum over a total order WITHOUT a single-partition window
+    — the value-summing sibling of ``global_ordinal``: range-partition
+    by the sort key (ordered, non-overlapping key ranges), cumulative
+    sum within each partition (window parallelism = partition count),
+    then add broadcast per-partition offset totals.  Driver-side data
+    is ONE sum per partition.
+
+    localCheckpoint is load-bearing for the same reason as
+    ``global_ordinal``: range boundaries come from sampling, so the
+    offset job and the cumsum job must see identical partitioning."""
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in totals:
+        offsets[pid] = acc
+        acc += s or 0
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col, F.sum(val_col).over(w) + offset_map[F.col("__pid")]
+    ).drop("__pid")

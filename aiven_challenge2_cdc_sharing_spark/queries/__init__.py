@@ -52,6 +52,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round2,
         coverage_round3,
         coverage_round4,
+        coverage_round5,
         dashboards,
         extras2,
         ingest,

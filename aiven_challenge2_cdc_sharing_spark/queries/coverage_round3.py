@@ -180,10 +180,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("__e"), F.col("__q")), 6).alias("sim"),
         )
     )
+    # top-N FIRST via TakeOrderedAndProject (per-partition heaps +
+    # driver merge), THEN rank the <= N survivors: the rank window
+    # runs over a LIMIT-N input instead of single-partition-sorting
+    # every embedding (round-5 audit rule caught the original shape)
     ws = Window.orderBy(F.desc("sim"), F.col("doc_id"))
     sem = (
-        sem.withColumn("__rn", F.row_number().over(ws))
-        .filter(F.col("__rn") <= _TOP_N)
+        sem.orderBy(F.desc("sim"), F.col("doc_id"))
+        .limit(_TOP_N)
+        .withColumn("__rn", F.row_number().over(ws))
         .select("doc_id", F.col("__rn").alias("sr"))
     )
     fused = (

