@@ -3,7 +3,7 @@ from .incremental import (
     classification_deltas,
     run_incremental_counts,
 )
-from .cep import streaming_purchase_conversion
+from .cep import streaming_journey_patterns, streaming_purchase_conversion
 from .fanout import run_shared_serving
 from .ingest import run_dedup_ingest
 from .runtime import (
@@ -30,6 +30,7 @@ __all__ = [
     "run_incremental_counts",
     "run_snapshot_maintenance",
     "running_user_profiles",
+    "streaming_journey_patterns",
     "streaming_purchase_conversion",
     "windowed_counts",
     "write_once_per_batch",

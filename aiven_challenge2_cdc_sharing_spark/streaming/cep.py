@@ -116,3 +116,71 @@ def streaming_purchase_conversion(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- regex-journey streaming twin
+
+JOURNEY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("browse_buy", T.LongType()),
+        T.StructField("error_loops", T.LongType()),
+        T.StructField("ever_converted", T.BooleanType()),
+    ]
+)
+
+# the whole symbolized journey: ONE string per user, one char per
+# event — bounded by events-per-user (kilobytes at 100 TB because the
+# alphabet is event TYPES; a hot user would be windowed first, the
+# batch twin's documented cap discipline)
+JOURNEY_STATE_SCHEMA = T.StructType(
+    [T.StructField("s", T.StringType())]
+)
+
+_SYM = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+
+
+def _fold_journey(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    import re as _re
+
+    (s,) = state.get if state.exists else ("",)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    s += "".join(_SYM.get(t, "s") for t in rows["event_type"])
+    state.update((s,))
+    # leftmost non-overlapping count — Python re.findall and the batch
+    # twin's Java regexp_extract_all agree for these star-height-1
+    # patterns (parity-pinned in tests/test_streaming_cep.py)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(s)],
+            "browse_buy": [len(_re.findall("vc*p", s))],
+            "error_loops": [len(_re.findall("ec*e", s))],
+            "ever_converted": [bool(_re.search("v.*p", s))],
+        }
+    )
+
+
+def streaming_journey_patterns(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``cep_regex_journey_patterns``:
+    per-user symbol-buffer state (the journey string itself), regex
+    pattern counts re-emitted per micro-batch.
+
+    Same delivery contract as ``streaming_purchase_conversion``:
+    exact batch parity under per-key in-order delivery.  Unlike the
+    purchase machine this one keeps the full symbol string — that IS
+    the minimal sufficient state for arbitrary regex patterns (a DFA
+    per fixed pattern could drop it, but then the pattern set would
+    be frozen into the state schema; the string keeps the operator
+    pattern-agnostic, the same trade the batch twin makes)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fold_journey,
+        outputStructType=JOURNEY_OUTPUT_SCHEMA,
+        stateStructType=JOURNEY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

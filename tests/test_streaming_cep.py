@@ -180,3 +180,70 @@ def test_streaming_cep_subsecond_truncation_parity(spark, tmpdir):
     # truncated delta: 12:10:00 - 12:00:00 = 600s; the floored
     # microsecond delta would be 599s
     assert out == {7: (True, 600)}
+
+
+def test_streaming_journey_matches_batch(spark, sf_dir, tmpdir):
+    from aiven_challenge2_cdc_sharing_spark.streaming import (
+        streaming_journey_patterns,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    t1, t2 = (
+        events.selectExpr(
+            "percentile_approx(ts, 0.33) p1", "percentile_approx(ts, 0.66) p2"
+        ).collect()[0]
+    )
+    parts = [
+        events.filter(F.col("ts") <= F.lit(t1)),
+        events.filter((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        events.filter(F.col("ts") > F.lit(t2)),
+    ]
+    os.makedirs(f"{tmpdir}/in")
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").json(f"{tmpdir}/src_{i}")
+        f = glob.glob(f"{tmpdir}/src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/in/{i:02d}.json")
+        os.utime(f"{tmpdir}/in/{i:02d}.json", (time.time() + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/in")
+    )
+    last: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            last[r["user_id"]] = (
+                r["n_events"],
+                r["browse_buy"],
+                r["error_loops"],
+                r["ever_converted"],
+            )
+
+    q = (
+        streaming_journey_patterns(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = {
+        r["user_id"]: (
+            r["n_events"],
+            r["browse_buy"],
+            r["error_loops"],
+            r["ever_converted"],
+        )
+        for r in load_registry()["cep_regex_journey_patterns"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert last == expected
+    assert len(expected) > 0
+    # pattern coverage must not be vacuous at this scale
+    assert any(v[1] > 0 for v in expected.values())  # browse-buy fires
+    assert any(v[3] for v in expected.values())  # some user converted
