@@ -179,3 +179,288 @@ def dash_peak_concurrency_scalable(
         F.max("live").cast("long").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("long").alias("n_change_points"),
     )
+
+
+# --------------------------------------------- classical statistics
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+WITH vals AS (
+  SELECT value,
+         count(*) FILTER (WHERE event_type = 'view') AS d1,
+         count(*) FILTER (WHERE event_type = 'purchase') AS d2
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY value
+),
+cum AS (
+  SELECT sum(d1) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(d2) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM vals
+),
+tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2
+  FROM vals
+)
+SELECT tot.n1, tot.n2,
+       round(max(abs(c1 * 1.0 / tot.n1 - c2 * 1.0 / tot.n2)), 6)
+         AS ks_stat
+FROM cum, tot GROUP BY tot.n1, tot.n2
+""",
+    doc="two-sample Kolmogorov-Smirnov statistic ('view' vs "
+    "'purchase' value distributions): max ECDF gap over the pooled "
+    "distinct values.  The running counts go through "
+    "operators/topk.global_prefix_sum — the two per-sample counters "
+    "ride ONE prefix sum as a packed 64-bit pair (c1*2^32 + c2, "
+    "exact while n1 < 2^31), so the scale cost is one range "
+    "partition + per-partition cumsum, no single-partition window.  "
+    "The oracle computes the same ECDFs with plain windows",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("d1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("d2"),
+    )
+    packed = vals.select(
+        "value",
+        (F.col("d1") * F.lit(2**32) + F.col("d2")).alias("c"),
+    )
+    ps = global_prefix_sum(packed, [F.col("value")], "c", out_col="ps")
+    cum = ps.select(
+        F.floor(F.col("ps") / F.lit(2**32)).alias("c1"),
+        (F.col("ps") % F.lit(2**32)).alias("c2"),
+    )
+    tot = vals.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1") / F.col("n1")
+                        - F.col("c2") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderstatus AS st, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+tots AS (
+  SELECT seg, st, n,
+         sum(n) OVER (PARTITION BY seg) AS rn,
+         sum(n) OVER (PARTITION BY st) AS cn,
+         sum(n) OVER () AS nn
+  FROM cells
+)
+SELECT round(sum(pow(n - rn * cn * 1.0 / nn, 2) / (rn * cn * 1.0 / nn)), 6)
+         AS chi2,
+       CAST((count(DISTINCT seg) - 1) * (count(DISTINCT st) - 1) AS BIGINT)
+         AS dof
+FROM tots
+""",
+    doc="chi-square test of independence over the (market segment x "
+    "order status) contingency table: one join + one hash aggregate "
+    "produce the cells (15 rows regardless of data size), everything "
+    "after runs on the aggregate.  The Spark side derives row/column "
+    "totals by re-aggregating the cells (broadcast joins on a 15-row "
+    "table) instead of the oracle's windows — same arithmetic, no "
+    "window over the raw data anywhere",
+)
+def stats_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_t = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
+    col_t = cells.groupBy("st").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    joined = (
+        cells.join(F.broadcast(row_t), "seg")
+        .join(F.broadcast(col_t), "st")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("rn") * F.col("cn") / F.col("nn")
+    return joined.agg(
+        F.round(
+            F.sum(F.pow(F.col("n") - exp, 2) / exp), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("st") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM digits), 6) AS obs_p,
+       round(log10(1 + 1.0 / digit), 6) AS benford_p
+FROM digits GROUP BY digit ORDER BY digit
+""",
+    doc="Benford first-significant-digit profile of order totals (the "
+    "fraud-screening / data-quality classic): digit extraction is one "
+    "scan of arithmetic (no string ops), the rest runs on a 9-row "
+    "aggregate.  obs vs log10(1+1/d) expected shares, both rounded "
+    "6dp on both engines",
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        ).cast("long").alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("nn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("nn"), 6).alias("obs_p"),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias(
+                "benford_p"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------- mode + referential audit
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH counted AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS n
+FROM counted
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY n DESC, o_orderpriority) = 1
+ORDER BY o_orderstatus
+""",
+    doc="per-group mode (most frequent value) with a deterministic "
+    "lexicographic tie-break — count aggregate + rank-1 filter, the "
+    "portable formulation (native mode() functions leave ties "
+    "unspecified, which can never hash-match across engines).  The "
+    "rank window partitions by group over the aggregated counts",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders->customer' AS relation,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+) ORDER BY relation
+""",
+    doc="referential-integrity audit across the star schema's four "
+    "FK edges: each edge is an anti-join count (broadcast where the "
+    "dimension is small, shuffled hash where it isn't — Catalyst "
+    "picks per edge).  The canonical data-quality gate a 100 TB "
+    "ingest runs before publishing a snapshot; emits totals so the "
+    "orphan share is readable directly",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(fact, fk, dim, pk, name):
+        n_t = fact.count()
+        n_o = fact.join(
+            dim, fact[fk] == dim[pk], "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(name, n_t, n_o)], "relation string, n_total long, n_orphans long"
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = (
+        edge(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionAll(edge(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"))
+        .unionAll(edge(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionAll(edge(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"))
+    )
+    return out.orderBy("relation")
