@@ -464,3 +464,208 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edge(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"))
     )
     return out.orderBy("relation")
+
+
+# --------------------------------------------- time-series smoothing
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(list_reduce(list(x ORDER BY day),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 4)
+         AS ewma_final
+FROM daily GROUP BY event_type ORDER BY event_type
+""",
+    doc="exponentially-weighted moving average over each type's daily "
+    "value series (alpha 0.3, s1 = x1): the recursion folds the "
+    "day-ordered array with F.aggregate — a sequential JVM-side "
+    "reduce over ~30 elements per group, identical evaluation order "
+    "to the oracle's list_reduce so the doubles match bit-for-bit "
+    "before the 4dp round.  Grouped state is one array bounded by "
+    "the DATE domain, never event count; the closed-form window "
+    "formulation was rejected because (1-a)^-i overflows double "
+    "precision past ~80 days",
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "round(aggregate("
+                "  slice(transform(array_sort(collect_list(struct(day, x))),"
+                "        e -> e.x), 2, 100000),"
+                "  cast(transform(array_sort(collect_list(struct(day, x))),"
+                "       e -> e.x)[0] as double),"
+                "  (acc, x) -> 0.3 * x + 0.7 * acc), 4)"
+            ).alias("ewma_final"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_autocorr_lags",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT a.event_type, k.k, a.x AS x0, b.x AS xk
+  FROM daily a
+  JOIN (SELECT unnest([1, 2, 3, 7]) AS k) k ON TRUE
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + k.k * INTERVAL 1 DAY
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(x0, xk), 6) AS acf
+FROM lagged GROUP BY event_type, k ORDER BY event_type, lag_days
+""",
+    doc="autocorrelation of each type's daily value series at lags "
+    "1/2/3/7 days: the lagged pairing is an equi-JOIN on (type, "
+    "day+k) — co-partitioned, no ordered window — and corr() is a "
+    "single-pass commutative aggregate on both engines.  The join "
+    "runs on the daily AGGREGATE (date-domain-bounded), so the "
+    "data-scale work is exactly one groupBy of the raw events",
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(7))).alias("k")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("x").alias("xk"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (
+            F.col("bday")
+            == F.col("day") + F.col("k") * F.expr("INTERVAL 1 DAY")
+        ),
+    )
+    return (
+        pairs.groupBy(
+            "event_type", F.col("k").cast("long").alias("lag_days")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr(F.col("x"), F.col("xk")), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag_days")
+    )
+
+
+@register(
+    "ts_rolling_median_7d",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 4) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       quantile_disc(x, 0.5) OVER (PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+FROM daily ORDER BY event_type, day
+""",
+    doc="7-day rolling DISCRETE median of daily totals per event type "
+    "(robust smoother — the outlier-resistant twin of win_moving_sum). "
+    " Spark has no median window function, so the frame's <= 7 values "
+    "ride a collect_list window (bounded by the frame, not the data) "
+    "and the lower-middle element is picked to match quantile_disc.  "
+    "Daily totals round 4dp BEFORE the median so the picked value is "
+    "identical on both engines.  Window partitions by type, frames "
+    "over the date domain",
+)
+def ts_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list("x").over(w))
+    return daily.select(
+        "event_type",
+        "day",
+        F.element_at(
+            vals, F.ceil(F.size(vals) / 2.0).cast("int")
+        ).alias("med7"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "win_gaps_islands_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT o_custkey,
+         datediff('day', DATE '1990-01-01',
+                  CAST(date_trunc('day', o_orderdate) AS DATE)) AS dn
+  FROM orders
+),
+islands AS (
+  SELECT o_custkey,
+         dn - row_number() OVER (PARTITION BY o_custkey ORDER BY dn)
+           AS grp
+  FROM days
+),
+streaks AS (
+  SELECT CAST(count(*) AS BIGINT) AS streak_len
+  FROM islands GROUP BY o_custkey, grp
+)
+SELECT streak_len, CAST(count(*) AS BIGINT) AS n_islands
+FROM streaks GROUP BY streak_len ORDER BY streak_len
+""",
+    doc="gaps-and-islands: consecutive-order-day streaks per customer "
+    "(the classic sessionization-without-timestamps idiom — the "
+    "day-number-minus-row-number constant identifies each island), "
+    "then the global streak-length distribution.  All windows "
+    "partition by customer; day numbers are integer day diffs from a "
+    "fixed epoch so both engines group on exact integers",
+)
+def win_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("dn"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("dn")
+    islands = days.select(
+        "o_custkey", (F.col("dn") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_islands"))
+        .orderBy("streak_len")
+    )
