@@ -669,3 +669,374 @@ def win_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_islands"))
         .orderBy("streak_len")
     )
+
+
+# --------------------------------------------- model-adjacent operators
+
+_KF_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(c_custkey as string)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_KF_HASH_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "ml_kfold_assign",
+    oracle=f"""
+SELECT {_KF_HASH_DUCK} % 5 AS fold,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 /
+             (SELECT count(*) FROM customer), 6) AS share,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer GROUP BY fold ORDER BY fold
+""",
+    doc="deterministic k-fold cross-validation assignment (k=5) via "
+    "the md5-hash-bucket idiom shared with ml_stratified_sample_det: "
+    "reproducible across engines, runs and cluster sizes — no rand(), "
+    "no per-partition state, the property a CV split must have to be "
+    "auditable.  The oracle recomputes membership row-by-row so the "
+    "folds themselves are hash-checked, and per-fold balance stats "
+    "prove the hash spreads",
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per = (
+        cust.select(
+            (F.expr(_KF_HASH_SPARK) % 5).alias("fold"), "c_acctbal"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+    tot = per.agg(F.sum("n").alias("nn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("nn"), 6).alias("share"),
+            "avg_acctbal",
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle="""
+WITH s AS (
+  SELECT count(*) * 1.0 AS n,
+         sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sx1x1,
+         sum(l_quantity * l_discount) AS sx1x2,
+         sum(l_discount * l_discount) AS sx2x2,
+         sum(l_quantity * l_extendedprice) AS sx1y,
+         sum(l_discount * l_extendedprice) AS sx2y
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+              - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+              + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y))
+             / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+                - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+                + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)), 4) AS b0,
+       round((n * (sx1y * sx2x2 - sx1x2 * sx2y)
+              - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+              + sx2 * (sx1 * sx2y - sx1y * sx2))
+             / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+                - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+                + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)), 4) AS b1,
+       round((n * (sx1x1 * sx2y - sx1y * sx1x2)
+              - sx1 * (sx1 * sx2y - sx1y * sx2)
+              + sy * (sx1 * sx1x2 - sx1x1 * sx2))
+             / (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+                - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+                + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)), 4) AS b2
+FROM s
+""",
+    doc="closed-form multiple linear regression (extendedprice ~ "
+    "quantity + discount) via the 3x3 normal equations solved with "
+    "Cramer's rule on NINE one-pass sums — the classic single-scan "
+    "distributed OLS: the Gram matrix is a commutative-associative "
+    "aggregate, the solve is driver-free scalar arithmetic on the "
+    "aggregate row.  The same shape holds for any p with p^2 sums "
+    "(emb_pca_top_component builds exactly that Gram for 64 dims).  "
+    "Both engines evaluate the identical determinant expressions",
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("l_quantity").alias("sx1"),
+        F.sum("l_discount").alias("sx2"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sx1x1"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("sx1x2"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("sx2x2"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sx1y"),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias("sx2y"),
+    )
+    det = (
+        F.col("n") * (F.col("sx1x1") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx1x2"))
+        - F.col("sx1") * (F.col("sx1") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx1") * F.col("sx1x2") - F.col("sx1x1") * F.col("sx2"))
+    )
+    det0 = (
+        F.col("sy") * (F.col("sx1x1") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx1x2"))
+        - F.col("sx1") * (F.col("sx1y") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx2y"))
+        + F.col("sx2") * (F.col("sx1y") * F.col("sx1x2") - F.col("sx1x1") * F.col("sx2y"))
+    )
+    det1 = (
+        F.col("n") * (F.col("sx1y") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx2y"))
+        - F.col("sy") * (F.col("sx1") * F.col("sx2x2") - F.col("sx1x2") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx1") * F.col("sx2y") - F.col("sx1y") * F.col("sx2"))
+    )
+    det2 = (
+        F.col("n") * (F.col("sx1x1") * F.col("sx2y") - F.col("sx1y") * F.col("sx1x2"))
+        - F.col("sx1") * (F.col("sx1") * F.col("sx2y") - F.col("sx1y") * F.col("sx2"))
+        + F.col("sy") * (F.col("sx1") * F.col("sx1x2") - F.col("sx1x1") * F.col("sx2"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(det0 / det, 4).alias("b0"),
+        F.round(det1 / det, 4).alias("b1"),
+        F.round(det2 / det, 4).alias("b2"),
+    )
+
+
+_NB_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_NB_HASH_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "ml_naive_bayes_score",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS a,
+         {_NB_HASH_DUCK} % 100 < 80 AS is_train
+  FROM documents
+),
+train_tok AS (
+  SELECT lang, unnest(a) AS w FROM base WHERE is_train
+),
+cnt AS (SELECT lang, w, count(*) AS c FROM train_tok GROUP BY 1, 2),
+lang_tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM train_tok),
+prior AS (
+  SELECT lang, ln(count(*) * 1.0 /
+           (SELECT count(*) FROM base WHERE is_train)) AS lp
+  FROM base WHERE is_train GROUP BY lang
+),
+test_tok AS (
+  SELECT doc_id, lang AS actual, unnest(a) AS w FROM base WHERE NOT is_train
+),
+scored AS (
+  SELECT t.doc_id, t.actual, p.lang,
+         p.lp + sum(ln((coalesce(c.c, 0) + 1.0) / (lt.tot + vocab.v)))
+           AS score
+  FROM test_tok t
+  JOIN prior p ON TRUE
+  JOIN lang_tot lt ON lt.lang = p.lang
+  JOIN vocab ON TRUE
+  LEFT JOIN cnt c ON c.lang = p.lang AND c.w = t.w
+  GROUP BY t.doc_id, t.actual, p.lang, p.lp
+),
+pred AS (
+  SELECT doc_id, actual, lang AS predicted
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang) = 1
+)
+SELECT actual,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (WHERE predicted = actual) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY actual ORDER BY actual
+""",
+    doc="multinomial naive Bayes language classifier, trained and "
+    "scored entirely as joins/aggregates: Laplace-smoothed token "
+    "log-likelihoods from the 80pct hash-split train partition, test "
+    "docs scored by summing per-token log-probs per candidate lang "
+    "(tokens x |langs| rows — the candidate set is the bounded "
+    "fan-out), argmax via a per-doc rank.  Unseen tokens take the "
+    "smoothing floor through the LEFT-join coalesce.  This is the "
+    "classic MapReduce NB formulation: model = two aggregate tables, "
+    "scoring = one broadcast join, nothing iterative",
+)
+def ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("a"),
+        (F.expr(_NB_HASH_SPARK) % 100 < 80).alias("is_train"),
+    )
+    train_tok = (
+        docs.filter("is_train")
+        .select("lang", F.explode("a").alias("w"))
+    )
+    cnt = train_tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = train_tok.agg(F.count_distinct("w").alias("v"))
+    n_train = docs.filter("is_train").count()
+    prior = (
+        docs.filter("is_train")
+        .groupBy("lang")
+        .agg(F.log(F.count(F.lit(1)) / F.lit(float(n_train))).alias("lp"))
+    )
+    test_tok = (
+        docs.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("actual"), F.explode("a").alias("w"))
+    )
+    cand = (
+        test_tok.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(cnt), ["lang", "w"], "left")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+    )
+    scored = cand.groupBy("doc_id", "actual", "lang", "lp").agg(
+        F.sum(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("v"))
+            )
+        ).alias("ll")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("lp") + F.col("ll")), "lang"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("predicted") == F.col("actual"), 1))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("actual")
+    )
+
+
+# --------------------------------------------- lexical statistics
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+top AS (
+  SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 1000
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(ln(n), ln(r)), 6) AS zipf_slope,
+       round(regr_intercept(ln(n), ln(r)), 6) AS zipf_intercept,
+       round(regr_r2(ln(n), ln(r)), 6) AS r2
+FROM ranked
+""",
+    doc="Zipf's-law fit of the corpus token rank-frequency curve: "
+    "log-log OLS slope over the top-1000 tokens (a natural corpus "
+    "sanity metric for LLM data — heavily boilerplated corpora bend "
+    "the curve).  Token counting is the data-scale part (one "
+    "explode + groupBy); top-1000 goes through TakeOrdered, and the "
+    "rank window runs on the LIMIT-1000 survivors only (plan-audit "
+    "allowlisted for exactly that reason).  regr_* aggregates are "
+    "one-pass on both engines",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.desc("n"), "w").limit(1000)
+    wr = Window.orderBy(F.desc("n"), "w")
+    ranked = top.select(
+        "n", F.row_number().over(wr).alias("r")
+    )
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )
+
+
+@register(
+    "text_ttr_lexical_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+       round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+         AS hapax_share
+FROM cnt GROUP BY source ORDER BY source
+""",
+    doc="lexical-diversity profile per source: type-token ratio and "
+    "hapax-legomena share (the vocabulary-richness screens used in "
+    "corpus quality filtering, complementing the Gopher-style "
+    "repetition checks).  Two hash aggregates — (source, token) "
+    "counts, then per-source rollup; integer ratios so the 6dp round "
+    "is stable everywhere",
+)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+            F.round(
+                F.count(F.when(F.col("c") == 1, 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
