@@ -291,6 +291,10 @@ def stats_chi_square_independence(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # localCheckpoint: the 15-row contingency table feeds FOUR
+    # consumers (row/col/grand totals + the cells themselves); without
+    # it Catalyst re-derives the orders-customer join per consumer
+    # (16 exchanges, audit-flagged) — with it the big join runs once
     cells = (
         orders.join(
             cust, orders.o_custkey == cust.c_custkey
@@ -300,6 +304,7 @@ def stats_chi_square_independence(
             F.col("o_orderstatus").alias("st"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     row_t = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
     col_t = cells.groupBy("st").agg(F.sum("n").alias("cn"))

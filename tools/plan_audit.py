@@ -100,6 +100,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "search_hybrid_rrf": "rank legs over LIMIT-20 inputs "
     "(TakeOrdered upstream bounds both windows)",
     "ts_anomaly_daily_values": "per-day aggregate input (date domain)",
+    "text_zipf_fit": "rank over the LIMIT-1000 input (TakeOrdered upstream)",
 }
 
 
@@ -157,6 +158,17 @@ ALLOWED_EXCHANGES = {
     "profile_orders_columns": 10,
     "text_perplexity_filter": 10,
     "user_behavior_entropy": 9,
+    # ml_naive_bayes_score: model build = four aggregate tables (token
+    # counts, lang totals, vocab size, priors) — separate groupBys by
+    # design, same family as the BM25/TF-IDF index builds; every
+    # exchange carries (lang, token, count) tuples or 5-row model
+    # tables (broadcast back), never document text.
+    "ml_naive_bayes_score": 14,
+    # stats_chi_square_independence: the orders-customer join runs
+    # ONCE (cells are localCheckpoint'ed); every exchange after it
+    # re-aggregates/joins the 15-row contingency table — count is
+    # structural, bytes are trivial.
+    "stats_chi_square_independence": 8,
 }
 
 
