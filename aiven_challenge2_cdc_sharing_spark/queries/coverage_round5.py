@@ -1045,3 +1045,497 @@ def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- graph metrics
+
+
+@register(
+    "graph_triangle_count_trade",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
+          SELECT u AS x FROM pairs UNION SELECT v FROM pairs))
+         AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles
+""",
+    doc="triangle counting on the nation trade graph (nations linked "
+    "when a customer of one buys from a supplier of the other): the "
+    "edge DERIVATION is the data-scale part — a 4-way fact join "
+    "reduced to distinct nation pairs before any graph work.  The "
+    "count joins ordered edges (u<v) so each triangle is counted "
+    "once at its smallest vertex: this is the orientation trick that "
+    "keeps distributed triangle counting near-linear in edges — on "
+    "an unbounded node domain you'd orient by (degree, id) instead "
+    "of raw id so hub vertices don't own quadratic wedge sets, but "
+    "the join SHAPE (edges⋈edges⋈edges, all equi) is unchanged",
+)
+def graph_triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers; edge set is tiny
+    )
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = pairs.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        pairs.join(e2, F.col("v") == F.col("b"))
+        .join(
+            e3,
+            (F.col("u") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("x"))
+        .union(pairs.select("v"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("t").cast("long").alias("n_triangles"),
+        )
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+common AS (
+  SELECT x.a AS u, y.a AS v, count(*) AS cn
+  FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+)
+SELECT common.u, common.v, CAST(cn AS BIGINT) AS n_common,
+       round(cn * 1.0 / (du.d + dv.d - cn), 6) AS jaccard
+FROM common
+JOIN deg du ON du.a = common.u
+JOIN deg dv ON dv.a = common.v
+ORDER BY jaccard DESC, u, v LIMIT 20
+""",
+    doc="neighborhood similarity (common-neighbor count + Jaccard) "
+    "over the nation trade graph — the link-prediction primitive: "
+    "wedges come from ONE self-equi-join of the adjacency list on "
+    "the shared endpoint, degrees from one aggregate.  At unbounded "
+    "scale the wedge join is bounded by sum(deg^2), which is what "
+    "hub-capping controls (the same hot-bucket discipline as the "
+    "dedup LSH joins); every pair with a common neighbor appears "
+    "naturally — no V^2 enumeration",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    x = adj
+    y = adj.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    common = (
+        x.join(y, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("a2")))
+        .groupBy(F.col("a").alias("u"), F.col("a2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("n_common"),
+            F.round(
+                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- bloom-prefilter join
+
+_BLOOM_M = 8192
+
+
+def _bloom_pos_spark(key: str, i: int) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col(key).cast("string"), F.lit(str(i)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .__mod__(_BLOOM_M)
+    )
+
+
+def _bloom_pos_duck(key: str, i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR) || '#{i}'),"
+        f" 1, 15)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1 ORDER BY month
+""",
+    doc="Bloom-filter join pruning, built explicitly from relational "
+    "ops (the hand-rolled version of Spark's AQE runtime filter): "
+    "the BUILDING-customer keys hash into k=3 positions of an 8192-"
+    "bit filter (a <=8192-row broadcast set), orders keep only rows "
+    "whose 3 probe positions ALL hit, and the surviving ~segment-"
+    "share of orders flows into the exact semi-join.  The oracle is "
+    "the PLAIN join — identical answer proves the prefilter admits "
+    "false positives only (removed by the exact join) and never "
+    "drops a true match.  At 100 TB this is the shape that cuts the "
+    "fact-side shuffle by the filter's selectivity before any join "
+    "runs",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bits = (
+        cust.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark("c_custkey", i) for i in range(3)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # <=8192 rows, feeds 3 probes
+    )
+    probe = orders
+    for i in range(3):
+        probe = probe.join(
+            F.broadcast(bits),
+            _bloom_pos_spark("o_custkey", i) == F.col("pos"),
+            "left_semi",
+        )
+    exact = probe.join(
+        F.broadcast(cust.select("c_custkey")),
+        probe.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return (
+        exact.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------- positional phrase search
+
+
+@register(
+    "search_phrase_match",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_occurrences
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(a), 1))) AS i)
+  WHERE a[i] = 'big' AND a[i+1] = 'join'
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM hits ORDER BY n_occurrences DESC, doc_id LIMIT 20
+""",
+    doc="positional phrase search ('big join'): the adjacency check "
+    "runs on a positional posting list — token + position from one "
+    "explode, phrase hit = same doc, consecutive positions.  This is "
+    "the inverted-index-with-positions primitive under every phrase/"
+    "proximity query; the Spark side joins the two terms' posting "
+    "lists on (doc, pos+1), so the cost is |postings(t1)| + "
+    "|postings(t2)|, never a text rescan.  Top-20 docs by occurrence",
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "w"),
+    )
+    t1 = post.filter(F.col("w") == "big").select("doc_id", "pos")
+    t2 = post.filter(F.col("w") == "join").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("pos") + 1),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- geo nearest-neighbor
+
+# deterministic synthetic coordinates: the fixture has no geo columns,
+# so both engines derive (lat, lon) from the same md5 of the entity key
+# — reproducible, uniform, and hash-checkable row by row
+_LAT_SPARK = (
+    "(cast(conv(substr(md5(concat(cast({k} as string), '#lat')), 1, 15),"
+    " 16, 10) as bigint) % 18000) / 100.0 - 90"
+)
+_LON_SPARK = (
+    "(cast(conv(substr(md5(concat(cast({k} as string), '#lon')), 1, 15),"
+    " 16, 10) as bigint) % 36000) / 100.0 - 180"
+)
+_LAT_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#lat'), 1, 15))"
+    " AS BIGINT) % 18000) / 100.0 - 90"
+)
+_LON_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#lon'), 1, 15))"
+    " AS BIGINT) % 36000) / 100.0 - 180"
+)
+
+
+@register(
+    "geo_haversine_nearest",
+    oracle=f"""
+WITH s AS (
+  SELECT s_suppkey, s_nationkey,
+         radians({_LAT_DUCK.format(k='s_suppkey')}) AS la1,
+         radians({_LON_DUCK.format(k='s_suppkey')}) AS lo1
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey, c_nationkey,
+         radians({_LAT_DUCK.format(k='c_custkey')}) AS la2,
+         radians({_LON_DUCK.format(k='c_custkey')}) AS lo2
+  FROM customer
+),
+dists AS (
+  SELECT s_suppkey, c_custkey,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((la2 - la1) / 2), 2)
+           + cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
+         )) AS dist
+  FROM s JOIN c ON s.s_nationkey = c.c_nationkey
+)
+SELECT s_suppkey, c_custkey AS nearest_custkey,
+       round(dist, 2) AS dist_km
+FROM dists
+QUALIFY row_number() OVER (PARTITION BY s_suppkey
+                           ORDER BY dist, c_custkey) = 1
+ORDER BY s_suppkey
+""",
+    doc="nearest-neighbor geo join: each supplier's closest customer "
+    "in its nation by haversine distance over deterministic md5-"
+    "derived coordinates.  The nation equi-key blocks the pair space "
+    "(the standard geo trick — at 100 TB you'd block by geohash/S2 "
+    "cell + neighbor cells instead of an attribute, same join shape), "
+    "haversine is pure JVM arithmetic, and the per-supplier argmin is "
+    "a min(struct) aggregate — no window over the pair stream",
+)
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        f"radians({_LAT_SPARK.format(k='s_suppkey')}) la1",
+        f"radians({_LON_SPARK.format(k='s_suppkey')}) lo1",
+    )
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        f"radians({_LAT_SPARK.format(k='c_custkey')}) la2",
+        f"radians({_LON_SPARK.format(k='c_custkey')}) lo2",
+    )
+    dist = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin((F.col("la2") - F.col("la1")) / 2), 2)
+            + F.cos("la1")
+            * F.cos("la2")
+            * F.pow(F.sin((F.col("lo2") - F.col("lo1")) / 2), 2)
+        )
+    )
+    pairs = supp.join(
+        cust, F.col("s_nationkey") == F.col("c_nationkey")
+    ).select("s_suppkey", "c_custkey", dist.alias("dist"))
+    best = (
+        pairs.groupBy("s_suppkey")
+        .agg(F.min(F.struct("dist", "c_custkey")).alias("b"))
+        .select(
+            "s_suppkey",
+            F.col("b.c_custkey").alias("nearest_custkey"),
+            F.round(F.col("b.dist"), 2).alias("dist_km"),
+        )
+    )
+    return best.orderBy("s_suppkey")
+
+
+# --------------------------------------------- RAKE keyword extraction
+
+_RAKE_STOP = (
+    "'a', 'the', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'"
+)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS p, a[i] AS w
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)
+),
+content AS (
+  SELECT doc_id, p, w FROM pos WHERE w NOT IN ({_RAKE_STOP})
+),
+islands AS (
+  SELECT doc_id, w,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM content
+),
+phrases AS (
+  SELECT doc_id, grp, count(*) AS plen FROM islands GROUP BY 1, 2
+),
+word_stats AS (
+  SELECT i.w,
+         count(*) AS freq,
+         sum(ph.plen) AS degree
+  FROM islands i
+  JOIN phrases ph ON ph.doc_id = i.doc_id AND ph.grp = i.grp
+  GROUP BY i.w
+)
+SELECT w AS keyword, CAST(freq AS BIGINT) AS freq,
+       CAST(degree AS BIGINT) AS degree,
+       round(degree * 1.0 / freq, 4) AS rake_score
+FROM word_stats
+ORDER BY rake_score DESC, keyword LIMIT 20
+""",
+    doc="RAKE keyword extraction (Rose et al.): candidate phrases are "
+    "maximal stopword-free token runs — found with the gaps-and-"
+    "islands idiom on token positions instead of regex splitting, so "
+    "both engines segment identically — and each word scores "
+    "degree/frequency where degree sums the lengths of phrases "
+    "containing it.  Windows partition by doc; phrase stats join "
+    "back on (doc, island) — all equi-joins on the exploded token "
+    "stream, no text re-parsing",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = [s.strip().strip("'") for s in _RAKE_STOP.split(",")]
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    content = pos.filter(~F.col("w").isin(stop))
+    wi = Window.partitionBy("doc_id").orderBy("p")
+    islands = content.select(
+        "doc_id", "w", (F.col("p") - F.row_number().over(wi)).alias("grp")
+    )
+    phrases = islands.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    stats = (
+        islands.join(phrases, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    return (
+        stats.select(
+            F.col("w").alias("keyword"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("degree").cast("long").alias("degree"),
+            F.round(F.col("degree") / F.col("freq"), 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "keyword")
+        .limit(20)
+    )
