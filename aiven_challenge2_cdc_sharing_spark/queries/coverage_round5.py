@@ -1104,10 +1104,14 @@ def graph_triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = pairs.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    # the edge set is bounded by the nation-pair domain (<= 300 rows):
+    # broadcast both join legs so the triangle enumeration is
+    # shuffle-free; on an unbounded graph these become shuffled
+    # equi-joins partitioned by the shared endpoint
     tri = (
-        pairs.join(e2, F.col("v") == F.col("b"))
+        pairs.join(F.broadcast(e2), F.col("v") == F.col("b"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("u") == F.col("a2")) & (F.col("c") == F.col("c2")),
         )
         .agg(F.count(F.lit(1)).alias("t"))

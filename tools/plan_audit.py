@@ -169,6 +169,11 @@ ALLOWED_EXCHANGES = {
     # re-aggregates/joins the 15-row contingency table — count is
     # structural, bytes are trivial.
     "stats_chi_square_independence": 8,
+    # graph_triangle_count_trade: the 4-way fact join runs once
+    # (edges localCheckpoint'ed); the remaining exchanges are the
+    # three independent aggregates (nodes / edges / triangles) over
+    # the <= 300-row edge table, each a 2-phase agg by construction.
+    "graph_triangle_count_trade": 8,
 }
 
 
