@@ -44,66 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (agg_stats_by_segment, r01).  Every name passed the local 3-scale
 # oracle gate (tools/oracle_check.py at sf0.001/0.01/0.1) before queuing.
 DRIVER_PRIORITY: list[str] = [
-    "funnel_view_purchase",
-    "cohort_weekly_retention",
-    "agg_value_histogram",
-    "cdc_kafka_wire_decode",
-    "agg_salted_event_counts",
-    "win_percent_rank_scalable",
-    "ml_stratified_sample_det",
-    "text_bigram_pmi",
-    "privacy_k_anonymity",
-    "join_null_safe_eq",
-    "text_bpe_token_counts",
-    "text_lang_id_stopword",
-    "dedup_simhash_signatures",
-    "text_bpe_train_merges",
-    "text_bpe_encode_compression",
-    "dedup_semantic_pairs",
-    "search_hybrid_rrf",
-    "agg_hll_sketch_partial_merge",
-    "ml_feature_hashing",
-    "cdc_snapshot_diff",
-    "text_gopher_quality_filter",
-    "dedup_incremental_near",
-    "emb_pca_top_component",
-    "emb_random_projection",
-    "ml_weighted_sample_es",
-    "mm_decode_wav_features",
-    "ml_eval_auc_prf",
-    "ml_eval_calibration_bins",
-    "dash_sliding_distinct_hll",
-    "text_pipeline_e2e",
-    "join_lateral_top2_orders",
-    "fn_try_suite",
-    "dash_top_event_paths",
-    "agg_regr_value_by_hour",
-    "agg_bitwise_flags",
-    "dash_value_percentiles_daily",
-    "join_range_binned_scale",
-    "dedup_incremental_batch",
-    "profile_orders_columns",
-    "text_repetition_ratio",
-    "dedup_containment_pairs",
-    "search_bm25_ranking",
-    "text_tfidf_top_terms",
-    "ts_gapfill_locf",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "agg_approx_count_distinct",
-    "dedup_minhash_near_pairs",
-    "dedup_jaccard_threshold_pairs",
-    "agg_stats_by_segment",
-    # -- positions 51+: fresh round-4 additions first (never checked,
-    # 3-scale gated — next round's window), then already-green
-    # queries, oldest driver verdict first (regression rotation) --
     "text_bpe_train_merges_batched",
     "cep_purchase_within_hour",
     "agg_count_min_probe",
     "agg_equidepth_histogram",
     "dedup_edit_distance_pairs",
     "graph_pagerank_suppliers",
-    "ts_resample_linear",
     "ml_score_logreg",
     "dash_peak_concurrency",
     "basket_copurchase_pairs",
@@ -112,9 +58,32 @@ DRIVER_PRIORITY: list[str] = [
     "cep_regex_journey_patterns",
     "ts_cusum_drift",
     "ab_test_conversion",
-    "udaf_source_stats_arrow",
     "agg_corr_matrix_lineitem",
     "prep_winsorize_values",
+    "agg_equidepth_histogram_scalable",
+    "dash_peak_concurrency_scalable",
+    "stats_ks_two_sample",
+    "stats_chi_square_independence",
+    "stats_benford_first_digit",
+    "agg_mode_per_group",
+    "dq_referential_orphans",
+    "ts_ewma_smooth",
+    "ts_autocorr_lags",
+    "ts_rolling_median_7d",
+    "win_gaps_islands_streaks",
+    "ml_kfold_assign",
+    "ml_linreg_normal_eq",
+    "ml_naive_bayes_score",
+    "text_zipf_fit",
+    "text_ttr_lexical_diversity",
+    "graph_triangle_count_trade",
+    "graph_common_neighbors",
+    "join_bloom_prefilter",
+    "search_phrase_match",
+    "geo_haversine_nearest",
+    "text_rake_keywords",
+    "ts_resample_linear",
+    "udaf_source_stats_arrow",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",
@@ -255,7 +224,58 @@ DRIVER_PRIORITY: list[str] = [
     "sim_label_centroids",
     "mm_decode_features",
     "mm_frame_sample",
-    "udtf_sentence_stats",]
+    "udtf_sentence_stats",
+    "agg_stats_by_segment",
+    "agg_approx_count_distinct",
+    "funnel_view_purchase",
+    "cohort_weekly_retention",
+    "agg_value_histogram",
+    "cdc_kafka_wire_decode",
+    "agg_salted_event_counts",
+    "win_percent_rank_scalable",
+    "ml_stratified_sample_det",
+    "text_bigram_pmi",
+    "privacy_k_anonymity",
+    "join_null_safe_eq",
+    "text_bpe_token_counts",
+    "text_lang_id_stopword",
+    "dedup_minhash_near_pairs",
+    "dedup_simhash_signatures",
+    "text_bpe_train_merges",
+    "text_bpe_encode_compression",
+    "dedup_semantic_pairs",
+    "search_hybrid_rrf",
+    "agg_hll_sketch_partial_merge",
+    "ml_feature_hashing",
+    "cdc_snapshot_diff",
+    "text_gopher_quality_filter",
+    "dedup_incremental_near",
+    "emb_pca_top_component",
+    "emb_random_projection",
+    "ml_weighted_sample_es",
+    "mm_decode_wav_features",
+    "ml_eval_auc_prf",
+    "ml_eval_calibration_bins",
+    "dash_sliding_distinct_hll",
+    "text_pipeline_e2e",
+    "join_lateral_top2_orders",
+    "fn_try_suite",
+    "dash_top_event_paths",
+    "agg_regr_value_by_hour",
+    "agg_bitwise_flags",
+    "dash_value_percentiles_daily",
+    "join_range_binned_scale",
+    "dedup_incremental_batch",
+    "profile_orders_columns",
+    "text_repetition_ratio",
+    "dedup_jaccard_threshold_pairs",
+    "dedup_containment_pairs",
+    "search_bm25_ranking",
+    "text_tfidf_top_terms",
+    "ts_gapfill_locf",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+]
 
 
 def _ordered():
