@@ -1219,7 +1219,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- bloom-prefilter join
 
-_BLOOM_M = 8192
+_BLOOM_M = 65536
 
 
 def _bloom_pos_spark(key: str, i: int) -> "F.Column":
