@@ -82,6 +82,13 @@ DRIVER_PRIORITY: list[str] = [
     "search_phrase_match",
     "geo_haversine_nearest",
     "text_rake_keywords",
+    "ts_holt_linear",
+    "stats_mann_whitney_u",
+    "agg_weighted_median",
+    "ml_decision_stump",
+    "ts_seasonal_dow_profile",
+    "privacy_l_diversity",
+    "win_pareto_80_20",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "agg_pricing_summary",

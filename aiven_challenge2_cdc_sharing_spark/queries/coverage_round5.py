@@ -1543,3 +1543,465 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "keyword")
         .limit(20)
     )
+
+
+# --------------------------------------------- round-5 second wave
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+holt AS (
+  SELECT event_type, i, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, s.i, h.n,
+         0.5 * s.x + 0.5 * (h.l + h.b),
+         0.3 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+  FROM holt h JOIN seq s
+    ON s.event_type = h.event_type AND s.i = h.i + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + 7 * b, 4) AS forecast_7d
+FROM holt WHERE i = n ORDER BY event_type
+""",
+    doc="Holt double exponential smoothing (level alpha=0.5, trend "
+    "beta=0.3) over each type's daily series, plus the 7-day-ahead "
+    "linear forecast — the trend-aware sibling of ts_ewma_smooth.  "
+    "Spark runs the recursion as a sequential struct fold "
+    "(aggregate with a (level, trend) accumulator); the oracle "
+    "unrolls it with a recursive CTE because DuckDB 1.0's "
+    "struct-valued list_reduce lambda mis-binds a field that "
+    "references acc across fields (verified minimally: "
+    "(acc,e) -> {l: f(acc,e), b: acc.l} yields b == l).  Identical "
+    "evaluation order either way, 4dp round on both sides",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    fold = (
+        "aggregate("
+        " slice(transform(array_sort(collect_list(struct(day, x))),"
+        "       e -> e.x), 2, 100000),"
+        " named_struct('l', cast(transform(array_sort(collect_list("
+        "   struct(day, x))), e -> e.x)[0] as double),"
+        "   'b', cast(0.0 as double)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5 * x + 0.5 * (acc.l + acc.b),"
+        "   'b', 0.3 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l)"
+        "        + 0.7 * acc.b))"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(f"round({fold}.l, 4)").alias("level"),
+            F.expr(f"round({fold}.b, 4)").alias("trend"),
+            F.expr(f"round({fold}.l + 7 * {fold}.b, 4)").alias(
+                "forecast_7d"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+WITH vals AS (
+  SELECT value,
+         count(*) FILTER (WHERE event_type = 'view') AS d1,
+         count(*) FILTER (WHERE event_type = 'purchase') AS d2
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY value
+),
+cum AS (
+  SELECT d1, d2,
+         sum(d1 + d2) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (d1 + d2) AS before_all
+  FROM vals
+),
+tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2
+  FROM vals
+),
+r1 AS (
+  SELECT sum(d1 * (before_all + (d1 + d2 + 1) / 2.0)) AS rank_sum1
+  FROM cum
+)
+SELECT tot.n1, tot.n2,
+       round(r1.rank_sum1 - tot.n1 * (tot.n1 + 1) / 2.0, 1) AS u1,
+       round((r1.rank_sum1 - tot.n1 * (tot.n1 + 1) / 2.0
+              - tot.n1 * tot.n2 / 2.0)
+             / sqrt(tot.n1 * tot.n2 * (tot.n1 + tot.n2 + 1) / 12.0),
+             4) AS z
+FROM r1, tot
+""",
+    doc="Mann-Whitney U rank-sum test ('view' vs 'purchase' values) "
+    "with midrank tie handling: per-value group counts, the "
+    "before-rank from ONE prefix sum over the value order (via "
+    "global_prefix_sum — same two-level shape as the KS statistic), "
+    "midrank = before + (ties+1)/2, then U and the normal-"
+    "approximation z (no tie-correction term, stated contract).  "
+    "Everything before the final division is exact integer "
+    "arithmetic, so both engines agree bit-for-bit",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("d1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("d2"),
+    )
+    packed = vals.select(
+        "value", "d1", "d2", (F.col("d1") + F.col("d2")).alias("dt")
+    )
+    ps = global_prefix_sum(packed, [F.col("value")], "dt", out_col="ca")
+    cum = ps.select(
+        "d1", "d2", (F.col("ca") - F.col("dt")).alias("before_all")
+    )
+    r1 = cum.agg(
+        F.sum(
+            F.col("d1")
+            * (F.col("before_all") + (F.col("d1") + F.col("d2") + 1) / 2.0)
+        ).alias("rank_sum1")
+    )
+    tot = vals.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    j = r1.crossJoin(F.broadcast(tot))
+    u1 = F.col("rank_sum1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return j.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(
+            (u1 - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(
+                F.col("n1")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1)
+                / 12.0
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH by_val AS (
+  SELECT l_extendedprice AS v,
+         CAST(sum(round(l_quantity)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(w) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM by_val
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM by_val)
+SELECT round(min(v), 2) AS weighted_median, tot.tw AS total_weight
+FROM cum, tot WHERE cw * 2 >= tot.tw GROUP BY tot.tw
+""",
+    doc="weighted median (extendedprice weighted by quantity): the "
+    "smallest value whose cumulative weight reaches half the total — "
+    "per-value weight aggregate, ONE two-level prefix sum over the "
+    "value order (global_prefix_sum), then a filter+min instead of "
+    "any ordered scan.  Quantities are integral, so the crossing "
+    "test (2*cum >= total) is exact integer arithmetic on both "
+    "engines",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    by_val = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.round("l_quantity")).cast("long").alias("w")
+    )
+    cum = global_prefix_sum(by_val, [F.col("v")], "w", out_col="cw")
+    tot = by_val.agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(F.col("tw").alias("total_weight"))
+        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+        .select("weighted_median", "total_weight")
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bk AS (
+  SELECT bucket, count(*) AS n, sum(y) AS pos FROM pts GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         sum(n) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         sum(pos) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+  FROM bk
+),
+tot AS (SELECT sum(n) AS nt, sum(pos) AS pt FROM bk),
+splits AS (
+  SELECT bucket, nl, pl, tot.nt - nl AS nr, tot.pt - pl AS pr
+  FROM cum, tot WHERE nl > 0 AND tot.nt - nl > 0
+),
+gini AS (
+  SELECT bucket,
+         round((nl * (2.0 * pl / nl * (1 - 1.0 * pl / nl))
+                + nr * (2.0 * pr / nr * (1 - 1.0 * pr / nr)))
+               / (nl + nr), 6) AS g,
+         CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right
+  FROM splits
+)
+SELECT CAST((bucket + 1) * 1000 AS DOUBLE) AS best_threshold,
+       g AS gini, n_left, n_right
+FROM gini ORDER BY g, bucket LIMIT 1
+""",
+    doc="decision-stump training (best binary split of totalprice "
+    "predicting status='F' by weighted Gini): thresholds come from a "
+    "1000-wide value bucketing (bounded candidate grid — the "
+    "histogram trick every distributed GBDT uses), left/right class "
+    "counts from ONE prefix sum over the bucket order "
+    "(global_prefix_sum), argmin via TakeOrdered.  Counts are exact "
+    "integers; only the final Gini is floating point, rounded 6dp on "
+    "identical expressions",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bk = pts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    packed = bk.select(
+        "bucket", "n", "pos",
+        (F.col("n") * F.lit(2**32) + F.col("pos")).alias("c"),
+    )
+    ps = global_prefix_sum(packed, [F.col("bucket")], "c", out_col="cc")
+    cum = ps.select(
+        "bucket",
+        F.floor(F.col("cc") / F.lit(2**32)).alias("nl"),
+        (F.col("cc") % F.lit(2**32)).alias("pl"),
+    )
+    tot = bk.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    splits = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "bucket",
+            "nl",
+            "pl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+        )
+    )
+    g = F.round(
+        (
+            F.col("nl")
+            * (2.0 * F.col("pl") / F.col("nl") * (1 - 1.0 * F.col("pl") / F.col("nl")))
+            + F.col("nr")
+            * (2.0 * F.col("pr") / F.col("nr") * (1 - 1.0 * F.col("pr") / F.col("nr")))
+        )
+        / (F.col("nl") + F.col("nr")),
+        6,
+    )
+    return (
+        splits.select(
+            ((F.col("bucket") + 1) * 1000).cast("double").alias(
+                "best_threshold"
+            ),
+            g.alias("gini"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("bucket").alias("__b"),
+        )
+        .orderBy("gini", "__b")
+        .limit(1)
+        .drop("__b")
+    )
+
+
+@register(
+    "ts_seasonal_dow_profile",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+dows AS (
+  -- DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday: align here
+  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, x
+  FROM daily
+),
+per AS (
+  SELECT event_type, dow, count(*) AS n_days, avg(x) AS m
+  FROM dows GROUP BY 1, 2
+),
+overall AS (SELECT event_type, avg(x) AS om FROM dows GROUP BY 1)
+SELECT per.event_type, per.dow, CAST(per.n_days AS BIGINT) AS n_days,
+       round(per.m / overall.om, 4) AS seasonal_index
+FROM per JOIN overall ON per.event_type = overall.event_type
+ORDER BY per.event_type, per.dow
+""",
+    doc="day-of-week seasonal profile per event type: the seasonal "
+    "index (dow mean over overall mean of the daily series) — the "
+    "decomposition step under weekly-seasonality dashboards and the "
+    "denominator for deseasonalized anomaly scoring.  Two aggregates "
+    "over the date-domain-bounded daily table; dayofweek() is "
+    "1=Sunday on both engines",
+)
+def ts_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    dows = daily.select(
+        "event_type", F.dayofweek("day").cast("long").alias("dow"), "x"
+    )
+    per = dows.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("x").alias("m"),
+    )
+    overall = dows.groupBy("event_type").agg(F.avg("x").alias("om"))
+    return (
+        per.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round(F.col("m") / F.col("om"), 4).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(DISTINCT o_orderpriority) AS l
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       (SELECT CAST(min(l) AS BIGINT) FROM groups) AS min_l
+FROM groups GROUP BY l ORDER BY l
+""",
+    doc="l-diversity audit (the sensitive-attribute companion to "
+    "privacy_k_anonymity): per quasi-identifier group (nation x "
+    "segment), the number of DISTINCT sensitive values "
+    "(order priority) — a release is l-diverse iff min_l >= l.  One "
+    "join + distinct aggregate; the distribution plus the min "
+    "summarize the whole audit",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    groups = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count_distinct("o_orderpriority").alias("l"))
+        .localCheckpoint(eager=True)  # 125-row table, 2 consumers
+    )
+    min_l = groups.agg(F.min("l").alias("min_l"))
+    return (
+        groups.groupBy(F.col("l").cast("long").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .crossJoin(F.broadcast(min_l))
+        .select("l", "n_groups", F.col("min_l").cast("long").alias("min_l"))
+        .orderBy("l")
+    )
+
+
+@register(
+    "win_pareto_80_20",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM rev
+),
+tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tc,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM rev
+)
+SELECT CAST(count(*) FILTER (WHERE (cc - cents) * 5 < tc * 4)
+            AS BIGINT) AS n_top_customers,
+       tot.nc AS n_customers,
+       round(count(*) FILTER (WHERE (cc - cents) * 5 < tc * 4)
+             * 1.0 / tot.nc, 6) AS customer_share
+FROM cum, tot GROUP BY tot.nc
+""",
+    doc="Pareto 80/20 concentration: how many top customers (by "
+    "revenue) cover 80pct of total revenue.  Revenue is summed in "
+    "integer CENTS (2dp prices are exact there), the descending "
+    "cumulative ride is global_prefix_sum (two-level, ordered by "
+    "(-revenue, custkey)), and the crossing test (cum-before)*5 < "
+    "total*4 is pure integer arithmetic — no float boundary can "
+    "flip the count on either engine.  The count-below-threshold "
+    "replaces any ordered scan for the crossing point",
+)
+def win_pareto_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    cum = global_prefix_sum(
+        rev, [F.desc("cents"), F.col("o_custkey")], "cents", out_col="cc"
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    hit = (F.col("cc") - F.col("cents")) * 5 < F.col("tc") * 4
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nc")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_top_customers"),
+            F.round(F.count(F.when(hit, 1)) / F.col("nc").cast("double"), 6)
+            .alias("customer_share"),
+        )
+        .select(
+            "n_top_customers",
+            F.col("nc").alias("n_customers"),
+            "customer_share",
+        )
+    )
