@@ -174,6 +174,12 @@ ALLOWED_EXCHANGES = {
     # three independent aggregates (nodes / edges / triangles) over
     # the <= 300-row edge table, each a 2-phase agg by construction.
     "graph_triangle_count_trade": 8,
+    # dq_referential_orphans: a UNION of four independent FK-edge
+    # audits (same family as profile_orders_columns): three edges
+    # broadcast their dim (0 shuffles), the fact-fact
+    # lineitem->orders edge legitimately shuffles both sides, and
+    # each branch ends in its own 2-phase 1-row aggregate.
+    "dq_referential_orphans": 8,
 }
 
 
