@@ -93,3 +93,88 @@ def test_global_prefix_sum_matches_window(spark):
         for r in df.withColumn("ps", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_global_prefix_sum_property(spark):
+    """Random values, duplicate-free keys, negative ranges — the
+    two-level result must equal the sequential prefix sum."""
+    from hypothesis import given, settings, strategies as st
+
+    from aiven_challenge2_cdc_sharing_spark.operators.topk import (
+        global_prefix_sum,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-10**6, max_value=10**6),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def check(vals):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["ps"]
+            for r in global_prefix_sum(
+                df, [F.col("k")], "v", out_col="ps", partitions=7
+            ).collect()
+        }
+        acc, want = 0, {}
+        for i, v in enumerate(vals):
+            acc += v
+            want[i] = acc
+        assert got == want
+
+    check()
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    """U from the prefix-sum midranks == U from the O(n^2) pair count
+    (ties count half), on the real fixture."""
+    reg = load_registry()
+    row = reg["stats_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = [r["value"] for r in ev if r["event_type"] == "view"]
+    ys = [r["value"] for r in ev if r["event_type"] == "purchase"]
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in xs for y in ys
+    )
+    assert row["n1"] == len(xs) and row["n2"] == len(ys)
+    assert abs(row["u1"] - u) <= 0.1
+
+
+def test_decision_stump_matches_bruteforce(spark, sf_dir):
+    reg = load_registry()
+    row = reg["ml_decision_stump"].fn(spark, sf_dir).collect()[0]
+    data = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    pts = [
+        (int(r["o_totalprice"] // 1000), 1 if r["o_orderstatus"] == "F" else 0)
+        for r in data
+    ]
+    best = None
+    buckets = sorted({b for b, _ in pts})
+    for t in buckets:
+        left = [y for b, y in pts if b <= t]
+        right = [y for b, y in pts if b > t]
+        if not left or not right:
+            continue
+        def gini(g):
+            p = sum(g) / len(g)
+            return 2 * p * (1 - p)
+        w = (len(left) * gini(left) + len(right) * gini(right)) / len(pts)
+        key = (round(w, 6), t)
+        if best is None or key < best:
+            best = key
+    assert row["gini"] == best[0]
+    assert row["best_threshold"] == (best[1] + 1) * 1000.0
