@@ -89,6 +89,12 @@ DRIVER_PRIORITY: list[str] = [
     "ts_seasonal_dow_profile",
     "privacy_l_diversity",
     "win_pareto_80_20",
+    "emb_dim_truncation_recall",
+    "ml_feature_target_corr",
+    "dq_column_entropy_profile",
+    "agg_gini_revenue_concentration",
+    "graph_k_core_trade",
+    "privacy_t_closeness",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "agg_pricing_summary",

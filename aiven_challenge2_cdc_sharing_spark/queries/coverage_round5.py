@@ -2016,3 +2016,478 @@ def win_pareto_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_share",
         )
     )
+
+
+# --------------------------------------------- round-6 queue
+
+
+@register(
+    "emb_dim_truncation_recall",
+    oracle="""
+WITH full_rank AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+             AS sim
+    FROM embeddings v
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) <= 10
+),
+trunc_rank AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           round(list_cosine_similarity(
+             CAST(v.embedding[1:16] AS DOUBLE[]),
+             CAST(q.embedding[1:16] AS DOUBLE[])), 6) AS sim
+    FROM embeddings v
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) <= 10
+)
+SELECT f.query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       round(count(t.vec_id) / 10.0, 2) AS recall_at_10
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id ORDER BY f.query_id
+""",
+    doc="Matryoshka-style dimension-truncation evaluation: exact "
+    "cosine top-10 with the full 64 dims vs the first 16 dims only, "
+    "recall@10 of the truncated index against the full one — the "
+    "measurement that decides whether a shortened embedding prefix "
+    "can serve the first-stage retrieval at a fraction of the "
+    "bandwidth.  Both rankings are brute-force scored with broadcast "
+    "queries (one scan each), ranks tie-break on vec_id after the "
+    "6dp round so both engines pick identical top sets",
+)
+def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    # ONE scan scores both metrics; the two rank windows share the
+    # single query_id shuffle, and the overlap is a same-row AND of
+    # the two ranks (each (query, vec) row carries both)
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("e"), F.col("qe")), 6).alias("sf"),
+        F.round(
+            cosine(F.slice(F.col("e"), 1, 16), F.slice(F.col("qe"), 1, 16)),
+            6,
+        ).alias("st"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sf"), "vec_id")
+    wt = Window.partitionBy("query_id").orderBy(F.desc("st"), "vec_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        ranked.filter(F.col("rf") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("rt") <= 10, 1))
+            .cast("long")
+            .alias("n_overlap"),
+            F.round(F.count(F.when(F.col("rt") <= 10, 1)) / 10.0, 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "ml_feature_target_corr",
+    oracle="""
+WITH y AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'l_quantity' AS feature, round(corr(l_quantity, y), 6) AS r FROM y
+  UNION ALL
+  SELECT 'l_extendedprice', round(corr(l_extendedprice, y), 6) FROM y
+  UNION ALL
+  SELECT 'l_discount', round(corr(l_discount, y), 6) FROM y
+  UNION ALL
+  SELECT 'l_tax', round(corr(l_tax, y), 6) FROM y
+) ORDER BY feature
+""",
+    doc="feature screening by point-biserial correlation against the "
+    "binary returned-flag target — the cheap first-pass filter before "
+    "any model training; corr() is a one-pass commutative aggregate, "
+    "and the four features ride ONE scan through an explode-free "
+    "multi-aggregate (the oracle's UNION of scans collapses to the "
+    "same numbers because corr is exact-symmetric)",
+)
+def ml_feature_target_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    aggs = [
+        F.round(F.corr(F.col(c), y), 6).alias(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    ]
+    wide = li.agg(*aggs)
+    return (
+        wide.selectExpr(
+            "stack(4, 'l_quantity', l_quantity, "
+            "'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount, 'l_tax', l_tax) AS (feature, r)"
+        )
+        .orderBy("feature")
+    )
+
+
+@register(
+    "dq_column_entropy_profile",
+    oracle="""
+WITH vals AS (
+  SELECT col, v FROM (
+    SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'order_month', CAST(month(o_orderdate) AS VARCHAR) FROM orders
+  )
+),
+cnt AS (SELECT col, v, count(*) AS n FROM vals GROUP BY 1, 2),
+tot AS (SELECT col, sum(n) AS nt, count(*) AS k FROM cnt GROUP BY col)
+SELECT cnt.col,
+       CAST(tot.k AS BIGINT) AS n_distinct,
+       round(-sum((n * 1.0 / nt) * ln(n * 1.0 / nt)), 6) AS entropy,
+       round(-sum((n * 1.0 / nt) * ln(n * 1.0 / nt)) / ln(tot.k), 6)
+         AS norm_entropy
+FROM cnt JOIN tot ON cnt.col = tot.col
+GROUP BY cnt.col, tot.k ORDER BY cnt.col
+""",
+    doc="categorical-entropy data profile (order status / priority / "
+    "month): Shannon entropy and its normalized form per column — the "
+    "profiling signal that flags near-constant columns (norm_entropy "
+    "-> 0) and uniform keys (-> 1).  One unpivoted scan, two hash "
+    "aggregates; the entropy sum runs over <= |domain| rows per "
+    "column",
+)
+def dq_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.selectExpr(
+        "stack(3, 'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority, "
+        "'order_month', cast(month(o_orderdate) as string)) AS (col, v)"
+    )
+    cnt = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("col").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") / F.col("nt")
+    return (
+        cnt.join(F.broadcast(tot), "col")
+        .groupBy("col", "k")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "col",
+            F.col("k").cast("long").alias("n_distinct"),
+            "entropy",
+            F.round(F.col("entropy") / F.log(F.col("k")), 6).alias(
+                "norm_entropy"
+            ),
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "agg_gini_revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM rev
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM rev
+)
+SELECT tot.n AS n_customers,
+       round((2.0 * sum(i * cents)) / (tot.n * 1.0 * tot.s)
+             - (tot.n + 1.0) / tot.n, 6) AS gini
+FROM ranked, tot GROUP BY tot.n, tot.s
+""",
+    doc="Gini coefficient of customer revenue concentration (the "
+    "inequality summary behind win_pareto_80_20's crossing point): "
+    "G = 2*sum(i*x_(i))/(n*sum x) - (n+1)/n over ascending-sorted "
+    "revenue.  Ranks come from operators/topk.global_ordinal (range "
+    "partition + per-partition row_number + broadcast offsets — no "
+    "single-partition window), revenue is integer cents, and "
+    "sum(i*cents) is an exact integer on both engines; only the "
+    "final normalization is floating point",
+)
+def agg_gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    ranked, n = global_ordinal(
+        rev, [F.col("cents"), F.col("o_custkey")], out_col="i"
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(F.sum(F.col("i") * F.col("cents")).alias("ixc"))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                (2.0 * F.col("ixc")) / (F.col("n") * 1.0 * F.col("s"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def _kcore_oracle(rounds: int = 8, k: int = 3) -> str:
+    """Unrolled peeling rounds as MATERIALIZED CTEs (the BPE-oracle
+    idiom — DuckDB re-inlines multiply-referenced CTEs otherwise)."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""keep{r} AS MATERIALIZED (
+  SELECT a FROM (
+    SELECT u AS a FROM e{p} UNION ALL SELECT v FROM e{p}
+  ) GROUP BY a HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT a FROM keep{r}) AND v IN (SELECT a FROM keep{r})
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT u AS a FROM e{rounds} UNION SELECT v FROM e{rounds}))
+         AS n_core_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e{rounds}) AS n_core_edges
+"""
+    )
+
+
+@register(
+    "graph_k_core_trade",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (k=3, 8 fixed peel rounds) of the "
+    "nation trade graph: repeatedly drop nodes with degree < k and "
+    "their edges — the standard cohesion screen before community "
+    "detection, and the same driver-coordinated iterate-and-"
+    "localCheckpoint loop shape as PageRank/connected components "
+    "(per round: one degree aggregate + one semi-join edge filter, "
+    "both hash-partitioned on node id at scale).  The FIXED round "
+    "count is the cross-engine contract — both engines run exactly 8 "
+    "peels (convergence on the 25-node fixture graph happens in "
+    "2-3); the oracle unrolls them as materialized CTEs",
+)
+def graph_k_core_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        deg = (
+            edges.select(F.col("u").alias("a"))
+            .unionAll(edges.select(F.col("v").alias("a")))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 3).select("a")
+        edges = (
+            edges.join(
+                F.broadcast(keep), edges.u == keep.a, "left_semi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("a", "a2")),
+                F.col("v") == F.col("a2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        edges.select(F.col("u").alias("a"))
+        .union(edges.select("v"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_core_nodes"))
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    return nodes.crossJoin(ecnt).select(
+        F.col("n_core_nodes").cast("long").alias("n_core_nodes"),
+        F.col("n_core_edges").cast("long").alias("n_core_edges"),
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+WITH pri AS (
+  SELECT DISTINCT o_orderpriority AS p FROM orders
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment, o_orderpriority AS p,
+         count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+),
+grp AS (
+  SELECT DISTINCT c_nationkey, c_mktsegment FROM cells
+),
+dense AS (
+  SELECT g.c_nationkey, g.c_mktsegment, pri.p,
+         coalesce(c.n, 0) AS n
+  FROM grp g CROSS JOIN pri
+  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+    AND c.c_mktsegment = g.c_mktsegment AND c.p = pri.p
+),
+shares AS (
+  SELECT c_nationkey, c_mktsegment, p,
+         n * 1.0 / sum(n) OVER (PARTITION BY c_nationkey, c_mktsegment)
+           AS q,
+         sum(n) OVER (PARTITION BY p) * 1.0
+           / sum(n) OVER () AS gp
+  FROM dense
+),
+cums AS (
+  SELECT c_nationkey, c_mktsegment,
+         sum(q) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+         sum(gp) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY p) AS i,
+         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS m
+  FROM shares
+)
+SELECT c_nationkey, c_mktsegment,
+       round(sum(abs(cq - cg)) FILTER (WHERE i < m) / (max(m) - 1), 6)
+         AS t_emd
+FROM cums GROUP BY 1, 2
+ORDER BY t_emd DESC, c_nationkey, c_mktsegment LIMIT 10
+""",
+    doc="t-closeness audit (completing the k-anonymity / l-diversity "
+    "privacy family): per quasi-identifier group, the earth-mover "
+    "distance between the group's ordered order-priority distribution "
+    "and the global one — for an ordered attribute EMD is the mean "
+    "absolute prefix-share gap, so the whole audit is two hash "
+    "aggregates, a 5-row domain densify (missing priorities count as "
+    "0), and windows PARTITIONED by the 125-group key.  Top-10 "
+    "worst groups; a release is t-close iff the top value <= t",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # 625-row table, 4 consumers
+    )
+    pri = cells.select("p").distinct()
+    grp = cells.select("c_nationkey", "c_mktsegment").distinct()
+    dense = (
+        grp.crossJoin(F.broadcast(pri))
+        .join(cells, ["c_nationkey", "c_mktsegment", "p"], "left")
+        .fillna(0, ["n"])
+    )
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment")
+    # global per-priority shares come from a 5-row aggregate broadcast
+    # back (no unpartitioned window anywhere in the plan)
+    gtot = cells.agg(F.sum("n").alias("gt"))
+    gdist = (
+        cells.groupBy("p")
+        .agg(F.sum("n").alias("gn"))
+        .crossJoin(F.broadcast(gtot))
+        .select("p", (F.col("gn") * 1.0 / F.col("gt")).alias("gp"))
+    )
+    shares = dense.join(F.broadcast(gdist), "p").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "p",
+        (F.col("n") / F.sum("n").over(wg)).alias("q"),
+        "gp",
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("p")
+    cums = shares.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.sum("q").over(wcum).alias("cq"),
+        F.sum("gp").over(wcum).alias("cg"),
+        F.row_number().over(wrn).alias("i"),
+        F.count(F.lit(1)).over(wg).alias("m"),
+    )
+    return (
+        cums.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("i") < F.col("m"), F.abs(F.col("cq") - F.col("cg"))).otherwise(0.0)
+                )
+                / (F.max("m") - 1),
+                6,
+            ).alias("t_emd")
+        )
+        .orderBy(F.desc("t_emd"), "c_nationkey", "c_mktsegment")
+        .limit(10)
+    )

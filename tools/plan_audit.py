@@ -180,6 +180,11 @@ ALLOWED_EXCHANGES = {
     # lineitem->orders edge legitimately shuffles both sides, and
     # each branch ends in its own 2-phase 1-row aggregate.
     "dq_referential_orphans": 8,
+    # privacy_t_closeness: the fact join runs once (625-row cells
+    # localCheckpoint'ed); remaining exchanges re-aggregate/join that
+    # bounded table (priority domain, group list, global shares) plus
+    # the per-group windows and the top-10 sort.
+    "privacy_t_closeness": 10,
 }
 
 
