@@ -88,6 +88,14 @@ HEADLINE = [
     "mm_decode_png_features",
     "ml_split_train_eval",
     "ml_mixture_sample",
+    "dash_peak_concurrency_scalable",
+    "agg_equidepth_histogram_scalable",
+    "stats_ks_two_sample",
+    "graph_triangle_count_trade",
+    "join_bloom_prefilter",
+    "ml_naive_bayes_score",
+    "text_rake_keywords",
+    "win_pareto_80_20",
     "ml_pack_sequences",
     "layout_zorder_orders",
     "udaf_label_norm_mean",
