@@ -95,6 +95,8 @@ DRIVER_PRIORITY: list[str] = [
     "agg_gini_revenue_concentration",
     "graph_k_core_trade",
     "privacy_t_closeness",
+    "ab_wilson_intervals",
+    "join_event_self_interval",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "agg_pricing_summary",

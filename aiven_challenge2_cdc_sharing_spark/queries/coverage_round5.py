@@ -2491,3 +2491,154 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_emd"), "c_nationkey", "c_mktsegment")
         .limit(10)
     )
+
+
+@register(
+    "ab_wilson_intervals",
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS k
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k,
+       round(k * 1.0 / n, 6) AS p,
+       round((k * 1.0 / n + 1.959964 * 1.959964 / (2 * n)
+              - 1.959964 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.959964 * 1.959964 / (4.0 * n * n)))
+             / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+       round((k * 1.0 / n + 1.959964 * 1.959964 / (2 * n)
+              + 1.959964 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.959964 * 1.959964 / (4.0 * n * n)))
+             / (1 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+FROM seg ORDER BY c_mktsegment
+""",
+    doc="Wilson-score 95pct confidence intervals for the fulfilled-"
+    "order rate per market segment — the interval every A/B dashboard "
+    "should use instead of the normal approximation (it behaves at "
+    "small n and p near 0/1, where ab_test_conversion's z-test "
+    "degrades).  One join + one aggregate; the interval arithmetic is "
+    "identical scalar expressions on both engines (z = 1.959964)",
+)
+def ab_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    z = 1.959964
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("k"),
+        )
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    margin = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return seg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("p"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "join_event_self_interval",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket
+  FROM events
+),
+cand AS (
+  -- floor(epoch()) per timestamp: DuckDB epoch() keeps fractional
+  -- seconds, Spark unix_timestamp truncates — same hazard class as
+  -- the CEP secs_to_purchase fix
+  SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+         abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+             - CAST(floor(epoch(a.ts)) AS BIGINT)) AS gap
+  FROM ev a
+  JOIN ev b
+    ON b.user_id = a.user_id
+   AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+   AND b.event_id > a.event_id
+  WHERE abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+            - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 300
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_close_pairs,
+       CAST(min(gap) AS BIGINT) AS min_gap_s
+FROM cand GROUP BY user_id
+ORDER BY n_close_pairs DESC, user_id LIMIT 20
+""",
+    doc="temporal self-join with bucket banding: pairs of events by "
+    "the same user within 5 minutes of each other (burst/interaction "
+    "density).  The naive formulation is a quadratic theta-join; "
+    "bucketing timestamps into 5-minute cells and equi-joining each "
+    "cell to itself and its neighbor turns it into a co-partitioned "
+    "equi-join whose candidate volume is sum over cells of k*k' — "
+    "bounded by burst density, never by total history.  This is the "
+    "same banding discipline as join_range_binned_scale applied to "
+    "a SELF-join on time; hot cells would get the dedup joins' cap "
+    "treatment",
+)
+def join_event_self_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("e2"),
+        F.col("ts").alias("ts2"),
+        F.col("bucket").alias("b2"),
+    )
+    # equi-join on (user, cell) with the 3-cell neighborhood exploded
+    # on the left so the band predicate is part of the join KEY
+    probes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("nb"),
+    )
+    cand = probes.join(
+        b,
+        (F.col("u2") == F.col("user_id")) & (F.col("b2") == F.col("nb")),
+    ).filter(
+        (F.col("e2") > F.col("event_id"))
+        & (
+            F.abs(
+                F.unix_timestamp("ts2") - F.unix_timestamp("ts")
+            )
+            <= 300
+        )
+    )
+    return (
+        cand.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_close_pairs"),
+            F.min(
+                F.abs(F.unix_timestamp("ts2") - F.unix_timestamp("ts"))
+            )
+            .cast("long")
+            .alias("min_gap_s"),
+        )
+        .orderBy(F.desc("n_close_pairs"), "user_id")
+        .limit(20)
+    )
