@@ -97,8 +97,10 @@ DRIVER_PRIORITY: list[str] = [
     "privacy_t_closeness",
     "ab_wilson_intervals",
     "join_event_self_interval",
+    "fn_xml_roundtrip",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
+    "udf_arrow_map_doc_stats",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -2642,3 +2642,42 @@ def join_event_self_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_close_pairs"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "fn_xml_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status,
+       round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_orderkey LIMIT 1000
+""",
+    doc="XML serde coverage (Spark 4 to_xml/from_xml, completing the "
+    "serde family next to JSON, CSV and VARIANT): each order row is "
+    "rendered to an XML document and parsed back with an explicit "
+    "schema; the oracle is the IDENTITY projection, so the hash "
+    "match proves the roundtrip is lossless — including the double "
+    "(shortest-repr formatting parses back to the identical bits).  "
+    "Both functions are JVM-side row expressions: one scan, no "
+    "Python, no shuffle before the ordered limit",
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.expr(
+        "to_xml(named_struct('k', o_orderkey, 's', o_orderstatus,"
+        " 'p', o_totalprice))"
+    )
+    parsed = F.expr(
+        "from_xml(to_xml(named_struct('k', o_orderkey,"
+        " 's', o_orderstatus, 'p', o_totalprice)),"
+        " 'k BIGINT, s STRING, p DOUBLE')"
+    )
+    return (
+        orders.select(xml.alias("x"), parsed.alias("v"))
+        .select(
+            F.col("v.k").alias("o_orderkey"),
+            F.col("v.s").alias("status"),
+            F.round(F.col("v.p"), 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )

@@ -258,3 +258,48 @@ def udaf_source_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_stats_arrow(docs.select("source", "n_chars")).orderBy(
         "source"
     )
+
+
+@register(
+    "udf_arrow_map_doc_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_pieces
+FROM documents ORDER BY doc_id
+""",
+    doc="mapInArrow coverage — the last Python-surface API next to "
+    "pandas_udf / applyInPandas / mapInPandas / grouped-agg / "
+    "applyInArrow / UDTF: per-batch Arrow-native doc stats via "
+    "pyarrow.compute kernels (utf8_length, split_pattern) with zero "
+    "pandas materialization — the leanest Python path Spark offers "
+    "(Arrow RecordBatch in, RecordBatch out, no index/dtype "
+    "conversion).  Single-space split keeps empty pieces on both "
+    "engines, so the counts hash-match exactly",
+)
+def udf_arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(
+                            pc.split_pattern(text, pattern=" ")
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_pieces"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars long, n_pieces long"
+    ).orderBy("doc_id")
