@@ -98,6 +98,10 @@ DRIVER_PRIORITY: list[str] = [
     "ab_wilson_intervals",
     "join_event_self_interval",
     "fn_xml_roundtrip",
+    "graph_label_propagation",
+    "ml_knn_classify",
+    "ml_target_encoding",
+    "prep_one_hot_encode",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "udf_arrow_map_doc_stats",

@@ -2681,3 +2681,313 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+def _lp_oracle(rounds: int = 5) -> str:
+    """Synchronous min-label propagation, unrolled; same materialized-
+    CTE idiom as the k-core and PageRank oracles."""
+    head = """WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a, a AS lbl FROM adj
+)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT cur.a, least(cur.lbl, coalesce(nb.m, cur.lbl)) AS lbl
+  FROM l{p} cur
+  LEFT JOIN (
+    SELECT adj.a, min(lp.lbl) AS m
+    FROM adj JOIN l{p} lp ON lp.a = adj.b
+    GROUP BY adj.a
+  ) nb ON nb.a = cur.a
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nations
+FROM l{rounds} GROUP BY lbl ORDER BY lbl
+"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lp_oracle(),
+    doc="synchronous min-label propagation (5 fixed rounds) on the "
+    "nation trade graph — deterministic community detection: every "
+    "node adopts the minimum label in its closed neighborhood each "
+    "round, which converges to connected-component-like communities "
+    "without any tie-breaking randomness (the classic LPA coin-flips "
+    "can never hash-match an oracle).  Same driver-coordinated "
+    "iterate+localCheckpoint loop as PageRank/k-core; per round one "
+    "neighbor-min aggregate joined back — hash-partitioned on node "
+    "id at scale.  Fixed round count is the cross-engine contract",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select("a").distinct().select(
+        "a", F.col("a").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        nb = (
+            adj.join(
+                labels.select(
+                    F.col("a").alias("b"), F.col("lbl").alias("nlbl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("m"))
+        )
+        labels = (
+            labels.join(nb, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
+        .orderBy("community")
+    )
+
+
+@register(
+    "ml_knn_classify",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 < 80 AS is_train
+  FROM embeddings
+),
+scored AS (
+  SELECT t.vec_id, t.label AS actual, tr.label AS cand,
+         round(list_cosine_similarity(t.e, tr.e), 6) AS sim,
+         tr.vec_id AS nb
+  FROM base t JOIN base tr ON tr.is_train AND NOT t.is_train
+),
+top5 AS (
+  SELECT vec_id, actual, cand FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, nb) <= 5
+),
+votes AS (
+  SELECT vec_id, actual, cand, count(*) AS n
+  FROM top5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, actual, cand AS predicted FROM votes
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY n DESC, cand) = 1
+)
+SELECT actual,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (WHERE predicted = actual) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY actual ORDER BY actual
+""",
+    doc="k-NN classification (k=5, cosine) over the embedding table "
+    "with the standard 80pct hash split: brute-force scoring against "
+    "the train partition (the exact baseline every ANN index is "
+    "judged against — swap the scored CTE for the LSH/IVF probes in "
+    "operators/similarity.py for the approximate production path), "
+    "per-test-vector top-5 by (sim, id), majority vote with "
+    "deterministic label tie-break.  Per-lang accuracy rollup is the "
+    "driver-checked output",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(vec_id as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            % 100
+            < 80
+        ).alias("is_train"),
+    )
+    train = emb.filter("is_train").select(
+        F.col("vec_id").alias("nb"),
+        F.col("e").alias("te"),
+        F.col("label").alias("cand"),
+    )
+    test = emb.filter(~F.col("is_train")).select(
+        "vec_id", F.col("label").alias("actual"), "e"
+    )
+    scored = test.crossJoin(F.broadcast(train)).select(
+        "vec_id",
+        "actual",
+        "cand",
+        "nb",
+        F.round(cosine(F.col("e"), F.col("te")), 6).alias("sim"),
+    )
+    w5 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
+    top5 = scored.withColumn("rn", F.row_number().over(w5)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("vec_id", "actual", "cand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("n"), "cand")
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(
+        F.col("rv") == 1
+    )
+    return (
+        pred.groupBy("actual")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("cand") == F.col("actual"), 1))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("actual")
+    )
+
+
+@register(
+    "ml_target_encoding",
+    oracle="""
+WITH y AS (
+  SELECT o_orderpriority AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+),
+g AS (
+  SELECT cat, sum(y) AS sy, count(*) AS n FROM y GROUP BY cat
+),
+gs AS (SELECT sum(y) * 1.0 / count(*) AS gm FROM y),
+enc AS (
+  SELECT y.cat,
+         (g.sy - y.y + 10 * gs.gm) / (g.n - 1 + 10) AS e
+  FROM y JOIN g ON g.cat = y.cat CROSS JOIN gs
+)
+SELECT cat,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e), 6) AS mean_loo_encoding,
+       round(stddev_pop(e), 6) AS sd_loo_encoding
+FROM enc GROUP BY cat ORDER BY cat
+""",
+    doc="leave-one-out mean-target encoding with additive smoothing "
+    "(m=10) — the feature-engineering staple whose naive version "
+    "leaks the row's own label: each row's encoding excludes its own "
+    "y ((sum_y - y_i + m*global)/(n - 1 + m)), computed as one "
+    "aggregate join-back, no per-row recomputation.  The per-"
+    "category mean/sd of the encodings is the driver-checked "
+    "summary; both engines evaluate the identical closed form",
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    g = y.groupBy("cat").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    glob = y.agg((F.sum("y") / F.count(F.lit(1))).alias("gm"))
+    enc = (
+        y.join(F.broadcast(g), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "cat",
+            (
+                (F.col("sy") - F.col("y") + 10 * F.col("gm"))
+                / (F.col("n") - 1 + 10)
+            ).alias("e"),
+        )
+    )
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("e"), 6).alias("mean_loo_encoding"),
+            F.round(F.stddev_pop("e"), 6).alias("sd_loo_encoding"),
+        )
+        .orderBy("cat")
+    )
+
+
+@register(
+    "prep_one_hot_encode",
+    oracle="""
+WITH vocab AS (
+  SELECT o_orderpriority AS v,
+         row_number() OVER (ORDER BY o_orderpriority) - 1 AS idx
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+),
+encoded AS (
+  SELECT o.o_orderstatus, vocab.idx
+  FROM orders o JOIN vocab ON vocab.v = o.o_orderpriority
+)
+SELECT o_orderstatus, idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM encoded GROUP BY 1, 2 ORDER BY o_orderstatus, idx
+""",
+    doc="one-hot / ordinal vocabulary encoding: the category-to-index "
+    "map is built once from the sorted distinct domain (a <= |domain|"
+    "-row broadcast dictionary — exactly how a feature store "
+    "publishes stable category ids) and applied with one broadcast "
+    "join.  The (status x index) contingency output hash-checks both "
+    "the dictionary's index assignment and the join application",
+)
+def prep_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    from ..operators.topk import global_ordinal
+
+    distinct = orders.select(
+        F.col("o_orderpriority").alias("v")
+    ).distinct()
+    # dictionary ids via the two-level ordinal: on a high-cardinality
+    # column the distinct domain is data-scale, so the index
+    # assignment must not be a single-partition window
+    ranked, _n = global_ordinal(distinct, [F.col("v")], out_col="rn1")
+    vocab = ranked.select("v", (F.col("rn1") - 1).alias("idx"))
+    return (
+        orders.join(
+            F.broadcast(vocab), orders.o_orderpriority == vocab.v
+        )
+        .groupBy("o_orderstatus", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("o_orderstatus", "idx")
+    )
