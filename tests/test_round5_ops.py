@@ -178,3 +178,74 @@ def test_decision_stump_matches_bruteforce(spark, sf_dir):
             best = key
     assert row["gini"] == best[0]
     assert row["best_threshold"] == (best[1] + 1) * 1000.0
+
+
+def _trade_edges(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def test_k_core_is_actually_a_3_core(spark, sf_dir):
+    """Every node the peel keeps must still have degree >= 3 inside
+    the kept edge set, and the peel must be a fixpoint (one more
+    round removes nothing)."""
+    edges = {(r["u"], r["v"]) for r in _trade_edges(spark, sf_dir).collect()}
+    cur = set(edges)
+    for _ in range(8):
+        deg: dict[int, int] = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    nodes = {n for e in cur for n in e}
+    deg = {}
+    for u, v in cur:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert all(deg[n] >= 3 for n in nodes) or not nodes
+    row = (
+        load_registry()["graph_k_core_trade"].fn(spark, sf_dir).collect()[0]
+    )
+    assert row["n_core_nodes"] == len(nodes)
+    assert row["n_core_edges"] == len(cur)
+
+
+def test_label_propagation_converges_to_components(spark, sf_dir):
+    """On the small trade graph 5 min-label rounds reach the CC
+    fixpoint: community sizes == connected-component sizes from the
+    dedup stack's CC operator."""
+    from aiven_challenge2_cdc_sharing_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = _trade_edges(spark, sf_dir).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
+    )
+    cc = connected_components(edges)
+    cc_sizes = sorted(
+        r["n"]
+        for r in cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    lpa_sizes = sorted(
+        r["n_nations"]
+        for r in load_registry()["graph_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert lpa_sizes == cc_sizes
