@@ -102,6 +102,8 @@ DRIVER_PRIORITY: list[str] = [
     "ml_knn_classify",
     "ml_target_encoding",
     "prep_one_hot_encode",
+    "ts_decompose_residuals",
+    "ml_neyman_allocation",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "udf_arrow_map_doc_stats",

@@ -2991,3 +2991,158 @@ def prep_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("o_orderstatus", "idx")
     )
+
+
+@register(
+    "ts_decompose_residuals",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 4) AS x
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, day, x,
+         quantile_disc(x, 0.5) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS tr
+  FROM daily
+),
+seas AS (
+  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+         avg(x - tr) AS s
+  FROM trend GROUP BY 1, 2
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       -- +0.0 collapses IEEE negative zero (DuckDB round yields -0.0
+       -- on tiny negative means, Spark 0.0 — hash mismatch otherwise)
+       round(avg(t.x - t.tr - s.s), 4) + 0.0 AS resid_mean,
+       round(stddev_pop(t.x - t.tr - s.s), 4) AS resid_sd,
+       CAST(count(*) FILTER (
+         WHERE abs(t.x - t.tr - s.s) > 2 * (
+           SELECT stddev_pop(t2.x - t2.tr - s2.s)
+           FROM trend t2
+           JOIN seas s2 ON s2.event_type = t2.event_type
+             AND s2.dow = CAST(dayofweek(t2.day) + 1 AS BIGINT)
+           WHERE t2.event_type = t.event_type)) AS BIGINT)
+         AS n_anomalies
+FROM trend t
+JOIN seas s ON s.event_type = t.event_type
+  AND s.dow = CAST(dayofweek(t.day) + 1 AS BIGINT)
+GROUP BY t.event_type ORDER BY t.event_type
+""",
+    doc="classical decomposition with anomaly flagging: trend = the "
+    "7-day rolling discrete median (ts_rolling_median_7d's robust "
+    "smoother), seasonal = mean detrended value per day-of-week "
+    "(ts_seasonal_dow_profile's index, additive form), residual = "
+    "x - trend - seasonal, anomaly = |residual| > 2 sd — the "
+    "composition that turns the two standalone round-5 primitives "
+    "into the seasonally-adjusted anomaly detector dashboards "
+    "actually need.  All windows partition by type; seasonal/sd are "
+    "per-type aggregates joined back broadcast",
+)
+def ts_decompose_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list("x").over(w))
+    trend = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.element_at(vals, F.ceil(F.size(vals) / 2.0).cast("int")).alias(
+            "tr"
+        ),
+    ).localCheckpoint(eager=True)  # feeds seasonal agg + residual join
+    seas = trend.groupBy(
+        F.col("event_type").alias("s_et"),
+        F.dayofweek("day").cast("long").alias("dow"),
+    ).agg(F.avg(F.col("x") - F.col("tr")).alias("s"))
+    resid = trend.join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("s_et"))
+        & (F.dayofweek("day").cast("long") == F.col("dow")),
+    ).select(
+        F.col("event_type").alias("et"),
+        (F.col("x") - F.col("tr") - F.col("s")).alias("r"),
+    )
+    sd = resid.groupBy("et").agg(F.stddev_pop("r").alias("sd"))
+    return (
+        resid.join(F.broadcast(sd), "et")
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (F.round(F.avg("r"), 4) + 0.0).alias("resid_mean"),
+            F.round(F.stddev_pop("r"), 4).alias("resid_sd"),
+            F.count(F.when(F.abs(F.col("r")) > 2 * F.col("sd"), 1))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            "resid_mean",
+            "resid_sd",
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ml_neyman_allocation",
+    oracle="""
+WITH strata AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         stddev_pop(c_acctbal) AS s
+  FROM customer GROUP BY 1
+),
+alloc AS (
+  SELECT c_mktsegment, n, s,
+         n * s / (SELECT sum(n * s) FROM strata) AS w
+  FROM strata
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_stratum,
+       round(s, 4) AS sd,
+       CAST(round(1000 * w) AS BIGINT) AS neyman_n,
+       round(w, 6) AS neyman_share
+FROM alloc ORDER BY c_mktsegment
+""",
+    doc="Neyman optimal allocation for a stratified sample of 1000: "
+    "each stratum's share proportional to N_h * sd_h — the "
+    "variance-minimizing design for estimating mean account balance, "
+    "vs ml_stratified_sample_det's proportional allocation.  One "
+    "aggregate over the strata plus a broadcast total; the "
+    "allocation itself is what's hash-checked (round-half-even on "
+    "both engines for the integer counts)",
+)
+def ml_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    strata = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.stddev_pop("c_acctbal").alias("s"),
+    )
+    tot = strata.agg(F.sum(F.col("n") * F.col("s")).alias("t"))
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n_stratum"),
+            F.round("s", 4).alias("sd"),
+            F.round(1000 * F.col("n") * F.col("s") / F.col("t"))
+            .cast("long")
+            .alias("neyman_n"),
+            F.round(F.col("n") * F.col("s") / F.col("t"), 6).alias(
+                "neyman_share"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -185,6 +185,12 @@ ALLOWED_EXCHANGES = {
     # bounded table (priority domain, group list, global shares) plus
     # the per-group windows and the top-10 sort.
     "privacy_t_closeness": 10,
+    # ts_decompose_residuals: the raw-event aggregate + trend window
+    # run once (trend table localCheckpoint'ed, date-domain-bounded);
+    # the remaining exchanges are the seasonal aggregate, the sd
+    # aggregate, their broadcast join-backs, and the final per-type
+    # rollup — all over the <= (types x days) table.
+    "ts_decompose_residuals": 8,
 }
 
 
