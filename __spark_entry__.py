@@ -104,6 +104,9 @@ DRIVER_PRIORITY: list[str] = [
     "prep_one_hot_encode",
     "ts_decompose_residuals",
     "ml_neyman_allocation",
+    "dash_hour_dow_heatmap",
+    "win_cumulative_distinct_users",
+    "agg_weighted_percentiles",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "udf_arrow_map_doc_stats",

@@ -3146,3 +3146,151 @@ def ml_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "dash_hour_dow_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY dow, hour
+""",
+    doc="activity heatmap (day-of-week x hour-of-day): the canonical "
+    "ops-dashboard panel — one hash aggregate into a 7x24-bounded "
+    "output regardless of event volume.  DuckDB's 0=Sunday dayofweek "
+    "is shifted to Spark's 1=Sunday in the oracle",
+)
+def dash_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "win_cumulative_distinct_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT d0 AS day, count(*) AS new_users FROM first_seen GROUP BY d0
+),
+days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+)
+SELECT days.day,
+       CAST(coalesce(per_day.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(per_day.new_users, 0)) OVER (ORDER BY days.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM days LEFT JOIN per_day ON per_day.day = days.day
+ORDER BY days.day
+""",
+    doc="running distinct-user count per day WITHOUT any running "
+    "distinct state: the first-seen trick — min(day) per user (one "
+    "shuffle on user), count new users per day, cumulative sum over "
+    "the DATE-domain-bounded day series.  The naive formulation "
+    "(count distinct over an expanding window) re-scans history per "
+    "day; this one is two aggregates and a tiny ordered sum, the "
+    "only correct shape at 100 TB.  The day-level window is bounded "
+    "by the calendar, not the data",
+)
+def win_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    joined = days.join(F.broadcast(per_day), "day", "left").fillna(
+        0, ["new_users"]
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.select(
+            "day",
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias(
+                "cumulative_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_weighted_percentiles",
+    oracle="""
+WITH by_val AS (
+  SELECT l_extendedprice AS v,
+         CAST(sum(round(l_quantity)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(w) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM by_val
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM by_val)
+SELECT round((SELECT min(v) FROM cum, tot WHERE cw * 4 >= tot.tw), 2)
+         AS wp25,
+       round((SELECT min(v) FROM cum, tot WHERE cw * 2 >= tot.tw), 2)
+         AS wp50,
+       round((SELECT min(v) FROM cum, tot WHERE cw * 4 >= tot.tw * 3), 2)
+         AS wp75,
+       tot.tw AS total_weight
+FROM tot
+""",
+    doc="weighted p25/p50/p75 (quantity-weighted price quartiles) "
+    "from ONE two-level prefix sum over the value order — the "
+    "agg_weighted_median generalization: each quantile is a "
+    "filter+min crossing test in exact integer arithmetic "
+    "(cum*4 >= total etc.), three lookups over the same cumulated "
+    "table, no re-sort per quantile",
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    by_val = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.round("l_quantity")).cast("long").alias("w")
+    )
+    cum = global_prefix_sum(by_val, [F.col("v")], "w", out_col="cw")
+    tot = by_val.agg(F.sum("w").cast("long").alias("tw"))
+    j = cum.crossJoin(F.broadcast(tot)).localCheckpoint(eager=True)
+    q = lambda num, den: (  # noqa: E731
+        j.filter(F.col("cw") * den >= F.col("tw") * num)
+        .agg(F.round(F.min("v"), 2).alias("q"))
+    )
+    p25, p50, p75 = q(1, 4), q(1, 2), q(3, 4)
+    return (
+        p25.crossJoin(p50.withColumnRenamed("q", "q2"))
+        .crossJoin(p75.withColumnRenamed("q", "q3"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("q").alias("wp25"),
+            F.col("q2").alias("wp50"),
+            F.col("q3").alias("wp75"),
+            F.col("tw").alias("total_weight"),
+        )
+    )

@@ -101,6 +101,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "(TakeOrdered upstream bounds both windows)",
     "ts_anomaly_daily_values": "per-day aggregate input (date domain)",
     "text_zipf_fit": "rank over the LIMIT-1000 input (TakeOrdered upstream)",
+    "win_cumulative_distinct_users": "per-day aggregate input (date domain)",
 }
 
 
@@ -191,6 +192,11 @@ ALLOWED_EXCHANGES = {
     # aggregate, their broadcast join-backs, and the final per-type
     # rollup — all over the <= (types x days) table.
     "ts_decompose_residuals": 8,
+    # agg_weighted_percentiles: the per-value aggregate + prefix sum
+    # run once (cumulated table localCheckpoint'ed); the remaining
+    # exchanges are the THREE independent crossing-test min
+    # aggregates (one per quantile) over that table plus the total.
+    "agg_weighted_percentiles": 8,
 }
 
 
