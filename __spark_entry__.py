@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "dash_hour_dow_heatmap",
     "win_cumulative_distinct_users",
     "agg_weighted_percentiles",
+    "ts_dominant_period",
     "ts_resample_linear",
     "udaf_source_stats_arrow",
     "udf_arrow_map_doc_stats",

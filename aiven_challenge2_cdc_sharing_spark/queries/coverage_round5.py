@@ -3294,3 +3294,95 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").alias("total_weight"),
         )
     )
+
+
+@register(
+    "ts_dominant_period",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS t,
+         avg(x) OVER (PARTITION BY event_type) AS mu
+  FROM daily
+),
+periods AS (SELECT unnest(range(2, 15)) AS p),
+power AS (
+  SELECT event_type, p,
+         round(pow(sum((x - mu) * cos(2 * pi() * t / p)), 2)
+               + pow(sum((x - mu) * sin(2 * pi() * t / p)), 2), 4)
+           AS pw
+  FROM seq, periods GROUP BY event_type, p
+)
+SELECT event_type, CAST(p AS BIGINT) AS dominant_period_days,
+       pw AS power
+FROM power
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY pw DESC, p) = 1
+ORDER BY event_type
+""",
+    doc="dominant-periodicity detection: an explicit DFT probe at "
+    "candidate periods 2-14 days over each type's demeaned daily "
+    "series (power = |sum x_t e^{-2pi i t/p}|^2 as two real sums) — "
+    "the seasonality detector that decides whether the dow-profile "
+    "decomposition applies.  The candidate-period fan-out is a "
+    "13-row broadcast; everything aggregates over the date-domain-"
+    "bounded series.  Power rounds 4dp before the per-type argmax "
+    "(libm trig agrees to ulps, far inside the round)",
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wmu = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wt) - 1).alias("t"),
+        F.avg("x").over(wmu).alias("mu"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").alias("p"))
+    two_pi = 2 * math.pi
+    power = (
+        seq.crossJoin(F.broadcast(periods))
+        .groupBy("event_type", "p")
+        .agg(
+            F.round(
+                F.pow(
+                    F.sum(
+                        (F.col("x") - F.col("mu"))
+                        * F.cos(two_pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        (F.col("x") - F.col("mu"))
+                        * F.sin(two_pi * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                ),
+                4,
+            ).alias("pw")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("pw"), "p")
+    return (
+        power.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("dominant_period_days"),
+            F.col("pw").alias("power"),
+        )
+        .orderBy("event_type")
+    )
