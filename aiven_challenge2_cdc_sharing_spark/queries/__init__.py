@@ -53,6 +53,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round3,
         coverage_round4,
         coverage_round5,
+        coverage_round6,
         dashboards,
         extras2,
         ingest,

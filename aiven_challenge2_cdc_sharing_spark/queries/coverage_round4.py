@@ -276,15 +276,15 @@ WITH toks AS (
 ),
 d0 AS (SELECT w, w AS v FROM toks),
 d1 AS (
-  -- position range 1..40 is a hard ceiling well above any plausible
-  -- token length (Spark side uses sequence(1, length(w)) unbounded);
-  -- the i <= length() guard makes extra positions no-ops
+  -- position range derived from each token's own length via LATERAL
+  -- (matches the Spark side's unbounded sequence(1, length(w)) —
+  -- a fixed ceiling silently diverged for tokens past it)
   SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS v
-  FROM toks, (SELECT unnest(range(1, 41)) AS i) WHERE i <= length(w)
+  FROM toks, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i)
 ),
 d2 AS (
   SELECT w, substr(v, 1, i - 1) || substr(v, i + 1) AS v
-  FROM d1, (SELECT unnest(range(1, 41)) AS i) WHERE i <= length(v)
+  FROM d1, LATERAL (SELECT unnest(range(1, length(v) + 1)) AS i)
 ),
 vars AS (
   SELECT DISTINCT w, v FROM (

@@ -417,27 +417,34 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_referential_orphans",
     oracle="""
+-- NOT EXISTS, not NOT IN: a NULL foreign key makes NOT IN return
+-- UNKNOWN (row silently excluded) while the Spark side's left-join
+-- null test counts it as an orphan; NOT EXISTS counts it too
 SELECT * FROM (
   SELECT 'orders->customer' AS relation,
          (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
-         (SELECT CAST(count(*) AS BIGINT) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
            AS n_orphans
   UNION ALL
   SELECT 'lineitem->orders',
          (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
   UNION ALL
   SELECT 'lineitem->part',
          (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-          WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
   UNION ALL
   SELECT 'lineitem->supplier',
          (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
 ) ORDER BY relation
 """,
     doc="referential-integrity audit across the star schema's four "
@@ -1269,8 +1276,10 @@ GROUP BY 1 ORDER BY month
 """,
     doc="Bloom-filter join pruning, built explicitly from relational "
     "ops (the hand-rolled version of Spark's AQE runtime filter): "
-    "the BUILDING-customer keys hash into k=3 positions of an 8192-"
-    "bit filter (a <=8192-row broadcast set), orders keep only rows "
+    "the BUILDING-customer keys hash into k=3 positions of a 65536-"
+    "bit filter (a <=65536-row broadcast set — sized by the >=10-"
+    "bits-per-expected-key rule in SCALING.md: 8192 bits at ~4.5k "
+    "keys x3 hashes measured +118pct false positives), orders keep only rows "
     "whose 3 probe positions ALL hit, and the surviving ~segment-"
     "share of orders flows into the exact semi-join.  The oracle is "
     "the PLAIN join — identical answer proves the prefilter admits "
@@ -1293,7 +1302,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # <=8192 rows, feeds 3 probes
+        .localCheckpoint(eager=True)  # <=65536 rows, feeds 3 probes
     )
     probe = orders
     for i in range(3):
@@ -1409,11 +1418,14 @@ c AS (
   FROM customer
 ),
 dists AS (
+  -- round to 6dp BEFORE ranking (cosine-ranking discipline): raw
+  -- asin/sin/cos differ by ulps across libm builds, which could flip
+  -- the argmin for near-equidistant customers
   SELECT s_suppkey, c_custkey,
-         2 * 6371.0 * asin(sqrt(
+         round(2 * 6371.0 * asin(sqrt(
            pow(sin((la2 - la1) / 2), 2)
            + cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
-         )) AS dist
+         )), 6) AS dist
   FROM s JOIN c ON s.s_nationkey = c.c_nationkey
 )
 SELECT s_suppkey, c_custkey AS nearest_custkey,
@@ -1426,10 +1438,12 @@ ORDER BY s_suppkey
     doc="nearest-neighbor geo join: each supplier's closest customer "
     "in its nation by haversine distance over deterministic md5-"
     "derived coordinates.  The nation equi-key blocks the pair space "
-    "(the standard geo trick — at 100 TB you'd block by geohash/S2 "
-    "cell + neighbor cells instead of an attribute, same join shape), "
-    "haversine is pure JVM arithmetic, and the per-supplier argmin is "
-    "a min(struct) aggregate — no window over the pair stream",
+    "(the TEST-SCALE baseline — geo_cell_nearest is the production "
+    "twin that blocks by grid cell + 3x3 neighbor ring, bounding "
+    "per-block pair volume by spatial density instead of letting it "
+    "grow with the data), haversine is pure JVM arithmetic, and the "
+    "per-supplier argmin is a min(struct) aggregate over 6dp-rounded "
+    "distances — no window over the pair stream",
 )
 def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").selectExpr(
@@ -1444,13 +1458,20 @@ def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"radians({_LAT_SPARK.format(k='c_custkey')}) la2",
         f"radians({_LON_SPARK.format(k='c_custkey')}) lo2",
     )
-    dist = 2 * 6371.0 * F.asin(
-        F.sqrt(
-            F.pow(F.sin((F.col("la2") - F.col("la1")) / 2), 2)
-            + F.cos("la1")
-            * F.cos("la2")
-            * F.pow(F.sin((F.col("lo2") - F.col("lo1")) / 2), 2)
-        )
+    # 6dp-rounded before the argmin so cross-engine libm ulp drift
+    # can't flip nearest_custkey on near-equidistant customers
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("la2") - F.col("la1")) / 2), 2)
+                + F.cos("la1")
+                * F.cos("la2")
+                * F.pow(F.sin((F.col("lo2") - F.col("lo1")) / 2), 2)
+            )
+        ),
+        6,
     )
     pairs = supp.join(
         cust, F.col("s_nationkey") == F.col("c_nationkey")
@@ -2823,10 +2844,12 @@ SELECT actual,
 FROM pred GROUP BY actual ORDER BY actual
 """,
     doc="k-NN classification (k=5, cosine) over the embedding table "
-    "with the standard 80pct hash split: brute-force scoring against "
-    "the train partition (the exact baseline every ANN index is "
-    "judged against — swap the scored CTE for the LSH/IVF probes in "
-    "operators/similarity.py for the approximate production path), "
+    "with the standard 80pct hash split: TEST-SCALE exact baseline — "
+    "brute-force scoring against a broadcast train partition, which "
+    "exists to judge ANN recall and does NOT survive 100 TB (the "
+    "broadcast is 80pct of the table); ml_knn_classify_ann in "
+    "coverage_round6.py is the production path (LSH-bucketed "
+    "candidates, shuffled equi-join), "
     "per-test-vector top-5 by (sim, id), majority vote with "
     "deterministic label tie-break.  Per-lang accuracy rollup is the "
     "driver-checked output",

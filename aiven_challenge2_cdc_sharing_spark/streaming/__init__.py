@@ -4,6 +4,7 @@ from .incremental import (
     run_incremental_counts,
 )
 from .cep import streaming_journey_patterns, streaming_purchase_conversion
+from .sessions import streaming_sessionize
 from .fanout import run_shared_serving
 from .ingest import run_dedup_ingest
 from .runtime import (
@@ -32,6 +33,7 @@ __all__ = [
     "running_user_profiles",
     "streaming_journey_patterns",
     "streaming_purchase_conversion",
+    "streaming_sessionize",
     "windowed_counts",
     "write_once_per_batch",
 ]

@@ -1,0 +1,91 @@
+"""Streaming sessionizer: the stateful half of the peak-concurrency
+sweep (``dash_peak_concurrency`` / ``_scalable``).
+
+The batch twins sessionize the full history (30-minute gap rule) and
+sweep start/end deltas; this operator maintains ONE open session per
+user in state and emits
+
+- a ``closed=True`` row the moment a gap closes a session (final —
+  never re-emitted), and
+- a ``closed=False`` row per batch for the still-open session
+  (emit-latest semantics: a later batch may extend or close it).
+
+Downstream, "current sessions" = all closed rows + the latest open
+row per user; feeding those into the batch sweep reproduces the batch
+peak exactly (pinned in tests/test_streaming_sessions.py across 3
+micro-batches).  State is two scalars (open-session start/end in
+epoch micros) — O(1) per user, the same trade the CEP machine makes:
+exact under per-key in-order delivery, which is the transport's
+guarantee (reference: single-partition topic + one consumer task,
+terraform/main.tf:79,234).
+
+The gap rule compares SECOND-truncated timestamps (``unix_timestamp``
+semantics), matching the batch twins' ``epoch()`` arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("s_sec", T.LongType()),
+        T.StructField("e_sec", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+# open session (start, end) in epoch micros; -1 = no open session
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s_us", T.LongType()),
+        T.StructField("e_us", T.LongType()),
+    ]
+)
+
+GAP_SECONDS = 1800
+
+
+def _fold_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    s_us, e_us = state.get if state.exists else (-1, -1)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    out: list[tuple[int, int, int, bool]] = []
+    uid = key[0]
+    for ts in rows["ts"].astype("int64"):
+        ts_us = ts // 1_000  # pandas ns -> micros
+        if s_us < 0:
+            s_us = e_us = ts_us
+        elif ts_us // 1_000_000 - e_us // 1_000_000 > GAP_SECONDS:
+            out.append(
+                (uid, s_us // 1_000_000, e_us // 1_000_000, True)
+            )
+            s_us = e_us = ts_us
+        elif ts_us > e_us:
+            e_us = ts_us
+    state.update((s_us, e_us))
+    if s_us >= 0:
+        out.append((uid, s_us // 1_000_000, e_us // 1_000_000, False))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "s_sec", "e_sec", "closed"]
+        )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Per-user gap sessionizer over a stream; see module docstring."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fold_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -102,6 +102,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "ts_anomaly_daily_values": "per-day aggregate input (date domain)",
     "text_zipf_fit": "rank over the LIMIT-1000 input (TakeOrdered upstream)",
     "win_cumulative_distinct_users": "per-day aggregate input (date domain)",
+    "stats_bootstrap_ci_mean": "row_number over <=31 aggregated "
+    "calendar days",
 }
 
 
@@ -170,6 +172,20 @@ ALLOWED_EXCHANGES = {
     # re-aggregates/joins the 15-row contingency table — count is
     # structural, bytes are trivial.
     "stats_chi_square_independence": 8,
+    # graph_degree_histogram: distinct items -> self-join -> distinct
+    # edges -> symmetrize -> two aggregates: five structurally
+    # distinct shuffle keys ((o,p), o, (p1,p2), node, degree) plus
+    # AQE reads — every exchange carries 2-3 longs per row, and the
+    # item table is localCheckpoint'ed so the N-sized distinct runs
+    # once.
+    "graph_degree_histogram": 11,
+    # stats_kendall_tau_binned / stats_spearman_by_returnflag: the
+    # N-sized joint histogram is localCheckpoint'ed and computed
+    # once; every remaining exchange (cell self-join, marginal
+    # rollups, totals, broadcast combines) moves <=550-row
+    # bounded-domain histogram tables.
+    "stats_kendall_tau_binned": 10,
+    "stats_spearman_by_returnflag": 11,
     # graph_triangle_count_trade: the 4-way fact join runs once
     # (edges localCheckpoint'ed); the remaining exchanges are the
     # three independent aggregates (nodes / edges / triangles) over
