@@ -1866,10 +1866,14 @@ def search_bm25f_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p") <= 3, "title").otherwise("body").alias("field"),
         "term",
     )
+    # the posting list feeds df AND the weighted-tf aggregate —
+    # checkpoint so the token explode runs once (persisting this
+    # bucketed by term IS inverted-index construction at scale)
     tf = (
         fields.filter(F.col("term").isin("join", "scan"))
         .groupBy("doc_id", "dl", "len_title", "len_body", "field", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     avglen = docs.agg(
         F.avg(F.least(F.lit(3), F.size(toks))).alias("avg_title"),
@@ -2210,4 +2214,276 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
         .limit(200)
+    )
+
+
+# ------------------------------------------- rolling z-score
+
+
+@register(
+    "win_rolling_zscore_7d",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(sum(value), 2) AS y
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, y,
+         avg(y) OVER w AS m,
+         stddev_samp(y) OVER w AS sd,
+         count(*) OVER w AS n_win
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, y,
+       round(m, 2) AS mean_7d,
+       round((y - m) / (CASE WHEN sd > 0 THEN sd END), 4) AS z,
+       (n_win >= 4 AND abs((y - m) / (CASE WHEN sd > 0 THEN sd END)) > 2)
+         AS is_anomaly
+FROM win ORDER BY event_type, day
+""",
+    doc="rolling 7-day z-score anomaly flags per event type: RANGE "
+    "window over the per-(type, day) aggregate — partitioned by "
+    "type, input bounded by the calendar, so the window never sees "
+    "raw events.  sd guards through a CASE (NULL z on a constant "
+    "week, never an ANSI divide-by-zero); flags need >=4 window "
+    "days so the first days don't alarm on tiny samples.  The "
+    "online-monitoring twin of ts_outliers_mad's batch MAD test",
+)
+def win_rolling_zscore_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiply-form rounding (round(x*100)/100): Spark F.round's
+    # shortest-repr HALF_UP and DuckDB's multiply-first split exactly
+    # the ...5 boundary this fixture hits (285.465 -> 285.47 vs .46)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg((F.round(F.sum("value") * 100, 0) / 100).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.avg("y").over(w).alias("m"),
+        F.stddev_samp("y").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    z = (F.col("y") - F.col("m")) / F.when(F.col("sd") > 0, F.col("sd"))
+    return win.select(
+        "event_type",
+        "day",
+        "y",
+        (F.round(F.col("m") * 100, 0) / 100).alias("mean_7d"),
+        (F.round(z * 10000, 0) / 10000).alias("z"),
+        ((F.col("n_win") >= 4) & (F.abs(z) > 2)).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+# ------------------------------------------- HHI concentration
+
+
+@register(
+    "agg_hhi_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nation, sum(r) AS tr, count(*) AS n_suppliers FROM rev
+        GROUP BY nation)
+SELECT t.nation,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       round(sum(pow(r.r / t.tr, 2)) * 10000, 2) AS hhi,
+       round(1.0 / t.n_suppliers * 10000, 2) AS hhi_floor
+FROM rev r JOIN tot t USING (nation)
+GROUP BY t.nation, t.n_suppliers ORDER BY t.nation
+""",
+    doc="Herfindahl-Hirschman market-concentration index per nation "
+    "(sum of squared supplier revenue shares, x10000 per antitrust "
+    "convention) with the 1/n perfect-competition floor — the "
+    "concentration complement of agg_gini_revenue_concentration.  "
+    "Two hash aggregates (supplier revenue, nation totals) and a "
+    "broadcast join-back; shares are exact ratios of 2-pass sums",
+)
+def agg_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    # one row per supplier, feeds the nation rollup AND the share
+    # join-back — checkpoint so the fact join runs once
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").alias("tr"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("r") / F.col("tr"), 2)) * 10000, 2
+            ).alias("hhi")
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "hhi",
+            F.round(1.0 / F.col("n_suppliers") * 10000, 2).alias(
+                "hhi_floor"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+# ------------------------------------------- geometric/harmonic means
+
+
+@register(
+    "agg_geo_harmonic_means",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       round(avg(c_acctbal), 2) AS arith_mean,
+       round(exp(avg(ln(c_acctbal + 10000))) - 10000, 2) AS geo_mean,
+       round(count(*) / sum(1.0 / (c_acctbal + 10000)) - 10000, 2)
+         AS harm_mean,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1 ORDER BY segment
+""",
+    doc="the Pythagorean-means parity row per segment: geometric mean "
+    "via exp-of-avg-log and harmonic via n-over-reciprocal-sum, both "
+    "single hash aggregates.  Account balances can be negative, so "
+    "both means run on a +10000 shift (documented offset, provably "
+    "positive on the fixture domain [-1000, 10000)) and shift back — "
+    "the standard trick for log-mean over signed data.  Verifies "
+    "AM >= GM >= HM ordering implicitly through the oracle hash",
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    shifted = F.col("c_acctbal") + 10000
+    return (
+        cust.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.avg("c_acctbal"), 2).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log(shifted))) - 10000, 2).alias(
+                "geo_mean"
+            ),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / shifted) - 10000, 2
+            ).alias("harm_mean"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ------------------------------------------- Wald-Wolfowitz runs test
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(y, 0.5) AS m FROM daily),
+signs AS (
+  SELECT day, y > m AS above FROM daily CROSS JOIN med WHERE y != m
+),
+runs AS (
+  SELECT count(*) AS n_runs FROM (
+    SELECT CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                 OR lag(above) OVER (ORDER BY day) != above
+                THEN 1 ELSE 0 END AS new_run
+    FROM signs)
+  WHERE new_run = 1
+),
+counts AS (
+  SELECT sum(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN above THEN 0 ELSE 1 END) AS n2
+  FROM signs
+)
+SELECT CAST(r.n_runs AS BIGINT) AS n_runs,
+       CAST(c.n1 AS BIGINT) AS n_above,
+       CAST(c.n2 AS BIGINT) AS n_below,
+       round((r.n_runs - (2.0 * c.n1 * c.n2 / (c.n1 + c.n2) + 1))
+             / sqrt(2.0 * c.n1 * c.n2 * (2.0 * c.n1 * c.n2 - c.n1 - c.n2)
+                    / (pow(c.n1 + c.n2, 2) * (c.n1 + c.n2 - 1))), 4)
+         AS z
+FROM runs r CROSS JOIN counts c
+""",
+    doc="Wald-Wolfowitz runs test for randomness of the daily-revenue "
+    "sequence around its median: runs counted with the gaps-and-"
+    "islands lag trick over the per-day aggregate (calendar-bounded "
+    "window, ties-to-median dropped per the classic test), then the "
+    "closed-form normal approximation.  Complements Mann-Kendall: "
+    "MK detects monotone trend, runs detects ANY serial dependence",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # calendar-bounded series feeds the median AND the sign stream;
+    # signs feed the run counter AND the above/below counts —
+    # checkpoint both so the N-sized aggregate runs once
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    med = daily.agg(F.expr("percentile(y, 0.5)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("day", (F.col("y") > F.col("m")).alias("above"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day")
+    runs = (
+        signs.select(
+            F.when(
+                F.lag("above").over(w).isNull()
+                | (F.lag("above").over(w) != F.col("above")),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_run")
+        )
+        .agg(F.sum("new_run").alias("n_runs"))
+    )
+    counts = signs.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n2"),
+    )
+    n1, n2, nr = F.col("n1"), F.col("n2"), F.col("n_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return runs.crossJoin(F.broadcast(counts)).select(
+        nr.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round((nr - mu) / F.sqrt(var), 4).alias("z"),
     )

@@ -58,6 +58,12 @@ HEADLINE = [
     "cdc_kafka_wire_decode",
     "cdc_scd2_history",
     "dedup_jaccard_threshold_pairs",
+    "ml_knn_classify_ann",
+    "geo_cell_nearest",
+    "emb_density_core_points",
+    "er_levenshtein_blocked_pairs",
+    "search_bm25f_multifield",
+    "join_interval_allen_counts",
     "dedup_containment_pairs",
     "dedup_parent_chain_depth",
     "text_dup_ngram_spans",

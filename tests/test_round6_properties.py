@@ -1,0 +1,231 @@
+"""Independent brute-force pins for the round-6 operators.
+
+The oracle gate proves Spark == DuckDB; these prove both equal the
+DEFINITION, recomputed in plain Python/pandas/numpy with none of the
+histogram/banding/prefix tricks the distributed formulations use:
+
+- Kendall tau-b and Mann-Kendall S by the naive O(n^2) pair loop,
+- Theil-Sen by numpy median of all pairwise slopes,
+- Spearman by pandas' own rank correlation,
+- the Allen census by the naive all-pairs interval scan (verifies the
+  hour-bucket banding counts every intersecting pair exactly once),
+- BFS levels by a plain Python queue,
+- the bitmap distinct count against count(DISTINCT).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import deque
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+
+SF01 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.01 testdata absent"
+)
+
+
+def _duck(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "orders",
+        "lineitem",
+        "customer",
+        "supplier",
+        "events",
+        "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{SF01}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def test_kendall_tau_matches_naive_pairs(spark):
+    reg = load_registry()
+    got = reg["stats_kendall_tau_binned"].fn(spark, SF01).collect()[0]
+    df = _duck("SELECT l_quantity q, l_discount d FROM lineitem")
+    q = df["q"].to_numpy()
+    d = df["d"].to_numpy()
+    # naive concordant/discordant via sign matrices on a sample-free
+    # full pass, vectorized: sum over i<j of sign agreements
+    n = len(q)
+    c = disc = 0
+    # O(n^2) in numpy blocks to stay fast at 60k rows
+    for i in range(0, n, 2000):
+        qi = q[i : i + 2000, None]
+        di = d[i : i + 2000, None]
+        sq = np.sign(q[None, :] - qi)
+        sd = np.sign(d[None, :] - di)
+        prod = sq * sd
+        # count each unordered pair once: restrict to j > global i
+        for r in range(qi.shape[0]):
+            row = prod[r, i + r + 1 :]
+            c += int((row > 0).sum())
+            disc += int((row < 0).sum())
+    assert got["s_stat"] == c - disc
+    tq = pd.Series(q).value_counts().to_numpy()
+    td = pd.Series(d).value_counts().to_numpy()
+    n0 = n * (n - 1) / 2
+    n1 = float((tq * (tq - 1) / 2).sum())
+    n2 = float((td * (td - 1) / 2).sum())
+    tau = (c - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(got["tau_b"] - round(tau, 6)) <= 1e-6
+
+
+def test_theil_sen_matches_numpy_median(spark):
+    reg = load_registry()
+    got = reg["stats_theil_sen_slope"].fn(spark, SF01).collect()[0]
+    df = _duck(
+        "SELECT CAST(year(o_orderdate)*12+month(o_orderdate) AS BIGINT) x,"
+        " round(sum(o_totalprice), 2) y FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    x = df["x"].to_numpy(dtype=float)
+    y = df["y"].to_numpy()
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    assert got["n_points"] == len(x)
+    assert got["n_pairs"] == len(slopes)
+    # numpy 'linear' interpolation == percentile/quantile_cont
+    assert abs(
+        got["ts_slope"] - round(float(np.percentile(slopes, 50)), 4)
+    ) <= 1e-9
+
+
+def test_mann_kendall_matches_naive(spark):
+    reg = load_registry()
+    got = reg["stats_mann_kendall_trend"].fn(spark, SF01).collect()[0]
+    df = _duck(
+        "SELECT CAST(year(o_orderdate)*12+month(o_orderdate) AS BIGINT) x,"
+        " round(sum(o_totalprice), 2) y FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    y = df["y"].to_numpy()
+    s = sum(
+        int(np.sign(y[j] - y[i]))
+        for i in range(len(y))
+        for j in range(i + 1, len(y))
+    )
+    assert got["s"] == s
+    n = len(y)
+    z = (s - int(np.sign(s))) / math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+    assert abs(got["z"] - round(z, 4)) <= 1e-9
+
+
+def test_spearman_matches_pandas(spark):
+    reg = load_registry()
+    got = {
+        r["mode"]: r["spearman_rho"]
+        for r in reg["stats_spearman_by_returnflag"].fn(spark, SF01).collect()
+    }
+    df = _duck(
+        "SELECT l_returnflag f, l_quantity q, l_discount d FROM lineitem"
+    )
+    for flag, grp in df.groupby("f"):
+        # spearman = pearson of average ranks (pandas' method=
+        # "spearman" needs scipy, absent here; rank+pearson doesn't)
+        rho = grp["q"].rank(method="average").corr(
+            grp["d"].rank(method="average")
+        )
+        assert abs(got[flag] - round(rho, 6)) <= 2e-6, flag
+
+
+def test_allen_counts_match_naive_all_pairs(spark):
+    reg = load_registry()
+    got = {
+        r["relation"]: r["n_pairs"]
+        for r in reg["join_interval_allen_counts"].fn(spark, SF01).collect()
+    }
+    sess = _duck(
+        """
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+               OR CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id u, CAST(floor(epoch(min(ts))) AS BIGINT) s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) e
+FROM (SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+      FROM marks)
+GROUP BY user_id, sid
+"""
+    ).to_records(index=False)
+    want: dict[str, int] = {}
+    rows = list(sess)
+    for i in range(len(rows)):
+        u1, s1, e1 = rows[i]
+        for j in range(len(rows)):
+            u2, s2, e2 = rows[j]
+            if not (u2 > u1 and s2 <= e1 and s1 <= e2):
+                continue
+            if s1 == s2 and e1 == e2:
+                rel = "equals"
+            elif s1 == s2:
+                rel = "starts"
+            elif e1 == e2:
+                rel = "finishes"
+            elif (s2 < s1 and e1 < e2) or (s1 < s2 and e2 < e1):
+                rel = "during"
+            elif e1 == s2 or e2 == s1:
+                rel = "meets"
+            else:
+                rel = "overlaps"
+            want[rel] = want.get(rel, 0) + 1
+    assert got == want
+    assert sum(want.values()) > 0
+
+
+def test_bfs_levels_match_python_queue(spark):
+    reg = load_registry()
+    got = {
+        r["node"]: r["lvl"]
+        for r in reg["graph_bfs_levels"].fn(spark, SF01).collect()
+    }
+    edges = _duck(
+        """
+SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) u,
+                greatest(c.c_nationkey, s.s_nationkey) v
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE c.c_nationkey <> s.s_nationkey
+"""
+    ).to_records(index=False)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    lvl = {0: 0}
+    dq = deque([0])
+    while dq:
+        n = dq.popleft()
+        for m in adj.get(n, ()):
+            if m not in lvl:
+                lvl[m] = lvl[n] + 1
+                dq.append(m)
+    assert got == lvl
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    reg = load_registry()
+    for r in reg["agg_bitmap_distinct_users"].fn(spark, SF01).collect():
+        assert r["distinct_bitmap"] == r["distinct_exact"], r
