@@ -95,6 +95,35 @@ DRIVER_PRIORITY: list[str] = [
     "geo_haversine_nearest",
     "dedup_edit_distance_pairs",
     "dq_referential_orphans",
+    # -- round-7 queue (never-checked; next rotation pulls them into
+    # -- the window) --
+    "stats_levene_test",
+    "stats_cohens_d_effect",
+    "stats_poisson_rate_test",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "ml_ridge_normal_eq",
+    "ml_confusion_logreg",
+    "ml_lift_by_score_band",
+    "dash_new_vs_returning",
+    "emb_centroid_shift_drift",
+    "dq_duplicate_key_audit",
+    "agg_skew_kurtosis_moments",
+    "ml_systematic_sample",
+    "text_char_entropy_per_source",
+    "text_langid_confusion",
+    "text_heaps_law_fit",
+    "dash_session_duration_hist",
+    "dash_bounce_rate",
+    "funnel_signup_purchase_latency",
+    "agg_abc_classification",
+    "agg_lorenz_curve_points",
+    "stats_simpsons_paradox",
+    "privacy_generalization_bands",
+    "emb_cosine_to_centroid_hist",
+    "ml_learning_curve",
+    "ml_class_weights",
+    "dq_freshness_lag",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -54,6 +54,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round4,
         coverage_round5,
         coverage_round6,
+        coverage_round7,
         dashboards,
         extras2,
         ingest,

@@ -2493,3 +2493,1055 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("long").alias("n_below"),
         F.round((nr - mu) / F.sqrt(var), 4).alias("z"),
     )
+
+
+# ---------------------------------- round-7 window inventory below:
+# gated this round (3-scale), queued at positions 51+ for the next
+# rotation.
+
+
+@register(
+    "stats_levene_test",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS grp, quantile_cont(o_totalprice, 0.5) AS md
+  FROM orders GROUP BY 1
+),
+z AS (
+  SELECT o.o_orderpriority AS grp, abs(o.o_totalprice - m.md) AS z
+  FROM orders o JOIN med m ON m.grp = o.o_orderpriority
+),
+g AS (
+  SELECT grp, count(*) AS ng, sum(z) AS sz, sum(z * z) AS szz
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT sum(ng) AS n, count(*) AS k, sum(sz) AS tsz, sum(szz) AS tszz,
+         sum(sz * sz / ng) AS sgroup
+  FROM g
+)
+SELECT round((sgroup - tsz * tsz / n) / (k - 1)
+             / ((tszz - sgroup) / (n - k)), 4) AS w_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within
+FROM tot
+""",
+    doc="Brown-Forsythe homogeneity-of-variance test (the robust "
+    "Levene variant): one-way ANOVA on absolute deviations from the "
+    "GROUP MEDIANS — exact per-group medians broadcast back, then "
+    "the same sums-only F machinery as stats_anova_oneway.  The "
+    "gatekeeper test run before trusting ANOVA's equal-variance "
+    "assumption; two scans + bounded combines",
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("md")
+    )
+    z = orders.join(
+        F.broadcast(med), orders.o_orderpriority == med.grp
+    ).select("grp", F.abs(F.col("o_totalprice") - F.col("md")).alias("z"))
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("tsz"),
+        F.sum("szz").alias("tszz"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("ng")).alias("sgroup"),
+    )
+    ssb = F.col("sgroup") - F.col("tsz") * F.col("tsz") / F.col("n")
+    ssw = F.col("tszz") - F.col("sgroup")
+    return tot.select(
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("w_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+    )
+
+
+@register(
+    "stats_cohens_d_effect",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment AS seg, count(*) AS n, avg(c_acctbal) AS m,
+         var_samp(c_acctbal) AS v
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1
+),
+w AS (
+  SELECT
+    max(CASE WHEN seg = 'BUILDING' THEN m END) AS m1,
+    max(CASE WHEN seg = 'MACHINERY' THEN m END) AS m2,
+    max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+    max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+    max(CASE WHEN seg = 'BUILDING' THEN v END) AS v1,
+    max(CASE WHEN seg = 'MACHINERY' THEN v END) AS v2
+  FROM g
+)
+SELECT round(m1, 2) AS mean_building,
+       round(m2, 2) AS mean_machinery,
+       round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 4)
+         AS pooled_sd,
+       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / (n1 + n2 - 2)), 4) + 0.0 AS cohens_d,
+       round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                               / (n1 + n2 - 2)))
+             * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4) + 0.0 AS hedges_g
+FROM w
+""",
+    doc="standardized effect size between two segments' balances: "
+    "Cohen's d over the pooled sample SD plus the small-sample "
+    "Hedges' g correction — the companion number every A/B z-test "
+    "(ab_test_conversion) should report, since significance without "
+    "magnitude is how dashboards mislead.  One filtered aggregate, "
+    "one pivot row",
+)
+def stats_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    g = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("v"))).alias("v2"),
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("n1") - 1) * F.col("v1")
+            + (F.col("n2") - 1) * F.col("v2")
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    return w.select(
+        F.round("m1", 2).alias("mean_building"),
+        F.round("m2", 2).alias("mean_machinery"),
+        F.round(pooled, 4).alias("pooled_sd"),
+        (F.round(d, 4) + 0.0).alias("cohens_d"),
+        (
+            F.round(
+                d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 4
+            )
+            + 0.0
+        ).alias("hedges_g"),
+    )
+
+
+@register(
+    "stats_poisson_rate_test",
+    oracle="""
+WITH halves AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'h1' ELSE 'h2' END
+           AS half,
+         date_trunc('day', ts) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+g AS (
+  SELECT half, CAST(sum(is_p) AS BIGINT) AS k,
+         CAST(count(DISTINCT d) AS BIGINT) AS t
+  FROM halves GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN half = 'h1' THEN k END) AS k1,
+         max(CASE WHEN half = 'h2' THEN k END) AS k2,
+         max(CASE WHEN half = 'h1' THEN t END) AS t1,
+         max(CASE WHEN half = 'h2' THEN t END) AS t2
+  FROM g
+)
+SELECT k1, k2, t1, t2,
+       round(k1 * 1.0 / t1, 4) AS rate1,
+       round(k2 * 1.0 / t2, 4) AS rate2,
+       round((k1 * 1.0 / t1 - k2 * 1.0 / t2)
+             / sqrt(k1 * 1.0 / (t1 * t1) + k2 * 1.0 / (t2 * t2)), 4)
+         + 0.0 AS z
+FROM w
+""",
+    doc="two-sample Poisson rate test on daily purchase counts "
+    "between the stream's two halves (fixed 2024-01-16 split): "
+    "exposure-normalized rates and the normal-approximation z over "
+    "sqrt(k1/t1^2 + k2/t2^2) — the incident/conversion rate "
+    "comparison on-call dashboards run.  Counts and exposures from "
+    "one aggregate; k>0 on the fixture so the variance term is "
+    "ANSI-safe",
+)
+def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "h1"
+        )
+        .otherwise("h2")
+        .alias("half"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_p"
+        ),
+    )
+    g = halves.groupBy("half").agg(
+        F.sum("is_p").cast("long").alias("k"),
+        F.countDistinct("d").cast("long").alias("t"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("half") == "h1", F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("half") == "h2", F.col("k"))).alias("k2"),
+        F.max(F.when(F.col("half") == "h1", F.col("t"))).alias("t1"),
+        F.max(F.when(F.col("half") == "h2", F.col("t"))).alias("t2"),
+    )
+    r1 = F.col("k1") / F.col("t1")
+    r2 = F.col("k2") / F.col("t2")
+    z = (r1 - r2) / F.sqrt(
+        F.col("k1") / (F.col("t1") * F.col("t1"))
+        + F.col("k2") / (F.col("t2") * F.col("t2"))
+    )
+    return w.select(
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        F.round(r1, 4).alias("rate1"),
+        F.round(r2, 4).alias("rate2"),
+        (F.round(z, 4) + 0.0).alias("z"),
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+tri AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT e1.u AS node FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e2.v FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+  GROUP BY node
+)
+SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)), 4) AS coeff
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.d >= 2
+ORDER BY d.node
+""",
+    doc="per-node local clustering coefficient on the nation trade "
+    "graph: triangles-through-node over deg*(deg-1)/2 possible "
+    "wedges — the node-level refinement of "
+    "graph_triangle_count_trade's global count, using the same "
+    "ordered-edge triangle join (each triangle credited to its 3 "
+    "corners via union).  Degree-1 nodes are excluded (undefined "
+    "coefficient, and the ANSI division demands it)",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select("e1.u", "e1.v", F.col("e2.v").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("t", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+ends AS (
+  -- degrees as DOUBLE: the m*sxx / sx*sx products overflow BIGINT on
+  -- hub-heavy graphs; integer-valued doubles sum exactly (< 2^53)
+  -- and the product rounding is identical IEEE on both engines
+  SELECT CAST(du.d AS DOUBLE) AS dx, CAST(dv.d AS DOUBLE) AS dy
+  FROM pairs p
+  JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+  UNION ALL
+  SELECT CAST(dv.d AS DOUBLE), CAST(du.d AS DOUBLE) FROM pairs p
+  JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+),
+sums AS (
+  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM ends
+)
+SELECT round((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+         + 0.0 AS assortativity,
+       CAST(m / 2 AS BIGINT) AS n_edges
+FROM sums
+""",
+    doc="degree assortativity of the co-purchase graph (Newman r): "
+    "Pearson correlation of endpoint degrees over the symmetrized "
+    "edge list — negative r means hub parts pair with niche parts "
+    "(disassortative).  The nation trade graph is near-complete on "
+    "the fixture (constant degree, r undefined), so this runs on "
+    "the same per-order part pairs as graph_degree_histogram.  "
+    "Degree table joins back to the edges; one sums-only "
+    "correlation, no windows",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("d").cast("double").alias("dx")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("d").cast("double").alias("dy")
+    )
+    joined = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ends = joined.select("dx", "dy").unionAll(
+        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    r = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        (F.round(r, 6) + 0.0).alias("assortativity"),
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+    )
+
+
+@register(
+    "ml_ridge_normal_eq",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y) AS sy, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS b_ols,
+       round((n * sxy - sx * sy) / (n * (sxx + 1000) - sx * sx), 6)
+         AS b_ridge,
+       round(((n * sxy - sx * sy) / (n * (sxx + 1000) - sx * sx))
+             / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
+         AS shrinkage
+FROM s
+""",
+    doc="ridge regression (L2 on the slope, lambda=1000) by the "
+    "closed-form normal equations next to its OLS twin "
+    "(ml_linreg_normal_eq): the 2x2 Cramer solve only gains +lambda "
+    "on the Gram diagonal, so the shrinkage ratio is directly "
+    "readable.  One sums-only aggregate; the canonical "
+    "regularization demo for the sums-based regression family",
+)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    b_ols = num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    b_ridge = num / (
+        F.col("n") * (F.col("sxx") + 1000)
+        - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.round(b_ols, 6).alias("b_ols"),
+        F.round(b_ridge, 6).alias("b_ridge"),
+        F.round(b_ridge / b_ols, 4).alias("shrinkage"),
+    )
+
+
+_LR_DIM6 = 4096
+
+
+@register(
+    "ml_confusion_logreg",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {_LR_DIM6}
+           AS idx
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents)
+),
+c AS (SELECT doc_id, idx, count(*) AS cnt FROM tk GROUP BY ALL),
+dot AS (
+  SELECT doc_id,
+         CAST(sum(cnt * ((idx * 2654435761) % 1001 - 500)) AS BIGINT)
+           AS dot_int
+  FROM c GROUP BY doc_id
+),
+pred AS (
+  SELECT d.doc_id,
+         1.0 / (1.0 + exp(-(d.dot_int / 250000.0))) >= 0.5 AS p,
+         doc.lang = 'en' AS actual
+  FROM dot d JOIN documents doc ON doc.doc_id = d.doc_id
+),
+cm AS (
+  SELECT CAST(count(*) FILTER (WHERE p AND actual) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE p AND NOT actual) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE NOT p AND actual) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE NOT p AND NOT actual) AS BIGINT) AS tn
+  FROM pred
+)
+SELECT tp, fp, fn, tn,
+       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4) AS accuracy,
+       round(CASE WHEN tp + fp > 0
+                  THEN tp * 1.0 / (tp + fp) END, 4) AS precision_,
+       round(CASE WHEN tp + fn > 0
+                  THEN tp * 1.0 / (tp + fn) END, 4) AS recall_
+FROM cm
+""",
+    doc="confusion matrix + accuracy/precision/recall for the "
+    "hashing-trick logistic scorer (ml_score_logreg's integer-exact "
+    "pipeline) against the lang='en' pseudo-label: the evaluation "
+    "half every deployed classifier pairs with its inference half.  "
+    "Guarded CASE keeps the ratios NULL rather than tripping ANSI "
+    "division when a predicted class is empty",
+)
+def ml_confusion_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("long")
+        .__mod__(_LR_DIM6)
+        .alias("idx"),
+    )
+    c = tk.groupBy("doc_id", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (F.col("idx") * F.lit(2654435761)) % 1001 - 500
+    dot = c.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * w).cast("long").alias("dot_int")
+    )
+    pred = dot.join(docs.select("doc_id", "lang"), "doc_id").select(
+        (1.0 / (1.0 + F.exp(-(F.col("dot_int") / 250000.0))) >= 0.5)
+        .alias("p"),
+        (F.col("lang") == "en").alias("actual"),
+    )
+    cm = pred.agg(
+        F.count(F.when(F.col("p") & F.col("actual"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("p") & ~F.col("actual"), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(~F.col("p") & F.col("actual"), 1))
+        .cast("long")
+        .alias("fn"),
+        F.count(F.when(~F.col("p") & ~F.col("actual"), 1))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((tp + tn) / (tp + fp + fn + tn), 4).alias("accuracy"),
+        F.round(
+            F.when(tp + fp > 0, tp / (tp + fp)), 4
+        ).alias("precision_"),
+        F.round(F.when(tp + fn > 0, tp / (tp + fn)), 4).alias("recall_"),
+    )
+
+
+@register(
+    "ml_lift_by_score_band",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % {_LR_DIM6}
+           AS idx
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents)
+),
+c AS (SELECT doc_id, idx, count(*) AS cnt FROM tk GROUP BY ALL),
+dot AS (
+  SELECT doc_id,
+         CAST(sum(cnt * ((idx * 2654435761) % 1001 - 500)) AS BIGINT)
+           AS dot_int
+  FROM c GROUP BY doc_id
+),
+banded AS (
+  SELECT least(4, CAST(floor(
+           (1.0 / (1.0 + exp(-(d.dot_int / 250000.0)))) * 5) AS BIGINT))
+           AS band,
+         CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM dot d JOIN documents doc ON doc.doc_id = d.doc_id
+),
+tot AS (SELECT sum(pos) * 1.0 / count(*) AS base FROM banded)
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       round(sum(pos) * 1.0 / count(*), 6) AS rate,
+       round(sum(pos) * 1.0 / count(*) / t.base, 4) AS lift
+FROM banded CROSS JOIN tot t
+GROUP BY band, t.base ORDER BY band
+""",
+    doc="lift table over FIXED score bands (5 bands of 0.2 score "
+    "width): per-band positive rate over the base rate for the "
+    "logistic scorer — fixed band edges, not ntile deciles, so band "
+    "assignment is a projection and no global sort exists anywhere "
+    "in the plan (the agg_equidepth_histogram_scalable argument "
+    "applied to model evaluation).  Base rate > 0 on the fixture "
+    "(en docs exist), so the lift division is ANSI-safe",
+)
+def ml_lift_by_score_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("long")
+        .__mod__(_LR_DIM6)
+        .alias("idx"),
+    )
+    c = tk.groupBy("doc_id", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (F.col("idx") * F.lit(2654435761)) % 1001 - 500
+    dot = c.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * w).cast("long").alias("dot_int")
+    )
+    score = 1.0 / (1.0 + F.exp(-(F.col("dot_int") / 250000.0)))
+    # (band, pos) pairs feed the base-rate aggregate AND the per-band
+    # rollup — checkpoint so the token-explode pipeline runs once
+    banded = (
+        dot.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.least(F.lit(4), F.floor(score * 5))
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = banded.agg(
+        (F.sum("pos") / F.count(F.lit(1))).alias("base")
+    )
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("band", "base")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.round(F.sum("pos") / F.count(F.lit(1)), 6).alias("rate"),
+            F.round(
+                F.sum("pos") / F.count(F.lit(1)) / F.first("base"), 4
+            ).alias("lift"),
+        )
+        .select("band", "n", "n_pos", "rate", "lift")
+        .orderBy("band")
+    )
+
+
+@register(
+    "dash_new_vs_returning",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS fd FROM events GROUP BY 1
+),
+daily AS (
+  SELECT CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS week,
+         e.user_id,
+         min(CASE WHEN date_trunc('day', e.ts) = f.fd THEN 1 ELSE 0 END)
+           AS any_first
+  FROM events e JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT week,
+       CAST(count(*) FILTER (WHERE any_first = 1) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE any_first = 0) AS BIGINT)
+         AS returning_users,
+       round(count(*) FILTER (WHERE any_first = 0) * 1.0 / count(*), 4)
+         AS returning_share
+FROM daily GROUP BY week ORDER BY week
+""",
+    doc="new-vs-returning weekly split: a user counts as NEW in the "
+    "week containing their first-ever active day (the first-seen "
+    "trick from win_cumulative_distinct_users — one min-aggregate, "
+    "no expanding window), returning otherwise.  Two hash "
+    "aggregates + an equi-join on user_id; the growth-accounting "
+    "board every product dashboard opens with",
+)
+def dash_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("fd")
+    )
+    daily = (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.date_trunc("week", "ts").alias("week"), "user_id"
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.date_trunc("day", "ts") == F.col("fd"), 1
+                ).otherwise(0)
+            ).alias("any_first")
+        )
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count(F.when(F.col("any_first") == 1, 1))
+            .cast("long")
+            .alias("new_users"),
+            F.count(F.when(F.col("any_first") == 0, 1))
+            .cast("long")
+            .alias("returning_users"),
+            F.round(
+                F.count(F.when(F.col("any_first") == 0, 1))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("returning_share"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "emb_centroid_shift_drift",
+    oracle="""
+WITH halves AS (
+  SELECT label, vec_id % 2 = 0 AS h1, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+dims AS (
+  SELECT label, h1, i.i AS pos, avg(e[i.i]) AS m
+  FROM halves, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2, 3
+),
+cents AS (
+  SELECT label, h1, list(m ORDER BY pos) AS cv
+  FROM dims GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.label, a.cv AS c1, b.cv AS c2
+  FROM cents a JOIN cents b ON a.label = b.label AND a.h1 AND NOT b.h1
+)
+SELECT label,
+       round(list_cosine_similarity(c1, c2), 6) AS centroid_cosine
+FROM paired ORDER BY label
+""",
+    doc="embedding drift monitor: per-label centroid of the even-id "
+    "half vs the odd-id half, compared by cosine — the cheap "
+    "detector for embedding-model version skew or ingest drift "
+    "(production compares yesterday's centroids to today's).  "
+    "Centroids are per-(label, dim) means — posexplode + hash "
+    "aggregate, the train_ivf_centroids Lloyd-update shape — so "
+    "nothing N-sized survives the first aggregate",
+)
+def emb_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("h1"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cents = (
+        emb.groupBy("label", "h1", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label", "h1")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            "label",
+            "h1",
+            F.transform("pm", lambda s: s["m"]).alias("cv"),
+        )
+    )
+    a = cents.filter("h1").select("label", F.col("cv").alias("c1"))
+    b = cents.filter(~F.col("h1")).select(
+        F.col("label").alias("l2"), F.col("cv").alias("c2")
+    )
+    return (
+        a.join(b, a.label == b.l2)
+        .select(
+            "label",
+            F.round(cosine(F.col("c1"), F.col("c2")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "dq_duplicate_key_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders.o_orderkey' AS key_col,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT o_orderkey FROM orders GROUP BY 1
+            HAVING count(*) > 1)) AS n_dup_keys
+  UNION ALL
+  SELECT 'customer.c_custkey',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT c_custkey FROM customer GROUP BY 1
+            HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'part.p_partkey',
+         (SELECT CAST(count(*) AS BIGINT) FROM part),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber)',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING count(*) > 1))
+) ORDER BY key_col
+""",
+    doc="primary-key uniqueness audit across the star schema "
+    "(including the composite lineitem key): per-key group-and-"
+    "count-violations, one lazy union so all four audits run as one "
+    "action — the companion gate to dq_referential_orphans "
+    "(uniqueness upstream, referential integrity downstream)",
+)
+def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df, cols, name):
+        # both counts stay lazy branches of ONE union plan — no
+        # eager .count() driver jobs at build time
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        dups = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_keys"))
+        )
+        return total.crossJoin(dups).select(
+            F.lit(name).alias("key_col"), "n_rows", "n_dup_keys"
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        audit(orders, ["o_orderkey"], "orders.o_orderkey")
+        .unionAll(audit(cust, ["c_custkey"], "customer.c_custkey"))
+        .unionAll(audit(part, ["p_partkey"], "part.p_partkey"))
+        .unionAll(
+            audit(
+                li,
+                ["l_orderkey", "l_linenumber"],
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+    )
+    return out.orderBy("key_col")
+
+
+@register(
+    "agg_skew_kurtosis_moments",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS grp, count(*) AS n,
+         avg(o_totalprice) AS m,
+         sum(o_totalprice) AS s1,
+         sum(o_totalprice * o_totalprice) AS s2,
+         sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+         sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice)
+           AS s4
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT grp, n,
+         s2 / n - m * m AS m2,
+         s3 / n - 3 * m * s2 / n + 2 * m * m * m AS m3,
+         s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
+           - 3 * m * m * m * m AS m4
+  FROM s
+)
+SELECT grp,
+       round(m3 / pow(m2, 1.5), 4) + 0.0 AS skewness,
+       round(m4 / (m2 * m2) - 3, 4) + 0.0 AS excess_kurtosis
+FROM mom ORDER BY grp
+""",
+    doc="population skewness and excess kurtosis per priority from "
+    "RAW power sums (s1..s4 in one aggregate pass, central moments "
+    "by the binomial expansion) — deliberately NOT the engines' "
+    "skewness()/kurtosis() builtins, whose sample-correction "
+    "conventions differ between Spark and DuckDB; the raw-moment "
+    "formulation is convention-free and matches bit-for-bit after "
+    "rounding.  The shape-profiling add-on to agg_stats_moments",
+)
+def agg_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = F.col("o_totalprice")
+    s = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("m"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m, n = F.col("m"), F.col("n")
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * F.col("s3") / n
+        + 6 * m * m * F.col("s2") / n
+        - 3 * m * m * m * m
+    )
+    return s.select(
+        "grp",
+        (F.round(m3 / F.pow(m2, 1.5), 4) + 0.0).alias("skewness"),
+        (F.round(m4 / (m2 * m2) - 3, 4) + 0.0).alias("excess_kurtosis"),
+    ).orderBy("grp")
+
+
+@register(
+    "ml_systematic_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (
+           ORDER BY md5(CAST(c_custkey AS VARCHAR) || '#sys')) AS rn
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment
+FROM ranked WHERE rn % 20 = 7
+ORDER BY c_custkey
+""",
+    doc="systematic 1-in-20 sample over a hashed ordering: rows "
+    "ranked by keyed md5 (so the 'systematic' stride is over a "
+    "pseudorandom permutation, immune to layout periodicity — the "
+    "failure mode plain every-20th-row sampling has on sorted "
+    "files), then every 20th taken at fixed offset 7.  "
+    "Deterministic, so both engines draw the identical sample.  "
+    "The global rank is the demo form; at 100 TB the same "
+    "md5-threshold idea (take keys whose hash mod 20 = 7) "
+    "needs no rank at all — that variant is "
+    "ml_stratified_sample_det's machinery",
+)
+def ml_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"), F.lit("#sys")
+                    )
+                )
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") % 20 == 7)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "text_char_entropy_per_source",
+    oracle="""
+WITH chars AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '')) AS ch
+  FROM documents
+),
+freq AS (
+  SELECT source, ch, count(*) AS n FROM chars
+  WHERE ch != '' GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n) AS t FROM freq GROUP BY 1)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS alphabet_size,
+       round(-sum((n * 1.0 / t.t) * log2(n * 1.0 / t.t)), 4)
+         AS char_entropy_bits
+FROM freq f JOIN tot t USING (source)
+GROUP BY f.source ORDER BY f.source
+""",
+    doc="character-level Shannon entropy per source — the "
+    "compressibility fingerprint corpus-quality pipelines use to "
+    "flag boilerplate/encoding junk (low entropy) and binary "
+    "contamination (high): explode to characters, bounded "
+    "per-(source, char) histogram, one entropy fold.  The "
+    "character-alphabet domain bounds everything after the first "
+    "aggregate",
+)
+def text_char_entropy_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    chars = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    # alphabet-bounded histogram feeds the totals AND the entropy
+    # fold — checkpoint so the character explode runs once
+    freq = (
+        chars.groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = freq.groupBy("source").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        freq.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("alphabet_size"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,1073 @@
+"""Round-7 window inventory, part 2 (built in round 6).
+
+Widens the corpus-analytics / product-analytics / ML-ops families the
+round-5 verdict's "new query families" list pointed at: classifier
+evaluation for the lang-id heuristic, Heaps'-law vocabulary growth,
+session-duration and bounce-rate product metrics over the gap
+sessionizer, signup-to-purchase conversion latency, ABC / Lorenz
+revenue-concentration curves, a Simpson's-paradox guard on segment
+comparisons, a quasi-identifier generalization ladder, embedding
+cosine-to-centroid histograms, a nearest-centroid learning curve,
+class-imbalance weights, and a freshness/staleness audit.
+
+Reference provenance: the reference has no analytics engine of its own
+(consumer loop at consumer_to_opensearch.py:67-96; dashboards at
+README.md:150-160); these are north-star extensions per BASELINE.json.
+
+Cross-engine disciplines (established rounds 3-6, see SCALING.md):
+integer cents for money, floor(epoch()) per timestamp before
+subtraction, exact integer cross-multiplication instead of float
+ratio comparisons, centroids rounded to 6dp before any distance that
+feeds a rank or a band, and every aggregate aliased identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import stopword_hits, token_count
+from ..tables import load_table
+from . import register
+from .llm_ops import _SW_SQL
+
+# ------------------------------------------ lang-id evaluation
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH pr AS (
+  SELECT len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> list_contains({_SW_SQL}, t))) * 1.0
+         / len(string_split_regex(lower(trim(text)), '\\s+')) >= 0.1 AS p,
+         lang = 'en' AS a
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) FILTER (WHERE p AND a) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE p AND NOT a) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE NOT p AND a) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE NOT p AND NOT a) AS BIGINT) AS tn
+  FROM pr
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp * 1.0 / (tp + fp), 4) END AS precision_en,
+       CASE WHEN tp + fn > 0
+            THEN round(tp * 1.0 / (tp + fn), 4) END AS recall_en,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * tp / (2 * tp + fp + fn), 4) END AS f1_en
+FROM c
+""",
+    doc="confusion matrix + precision/recall/F1 of the stopword "
+    "lang-id heuristic (text_lang_id_stopword's >=10% rule) against "
+    "the labeled lang column — the evaluation loop every corpus "
+    "filter needs before it gates training data.  One scan, one "
+    "4-cell conditional aggregate; the metric divisions are "
+    "NULL-guarded identically on both engines",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    p = (stopword_hits(t) * 1.0 / token_count(t)) >= 0.1
+    a = F.col("lang") == "en"
+    c = docs.agg(
+        F.sum(F.when(p & a, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~a, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~p & a, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~p & ~a, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, F.round(tp * 1.0 / (tp + fp), 4)).alias(
+            "precision_en"
+        ),
+        F.when(tp + fn > 0, F.round(tp * 1.0 / (tp + fn), 4)).alias(
+            "recall_en"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(2.0 * tp / (2 * tp + fp + fn), 4),
+        ).alias("f1_en"),
+    )
+
+
+# ------------------------------------------ Heaps'-law vocabulary fit
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+WITH mx AS MATERIALIZED (SELECT max(doc_id) AS m FROM documents),
+tokd AS (
+  SELECT least(CAST(floor(doc_id * 20.0 / (mx.m + 1)) AS BIGINT), 19)
+           AS bucket,
+         greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 1, 0)
+           AS nt
+  FROM documents, mx
+),
+tokb AS (
+  SELECT bucket, CAST(sum(nt) AS BIGINT) AS tk FROM tokd GROUP BY 1
+),
+fs AS (
+  SELECT w, min(doc_id) AS fd FROM (
+    SELECT doc_id, ws[i.i] || ' ' || ws[i.i + 1] AS w
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM documents),
+         LATERAL (SELECT unnest(range(1, len(ws))) AS i) i)
+  GROUP BY w
+),
+vocb AS (
+  SELECT least(CAST(floor(fd * 20.0 / (mx.m + 1)) AS BIGINT), 19)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS vb
+  FROM fs, mx GROUP BY 1
+),
+pts AS (
+  SELECT tokb.bucket,
+         sum(tk) OVER (ORDER BY tokb.bucket) AS ctk,
+         sum(coalesce(vb, 0)) OVER (ORDER BY tokb.bucket) AS cvb
+  FROM tokb LEFT JOIN vocb USING (bucket)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(ln(cvb), ln(ctk)), 6) AS heaps_beta,
+       round(exp(regr_intercept(ln(cvb), ln(ctk))), 4) AS heaps_k,
+       round(regr_r2(ln(cvb), ln(ctk)), 6) AS r2
+FROM pts
+""",
+    doc="Heaps'-law fit V(n) = K * n^beta of vocabulary growth vs "
+    "corpus size: docs fall into 20 fixed position buckets, "
+    "cumulative token mass per bucket comes from per-doc counts, "
+    "cumulative vocabulary from the FIRST-SEEN trick (min doc_id "
+    "per type — the dash_new_vs_returning idiom, so no quadratic "
+    "distinct-so-far scan), then a log-log OLS via the regr_* "
+    "aggregates (text_zipf_fit's fit idiom).  Types are word "
+    "BIGRAMS: the fixture's closed unigram vocabulary saturates in "
+    "bucket 0, which degenerates the regression into an "
+    "engine-dependent 0/0 (zero y-variance); the ~V^2 bigram space "
+    "keeps V(n) growing at every fixture scale, which is also the "
+    "realistic corpus regime.  The 20-row cumulative window is "
+    "fixed-size regardless of corpus scale; everything N-sized "
+    "dies in the two hash aggregates",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    # 1-row watermark consumed by both bucket assignments — checkpoint
+    # so the max() scan runs once
+    mx = docs.agg(F.max("doc_id").alias("m")).localCheckpoint(eager=True)
+
+    def bucket(c):
+        return F.least(F.floor(c * 20.0 / (F.col("m") + 1)), F.lit(19))
+
+    tokb = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            bucket(F.col("doc_id")).alias("bucket"),
+            F.greatest(token_count(F.col("text")) - 1, F.lit(0)).alias("nt"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("nt").cast("long").alias("tk"))
+    )
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fs = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocb = (
+        fs.crossJoin(F.broadcast(mx))
+        .select(bucket(F.col("fd")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("vb"))
+    )
+    # 20 fixed buckets: the unpartitioned cumulative window is
+    # bounded-domain by construction (plan-audit allowlisted)
+    w20 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        tokb.join(vocb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("tk").over(w20).alias("ctk"),
+            F.sum(F.coalesce(F.col("vb"), F.lit(0))).over(w20).alias("cvb"),
+        )
+    )
+    ln_v, ln_t = F.log(F.col("cvb")), F.log(F.col("ctk"))
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(ln_v, ln_t), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(ln_v, ln_t)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(ln_v, ln_t), 6).alias("r2"),
+    )
+
+
+# ------------------------------------------ session product metrics
+
+_SESSION_ORACLE_CTES = """
+marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)"""
+
+
+@register(
+    "dash_session_duration_hist",
+    oracle=f"""
+WITH {_SESSION_ORACLE_CTES},
+g AS (
+  SELECT user_id, sid,
+         CAST(count(*) AS BIGINT) AS n_events,
+         floor(epoch(max(ts))) - floor(epoch(min(ts))) AS dur
+  FROM sess GROUP BY 1, 2
+)
+SELECT least(CAST(floor(dur / 300.0) AS BIGINT), 12) AS band,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(n_events), 4) AS avg_events
+FROM g GROUP BY 1 ORDER BY 1
+""",
+    doc="session-duration histogram in 5-minute bands (capped at the "
+    "1h+ tail band 12) with events-per-session: Spark sessionizes "
+    "with the native session_window aggregate (the win_session_windows "
+    "T6 operator — per-user merge, no global state), the oracle "
+    "replays it as gaps-and-islands SQL.  Durations subtract "
+    "floor(epoch()) per timestamp — the documented cross-engine "
+    "fractional-seconds discipline; bands are then exact integer math",
+)
+def dash_session_duration_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+    )
+    dur = F.unix_timestamp("t1") - F.unix_timestamp("t0")
+    return (
+        g.select(
+            F.least(F.floor(dur / 300.0), F.lit(12))
+            .cast("long")
+            .alias("band"),
+            "n_events",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "dash_bounce_rate",
+    oracle=f"""
+WITH {_SESSION_ORACLE_CTES},
+g AS (
+  SELECT user_id, sid,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min({{'ts': ts, 'eid': event_id, 'et': event_type}}).et
+           AS entry_type
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       round(count(*) FILTER (WHERE n_events = 1) * 1.0 / count(*), 4)
+         AS bounce_rate
+FROM g GROUP BY 1 ORDER BY 1
+""",
+    doc="bounce rate by session entry event type: single-event "
+    "sessions over all sessions, grouped by the session's first "
+    "event (min over a (ts, event_id, event_type) struct — total "
+    "order, so both engines pick the identical entry row).  Same "
+    "session_window aggregate as dash_session_duration_hist; the "
+    "per-entry-type division is over count(*) > 0 by construction",
+)
+def dash_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.struct("ts", "event_id", "event_type")).alias("fe"),
+        )
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return (
+        g.groupBy(F.col("fe.event_type").alias("entry_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            F.round(bounce * 1.0 / F.count(F.lit(1)), 4).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )
+
+
+@register(
+    "funnel_signup_purchase_latency",
+    oracle="""
+WITH s AS MATERIALIZED (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+  GROUP BY 1
+),
+lat AS (
+  SELECT s.user_id,
+         CAST(floor(epoch(p.p_ts)) - floor(epoch(s.s_ts)) AS BIGINT)
+           AS lat_secs
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+       CAST(count(lat_secs) AS BIGINT) AS n_converted,
+       round(count(lat_secs) * 1.0 / count(*), 4) AS conversion_rate,
+       round(quantile_cont(lat_secs, 0.25), 4) AS p25_secs,
+       round(quantile_cont(lat_secs, 0.50), 4) AS median_secs,
+       round(quantile_cont(lat_secs, 0.75), 4) AS p75_secs,
+       round(avg(lat_secs), 4) AS avg_secs
+FROM lat
+""",
+    doc="signup-to-first-purchase conversion latency: per user, the "
+    "first signup timestamp, then the first purchase AT or after it "
+    "(a per-user min — not an as-of join, since only the first "
+    "conversion counts), summarized as conversion rate + latency "
+    "quartiles (exact interpolated percentile on both engines, the "
+    "stats_levene_test discipline).  Two filtered aggregates and one "
+    "shuffled user join; non-converters flow through the LEFT join "
+    "as NULLs that every aggregate ignores",
+)
+def funnel_signup_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = s.join(p, "user_id", "left").select(
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).alias(
+            "lat_secs"
+        )
+    )
+    ls = F.col("lat_secs")
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signup_users"),
+        F.count(ls).cast("long").alias("n_converted"),
+        F.round(F.count(ls) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "conversion_rate"
+        ),
+        F.round(F.percentile(ls, 0.25), 4).alias("p25_secs"),
+        F.round(F.percentile(ls, 0.50), 4).alias("median_secs"),
+        F.round(F.percentile(ls, 0.75), 4).alias("p75_secs"),
+        F.round(F.avg(ls), 4).alias("avg_secs"),
+    )
+
+
+# ------------------------------------------ revenue concentration
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+WITH rev AS MATERIALIZED (
+  SELECT l_partkey,
+         CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+pre AS (
+  SELECT cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+              AS BIGINT) AS prefix
+  FROM rev
+),
+cls AS (
+  SELECT cents,
+         CASE WHEN prefix * 5 <= t * 4 THEN 'A'
+              WHEN prefix * 20 <= t * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM pre, tot
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(cents) * 1.0 / t, 6) AS revenue_share
+FROM cls, tot GROUP BY abc_class, t ORDER BY abc_class
+""",
+    doc="ABC inventory classification of parts by revenue: A = parts "
+    "whose running revenue share stays within 80%, B to 95%, C the "
+    "tail.  Revenue is exact integer cents and the class boundaries "
+    "are integer CROSS-MULTIPLICATIONS (prefix*5 <= total*4), so no "
+    "float division ever decides a class — both engines classify "
+    "identically by construction.  The running sum is "
+    "operators/topk.global_prefix_sum (range partition + partitioned "
+    "cumsum + broadcast offsets — no single-partition window); at "
+    "driver-fixture cents scale the BIGINT cross-products stay "
+    "< 2^63, at 100 TB the same comparison moves to DECIMAL(38)",
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    pre = global_prefix_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        "cents",
+        out_col="prefix",
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    cls = pre.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "t",
+        F.when(F.col("prefix") * 5 <= F.col("t") * 4, "A")
+        .when(F.col("prefix") * 20 <= F.col("t") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents") * 1.0 / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .select("abc_class", "n_parts", "revenue_share")
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "agg_lorenz_curve_points",
+    oracle="""
+WITH rev AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS t FROM rev),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM rev
+),
+dec AS (
+  SELECT CAST(floor((i - 1) * 10.0 / n) AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(cents) AS BIGINT) AS sc
+  FROM ranked, tot GROUP BY 1
+)
+SELECT decile,
+       round(sum(c) OVER w * 1.0 / n, 4) AS cum_pop_share,
+       round(sum(sc) OVER w * 1.0 / t, 6) AS cum_revenue_share
+FROM dec, tot
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+""",
+    doc="Lorenz curve of customer revenue at decile resolution — the "
+    "curve whose area complement agg_gini_revenue_concentration "
+    "summarizes: customers ordered ascending by revenue cents via "
+    "operators/topk.global_ordinal (range partition + broadcast "
+    "offsets, no single-partition window), decile = exact integer "
+    "floor((i-1)*10/n), then a 10-row cumulative window over the "
+    "bounded decile table.  Integer cents everywhere; only the two "
+    "output shares are floating point",
+)
+def agg_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    ranked, n = global_ordinal(
+        rev, [F.col("cents"), F.col("o_custkey")], out_col="i"
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    dec = (
+        ranked.select(
+            F.floor((F.col("i") - 1) * 10.0 / F.lit(n))
+            .cast("long")
+            .alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("cents").cast("long").alias("sc"),
+        )
+    )
+    # 10 fixed deciles: bounded-domain cumulative window
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.round(F.sum("c").over(w) * 1.0 / F.lit(n), 4).alias(
+                "cum_pop_share"
+            ),
+            F.round(F.sum("sc").over(w) * 1.0 / F.col("t"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+# ------------------------------------------ Simpson's-paradox guard
+
+
+@register(
+    "stats_simpsons_paradox",
+    oracle="""
+WITH nat AS MATERIALIZED (
+  SELECT c.c_nationkey AS nation,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN round(o.o_totalprice * 100) END) AS BIGINT)
+           AS su,
+         CAST(count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+              AS BIGINT) AS nu,
+         CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW'
+                       THEN round(o.o_totalprice * 100) END) AS BIGINT)
+           AS sl,
+         CAST(count(*) FILTER (WHERE o.o_orderpriority = '5-LOW')
+              AS BIGINT) AS nl
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(su) AS BIGINT) AS tsu, CAST(sum(nu) AS BIGINT) AS tnu,
+         CAST(sum(sl) AS BIGINT) AS tsl, CAST(sum(nl) AS BIGINT) AS tnl
+  FROM nat
+)
+SELECT round((tsu * 1.0 / tnu - tsl * 1.0 / tnl) / 100, 4)
+         AS overall_diff,
+       CAST(count(*) FILTER (WHERE nu > 0 AND nl > 0) AS BIGINT)
+         AS n_subgroups,
+       CAST(count(*) FILTER (WHERE nu > 0 AND nl > 0
+              AND (su * nl > sl * nu) = (tsu * tnl > tsl * tnu))
+            AS BIGINT) AS n_agree,
+       CAST(count(*) FILTER (WHERE nu > 0 AND nl > 0
+              AND (su * nl > sl * nu) <> (tsu * tnl > tsl * tnu))
+            AS BIGINT) AS n_reverse,
+       count(*) FILTER (WHERE nu > 0 AND nl > 0
+         AND (su * nl > sl * nu) <> (tsu * tnl > tsl * tnu))
+         > count(*) FILTER (WHERE nu > 0 AND nl > 0
+             AND (su * nl > sl * nu) = (tsu * tnl > tsl * tnu))
+         AS simpson_flag
+FROM nat, tot
+GROUP BY tsu, tnu, tsl, tnl
+""",
+    doc="Simpson's-paradox guard for segment comparisons: does the "
+    "URGENT-vs-LOW average-order-value gap keep its sign inside "
+    "every customer nation, or does the aggregate comparison "
+    "reverse?  Mean comparisons are EXACT integer "
+    "cross-multiplications over cent sums (su*nl vs sl*nu — the "
+    "float-free comparison discipline), so no engine-dependent "
+    "average ever decides a direction.  One fact join + a 25-row "
+    "nation rollup; the paradox verdict is a bounded second "
+    "aggregate",
+)
+def stats_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    nat = (
+        orders.filter(urgent | low)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.when(urgent, cents)).cast("long").alias("su"),
+            F.count(F.when(urgent, 1)).cast("long").alias("nu"),
+            F.sum(F.when(low, cents)).cast("long").alias("sl"),
+            F.count(F.when(low, 1)).cast("long").alias("nl"),
+        )
+        .localCheckpoint(eager=True)  # 25 rows, feeds overall + verdict
+    )
+    tot = nat.agg(
+        F.sum("su").cast("long").alias("tsu"),
+        F.sum("nu").cast("long").alias("tnu"),
+        F.sum("sl").cast("long").alias("tsl"),
+        F.sum("nl").cast("long").alias("tnl"),
+    )
+    both = (F.col("nu") > 0) & (F.col("nl") > 0)
+    sub_gt = F.col("su") * F.col("nl") > F.col("sl") * F.col("nu")
+    tot_gt = F.col("tsu") * F.col("tnl") > F.col("tsl") * F.col("tnu")
+    agree = F.count(F.when(both & (sub_gt == tot_gt), 1)).cast("long")
+    reverse = F.count(F.when(both & (sub_gt != tot_gt), 1)).cast("long")
+    return (
+        nat.crossJoin(F.broadcast(tot))
+        .groupBy("tsu", "tnu", "tsl", "tnl")
+        .agg(
+            F.count(F.when(both, 1)).cast("long").alias("n_subgroups"),
+            agree.alias("n_agree"),
+            reverse.alias("n_reverse"),
+            (reverse > agree).alias("simpson_flag"),
+        )
+        .select(
+            F.round(
+                (
+                    F.col("tsu") * 1.0 / F.col("tnu")
+                    - F.col("tsl") * 1.0 / F.col("tnl")
+                )
+                / 100,
+                4,
+            ).alias("overall_diff"),
+            "n_subgroups",
+            "n_agree",
+            "n_reverse",
+            "simpson_flag",
+        )
+    )
+
+
+# ------------------------------------------ generalization ladder
+
+
+@register(
+    "privacy_generalization_bands",
+    oracle="""
+WITH j AS MATERIALIZED (
+  SELECT c.c_nationkey AS nat, n.n_regionkey AS reg,
+         CAST(floor(c.c_acctbal / 100) AS BIGINT) AS bal100,
+         CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal1000,
+         c.c_mktsegment AS seg
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+l0 AS (SELECT count(*) AS s FROM j GROUP BY nat, bal100, seg),
+l1 AS (SELECT count(*) AS s FROM j GROUP BY reg, bal1000, seg),
+l2 AS (SELECT count(*) AS s FROM j GROUP BY reg, seg),
+u AS (
+  SELECT 'L0_nation_bal100_seg' AS level, * FROM l0
+  UNION ALL SELECT 'L1_region_bal1000_seg', * FROM l1
+  UNION ALL SELECT 'L2_region_seg', * FROM l2
+)
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(s) AS BIGINT) AS min_class_size,
+       CAST(count(*) FILTER (WHERE s < 5) AS BIGINT) AS n_small_classes,
+       round(coalesce(sum(s) FILTER (WHERE s < 5), 0) * 1.0 / sum(s), 4)
+         AS small_rows_share
+FROM u GROUP BY level ORDER BY level
+""",
+    doc="quasi-identifier generalization ladder for k-anonymity "
+    "release planning (the step privacy_k_anonymity stops before): "
+    "three generalization levels of (geography, account-balance "
+    "band, segment) — nation/100-band, region/1000-band, region "
+    "only — each profiled for equivalence-class count, smallest "
+    "class, and the share of rows living in classes below k=5.  "
+    "Three hash aggregates over one broadcast-joined scan, lazily "
+    "unioned (the dq_referential_orphans one-action shape)",
+)
+def privacy_generalization_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nation),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("n_regionkey").alias("reg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal100"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal1000"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+
+    def level(name: str, keys: list[str]) -> DataFrame:
+        sizes = j.groupBy(*keys).agg(F.count(F.lit(1)).alias("s"))
+        small = F.col("s") < 5
+        return sizes.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("s").cast("long").alias("min_class_size"),
+            F.count(F.when(small, 1)).cast("long").alias("n_small_classes"),
+            F.round(
+                F.coalesce(F.sum(F.when(small, F.col("s"))), F.lit(0))
+                * 1.0
+                / F.sum("s"),
+                4,
+            ).alias("small_rows_share"),
+        )
+    return (
+        level("L0_nation_bal100_seg", ["nat", "bal100", "seg"])
+        .unionAll(level("L1_region_bal1000_seg", ["reg", "bal1000", "seg"]))
+        .unionAll(level("L2_region_seg", ["reg", "seg"]))
+        .orderBy("level")
+    )
+
+
+# ------------------------------------------ embedding diagnostics
+
+
+@register(
+    "emb_cosine_to_centroid_hist",
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i.i AS pos, round(avg(e[i.i]), 6) AS m
+  FROM v, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY 1
+),
+scored AS (
+  SELECT v.vec_id,
+         list_dot_product(v.e, c.cv)
+           / (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM v JOIN cents c ON c.label = v.label
+),
+banded AS (
+  SELECT least(CAST(floor(CAST(round(cos * 1000000) AS BIGINT)
+                          / 100000.0) AS BIGINT), 9) AS band
+  FROM scored
+),
+tot AS (SELECT count(*) AS n FROM v)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(count(*) * 1.0 / tot.n, 4) AS share
+FROM banded, tot GROUP BY band, tot.n ORDER BY band
+""",
+    doc="histogram of each vector's cosine to its OWN label centroid "
+    "in 0.1-wide bands — the compactness profile that flags "
+    "mislabeled or drifting embedding clusters (a loose band-0 tail "
+    "= label noise).  Centroids are per-(label, dim) means ROUNDED "
+    "TO 6DP on both engines before any distance (the established "
+    "centroid discipline), so the cosine fold runs on bit-identical "
+    "inputs; banding goes through an integer millionths step "
+    "(round-to-int, then integer floor-div) so no float band edge "
+    "is engine-dependent.  Nothing N-sized survives the first "
+    "aggregate except the linear scoring pass",
+)
+def emb_cosine_to_centroid_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+    e, cv = F.col("e"), F.col("cv")
+    cos = _dot(e, cv) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(cv, cv)))
+    mil = F.round(cos * 1000000).cast("long")
+    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        v.join(F.broadcast(cents), "label")
+        .select(
+            F.least(F.floor(mil / 100000.0), F.lit(9))
+            .cast("long")
+            .alias("band")
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("band", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(
+            "band",
+            "n_vectors",
+            F.round(F.col("n_vectors") * 1.0 / F.col("n"), 4).alias("share"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "ml_learning_curve",
+    oracle="""
+WITH raw AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS h
+  FROM embeddings
+),
+fracs AS (SELECT unnest([10, 20, 40, 80]) AS frac),
+dims AS (
+  SELECT f.frac, r.label, i.i AS pos, round(avg(r.e[i.i]), 6) AS m
+  FROM raw r JOIN fracs f ON r.h < f.frac,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2, 3
+),
+cents AS MATERIALIZED (
+  SELECT frac, label, list(m ORDER BY pos) AS cv
+  FROM dims GROUP BY 1, 2
+),
+ntr AS (
+  SELECT f.frac, CAST(count(*) AS BIGINT) AS n_train
+  FROM raw r JOIN fracs f ON r.h < f.frac GROUP BY 1
+),
+scored AS (
+  SELECT r.vec_id, r.label AS actual, c.frac, c.label AS cand,
+         round(list_dot_product(r.e, c.cv)
+               / (sqrt(list_dot_product(r.e, r.e))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM raw r JOIN cents c ON r.h >= 80
+),
+pred AS (
+  SELECT vec_id, actual, frac, cand FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, frac
+                             ORDER BY sim DESC, cand) = 1
+),
+acc AS (
+  SELECT frac, CAST(count(*) AS BIGINT) AS n_test,
+         round(count(*) FILTER (WHERE cand = actual) * 1.0 / count(*), 4)
+           AS accuracy
+  FROM pred GROUP BY 1
+)
+SELECT CAST(a.frac AS BIGINT) AS train_pct, n.n_train, a.n_test,
+       a.accuracy
+FROM acc a JOIN ntr n ON n.frac = a.frac
+ORDER BY train_pct
+""",
+    doc="learning curve of a nearest-centroid classifier at 10/20/40/"
+    "80% training fractions (nested md5-hash splits, so each larger "
+    "fraction contains the smaller — the variance-free way to draw "
+    "a curve), evaluated on the fixed held-out 20%.  Each train "
+    "vector feeds every fraction it belongs to via one explode join "
+    "(4x the centroid aggregate input, not 4 scans); scoring joins "
+    "the <=40-row rounded-6dp centroid table broadcast against the "
+    "test split, ranks by (sim DESC, label) — the ml_knn_classify_"
+    "ann ranking discipline.  A flat curve says the corpus is "
+    "redundant; that is the datapoint LLM-data budgeting wants",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(vec_id as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            % 100
+        ).alias("h"),
+    )
+    fracs = F.array(*[F.lit(x) for x in (10, 20, 40, 80)])
+    train = raw.select(
+        "label", "e", "h", F.explode(fracs).alias("frac")
+    ).filter(F.col("h") < F.col("frac"))
+    cents = (
+        train.select("frac", "label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("frac", "label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("frac", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "frac",
+            F.col("label").alias("cand"),
+            F.transform("pm", lambda s: s["m"]).alias("cv"),
+        )
+    )
+    ntr = train.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    test = raw.filter(F.col("h") >= 80).select(
+        "vec_id", F.col("label").alias("actual"), "e"
+    )
+    e, cv = F.col("e"), F.col("cv")
+    sim = F.round(
+        _dot(e, cv) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(cv, cv))), 6
+    )
+    scored = test.join(F.broadcast(cents)).select(
+        "vec_id", "actual", "frac", "cand", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id", "frac").orderBy(F.desc("sim"), "cand")
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    acc = pred.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.count(F.when(F.col("cand") == F.col("actual"), 1))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )
+    return (
+        acc.join(ntr, "frac")
+        .select(
+            F.col("frac").cast("long").alias("train_pct"),
+            "n_train",
+            "n_test",
+            "accuracy",
+        )
+        .orderBy("train_pct")
+    )
+
+
+@register(
+    "ml_class_weights",
+    oracle="""
+WITH g AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS k FROM g)
+SELECT label, n,
+       round(t * 1.0 / (k * n), 6) AS inv_freq_weight,
+       round((1 - 0.999) / (1 - pow(0.999, n)), 6) AS eff_num_weight
+FROM g, tot ORDER BY label
+""",
+    doc="class-imbalance weights per embedding label: classic "
+    "inverse-frequency (n_total / (n_classes * n_c)) and the "
+    "effective-number-of-samples weight (1-b)/(1-b^n) with b=0.999 "
+    "from Cui et al.'s class-balanced loss — the two standard "
+    "reweighting tables a training pipeline materializes before "
+    "sampling.  One bounded-label aggregate; pow() lands within an "
+    "ulp on both engines and the 6dp round absorbs it",
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    n = F.col("n")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("t") * 1.0 / (F.col("k") * n), 6).alias(
+                "inv_freq_weight"
+            ),
+            F.round((1 - 0.999) / (1 - F.pow(F.lit(0.999), n)), 6).alias(
+                "eff_num_weight"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------ freshness audit
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+WITH gm AS (SELECT max(ts) AS g FROM events)
+SELECT event_type,
+       max(ts) AS last_ts,
+       CAST(floor(epoch(gm.g)) - floor(epoch(max(ts))) AS BIGINT)
+         AS lag_secs,
+       CAST(count(*) FILTER (WHERE ts >= gm.g - INTERVAL 24 HOUR)
+            AS BIGINT) AS rows_last_24h,
+       floor(epoch(gm.g)) - floor(epoch(max(ts))) > 3600 AS stale
+FROM events, gm
+GROUP BY event_type, gm.g ORDER BY event_type
+""",
+    doc="per-stream freshness audit: each event type's high-water "
+    "timestamp, its lag behind the global watermark in seconds "
+    "(floor(epoch()) per timestamp — the fractional-seconds "
+    "discipline), trailing-24h row volume, and a >1h staleness "
+    "flag — the table a CDC operator pages on when one topic "
+    "partition wedges (reference's consumer is exactly such a "
+    "single stream, consumer_to_opensearch.py:67-96).  One 1-row "
+    "watermark broadcast + one scan",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gm = ev.agg(F.max("ts").alias("g"))
+    agged = (
+        ev.crossJoin(F.broadcast(gm))
+        .groupBy("event_type", "g")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(
+                F.when(
+                    F.col("ts") >= F.col("g") - F.expr("INTERVAL 24 HOURS"),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("rows_last_24h"),
+        )
+    )
+    lag = F.unix_timestamp("g") - F.unix_timestamp("last_ts")
+    return agged.select(
+        "event_type",
+        "last_ts",
+        lag.cast("long").alias("lag_secs"),
+        "rows_last_24h",
+        (lag > 3600).alias("stale"),
+    ).orderBy("event_type")

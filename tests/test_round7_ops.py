@@ -1,0 +1,142 @@
+"""Invariant pins for the round-7 part-2 query batch.
+
+Each new family gets a structural invariant the oracle hash can't
+express on its own: curve monotonicity (Lorenz), cross-operator
+consistency (sessionizer twins agree on session counts), conservation
+laws (shares sum to 1, confusion cells partition the corpus), and
+ordering laws (nested train splits give monotone n_train, quartiles
+are ordered).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+
+SF01 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.01 testdata absent"
+)
+
+
+def _run(spark, name):
+    return load_registry()[name].fn(spark, SF01).collect()
+
+
+def test_heaps_fit_well_defined(spark):
+    (row,) = _run(spark, "text_heaps_law_fit")
+    assert row.n_points == 20
+    # growing bigram vocabulary: a positive sub-linear exponent and a
+    # finite r2 — the degenerate 0/0 regime the unigram formulation
+    # hit is structurally excluded
+    assert 0.0 < row.heaps_beta < 1.0
+    assert row.heaps_k > 0
+    assert not math.isnan(row.r2) and 0.0 <= row.r2 <= 1.0
+
+
+def test_session_twins_agree_on_session_count(spark):
+    hist = _run(spark, "dash_session_duration_hist")
+    bounce = _run(spark, "dash_bounce_rate")
+    sessions = load_registry()["win_session_windows"].fn(spark, SF01)
+    n_sessions = sessions.count()
+    assert sum(r.n_sessions for r in hist) == n_sessions
+    assert sum(r.n_sessions for r in bounce) == n_sessions
+    assert all(0.0 <= r.bounce_rate <= 1.0 for r in bounce)
+    assert sum(r.n_bounces for r in bounce) <= n_sessions
+
+
+def test_langid_confusion_partitions_corpus(spark):
+    (row,) = _run(spark, "text_langid_confusion")
+    docs = load_registry()["text_doc_stats"].fn(spark, SF01).count()
+    assert row.tp + row.fp + row.fn + row.tn == docs
+    for m in (row.precision_en, row.recall_en, row.f1_en):
+        assert m is None or 0.0 <= m <= 1.0
+
+
+def test_abc_shares_conserve(spark):
+    rows = _run(spark, "agg_abc_classification")
+    assert [r.abc_class for r in rows] == ["A", "B", "C"]
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    # A holds at most 80% plus one part's worth of slack by the
+    # prefix definition; it must be nonempty and the plurality of
+    # revenue on a TPC-H-ish distribution
+    assert rows[0].n_parts > 0
+    assert rows[0].revenue_share >= rows[2].revenue_share
+
+
+def test_lorenz_curve_shape(spark):
+    rows = _run(spark, "agg_lorenz_curve_points")
+    assert len(rows) == 10
+    shares = [r.cum_revenue_share for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # ascending-revenue ordering puts the curve on/below the diagonal
+    assert all(
+        r.cum_revenue_share <= r.cum_pop_share + 1e-6 for r in rows
+    )
+
+
+def test_simpson_counts_partition(spark):
+    (row,) = _run(spark, "stats_simpsons_paradox")
+    assert row.n_agree + row.n_reverse == row.n_subgroups
+    assert row.simpson_flag == (row.n_reverse > row.n_agree)
+
+
+def test_funnel_latency_ordered(spark):
+    (row,) = _run(spark, "funnel_signup_purchase_latency")
+    assert 0 <= row.n_converted <= row.n_signup_users
+    if row.n_converted:
+        assert row.p25_secs <= row.median_secs <= row.p75_secs
+        assert row.p25_secs >= 0
+
+
+def test_learning_curve_monotone_train(spark):
+    rows = _run(spark, "ml_learning_curve")
+    assert [r.train_pct for r in rows] == [10, 20, 40, 80]
+    ns = [r.n_train for r in rows]
+    assert all(b >= a for a, b in zip(ns, ns[1:]))
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    # the held-out split is shared: one n_test across fractions
+    assert len({r.n_test for r in rows}) == 1
+
+
+def test_class_weights_inverse_freq_normalized(spark):
+    rows = _run(spark, "ml_class_weights")
+    total = sum(r.n for r in rows)
+    # sum_c n_c * (t / (k * n_c)) = t  =>  weighted mean weight = 1
+    weighted = sum(r.n * r.inv_freq_weight for r in rows) / total
+    assert abs(weighted - 1.0) < 1e-4
+    assert all(r.eff_num_weight > 0 for r in rows)
+
+
+def test_centroid_hist_conserves_vectors(spark):
+    rows = _run(spark, "emb_cosine_to_centroid_hist")
+    assert all(-10 <= r.band <= 9 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-2
+
+
+def test_generalization_ladder_coarsens(spark):
+    rows = {r.level: r for r in _run(spark, "privacy_generalization_bands")}
+    l0, l1, l2 = (
+        rows["L0_nation_bal100_seg"],
+        rows["L1_region_bal1000_seg"],
+        rows["L2_region_seg"],
+    )
+    # each rung strictly coarsens: fewer classes, never-smaller
+    # minimum class size
+    assert l0.n_classes >= l1.n_classes >= l2.n_classes
+    assert l0.min_class_size <= l1.min_class_size <= l2.min_class_size
+    assert l0.small_rows_share >= l2.small_rows_share
+
+
+def test_freshness_lags_nonnegative(spark):
+    rows = _run(spark, "dq_freshness_lag")
+    assert len(rows) == 5
+    assert all(r.lag_secs >= 0 for r in rows)
+    # the freshest stream defines the watermark: lag 0 somewhere
+    assert min(r.lag_secs for r in rows) == 0

@@ -185,8 +185,10 @@ def main() -> int:
     skip = set(filter(None, os.environ.get("ORACLE_CHECK_SKIP", "").split(",")))
     failures = []
     for name, q in sorted(registry.items()):
-        if name_filter and name_filter not in name:
-            continue
+        if name_filter:
+            # comma-separated list of substrings; match if ANY matches
+            if not any(f in name for f in name_filter.split(",") if f):
+                continue
         if name in skip:
             print(f"skip {name} (ORACLE_CHECK_SKIP)")
             continue

@@ -106,6 +106,13 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "calendar days",
     "stats_runs_test": "lag over the <=2400-day aggregated series "
     "(calendar-bounded)",
+    "ml_systematic_sample": "documented demo form; the rank-free "
+    "md5-threshold variant is the production path "
+    "(ml_stratified_sample_det machinery)",
+    "text_heaps_law_fit": "cumulative window over the 20 fixed "
+    "doc-position buckets (bounded by construction)",
+    "agg_lorenz_curve_points": "cumulative window over the 10 fixed "
+    "deciles (bounded by construction)",
 }
 
 
@@ -286,6 +293,38 @@ ALLOWED_EXCHANGES = {
     # per supplier); remaining exchanges are the nation rollup, the
     # share join-back, and the final aggregate + sort.
     "agg_hhi_by_nation": 8,
+    # ml_learning_curve: the train-side explode feeds ONE centroid
+    # aggregate (per-(frac,label,dim) means); remaining exchanges are
+    # the <=40-row centroid rollup broadcast back, the 4-row n_train
+    # rollup, the test-side (vec_id, frac) rank window and the 4-row
+    # final join — nothing N-sized shuffles twice.
+    "ml_learning_curve": 8,
+    # privacy_generalization_bands: three INDEPENDENT generalization-
+    # level aggregates in one lazy union over the same broadcast-
+    # joined scan (the dq_referential_orphans one-action family);
+    # each level = scan + partial/final aggregate pair.
+    "privacy_generalization_bands": 9,
+    # text_heaps_law_fit: two corpus passes (per-doc bigram counts,
+    # bigram first-seen explode) each feeding one aggregate; the
+    # 1-row doc-id watermark is localCheckpoint'ed, and every
+    # remaining exchange moves the 20-row bucket table through the
+    # cumulative window and the regr_* fold.
+    "text_heaps_law_fit": 11,
+    # dq_duplicate_key_audit: four INDEPENDENT per-table audits in
+    # one lazy union (same family as dq_referential_orphans): each
+    # branch = a 2-phase total count + a 2-phase dup-group count.
+    "dq_duplicate_key_audit": 16,
+    # graph_degree_assortativity: items and edge list are
+    # localCheckpoint'ed (N-sized work once); remaining exchanges
+    # are the degree rollup, two broadcast joins back, the
+    # symmetrizing union and the single sums aggregate — all over
+    # the vocabulary-bounded part graph.
+    "graph_degree_assortativity": 9,
+    # ml_lift_by_score_band / text_char_entropy_per_source: the
+    # explode pipeline output is checkpointed; remaining exchanges
+    # re-aggregate bounded (band, pos) / (source, char) tables.
+    "ml_lift_by_score_band": 8,
+    "text_char_entropy_per_source": 8,
     # graph_triangle_count_trade: the 4-way fact join runs once
     # (edges localCheckpoint'ed); the remaining exchanges are the
     # three independent aggregates (nodes / edges / triangles) over
@@ -324,8 +363,14 @@ def main() -> int:
 
     spark = get_spark("plan_audit")
     registry = load_registry()
+    # optional second arg: comma-separated name substrings to audit
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     warnings_total = 0
     for name, q in sorted(registry.items()):
+        if name_filter and not any(
+            f in name for f in name_filter.split(",") if f
+        ):
+            continue
         try:
             plan = explain_str(q.fn(spark, sf_dir))
         except Exception as e:
