@@ -124,6 +124,15 @@ DRIVER_PRIORITY: list[str] = [
     "ml_learning_curve",
     "ml_class_weights",
     "dq_freshness_lag",
+    "agg_skyline_pareto_2d",
+    "ml_woe_binning",
+    "emb_norm_profile",
+    "dq_spc_c_chart",
+    "text_js_divergence_sources",
+    "stats_cramers_v_pairs",
+    "ts_changepoint_binary_seg",
+    "agg_theil_index_decomposition",
+    "win_interorder_gap_stats",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -123,3 +123,64 @@ def global_prefix_sum(
     return ranged.withColumn(
         out_col, F.sum(val_col).over(w) + offset_map[F.col("__pid")]
     ).drop("__pid")
+
+
+def global_prefix_max(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    val_col: str,
+    out_col: str = "prefix_max",
+    partitions: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE running max over a total order WITHOUT a
+    single-partition window — the max-combining sibling of
+    ``global_prefix_sum`` (any commutative monoid fits this shape):
+    range-partition by the sort key, per-partition running max over
+    STRICTLY PRECEDING rows, then fold in the broadcast max of all
+    preceding partitions.  ``out_col`` is NULL for the globally first
+    row(s) — the natural identity for max.  Driver-side data is ONE
+    max per partition.
+
+    The exclusive frame is what dominance-style operators (skyline /
+    Pareto frontier) need: "best value among everything strictly
+    before me"."""
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    maxes = sorted(
+        (r["__pid"], r["mx"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.max(val_col).alias("mx"))
+        .collect()
+    )
+    offsets: dict[int, object] = {}
+    acc = None
+    for pid, mx in maxes:
+        offsets[pid] = acc  # exclusive: max over PRECEDING partitions
+        if mx is not None:
+            acc = mx if acc is None else max(acc, mx)
+    entries = [
+        x
+        for pid, off in offsets.items()
+        if off is not None
+        for x in (F.lit(pid), F.lit(off))
+    ]
+    vt = dict(df.dtypes)[val_col]
+    offset_col = (
+        F.create_map(*entries)[F.col("__pid")]
+        if entries
+        else F.lit(None).cast(vt)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs: first row of a partition falls back to
+    # the partition offset alone (NULL + NULL => NULL for the global
+    # first rows)
+    return ranged.withColumn(
+        out_col, F.greatest(F.max(val_col).over(w), offset_col)
+    ).drop("__pid")

@@ -1071,3 +1071,684 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_last_24h",
         (lag > 3600).alias("stale"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------ skyline / Pareto frontier
+
+
+@register(
+    "agg_skyline_pareto_2d",
+    oracle="""
+WITH pm AS (
+  SELECT p_retailprice AS price, max(p_size) AS meq
+  FROM part GROUP BY 1
+),
+sky AS (
+  SELECT price, meq,
+         max(meq) OVER (ORDER BY price
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS mlt
+  FROM pm
+)
+SELECT p.p_partkey, p.p_retailprice AS price,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p
+JOIN sky s ON s.price = p.p_retailprice AND p.p_size = s.meq
+WHERE s.mlt IS NULL OR s.meq > s.mlt
+ORDER BY price, p_partkey
+""",
+    doc="2-D skyline (Pareto frontier) over parts: minimize price, "
+    "maximize size; a part survives iff nothing is at-most-as-"
+    "expensive AND at-least-as-large with one strict.  The classic "
+    "O(N^2) dominance test collapses to sorted prefix maxima: "
+    "survivor <=> size equals its price-level max AND beats the max "
+    "size over all STRICTLY cheaper price levels.  The price-level "
+    "aggregate bounds the window input to distinct prices, and the "
+    "exclusive running max is operators/topk.global_prefix_max "
+    "(range partition + per-partition strict-preceding max + "
+    "broadcast partition offsets — no single-partition window).  "
+    "Equality joins on raw parquet doubles only; no arithmetic ever "
+    "feeds a comparison",
+)
+def agg_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_prefix_max
+
+    part = load_table(spark, sf_dir, "part")
+    pm = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("meq")
+    )
+    sky = global_prefix_max(
+        pm, [F.col("price")], "meq", out_col="mlt"
+    ).filter(F.col("mlt").isNull() | (F.col("meq") > F.col("mlt")))
+    return (
+        part.join(
+            sky,
+            (part.p_retailprice == sky.price)
+            & (part.p_size == sky.meq),
+        )
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+# ------------------------------------------ WoE / IV encoding
+
+
+@register(
+    "ml_woe_binning",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS band,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+           AS n_pos,
+         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT)
+           AS n_neg
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+               CAST(sum(n_neg) AS BIGINT) AS nt FROM b)
+SELECT band, n_pos, n_neg,
+       round(ln((n_pos * 1.0 * nt) / (n_neg * 1.0 * pt)), 6) AS woe,
+       round((n_pos * 1.0 / pt - n_neg * 1.0 / nt)
+             * ln((n_pos * 1.0 * nt) / (n_neg * 1.0 * pt)), 6)
+         AS iv_contrib
+FROM b, tot ORDER BY band
+""",
+    doc="weight-of-evidence encoding of quantity bands against the "
+    "returned-flag target, with per-band information-value "
+    "contributions — the credit-scoring-style categorical encoder "
+    "(its sum is the IV feature screen).  Five fixed 10-unit bands, "
+    "so one conditional aggregate + a broadcast totals join; WoE is "
+    "ln of a cross-multiplied integer ratio (no chained float "
+    "divisions) and every band holds both classes at every fixture "
+    "scale, so the log argument is provably positive",
+)
+def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = F.col("l_returnflag") == "R"
+    b = li.groupBy(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("long").alias("band")
+    ).agg(
+        F.count(F.when(pos, 1)).cast("long").alias("n_pos"),
+        F.count(F.when(~pos, 1)).cast("long").alias("n_neg"),
+    )
+    tot = b.agg(
+        F.sum("n_pos").cast("long").alias("pt"),
+        F.sum("n_neg").cast("long").alias("nt"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    pt, nt = F.col("pt"), F.col("nt")
+    woe = F.log((np_ * 1.0 * nt) / (nn * 1.0 * pt))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_pos",
+            "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.round((np_ * 1.0 / pt - nn * 1.0 / nt) * woe, 6).alias(
+                "iv_contrib"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+# ------------------------------------------ embedding norm health
+
+
+@register(
+    "emb_norm_profile",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+s AS (
+  SELECT label, count(*) AS n, avg(nrm) AS m,
+         sum(nrm * nrm) AS s2, min(nrm) AS mn, max(nrm) AS mx
+  FROM n GROUP BY 1
+)
+SELECT label, CAST(n AS BIGINT) AS n_vectors,
+       round(m, 6) AS mean_norm,
+       round(sqrt(s2 / n - m * m), 6) AS std_norm,
+       round(mn, 6) AS min_norm,
+       round(mx, 6) AS max_norm
+FROM s ORDER BY label
+""",
+    doc="L2-norm distribution per embedding label — the 30-second "
+    "health check that catches un-normalized model output, fp16 "
+    "underflow, and truncated vectors before they poison cosine "
+    "math downstream.  Per-vector norms are identical left-to-right "
+    "folds on both engines; the spread uses population power sums "
+    "(the agg_skew_kurtosis_moments convention-free discipline), "
+    "one bounded-label aggregate total",
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    e = F.col("embedding").cast("array<double>")
+    n = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.sqrt(_dot(e, e)).alias("nrm")
+    )
+    s = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("nrm").alias("m"),
+        F.sum(F.col("nrm") * F.col("nrm")).alias("s2"),
+        F.min("nrm").alias("mn"),
+        F.max("nrm").alias("mx"),
+    )
+    return s.select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(F.col("m"), 6).alias("mean_norm"),
+        F.round(
+            F.sqrt(F.col("s2") / F.col("n") - F.col("m") * F.col("m")), 6
+        ).alias("std_norm"),
+        F.round(F.col("mn"), 6).alias("min_norm"),
+        F.round(F.col("mx"), 6).alias("max_norm"),
+    ).orderBy("label")
+
+
+# ------------------------------------------ SPC c-chart
+
+
+@register(
+    "dq_spc_c_chart",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+lim AS (SELECT avg(c) AS cbar FROM d)
+SELECT day, c,
+       round(cbar, 4) AS cbar,
+       round(cbar + 3 * sqrt(cbar), 4) AS ucl,
+       round(greatest(cbar - 3 * sqrt(cbar), 0), 4) AS lcl,
+       c > cbar + 3 * sqrt(cbar) AS above_ucl
+FROM d, lim ORDER BY day
+""",
+    doc="Shewhart c-chart on daily error-event counts: center line "
+    "c-bar with 3-sigma Poisson limits (sigma = sqrt(c-bar)) and a "
+    "per-day breach flag — the count-data sibling of dq_spc_p_chart "
+    "for burst detection on defect streams.  One calendar-bounded "
+    "daily aggregate + a 1-row broadcast of the limits; the breach "
+    "compare runs integer-count vs identically-derived double on "
+    "both engines",
+)
+def dq_spc_c_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lim = d.agg(F.avg("c").alias("cbar"))
+    cbar = F.col("cbar")
+    ucl = cbar + 3 * F.sqrt(cbar)
+    return (
+        d.crossJoin(F.broadcast(lim))
+        .select(
+            "day",
+            "c",
+            F.round(cbar, 4).alias("cbar"),
+            F.round(ucl, 4).alias("ucl"),
+            F.round(F.greatest(cbar - 3 * F.sqrt(cbar), F.lit(0.0)), 4)
+            .alias("lcl"),
+            (F.col("c") > ucl).alias("above_ucl"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------------ corpus JSD drift
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+sw AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sw GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sw),
+terms AS (
+  SELECT sw.source,
+         st.ts,
+         sw.c * 1.0 / st.ts AS p,
+         cw.cw * 1.0 / tt.t AS q
+  FROM sw JOIN cw USING (w) JOIN st USING (source), tt
+)
+SELECT source, max(ts) AS n_tokens,
+       round(0.5 * (sum(p * ln(2 * p / (p + q))
+                        + q * ln(2 * q / (p + q)))
+                    + ln(2) * (1 - sum(q))), 6) AS jsd
+FROM terms GROUP BY source ORDER BY source
+""",
+    doc="Jensen-Shannon divergence of each source's unigram "
+    "distribution from the whole-corpus distribution — the bounded "
+    "symmetric drift metric (0..ln2 nats) corpus curation uses to "
+    "rank sources for distributional skew.  The absent-word mass is "
+    "folded in CLOSED FORM (sum over words missing from a source of "
+    "q*ln2 = ln2*(1-Q_s)), so the computation touches only "
+    "(source, word) pairs that exist — never the vocab x sources "
+    "cross product.  Three hash aggregates over one tokenize pass",
+)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds corpus, source AND total rollups
+    )
+    cw = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    st = sw.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tt = sw.agg(F.sum("c").cast("long").alias("t"))
+    p = F.col("c") * 1.0 / F.col("ts")
+    q = F.col("cw") * 1.0 / F.col("t")
+    term = p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
+        .select("source", F.col("ts").alias("ts"), term.alias("term"), q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").alias("n_tokens"),
+            F.round(
+                0.5
+                * (
+                    F.sum("term")
+                    + F.log(F.lit(2.0)) * (1 - F.sum("q"))
+                ),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------ Cramer's V panel
+
+
+@register(
+    "stats_cramers_v_pairs",
+    oracle="""
+WITH j AS MATERIALIZED (
+  SELECT o.o_orderpriority AS pri, o.o_orderstatus AS st,
+         c.c_mktsegment AS seg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+pairs AS (
+  SELECT 'priority_x_status' AS pair, pri AS a, st AS b FROM j
+  UNION ALL SELECT 'segment_x_status', seg, st FROM j
+  UNION ALL SELECT 'priority_x_segment', pri, seg FROM j
+),
+cells AS MATERIALIZED (
+  SELECT pair, a, b, CAST(count(*) AS BIGINT) AS o
+  FROM pairs GROUP BY 1, 2, 3
+),
+ra AS (SELECT pair, a, CAST(sum(o) AS BIGINT) AS rt
+       FROM cells GROUP BY 1, 2),
+cb AS (SELECT pair, b, CAST(sum(o) AS BIGINT) AS ct
+       FROM cells GROUP BY 1, 2),
+tot AS (SELECT pair, CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS r,
+               CAST(count(DISTINCT b) AS BIGINT) AS cc
+        FROM cells GROUP BY 1),
+chi AS (
+  SELECT cells.pair,
+         sum(pow(cells.o - ra.rt * 1.0 * cb.ct / tot.n, 2)
+             / (ra.rt * 1.0 * cb.ct / tot.n)) AS chi2
+  FROM cells
+  JOIN ra ON ra.pair = cells.pair AND ra.a = cells.a
+  JOIN cb ON cb.pair = cells.pair AND cb.b = cells.b
+  JOIN tot ON tot.pair = cells.pair
+  GROUP BY 1
+)
+SELECT chi.pair, tot.n,
+       round(chi.chi2, 4) AS chi2,
+       round(sqrt(chi.chi2 / (tot.n * least(tot.r - 1, tot.cc - 1))), 6)
+         AS cramers_v
+FROM chi JOIN tot ON tot.pair = chi.pair
+ORDER BY chi.pair
+""",
+    doc="Cramer's V association panel over three categorical pairs "
+    "(priority x status, segment x status, priority x segment) — "
+    "the normalized 0..1 effect size stats_chi_square_independence "
+    "stops short of, computed for several pairs in ONE stacked "
+    "pipeline: the fact join runs once, a 3-way label union feeds "
+    "one cells aggregate, and everything after is "
+    "category-domain-bounded (<=30 cells per pair).  Observed "
+    "counts and marginals are exact integers; only chi2 itself is "
+    "floating point, rounded on both engines",
+)
+def stats_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pairs = (
+        j.select(F.lit("priority_x_status").alias("pair"),
+                 F.col("pri").alias("a"), F.col("st").alias("b"))
+        .unionAll(
+            j.select(F.lit("segment_x_status").alias("pair"),
+                     F.col("seg").alias("a"), F.col("st").alias("b"))
+        )
+        .unionAll(
+            j.select(F.lit("priority_x_segment").alias("pair"),
+                     F.col("pri").alias("a"), F.col("seg").alias("b"))
+        )
+    )
+    cells = (
+        pairs.groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=True)  # bounded: feeds 4 rollups
+    )
+    ra = cells.groupBy("pair", "a").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cb = cells.groupBy("pair", "b").agg(
+        F.sum("o").cast("long").alias("ct")
+    )
+    tot = cells.groupBy("pair").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("cc"),
+    )
+    e = F.col("rt") * 1.0 * F.col("ct") / F.col("n")
+    chi = (
+        cells.join(ra, ["pair", "a"])
+        .join(cb, ["pair", "b"])
+        .join(F.broadcast(tot), "pair")
+        .groupBy("pair")
+        .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"))
+    )
+    return (
+        chi.join(F.broadcast(tot), "pair")
+        .select(
+            "pair",
+            "n",
+            F.round(F.col("chi2"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+# ------------------------------------------ changepoint detection
+
+
+@register(
+    "ts_changepoint_binary_seg",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cs,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM d
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(cents) AS BIGINT) AS s FROM d),
+cand AS (
+  SELECT day, t, nd - t AS tr,
+         cs * 1.0 / t / 100 AS ml,
+         (s - cs) * 1.0 / (nd - t) / 100 AS mr,
+         round(sqrt(t * (nd - t) * 1.0 / nd)
+               * abs(cs * 1.0 / t - (s - cs) * 1.0 / (nd - t)) / 100, 6)
+           AS t_stat
+  FROM cum, tot WHERE t < nd
+)
+SELECT day AS split_day, t AS n_before, tr AS n_after,
+       round(t_stat, 4) AS t_stat,
+       round(ml, 4) AS mean_before,
+       round(mr, 4) AS mean_after
+FROM cand ORDER BY t_stat DESC, day LIMIT 1
+""",
+    doc="one-level binary-segmentation changepoint on daily purchase "
+    "revenue: the split t maximizing the scaled mean shift "
+    "sqrt(nL*nR/n)*|muL-muR| (the CUSUM-equivalent statistic; "
+    "ts_cusum_drift flags drift, this LOCATES the break).  Daily "
+    "cents are exact integers, candidate stats come from one "
+    "cumulative pass over the calendar-bounded day table, and the "
+    "argmax is a TakeOrdered top-1 on the 6dp-rounded statistic "
+    "with a date tiebreak — the established ranking discipline, no "
+    "global window over raw data",
+)
+def ts_changepoint_binary_seg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    # calendar-bounded (~30 day) series: cumulative window allowlisted
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.select(
+        "day",
+        F.sum("cents").over(w).cast("long").alias("cs"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    t, cs, nd, s = F.col("t"), F.col("cs"), F.col("nd"), F.col("s")
+    ml = cs * 1.0 / t / 100
+    mr = (s - cs) * 1.0 / (nd - t) / 100
+    t_stat = F.round(
+        F.sqrt(t * (nd - t) * 1.0 / nd)
+        * F.abs(cs * 1.0 / t - (s - cs) * 1.0 / (nd - t))
+        / 100,
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(t < nd)
+        .select(
+            F.col("day").alias("split_day"),
+            t.alias("n_before"),
+            (nd - t).alias("n_after"),
+            t_stat.alias("t_stat_raw"),
+            ml.alias("ml"),
+            mr.alias("mr"),
+        )
+        .orderBy(F.desc("t_stat_raw"), "split_day")
+        .limit(1)
+        .select(
+            "split_day",
+            "n_before",
+            "n_after",
+            F.round(F.col("t_stat_raw"), 4).alias("t_stat"),
+            F.round(F.col("ml"), 4).alias("mean_before"),
+            F.round(F.col("mr"), 4).alias("mean_after"),
+        )
+    )
+
+
+# ------------------------------------------ Theil decomposition
+
+
+@register(
+    "agg_theil_index_decomposition",
+    oracle="""
+WITH rev AS MATERIALIZED (
+  SELECT o.o_custkey, c.c_nationkey AS nation,
+         CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+g AS MATERIALIZED (
+  SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(cents) AS BIGINT) AS sg
+  FROM rev GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sg) AS BIGINT) AS s FROM g),
+w AS (
+  SELECT sum(r.cents * ln(r.cents * 1.0 * g.ng / g.sg)) AS sw
+  FROM rev r JOIN g ON g.nation = r.nation
+),
+btw AS (
+  SELECT sum(g.sg * ln(g.sg * 1.0 * tot.n / (g.ng * 1.0 * tot.s)))
+           AS sb
+  FROM g, tot
+)
+SELECT tot.n AS n_customers,
+       round((w.sw + btw.sb) / tot.s, 6) AS theil_total,
+       round(w.sw / tot.s, 6) AS theil_within,
+       round(btw.sb / tot.s, 6) AS theil_between
+FROM w, btw, tot
+""",
+    doc="Theil T inequality index of customer revenue with its exact "
+    "additive within/between-nation decomposition — the inequality "
+    "lens Gini cannot decompose (agg_gini_revenue_concentration's "
+    "complement): T = (1/S) sum x*ln(x*n_g/S_g) within + (1/S) sum "
+    "S_g*ln(S_g*n/(n_g*S)) between, algebraically restated so the "
+    "within term needs only GROUP means joined back (25-row "
+    "broadcast) and total = within + between holds by construction "
+    "(pinned in tests).  Revenue is integer cents; one fact join, "
+    "one bounded rollup, two scalar folds",
+)
+def agg_theil_index_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # feeds the rollup AND the fold
+    )
+    g = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("cents").cast("long").alias("sg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+    )
+    w = (
+        rev.join(F.broadcast(g), "nation")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * F.log(F.col("cents") * 1.0 * F.col("ng") / F.col("sg"))
+            ).alias("sw")
+        )
+    )
+    btw = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("sg")
+            * F.log(
+                F.col("sg") * 1.0 * F.col("n")
+                / (F.col("ng") * 1.0 * F.col("s"))
+            )
+        ).alias("sb")
+    )
+    return (
+        w.crossJoin(F.broadcast(btw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round((F.col("sw") + F.col("sb")) / F.col("s"), 6).alias(
+                "theil_total"
+            ),
+            F.round(F.col("sw") / F.col("s"), 6).alias("theil_within"),
+            F.round(F.col("sb") / F.col("s"), 6).alias("theil_between"),
+        )
+    )
+
+
+# ------------------------------------------ inter-order cadence
+
+
+@register(
+    "win_interorder_gap_stats",
+    oracle="""
+WITH g AS (
+  SELECT date_diff('day',
+           CAST(lag(o_orderdate) OVER w AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(avg(gap), 4) AS avg_gap_days,
+       round(quantile_cont(gap, 0.25), 4) AS p25_days,
+       round(quantile_cont(gap, 0.50), 4) AS median_days,
+       round(quantile_cont(gap, 0.75), 4) AS p75_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM g
+""",
+    doc="inter-order cadence profile: day gaps between each "
+    "customer's consecutive orders (per-customer lag window — "
+    "partitioned, shuffles once on the customer key), summarized "
+    "globally with exact interpolated quartiles.  The purchase-"
+    "frequency fingerprint behind churn/LTV features; gaps are "
+    "exact integer day arithmetic on both engines",
+)
+def win_interorder_gap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        ).alias("gap")
+    )
+    gap = F.col("gap")
+    return g.agg(
+        F.count(gap).cast("long").alias("n_gaps"),
+        F.round(F.avg(gap), 4).alias("avg_gap_days"),
+        F.round(F.percentile(gap, 0.25), 4).alias("p25_days"),
+        F.round(F.percentile(gap, 0.50), 4).alias("median_days"),
+        F.round(F.percentile(gap, 0.75), 4).alias("p75_days"),
+        F.max(gap).cast("long").alias("max_gap_days"),
+    )

@@ -140,3 +140,130 @@ def test_freshness_lags_nonnegative(spark):
     assert all(r.lag_secs >= 0 for r in rows)
     # the freshest stream defines the watermark: lag 0 somewhere
     assert min(r.lag_secs for r in rows) == 0
+
+
+# ---------------------------------------------------------- batch 3
+
+
+def test_skyline_mutual_nondominance_and_coverage(spark):
+    sky = _run(spark, "agg_skyline_pareto_2d")
+    # pairwise non-dominance inside the frontier
+    for a in sky:
+        for b in sky:
+            if a.p_partkey == b.p_partkey:
+                continue
+            dominated = (
+                a.price <= b.price
+                and a.size >= b.size
+                and (a.price < b.price or a.size > b.size)
+            )
+            assert not dominated, (a, b)
+    # completeness: every part is dominated by some skyline point or
+    # IS a skyline point
+    from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+    parts = load_table(spark, SF01, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    sky_keys = {r.p_partkey for r in sky}
+    for p in parts:
+        if p.p_partkey in sky_keys:
+            continue
+        assert any(
+            s.price <= p.p_retailprice
+            and s.size >= p.p_size
+            and (s.price < p.p_retailprice or s.size > p.p_size)
+            for s in sky
+        ), p
+
+
+def test_global_prefix_max_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aiven_challenge2_cdc_sharing_spark.operators.topk import (
+        global_prefix_max,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 1000)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k: long, v: long")
+    got = {
+        r.k: r.pm
+        for r in global_prefix_max(
+            df, [F.col("k")], "v", out_col="pm", partitions=16
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.pm
+        for r in df.withColumn("pm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_woe_iv_nonnegative(spark):
+    rows = _run(spark, "ml_woe_binning")
+    assert len(rows) == 5
+    # each IV contribution (p-q)*ln(p/q) is nonnegative by convexity
+    assert all(r.iv_contrib >= -1e-9 for r in rows)
+
+
+def test_theil_decomposition_adds_up(spark):
+    (row,) = _run(spark, "agg_theil_index_decomposition")
+    assert row.theil_within >= -1e-9 and row.theil_between >= -1e-9
+    assert abs(
+        row.theil_total - (row.theil_within + row.theil_between)
+    ) < 1e-4
+
+
+def test_jsd_bounded(spark):
+    import math
+
+    rows = _run(spark, "text_js_divergence_sources")
+    assert all(-1e-9 <= r.jsd <= math.log(2) + 1e-9 for r in rows)
+
+
+def test_cramers_v_bounded(spark):
+    rows = _run(spark, "stats_cramers_v_pairs")
+    assert len(rows) == 3
+    assert all(0.0 <= r.cramers_v <= 1.0 for r in rows)
+    assert all(r.chi2 >= 0.0 for r in rows)
+
+
+def test_changepoint_splits_series(spark):
+    (row,) = _run(spark, "ts_changepoint_binary_seg")
+    days = _run(spark, "dq_spc_c_chart")  # same calendar domain
+    assert row.n_before + row.n_after == len(days)
+    assert row.t_stat >= 0
+    assert row.n_before >= 1 and row.n_after >= 1
+
+
+def test_c_chart_limits(spark):
+    rows = _run(spark, "dq_spc_c_chart")
+    assert all(r.lcl >= 0 for r in rows)
+    assert all(r.ucl > r.cbar for r in rows)
+    assert all(r.above_ucl == (r.c > r.ucl) for r in rows)
+
+
+def test_interorder_gaps_conserve(spark):
+    from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+    (row,) = _run(spark, "win_interorder_gap_stats")
+    orders = load_table(spark, SF01, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    # k orders per customer contribute k-1 gaps
+    assert row.n_gaps == n_orders - n_cust
+    assert row.p25_days <= row.median_days <= row.p75_days
+    assert row.median_days <= row.max_gap_days
+
+
+def test_norm_profile_ordered(spark):
+    rows = _run(spark, "emb_norm_profile")
+    for r in rows:
+        assert r.min_norm <= r.mean_norm <= r.max_norm
+        assert r.std_norm >= 0

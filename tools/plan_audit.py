@@ -111,6 +111,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "(ml_stratified_sample_det machinery)",
     "text_heaps_law_fit": "cumulative window over the 20 fixed "
     "doc-position buckets (bounded by construction)",
+    "ts_changepoint_binary_seg": "cumulative + rank windows over the "
+    "<=31-row aggregated daily series (calendar-bounded)",
     "agg_lorenz_curve_points": "cumulative window over the 10 fixed "
     "deciles (bounded by construction)",
 }
@@ -310,6 +312,22 @@ ALLOWED_EXCHANGES = {
     # remaining exchange moves the 20-row bucket table through the
     # cumulative window and the regr_* fold.
     "text_heaps_law_fit": 11,
+    # agg_theil_index_decomposition: the fact join + per-customer
+    # rollup is localCheckpoint'ed and runs once; remaining exchanges
+    # are the 25-row nation rollup, its broadcast join-back for the
+    # within fold (one more pass over the checkpointed table, no
+    # recompute), the 1-row between/total folds and their combines.
+    "agg_theil_index_decomposition": 12,
+    # stats_cramers_v_pairs: the orders-customer join + 3-way label
+    # union feed ONE cells aggregate (localCheckpoint'ed, <=90 rows);
+    # the 4 marginal/total rollups and their join-backs all move
+    # category-domain-bounded tables.
+    "stats_cramers_v_pairs": 11,
+    # text_js_divergence_sources: the tokenize explode feeds one
+    # (source, word) aggregate (localCheckpoint'ed); the corpus,
+    # per-source and total rollups plus join-backs are all over that
+    # vocabulary-bounded table.
+    "text_js_divergence_sources": 8,
     # dq_duplicate_key_audit: four INDEPENDENT per-table audits in
     # one lazy union (same family as dq_referential_orphans): each
     # branch = a 2-phase total count + a 2-phase dup-group count.
