@@ -1752,3 +1752,500 @@ def win_interorder_gap_stats(
         F.round(F.percentile(gap, 0.75), 4).alias("p75_days"),
         F.max(gap).cast("long").alias("max_gap_days"),
     )
+
+
+# ------------------------------------------ SCD Type-2 dimension
+
+
+@register(
+    "cdc_scd2_dimension_build",
+    oracle="""
+WITH ids AS (SELECT CAST(c_custkey AS INTEGER) AS id FROM customer),
+v1 AS (
+  SELECT id,
+         '+1-' || lpad(CAST(id * 7919 % 10000000 AS VARCHAR), 7, '0')
+           AS phone,
+         make_timestamp((1704067200000 + id * 1000) * 1000)
+           AS valid_from,
+         CASE WHEN id % 3 = 0
+              THEN make_timestamp((1704067200000 + id * 1000 + 500000)
+                                  * 1000)
+              WHEN id % 7 = 0
+              THEN make_timestamp((1704067200000 + id * 1000 + 900000)
+                                  * 1000)
+         END AS valid_to,
+         id % 3 <> 0 AND id % 7 <> 0 AS is_current
+  FROM ids
+),
+v2 AS (
+  SELECT id,
+         '+1-' || lpad(CAST(id * 104729 % 10000000 AS VARCHAR), 7, '0')
+           AS phone,
+         make_timestamp((1704067200000 + id * 1000 + 500000) * 1000)
+           AS valid_from,
+         CASE WHEN id % 7 = 0
+              THEN make_timestamp((1704067200000 + id * 1000 + 900000)
+                                  * 1000)
+         END AS valid_to,
+         id % 7 <> 0 AS is_current
+  FROM ids WHERE id % 3 = 0
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY id, valid_from
+""",
+    doc="SCD Type-2 dimension built from the REAL CDC pipeline "
+    "(generate_envelope_log -> replay dedup -> per-key version "
+    "chain): every non-delete change becomes a validity-interval "
+    "row (valid_from = its change timestamp, valid_to = the NEXT "
+    "event's timestamp via lead(), is_current = open-ended), "
+    "deletes close the chain without emitting a row — the "
+    "warehouse-dimension twin of cdc_snapshot's last-writer-wins "
+    "materialization (S1+P1+J7 composed; reference consumer "
+    "consumer_to_opensearch.py:79-84 keeps only the latest image).  "
+    "At-least-once replays dedup on the globally unique seq before "
+    "the chain window; the window partitions on the key, so state "
+    "is per-key bounded.  The oracle derives identical intervals "
+    "from the deterministic generator rules",
+)
+def cdc_scd2_dimension_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..cdc import generate_envelope_log
+
+    log = generate_envelope_log(spark, sf_dir)
+    # at-least-once transport: replays carry identical (seq, payload)
+    events = log.dropDuplicates(["seq"]).select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("after.phone").alias("phone"),
+        "op",
+        "ts_ms",
+        "seq",
+    )
+    w = Window.partitionBy("id").orderBy("seq")
+    chained = events.select(
+        "id",
+        "phone",
+        "op",
+        F.timestamp_millis(F.col("ts_ms")).alias("valid_from"),
+        F.timestamp_millis(F.lead("ts_ms").over(w)).alias("valid_to"),
+        F.lead("ts_ms").over(w).isNull().alias("is_current"),
+    )
+    return chained.filter(F.col("op") != "d").select(
+        "id", "phone", "valid_from", "valid_to", "is_current"
+    ).orderBy("id", "valid_from")
+
+
+# ------------------------------------------ per-dimension KS drift
+
+
+@register(
+    "ml_feature_drift_ks_per_dim",
+    oracle="""
+WITH v AS (
+  SELECT vec_id % 2 = 0 AS h1, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 10) AS BIGINT)
+           AS band
+  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+),
+n AS (
+  SELECT CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n2
+  FROM embeddings
+),
+cells AS (
+  SELECT dim, band,
+         CAST(count(*) FILTER (WHERE h1) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE NOT h1) AS BIGINT) AS c2
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT dim,
+         CAST(sum(c1) OVER w AS BIGINT) AS k1,
+         CAST(sum(c2) OVER w AS BIGINT) AS k2
+  FROM cells
+  WINDOW w AS (PARTITION BY dim ORDER BY band ROWS UNBOUNDED PRECEDING)
+),
+ks AS (
+  SELECT dim, max(abs(k1 * n.n2 - k2 * n.n1)) AS num
+  FROM cum, n GROUP BY dim, n.n1, n.n2
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       round(num * 1.0 / (n.n1 * n.n2), 6) AS ks_stat
+FROM ks, n
+ORDER BY num DESC, dim LIMIT 10
+""",
+    doc="per-dimension two-sample Kolmogorov-Smirnov drift screen "
+    "over the embedding table (even vs odd vector ids standing in "
+    "for reference vs production batches): values band to 0.1-wide "
+    "bins, per-(dim, band) counts cumulate into banded ECDFs, and "
+    "the KS sup-gap is an EXACT INTEGER cross-multiplication "
+    "max|k1*n2 - k2*n1| — the stats_ks_two_sample packed-counter "
+    "discipline applied per dimension, with the top-10 ranking done "
+    "on the exact integer numerator (no float ever orders the "
+    "result).  Everything after the one explode pass is bounded by "
+    "dims x bands",
+)
+def ml_feature_drift_ks_per_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("h1"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    ).select(
+        "h1",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val") * 10).cast("long").alias("band"),
+    )
+    n = emb.agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1))
+        .cast("long")
+        .alias("n1"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, 1))
+        .cast("long")
+        .alias("n2"),
+    )
+    cells = v.groupBy("dim", "band").agg(
+        F.count(F.when(F.col("h1"), 1)).cast("long").alias("c1"),
+        F.count(F.when(~F.col("h1"), 1)).cast("long").alias("c2"),
+    )
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "dim",
+        F.sum("c1").over(w).cast("long").alias("k1"),
+        F.sum("c2").over(w).cast("long").alias("k2"),
+    )
+    ks = (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("dim", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1"))
+            ).alias("num")
+        )
+    )
+    return (
+        ks.select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("num") * 1.0 / (F.col("n1") * F.col("n2")), 6)
+            .alias("ks_stat"),
+            "num",
+        )
+        .orderBy(F.desc("num"), "dim")
+        .limit(10)
+        .select("dim", "ks_stat")
+    )
+
+
+# ------------------------------------------ token budget coverage
+
+
+@register(
+    "text_type_coverage_budget",
+    oracle="""
+WITH cnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) GROUP BY w
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+ranked AS (
+  SELECT c,
+         CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r,
+         CAST(sum(c) OVER (ORDER BY c DESC, w
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+  FROM cnt
+),
+thr AS (SELECT unnest([50, 80, 90, 95]) AS pct),
+hit AS (
+  SELECT thr.pct, min(r) AS n_types
+  FROM ranked, thr, tot
+  WHERE pre * 100 >= thr.pct * tot.t
+  GROUP BY 1
+)
+SELECT CAST(hit.pct AS BIGINT) AS threshold_pct,
+       hit.n_types,
+       round(ranked.pre * 1.0 / tot.t, 6) AS coverage_share
+FROM hit JOIN ranked ON ranked.r = hit.n_types, tot
+ORDER BY threshold_pct
+""",
+    doc="vocabulary budget curve: the smallest number of types (by "
+    "frequency rank) whose cumulative token mass reaches 50/80/90/"
+    "95%% of the corpus — the tokenizer-sizing companion to "
+    "text_zipf_fit and text_heaps_law_fit.  Rank and running mass "
+    "come from operators/topk.global_ordinal + global_prefix_sum "
+    "over the aggregated type table (no single-partition window "
+    "over anything N-sized), and every threshold crossing is the "
+    "exact integer comparison pre*100 >= pct*total",
+)
+def text_type_coverage_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.topk import global_ordinal, global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cnt = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked, _n = global_ordinal(
+        cnt, [F.desc("c"), F.col("w")], out_col="r"
+    )
+    pre = global_prefix_sum(
+        ranked, [F.col("r")], "c", out_col="pre"
+    ).select("r", F.col("pre").cast("long").alias("pre"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (50, 80, 90, 95)])).alias(
+            "pct"
+        )
+    )
+    hit = (
+        pre.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("pre") * 100 >= F.col("pct") * F.col("t"))
+        .groupBy("pct")
+        .agg(F.min("r").alias("n_types"))
+    )
+    return (
+        hit.join(pre, hit.n_types == pre.r)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pct").cast("long").alias("threshold_pct"),
+            "n_types",
+            F.round(F.col("pre") * 1.0 / F.col("t"), 6).alias(
+                "coverage_share"
+            ),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+# ------------------------------------------ Welch's t-test
+
+
+@register(
+    "stats_welch_t_test",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+),
+g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sc,
+         sum(x * x) AS s2
+  FROM j GROUP BY 1
+),
+ab AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         a.sc / 100.0 / a.n AS m_a, b.sc / 100.0 / b.n AS m_b,
+         (a.s2 - a.n * pow(a.sc / 100.0 / a.n, 2)) / (a.n - 1) AS v_a,
+         (b.s2 - b.n * pow(b.sc / 100.0 / b.n, 2)) / (b.n - 1) AS v_b
+  FROM g a, g b
+  WHERE a.seg = 'AUTOMOBILE' AND b.seg = 'HOUSEHOLD'
+)
+SELECT n_a, n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 4) AS df_welch
+FROM ab
+""",
+    doc="Welch's unequal-variance t-test for AUTOMOBILE vs HOUSEHOLD "
+    "order values, with the Welch-Satterthwaite degrees of freedom "
+    "— the robust default two-sample mean test (stats_anova_oneway "
+    "assumes equal variances; stats_levene_test is the gatekeeper "
+    "that says when you need THIS instead).  Means come from exact "
+    "integer cent sums; only the variance power sums are floating "
+    "point, computed convention-free as (s2 - n*m^2)/(n-1) on both "
+    "engines.  One filtered join + a 2-row aggregate",
+)
+def stats_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.col("o_totalprice")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(x * 100)).cast("long").alias("sc"),
+            F.sum(x * x).alias("s2"),
+        )
+    )
+    a = g.filter(F.col("seg") == "AUTOMOBILE").select(
+        F.col("n").alias("n_a"), F.col("sc").alias("sc_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.filter(F.col("seg") == "HOUSEHOLD").select(
+        F.col("n").alias("n_b"), F.col("sc").alias("sc_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("sc_a") / 100.0 / na
+    mb = F.col("sc_b") / 100.0 / nb
+    va = (F.col("s2_a") - na * F.pow(ma, 2)) / (na - 1)
+    vb = (F.col("s2_b") - nb * F.pow(mb, 2)) / (nb - 1)
+    se2 = va / na + vb / nb
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (F.pow(va / na, 2) / (na - 1) + F.pow(vb / nb, 2) / (nb - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+# ------------------------------------------ customer maturation
+
+
+@register(
+    "dash_days_to_nth_order",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         row_number() OVER w AS rn,
+         date_diff('day',
+           CAST(min(o_orderdate) OVER (PARTITION BY o_custkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(rn AS BIGINT) AS nth,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(quantile_cont(days, 0.25), 4) AS p25_days,
+       round(quantile_cont(days, 0.50), 4) AS median_days,
+       round(quantile_cont(days, 0.75), 4) AS p75_days
+FROM seq WHERE rn IN (2, 3, 5)
+GROUP BY rn ORDER BY nth
+""",
+    doc="customer maturation curve: days from first order to the "
+    "2nd/3rd/5th, quartiled across customers — the time-to-repeat "
+    "metric LTV models anchor on (win_interorder_gap_stats profiles "
+    "single gaps; this profiles the cumulative journey).  One "
+    "per-customer window pass (rank + running min date in the same "
+    "partition-local sort), exact integer day arithmetic, exact "
+    "interpolated quartiles",
+)
+def dash_days_to_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    seq = load_table(spark, sf_dir, "orders").select(
+        F.row_number().over(w).alias("rn"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.min("o_orderdate").over(wp).cast("date"),
+        ).alias("days"),
+    )
+    d = F.col("days")
+    return (
+        seq.filter(F.col("rn").isin(2, 3, 5))
+        .groupBy(F.col("rn").cast("long").alias("nth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.percentile(d, 0.25), 4).alias("p25_days"),
+            F.round(F.percentile(d, 0.50), 4).alias("median_days"),
+            F.round(F.percentile(d, 0.75), 4).alias("p75_days"),
+        )
+        .orderBy("nth")
+    )
+
+
+# ------------------------------------------ normalized co-purchase
+
+
+@register(
+    "graph_bipartite_ochiai_weights",
+    oracle="""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+deg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS d
+  FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       round(p.n_ab / sqrt(da.d * 1.0 * db.d), 6) AS ochiai
+FROM pairs p
+JOIN deg da ON da.l_partkey = p.part_a
+JOIN deg db ON db.l_partkey = p.part_b
+ORDER BY ochiai DESC, part_a, part_b
+LIMIT 20
+""",
+    doc="item-item similarity with Ochiai (cosine) normalization: "
+    "co-purchase support n_ab scaled by sqrt(deg_a * deg_b), so "
+    "popular parts stop dominating the raw-support ranking "
+    "basket_copurchase_pairs produces — the last step from "
+    "candidate pairs to a usable item-item recommender weight.  "
+    "Same basket-bounded pair generation (sum of k^2 per order, "
+    "k <= 7), plus two degree joins on the aggregated pair table; "
+    "min-support 3 prunes before the joins",
+)
+def graph_bipartite_ochiai_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )  # feeds the self-join AND the degree rollup
+    deg = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("d").alias("da")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("d").alias("db")
+    )
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") / F.sqrt(F.col("da") * 1.0 * F.col("db")), 6
+            ).alias("ochiai"),
+        )
+        .orderBy(F.desc("ochiai"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -267,3 +267,69 @@ def test_norm_profile_ordered(spark):
     for r in rows:
         assert r.min_norm <= r.mean_norm <= r.max_norm
         assert r.std_norm >= 0
+
+
+# ---------------------------------------------------------- batch 4
+
+
+def test_scd2_chain_consistency(spark):
+    rows = _run(spark, "cdc_scd2_dimension_build")
+    snapshot = load_registry()["cdc_snapshot"].fn(spark, SF01).collect()
+    # exactly the snapshot's live keys have a current version, and
+    # their current phone matches the snapshot image
+    current = {r.id: r.phone for r in rows if r.is_current}
+    snap = {r.id: r.phone for r in snapshot}
+    assert current == snap
+    # intervals are well-formed and chains never overlap
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for rid, versions in by_id.items():
+        versions.sort(key=lambda r: r.valid_from)
+        for v in versions:
+            assert v.valid_to is None or v.valid_to > v.valid_from
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.valid_to == nxt.valid_from  # contiguous chain
+        assert sum(1 for v in versions if v.is_current) <= 1
+
+
+def test_ks_per_dim_bounded(spark):
+    rows = _run(spark, "ml_feature_drift_ks_per_dim")
+    assert len(rows) == 10
+    assert all(0.0 <= r.ks_stat <= 1.0 for r in rows)
+    ks = [r.ks_stat for r in rows]
+    assert all(a >= b for a, b in zip(ks, ks[1:]))
+
+
+def test_type_coverage_monotone(spark):
+    rows = _run(spark, "text_type_coverage_budget")
+    assert [r.threshold_pct for r in rows] == [50, 80, 90, 95]
+    nt = [r.n_types for r in rows]
+    assert all(b >= a for a, b in zip(nt, nt[1:]))
+    for r in rows:
+        assert r.coverage_share >= r.threshold_pct / 100.0 - 1e-9
+
+
+def test_welch_t_consistent_with_means(spark):
+    (row,) = _run(spark, "stats_welch_t_test")
+    assert (row.t_stat > 0) == (row.mean_a > row.mean_b)
+    assert row.df_welch > 1
+    assert row.df_welch <= row.n_a + row.n_b - 2 + 1e-6
+
+
+def test_days_to_nth_monotone(spark):
+    rows = _run(spark, "dash_days_to_nth_order")
+    assert [r.nth for r in rows] == [2, 3, 5]
+    med = [r.median_days for r in rows]
+    # reaching a later milestone can't take less time at the median
+    assert all(b >= a for a, b in zip(med, med[1:]))
+    nc = [r.n_customers for r in rows]
+    assert all(b <= a for a, b in zip(nc, nc[1:]))
+    for r in rows:
+        assert r.p25_days <= r.median_days <= r.p75_days
+
+
+def test_ochiai_bounded_and_normalizing(spark):
+    rows = _run(spark, "graph_bipartite_ochiai_weights")
+    assert all(0.0 < r.ochiai <= 1.0 for r in rows)
+    assert all(r.n_ab >= 3 for r in rows)

@@ -312,6 +312,13 @@ ALLOWED_EXCHANGES = {
     # remaining exchange moves the 20-row bucket table through the
     # cumulative window and the regr_* fold.
     "text_heaps_law_fit": 11,
+    # text_type_coverage_budget: TWO global-order passes (ordinal,
+    # then prefix sum) over the AGGREGATED type table — each is the
+    # checkpointed range-partition operator, so the token explode
+    # and the vocab aggregate run once; every post-aggregate
+    # exchange moves (word, count, rank) tuples bounded by
+    # vocabulary size, and the threshold probe is a 4-row broadcast.
+    "text_type_coverage_budget": 14,
     # agg_theil_index_decomposition: the fact join + per-customer
     # rollup is localCheckpoint'ed and runs once; remaining exchanges
     # are the 25-row nation rollup, its broadcast join-back for the
