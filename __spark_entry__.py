@@ -139,6 +139,12 @@ DRIVER_PRIORITY: list[str] = [
     "stats_welch_t_test",
     "dash_days_to_nth_order",
     "graph_bipartite_ochiai_weights",
+    "ts_dow_seasonality_strength",
+    "ml_negative_sampling_table",
+    "emb_inter_intra_separability",
+    "cdc_change_data_stats",
+    "win_time_to_next_purchase",
+    "agg_histogram_log_bins",
     "agg_pricing_summary",
     "agg_rollup_region_nation",
     "agg_cube_status_priority",

@@ -2249,3 +2249,467 @@ def graph_bipartite_ochiai_weights(
         .orderBy(F.desc("ochiai"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ------------------------------------------ DOW seasonality strength
+
+
+@register(
+    "ts_dow_seasonality_strength",
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(date_trunc('day', o_orderdate)) / 86400)
+              AS BIGINT) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS ss
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+         sum(ss) AS sst, sum(s * s * 1.0 / n) AS sg
+  FROM g
+),
+peak AS (
+  SELECT dow FROM g ORDER BY s * 1.0 / n DESC, dow LIMIT 1
+)
+SELECT tot.nt AS n_days,
+       round((sg - st * st * 1.0 / nt) / (sst - st * st * 1.0 / nt), 6)
+         AS eta_squared,
+       CAST(peak.dow AS BIGINT) AS peak_dow
+FROM tot, peak
+""",
+    doc="day-of-week seasonality strength of daily order volume: "
+    "eta-squared (SS_between / SS_total of the one-way dow ANOVA, "
+    "the variance share the weekly cycle explains) plus the peak "
+    "day.  Day-of-week is ENGINE-FREE integer math — "
+    "floor(epoch_days) % 7 — sidestepping the documented "
+    "Spark-1=Sunday vs DuckDB-0=Sunday convention clash; all sums "
+    "are over integer daily counts, so both engines rank the peak "
+    "identically.  Calendar-bounded after the first aggregate",
+)
+def ts_dow_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            (F.floor(F.unix_timestamp("day") / 86400) % 7)
+            .cast("long")
+            .alias("dow"),
+            "c",
+        )
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    ).localCheckpoint(eager=True)  # 7 rows, feeds totals AND peak
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(F.col("s") * F.col("s") * 1.0 / F.col("n")).alias("sg"),
+    )
+    peak = (
+        g.orderBy(F.desc(F.col("s") * 1.0 / F.col("n")), "dow")
+        .limit(1)
+        .select(F.col("dow").alias("peak_dow"))
+    )
+    st, nt = F.col("st"), F.col("nt")
+    ssb = F.col("sg") - st * st * 1.0 / nt
+    sstot = F.col("sst") - st * st * 1.0 / nt
+    return (
+        tot.crossJoin(F.broadcast(peak))
+        .select(
+            nt.alias("n_days"),
+            F.round(ssb / sstot, 6).alias("eta_squared"),
+            "peak_dow",
+        )
+    )
+
+
+# ------------------------------------------ negative-sampling table
+
+
+@register(
+    "ml_negative_sampling_table",
+    oracle="""
+WITH cnt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) GROUP BY w
+),
+tot AS (SELECT sum(pow(c, 0.75)) AS t FROM cnt),
+top AS (
+  SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 50
+),
+p AS (
+  SELECT w, c, pow(c, 0.75) / tot.t AS pn,
+         row_number() OVER (ORDER BY c DESC, w) AS r
+  FROM top, tot
+)
+SELECT w AS token, c AS n,
+       round(pn, 6) AS p_neg,
+       round(sum(pn) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING), 6)
+         AS cum_p
+FROM p ORDER BY r
+""",
+    doc="word2vec-style negative-sampling distribution: unigram "
+    "counts raised to the 3/4 power and normalized — the standard "
+    "table an embedding-training pipeline materializes so frequent "
+    "tokens are downweighted as negatives.  Normalizer spans the "
+    "FULL vocabulary (one aggregate); display is the top-50 via "
+    "TakeOrdered with the cumulative mass those tokens claim "
+    "(window over the LIMIT-50 survivors only, plan-audit "
+    "allowlisted like text_zipf_fit)",
+)
+def ml_negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    cnt = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # feeds normalizer AND top-50
+    )
+    tot = cnt.agg(F.sum(F.pow("c", 0.75)).alias("t"))
+    top = cnt.orderBy(F.desc("c"), "w").limit(50)
+    wr = Window.orderBy(F.desc("c"), "w")
+    p = top.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "c",
+        (F.pow("c", 0.75) / F.col("t")).alias("pn"),
+        F.row_number().over(wr).alias("r"),
+    )
+    wc = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return p.select(
+        F.col("w").alias("token"),
+        F.col("c").alias("n"),
+        F.round(F.col("pn"), 6).alias("p_neg"),
+        F.round(F.sum("pn").over(wc), 6).alias("cum_p"),
+    ).orderBy("r").drop("r")
+
+
+# ------------------------------------------ cluster separability
+
+
+@register(
+    "emb_inter_intra_separability",
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+dims AS (
+  SELECT label, i.i AS pos, round(avg(e[i.i]), 6) AS m
+  FROM v, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+cents AS MATERIALIZED (
+  SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY 1
+),
+intra AS (
+  SELECT v.label, CAST(count(*) AS BIGINT) AS n,
+         avg(sqrt(list_dot_product(
+           list_transform(list_zip(v.e, c.cv),
+                          z -> z[1] - z[2]),
+           list_transform(list_zip(v.e, c.cv),
+                          z -> z[1] - z[2])))) AS intra_d
+  FROM v JOIN cents c ON c.label = v.label
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.label,
+         b.label AS other,
+         round(sqrt(list_dot_product(
+           list_transform(list_zip(a.cv, b.cv), z -> z[1] - z[2]),
+           list_transform(list_zip(a.cv, b.cv), z -> z[1] - z[2]))), 6)
+           AS d
+  FROM cents a JOIN cents b ON a.label <> b.label
+),
+nearest AS (
+  SELECT label, other AS nearest_label, d AS inter_d FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY d, other) = 1
+)
+SELECT i.label, i.n,
+       round(i.intra_d, 4) AS intra_dist,
+       n.nearest_label,
+       round(n.inter_d, 4) AS inter_dist,
+       round(n.inter_d / i.intra_d, 4) AS separability
+FROM intra i JOIN nearest n ON n.label = i.label
+ORDER BY i.label
+""",
+    doc="cluster separability per embedding label: mean L2 distance "
+    "to the own-label centroid (intra) vs distance to the NEAREST "
+    "other centroid (inter), ratio > 1 meaning clusters are farther "
+    "apart than they are wide — the Davies-Bouldin-flavored health "
+    "check for labeled embedding spaces.  Centroids are 6dp-rounded "
+    "per-dim means (the established discipline), the inter-centroid "
+    "matrix is labels^2 (bounded), and nearest ranks on the "
+    "6dp-rounded distance with a label tiebreak",
+)
+def emb_inter_intra_separability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        .localCheckpoint(eager=True)  # 10 rows: intra join + pair matrix
+    )
+
+    def l2(a, b):
+        diff = F.zip_with(a, b, lambda x, y: x - y)
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(diff, diff, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    intra = (
+        v.join(F.broadcast(cents), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(l2(F.col("e"), F.col("cv"))).alias("intra_d"),
+        )
+    )
+    a = cents.select(F.col("label"), F.col("cv").alias("ca"))
+    b = cents.select(
+        F.col("label").alias("other"), F.col("cv").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other"))
+        .select(
+            "label",
+            "other",
+            F.round(l2(F.col("ca"), F.col("cb")), 6).alias("d"),
+        )
+    )
+    wn = Window.partitionBy("label").orderBy("d", "other")
+    nearest = pairs.withColumn("rn", F.row_number().over(wn)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        intra.join(nearest, "label")
+        .select(
+            "label",
+            "n",
+            F.round(F.col("intra_d"), 4).alias("intra_dist"),
+            F.col("other").alias("nearest_label"),
+            F.round(F.col("d"), 4).alias("inter_dist"),
+            F.round(F.col("d") / F.col("intra_d"), 4).alias("separability"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------ CDC log telemetry
+
+
+@register(
+    "cdc_change_data_stats",
+    oracle="""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE c_custkey % 11 = 0) AS BIGINT)
+           AS n11,
+         CAST(count(*) FILTER (WHERE c_custkey % 3 = 0) AS BIGINT)
+           AS n3,
+         CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT)
+           AS n7
+  FROM customer
+),
+ops AS (
+  SELECT 'c' AS op, n + n11 AS n_events, n11 AS n_replays FROM base
+  UNION ALL SELECT 'd', n7, 0 FROM base
+  UNION ALL SELECT 'u', n3, 0 FROM base
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM ops)
+SELECT op, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_replays AS BIGINT) AS n_replays,
+       round(n_events * 1.0 / tot.t, 6) AS share_of_log
+FROM ops, tot ORDER BY op
+""",
+    doc="CDC transport telemetry on the envelope log: events and "
+    "at-least-once replay duplicates per op type with log share — "
+    "the topic-health numbers a CDC operator watches (replay share "
+    "spiking = consumer rebalancing or producer retries; the "
+    "reference's consumer would see exactly these duplicates, "
+    "consumer_to_opensearch.py:95).  Replays are detected as "
+    "(seq, op) duplicates — one aggregate over the log; the oracle "
+    "derives expected counts in closed form from the generator "
+    "rules",
+)
+def cdc_change_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc import generate_envelope_log
+
+    log = generate_envelope_log(spark, sf_dir)
+    ops = log.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.countDistinct("seq"))
+        .cast("long")
+        .alias("n_replays"),
+    )
+    tot = ops.agg(F.sum("n_events").cast("long").alias("t"))
+    return (
+        ops.crossJoin(F.broadcast(tot))
+        .select(
+            "op",
+            "n_events",
+            "n_replays",
+            F.round(F.col("n_events") * 1.0 / F.col("t"), 6).alias(
+                "share_of_log"
+            ),
+        )
+        .orderBy("op")
+    )
+
+
+# ------------------------------------------ time-to-next-purchase
+
+
+@register(
+    "win_time_to_next_purchase",
+    oracle="""
+WITH lab AS (
+  SELECT event_type,
+         CAST(floor(epoch(min(CASE WHEN event_type2 = 'purchase'
+                                   THEN ts2 END) OVER w))
+              - floor(epoch(ts)) AS BIGINT) AS secs
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ts AS ts2, event_type AS event_type2
+    FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(secs) AS BIGINT) AS n_labeled,
+       round(quantile_cont(secs, 0.50), 4) AS median_secs,
+       round(quantile_cont(secs, 0.90), 4) AS p90_secs
+FROM lab GROUP BY event_type ORDER BY event_type
+""",
+    doc="time-to-next-purchase labels: for every event, seconds "
+    "until the SAME user's next strictly-later purchase (NULL if "
+    "none) — the forward-looking as-of that generates "
+    "time-to-conversion training labels (operators/joins.py:16 "
+    "implements the backward as-of; this is its label-generation "
+    "mirror via a descending-order running min, one per-user "
+    "window pass, no self-join).  Summarized per event type with "
+    "exact interpolated quantiles; timestamps subtract through "
+    "floor(epoch()) as always",
+)
+def win_time_to_next_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(
+                F.min(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ).over(w)
+            )
+            - F.unix_timestamp("ts")
+        )
+        .cast("long")
+        .alias("secs"),
+    )
+    s = F.col("secs")
+    return (
+        lab.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(s).cast("long").alias("n_labeled"),
+            F.round(F.percentile(s, 0.50), 4).alias("median_secs"),
+            F.round(F.percentile(s, 0.90), 4).alias("p90_secs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------ exact log2 histogram
+
+
+@register(
+    "agg_histogram_log_bins",
+    oracle="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT length(printf('%b', cents)) AS bin, cents FROM c
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       round(count(*) * 1.0 / tot.t, 6) AS share
+FROM b, tot GROUP BY bin, tot.t ORDER BY bin
+""",
+    doc="power-of-two (log2) histogram of order values in integer "
+    "cents: bin = bit length of the cent amount — EXACT integer "
+    "binning via binary-string length on both engines, because "
+    "floor(log2(x)) through floating log is NOT safe at powers of "
+    "two (Spark computes log2 as ln(x)/ln(2), which can come out "
+    "25.9999... at x = 2^26 and flip the bin; bit length cannot).  "
+    "The heavy-tail profile histogram equi-width bins miss; one "
+    "scan, bounded ~64-bin output",
+)
+def agg_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    b = c.select(
+        F.length(F.conv(F.col("cents").cast("string"), 10, 2)).alias("bin"),
+        "cents",
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("bin").cast("long").alias("bin"), "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .select(
+            "bin",
+            "n",
+            "min_cents",
+            "max_cents",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("bin")
+    )

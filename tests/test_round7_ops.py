@@ -333,3 +333,70 @@ def test_ochiai_bounded_and_normalizing(spark):
     rows = _run(spark, "graph_bipartite_ochiai_weights")
     assert all(0.0 < r.ochiai <= 1.0 for r in rows)
     assert all(r.n_ab >= 3 for r in rows)
+
+
+# ---------------------------------------------------------- batch 5
+
+
+def test_dow_strength_bounded(spark):
+    (row,) = _run(spark, "ts_dow_seasonality_strength")
+    assert 0.0 <= row.eta_squared <= 1.0
+    assert 0 <= row.peak_dow <= 6
+
+
+def test_negative_sampling_distribution(spark):
+    rows = _run(spark, "ml_negative_sampling_table")
+    # probabilities positive and ordered with count rank; cumulative
+    # mass monotone and <= 1
+    assert all(r.p_neg > 0 for r in rows)
+    cp = [r.cum_p for r in rows]
+    assert all(b >= a for a, b in zip(cp, cp[1:]))
+    assert cp[-1] <= 1.0 + 1e-6
+    # 3/4-power flattening: top token's share of the sampling table
+    # is below its raw frequency share
+    tot_n = sum(r.n for r in rows)
+    assert rows[0].p_neg < rows[0].n / tot_n
+
+
+def test_separability_consistent(spark):
+    rows = _run(spark, "emb_inter_intra_separability")
+    assert len(rows) == 10
+    for r in rows:
+        assert r.intra_dist > 0 and r.inter_dist > 0
+        assert r.nearest_label != r.label
+        assert abs(r.separability - r.inter_dist / r.intra_dist) < 1e-3
+
+
+def test_cdc_stats_match_log(spark):
+    from aiven_challenge2_cdc_sharing_spark.cdc import (
+        generate_envelope_log,
+    )
+
+    rows = {r.op: r for r in _run(spark, "cdc_change_data_stats")}
+    log_n = generate_envelope_log(spark, SF01).count()
+    assert sum(r.n_events for r in rows.values()) == log_n
+    assert abs(sum(r.share_of_log for r in rows.values()) - 1.0) < 1e-4
+    # replays only exist on inserts (generator replays the c-ops)
+    assert rows["c"].n_replays > 0
+    assert rows["u"].n_replays == 0 and rows["d"].n_replays == 0
+
+
+def test_time_to_next_purchase_labels(spark):
+    rows = {r.event_type: r for r in _run(spark, "win_time_to_next_purchase")}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    for r in rows.values():
+        assert 0 <= r.n_labeled <= r.n_events
+        if r.n_labeled:
+            assert r.median_secs >= 0
+            assert r.p90_secs >= r.median_secs
+
+
+def test_log_bins_partition_and_ranges(spark):
+    rows = _run(spark, "agg_histogram_log_bins")
+    from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+    n_orders = load_table(spark, SF01, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    for r in rows:
+        # bin b holds cents in [2^(b-1), 2^b)
+        assert 2 ** (r.bin - 1) <= r.min_cents <= r.max_cents < 2 ** r.bin

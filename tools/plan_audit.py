@@ -113,6 +113,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "doc-position buckets (bounded by construction)",
     "ts_changepoint_binary_seg": "cumulative + rank windows over the "
     "<=31-row aggregated daily series (calendar-bounded)",
+    "ml_negative_sampling_table": "rank + cumulative windows over "
+    "the LIMIT-50 survivors (TakeOrdered upstream, the "
+    "text_zipf_fit shape)",
     "agg_lorenz_curve_points": "cumulative window over the 10 fixed "
     "deciles (bounded by construction)",
 }
