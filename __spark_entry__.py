@@ -133,7 +133,6 @@ DRIVER_PRIORITY: list[str] = [
     "ts_changepoint_binary_seg",
     "agg_theil_index_decomposition",
     "win_interorder_gap_stats",
-    "cdc_scd2_dimension_build",
     "ml_feature_drift_ks_per_dim",
     "text_type_coverage_budget",
     "stats_welch_t_test",

@@ -1754,87 +1754,6 @@ def win_interorder_gap_stats(
     )
 
 
-# ------------------------------------------ SCD Type-2 dimension
-
-
-@register(
-    "cdc_scd2_dimension_build",
-    oracle="""
-WITH ids AS (SELECT CAST(c_custkey AS INTEGER) AS id FROM customer),
-v1 AS (
-  SELECT id,
-         '+1-' || lpad(CAST(id * 7919 % 10000000 AS VARCHAR), 7, '0')
-           AS phone,
-         make_timestamp((1704067200000 + id * 1000) * 1000)
-           AS valid_from,
-         CASE WHEN id % 3 = 0
-              THEN make_timestamp((1704067200000 + id * 1000 + 500000)
-                                  * 1000)
-              WHEN id % 7 = 0
-              THEN make_timestamp((1704067200000 + id * 1000 + 900000)
-                                  * 1000)
-         END AS valid_to,
-         id % 3 <> 0 AND id % 7 <> 0 AS is_current
-  FROM ids
-),
-v2 AS (
-  SELECT id,
-         '+1-' || lpad(CAST(id * 104729 % 10000000 AS VARCHAR), 7, '0')
-           AS phone,
-         make_timestamp((1704067200000 + id * 1000 + 500000) * 1000)
-           AS valid_from,
-         CASE WHEN id % 7 = 0
-              THEN make_timestamp((1704067200000 + id * 1000 + 900000)
-                                  * 1000)
-         END AS valid_to,
-         id % 7 <> 0 AS is_current
-  FROM ids WHERE id % 3 = 0
-)
-SELECT * FROM v1 UNION ALL SELECT * FROM v2
-ORDER BY id, valid_from
-""",
-    doc="SCD Type-2 dimension built from the REAL CDC pipeline "
-    "(generate_envelope_log -> replay dedup -> per-key version "
-    "chain): every non-delete change becomes a validity-interval "
-    "row (valid_from = its change timestamp, valid_to = the NEXT "
-    "event's timestamp via lead(), is_current = open-ended), "
-    "deletes close the chain without emitting a row — the "
-    "warehouse-dimension twin of cdc_snapshot's last-writer-wins "
-    "materialization (S1+P1+J7 composed; reference consumer "
-    "consumer_to_opensearch.py:79-84 keeps only the latest image).  "
-    "At-least-once replays dedup on the globally unique seq before "
-    "the chain window; the window partitions on the key, so state "
-    "is per-key bounded.  The oracle derives identical intervals "
-    "from the deterministic generator rules",
-)
-def cdc_scd2_dimension_build(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from ..cdc import generate_envelope_log
-
-    log = generate_envelope_log(spark, sf_dir)
-    # at-least-once transport: replays carry identical (seq, payload)
-    events = log.dropDuplicates(["seq"]).select(
-        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
-        F.col("after.phone").alias("phone"),
-        "op",
-        "ts_ms",
-        "seq",
-    )
-    w = Window.partitionBy("id").orderBy("seq")
-    chained = events.select(
-        "id",
-        "phone",
-        "op",
-        F.timestamp_millis(F.col("ts_ms")).alias("valid_from"),
-        F.timestamp_millis(F.lead("ts_ms").over(w)).alias("valid_to"),
-        F.lead("ts_ms").over(w).isNull().alias("is_current"),
-    )
-    return chained.filter(F.col("op") != "d").select(
-        "id", "phone", "valid_from", "valid_to", "is_current"
-    ).orderBy("id", "valid_from")
-
-
 # ------------------------------------------ per-dimension KS drift
 
 

@@ -272,27 +272,6 @@ def test_norm_profile_ordered(spark):
 # ---------------------------------------------------------- batch 4
 
 
-def test_scd2_chain_consistency(spark):
-    rows = _run(spark, "cdc_scd2_dimension_build")
-    snapshot = load_registry()["cdc_snapshot"].fn(spark, SF01).collect()
-    # exactly the snapshot's live keys have a current version, and
-    # their current phone matches the snapshot image
-    current = {r.id: r.phone for r in rows if r.is_current}
-    snap = {r.id: r.phone for r in snapshot}
-    assert current == snap
-    # intervals are well-formed and chains never overlap
-    by_id: dict[int, list] = {}
-    for r in rows:
-        by_id.setdefault(r.id, []).append(r)
-    for rid, versions in by_id.items():
-        versions.sort(key=lambda r: r.valid_from)
-        for v in versions:
-            assert v.valid_to is None or v.valid_to > v.valid_from
-        for prev, nxt in zip(versions, versions[1:]):
-            assert prev.valid_to == nxt.valid_from  # contiguous chain
-        assert sum(1 for v in versions if v.is_current) <= 1
-
-
 def test_ks_per_dim_bounded(spark):
     rows = _run(spark, "ml_feature_drift_ks_per_dim")
     assert len(rows) == 10
