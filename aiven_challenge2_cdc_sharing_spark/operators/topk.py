@@ -143,7 +143,13 @@ def global_prefix_max(
 
     The exclusive frame is what dominance-style operators (skyline /
     Pareto frontier) need: "best value among everything strictly
-    before me"."""
+    before me".
+
+    REQUIREMENT: ``sort_cols`` must be a UNIQUE key (as with
+    ``global_ordinal``) — the ROWS-based exclusive frame makes the
+    "strictly preceding" max nondeterministic among peer rows that tie
+    on the sort key.  Pre-aggregate to unique keys or append a
+    tie-breaking column before calling."""
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())

@@ -236,7 +236,7 @@ def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session_windows",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -245,7 +245,7 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )

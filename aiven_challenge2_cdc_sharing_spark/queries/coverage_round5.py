@@ -91,7 +91,7 @@ def agg_equidepth_histogram_scalable(
     "dash_peak_concurrency_scalable",
     oracle="""
 WITH marks AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
                OR epoch(ts) - epoch(lag(ts) OVER (
@@ -104,7 +104,7 @@ sessions AS (
          min(ts) AS s_start, max(ts) AS s_end
   FROM (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM marks)
   GROUP BY user_id, sid
@@ -138,14 +138,16 @@ def dash_peak_concurrency_scalable(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # (ts, event_id): pin a total order among duplicate-ts peers
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marks = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w_order).isNull()
             | (

@@ -1577,7 +1577,12 @@ FROM noised ORDER BY segment
     "the sampling family).  u = (h%1e6 + 0.5)/1000001 is strictly "
     "inside (0,1), so ln's argument is provably positive under "
     "ANSI.  true_count rides along for the epsilon-utility "
-    "comparison this demo exists to show; a real release drops it",
+    "comparison this demo exists to show; a real release drops it.  "
+    "EXPLICITLY NOT PRIVATE: the seed is the PUBLIC segment name, so "
+    "anyone can replay and subtract the noise — the deterministic "
+    "draw exists only for oracle replayability; a real DP mechanism "
+    "derives the seed from a secret salt (or a true RNG), which the "
+    "operator form accepts as a parameter",
 )
 def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
@@ -1677,31 +1682,42 @@ def er_levenshtein_blocked_pairs(
 @register(
     "emb_density_core_points",
     oracle="""
-WITH raw AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+WITH pp AS (
+  SELECT least(16, greatest(4, CAST(ceil(log2(count(*) / 128.0)) AS INT)))
+           AS bits,
+         greatest(64, (8 * count(*)) // (1 << least(16, greatest(4,
+           CAST(ceil(log2(count(*) / 128.0)) AS INT))))) AS cap
   FROM embeddings
 ),
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+),
 b AS (
-  SELECT vec_id, label, bucket,
-         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
-  FROM raw
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en,
+         CAST(list_sum(list_transform(range(0, p.bits),
+           i -> CASE WHEN e[CAST(i + 1 AS INT)] > 0
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)
+           AS bucket
+  FROM raw CROSS JOIN pp p
+),
+capped AS (
+  SELECT vec_id, en, bucket FROM b
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= (SELECT cap FROM pp)
 ),
 probes AS (
   SELECT vec_id, en, label,
-         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-                 xor(bucket, 4), xor(bucket, 8)]) AS pbucket
-  FROM b
+         unnest(list_prepend(bucket,
+           list_transform(range(0, p.bits),
+             i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS pbucket
+  FROM b CROSS JOIN pp p
 ),
 neigh AS (
   SELECT p.vec_id, p.label,
          count(*) FILTER (
            WHERE round(list_dot_product(p.en, v.en), 6) >= 0.2
              AND v.vec_id != p.vec_id) AS n_eps
-  FROM probes p JOIN b v ON v.bucket = p.pbucket
+  FROM probes p LEFT JOIN capped v ON v.bucket = p.pbucket
   GROUP BY 1, 2
 )
 SELECT label,
@@ -1716,30 +1732,48 @@ FROM neigh GROUP BY label ORDER BY label
     "family) have cosine >= 0.2.  The density-reachability step "
     "every density clusterer starts from, expressed as one bucket "
     "equi-join + per-vector count — never the N^2 epsilon-"
-    "neighborhood scan.  Missed cross-bucket neighbors are the "
-    "documented LSH recall trade, same as ml_knn_classify_ann.  "
-    "Per-pair scoring stays a JVM dot over pre-normalized vectors; "
-    "a cogroup-by-bucket BLAS matmul (the _assign_nearest_matmul "
-    "pattern) measured 6.3s vs 8.9s at sf0.1 — kept out of the "
-    "registry because BLAS summation order can flip a 6dp-rounded "
-    "sim at the eps boundary, and the hash gate demands bit-stable "
-    "counts; at cluster scale, where compute dwarfs Arrow transfer, "
-    "the matmul variant is the right default",
+    "neighborhood scan.  Round-6 verdict fix: the bit count DERIVES "
+    "from corpus size (bits = clamp(4..16, ceil(log2(n/128))), so "
+    "expected bucket size stays ~128 as N grows — pair volume "
+    "(bits+1)*128*N, linear in N, not the fixed-16-bucket 5N^2/16), "
+    "and the build side passes through cap_hot_buckets at 8x the "
+    "expected bucket size (exactly the dedup_embedding_cosine "
+    "guard; the oracle replays the cap via QUALIFY so the capped "
+    "semantics sit under the hash gate).  The probe side LEFT-joins "
+    "the capped build so a vector whose own bucket is dropped still "
+    "contributes n_eps=0 to n_total rather than vanishing.  Missed "
+    "cross-bucket neighbors are the documented LSH recall trade, "
+    "same as ml_knn_classify_ann.  Per-pair scoring stays a JVM dot "
+    "over pre-normalized vectors; a cogroup-by-bucket BLAS matmul "
+    "(the _assign_nearest_matmul pattern) measured 6.3s vs 8.9s at "
+    "sf0.1 — kept out of the registry because BLAS summation order "
+    "can flip a 6dp-rounded sim at the eps boundary, and the hash "
+    "gate demands bit-stable counts; at cluster scale, where "
+    "compute dwarfs Arrow transfer, the matmul variant is the "
+    "right default",
 )
 def emb_density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.dedup import cap_hot_buckets
     from ..operators.similarity import _dot
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    # One bounded driver-side action: corpus size picks the code width
+    # (the scale knob the round-6 verdict ordered) and the bucket cap.
+    n = emb.count()
+    bits = min(16, max(4, math.ceil(math.log2(max(n, 1) / 128.0))))
+    cap = max(64, (8 * n) >> bits)
     b = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
+        emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("e"),
             "label",
             sum(
                 F.when(F.element_at(F.col("embedding"), i + 1) > 0, 1 << i)
                 .otherwise(0)
-                for i in range(4)
-            ).alias("bucket"),
+                for i in range(bits)
+            ).cast("long").alias("bucket"),
         )
         .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
         .select(
@@ -1758,16 +1792,16 @@ def emb_density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(4)
+                    for i in range(bits)
                 ],
             )
         ).alias("bucket"),
     )
-    v = b.select(
+    v = cap_hot_buckets(b, ["bucket"], cap).select(
         F.col("vec_id").alias("nb"), F.col("en").alias("ven"), "bucket"
     )
     neigh = (
-        probes.join(v, "bucket")
+        probes.join(v, "bucket", "left")
         .groupBy("vec_id", "label")
         .agg(
             F.count(
@@ -1957,7 +1991,7 @@ sessions AS MATERIALIZED (
          CAST(floor(epoch(max(ts))) AS BIGINT) AS e
   FROM (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM marks)
   GROUP BY user_id, sid
@@ -2024,9 +2058,11 @@ def join_interval_allen_counts(
         .alias("new_session"),
         "event_id",
     )
+    # order by (ts, event_id): with duplicate (user_id, ts) rows a
+    # ts-only ROWS frame is nondeterministic among peers (ADVICE r6)
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sessions = (

@@ -57,6 +57,10 @@ def _fold_sessions(
 ) -> Iterator[pd.DataFrame]:
     s_us, e_us = state.get if state.exists else (-1, -1)
     rows = pd.concat(list(pdfs), ignore_index=True)
+    # a null/NaT ts would become INT64_MIN under astype("int64"), sort
+    # first, and silently close the open session with a negative-epoch
+    # row — drop such rows instead (ADVICE r6)
+    rows = rows.dropna(subset=["ts"])
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     out: list[tuple[int, int, int, bool]] = []
     uid = key[0]

@@ -44,7 +44,7 @@ def _batch_sessions(spark):
     )
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

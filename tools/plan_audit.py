@@ -200,6 +200,46 @@ def broadcast_fact_scans(plan: str) -> list[str]:
     return hits
 
 
+# LSH/banded candidate joins that are bounded WITHOUT a cap marker,
+# with the reason the static rule can't see:
+ALLOWED_UNCAPPED_BUCKET_JOIN = {
+    # fixed-16-bucket candidate join, recall pinned on clustered
+    # fixtures; the parameterized scale path (bits + max_bucket_size)
+    # ships in operators/similarity.cosine_topk_lsh and is
+    # oracle-proven there — the registered query fixes 4 bits for
+    # oracle replayability (round-6 verdict: borderline-accepted)
+    "ml_knn_classify_ann": "fixed-bits oracle twin; capped scale path "
+    "in operators/similarity.py",
+    # hour-bucket TIME banding, not LSH: candidate volume is bounded
+    # by concurrent-session density per hour, never by corpus size,
+    # and a pair counts once at the bucket of the later start
+    "join_event_self_interval": "time banding (concurrency-bounded)",
+    "join_interval_allen_counts": "time banding (concurrency-bounded)",
+}
+
+
+def uncapped_bucket_joins(plan: str) -> list[str]:
+    """Equi-joins on an LSH-ish bucket key (bucket/pbucket/band_hash/
+    sig*) where a fact table is scanned on both sides and NO hot-bucket
+    cap marker (``__bsz`` from operators/dedup.cap_hot_buckets, ``__bn``
+    from operators/similarity's deterministic truncation) appears in
+    the plan.  Candidate volume of an uncapped bucket self-join is
+    sum(bucket_size^2) — one degenerate bucket makes it quadratic; this
+    is the `emb_density_core_points` round-6 defect class, now caught
+    statically at author time."""
+    if "__bsz" in plan or "__bn" in plan:
+        return []
+    key_re = re.compile(r"\b(p?bucket|band_hash|sig(?:_\d+)?)#\d+")
+    join_keys = []
+    for m in re.finditer(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan):
+        join_keys += key_re.findall(m.group(1))
+    if not join_keys:
+        return []
+    scans = re.findall(r"Location: [^\n]*?/(\w+)\.parquet", plan)
+    hot = [t for t in set(scans) if t in FACT_TABLES and scans.count(t) >= 2]
+    return sorted(hot)
+
+
 def count_unpartitioned_windows(plan: str) -> int:
     """Window nodes whose Arguments carry no partition spec.
 
@@ -435,6 +475,12 @@ def main() -> int:
             warns.append(
                 "broadcast of non-aggregated fact scan: "
                 + ",".join(sorted(set(fact_bc)))
+            )
+        bj = uncapped_bucket_joins(plan)
+        if bj and name not in ALLOWED_UNCAPPED_BUCKET_JOIN:
+            warns.append(
+                "uncapped LSH-bucket join over fact scan(s): "
+                + ",".join(bj)
             )
         n_ex = plan.count("Exchange ")
         # a 6-way fact join + aggregate legitimately plans ~7 exchanges
