@@ -55,6 +55,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round5,
         coverage_round6,
         coverage_round7,
+        coverage_round8,
         dashboards,
         extras2,
         ingest,

@@ -1,0 +1,4070 @@
+"""Round-8 window inventory, part 1 (built in round 7).
+
+The families the round-6 verdict's "new query families" list ordered:
+product-quantization ANN (codebook + ADC scoring — completes the IVF
+story), Kaplan-Meier survival over order history, sequential SPRT A/B
+monitoring, split-conformal prediction intervals over a closed-form
+regressor, CDC capture-lag telemetry over the envelope log, multi-table
+transactional snapshot consistency (the 2-table atomic-apply case the
+reference never handles), and a MinHash-vs-exact-Jaccard evaluation
+harness at sweep thresholds.
+
+Reference provenance: the reference is a single-table CDC pipeline
+(consumer loop consumer_to_opensearch.py:67-96, one topic/task
+terraform/main.tf:234); the CDC queries here extend its capture and
+materialization semantics to multi-table transactions and pipeline
+telemetry; everything else is north-star extension per BASELINE.json.
+
+Cross-engine disciplines (established rounds 3-7, see SCALING.md):
+integer cents for money, floor(epoch()) per timestamp before
+subtraction, integer month indexes (y*12+m) instead of
+months_between, exact integer crossing tests for order statistics,
+partial aggregates rounded 6dp before any rank or band, and every
+aggregate aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+# ------------------------------------------------ CDC lag telemetry
+
+
+@register(
+    "cdc_lag_percentiles",
+    oracle="""
+WITH log AS (
+  SELECT 'c' AS op, c_custkey * 1000 AS rel_ms FROM customer
+  UNION ALL
+  SELECT 'u', c_custkey * 1000 + 500000 FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 'd', c_custkey * 1000 + 900000 FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 'c', c_custkey * 1000 FROM customer WHERE c_custkey % 11 = 0
+),
+gaps AS (
+  SELECT op,
+         rel_ms - lag(rel_ms) OVER (ORDER BY rel_ms, op) AS gap_ms
+  FROM log
+)
+SELECT op, CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(gap_ms, 0.5), 4) AS p50_gap_ms,
+       round(quantile_cont(gap_ms, 0.95), 4) AS p95_gap_ms,
+       round(quantile_cont(gap_ms, 0.99), 4) AS p99_gap_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY op ORDER BY op
+""",
+    doc="CDC capture-stream lag telemetry: inter-event arrival gaps "
+    "over the deterministic envelope log (cdc/generator.py — the "
+    "replayable twin of producer_insert.py's workload), P50/P95/P99 "
+    "per op type.  The lag monitor every CDC pipeline needs "
+    "(Debezium exposes it as MilliSecondsBehindSource; the reference "
+    "has only heartbeat.interval.ms=300000, terraform/main.tf:251, "
+    "with nothing consuming it).  The global event order is "
+    "(ts_ms, op) — full-duplicate replay rows (same payload, same "
+    "ts) yield the same gap multiset under any tie order, so the "
+    "lag() is deterministic.  The Spark plan is TWO-LEVEL: lag "
+    "inside contiguous 1000s time buckets (partitioned windows) "
+    "plus a boundary stitch over the bucket aggregate — no event "
+    "ever crosses a single-task global sort; the oracle's plain "
+    "window is provably the same multiset because buckets are "
+    "contiguous ranges of the identical total order.  Exact "
+    "interpolated percentiles per op (Spark percentile == DuckDB "
+    "quantile_cont); at 100 TB only the percentile itself would "
+    "move to the equi-depth-sketch path",
+)
+def cdc_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc.generator import BASE_MS, generate_envelope_log
+
+    log = generate_envelope_log(spark, sf_dir).select(
+        "op", (F.col("ts_ms") - F.lit(BASE_MS)).alias("rel_ms")
+    )
+    # two-level lag: the global ordered stream would funnel every event
+    # through ONE task; instead partition into contiguous 1000s time
+    # buckets (lag inside each bucket is exact), and stitch the bucket-
+    # first rows against the previous nonempty bucket's max via a lag
+    # over the bucket AGGREGATE (time-domain-bounded).  Because buckets
+    # are contiguous ranges of the same (rel_ms, op) total order, the
+    # gap multiset equals the single global lag's exactly — which is
+    # what the oracle's plain window computes.
+    log = log.withColumn("bkt", (F.col("rel_ms") / 1_000_000).cast("long"))
+    w_in = Window.partitionBy("bkt").orderBy("rel_ms", "op")
+    within = log.withColumn(
+        "gap_ms", F.col("rel_ms") - F.lag("rel_ms").over(w_in)
+    )
+    bkt_stats = log.groupBy("bkt").agg(
+        F.min("rel_ms").alias("bmin"), F.max("rel_ms").alias("bmax")
+    )
+    w_b = Window.orderBy("bkt")
+    boundary = bkt_stats.select(
+        "bkt", (F.col("bmin") - F.lag("bmax").over(w_b)).alias("bgap")
+    )
+    gaps = (
+        within.filter(F.col("gap_ms").isNotNull())
+        .select("op", "gap_ms")
+        .unionByName(
+            within.filter(F.col("gap_ms").isNull())
+            .join(F.broadcast(boundary), "bkt")
+            .filter(F.col("bgap").isNotNull())
+            .select("op", F.col("bgap").alias("gap_ms"))
+        )
+    )
+    return (
+        gaps.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.expr("percentile(gap_ms, 0.5)"), 4).alias("p50_gap_ms"),
+            F.round(F.expr("percentile(gap_ms, 0.95)"), 4).alias(
+                "p95_gap_ms"
+            ),
+            F.round(F.expr("percentile(gap_ms, 0.99)"), 4).alias(
+                "p99_gap_ms"
+            ),
+            F.max("gap_ms").cast("long").alias("max_gap_ms"),
+        )
+        .orderBy("op")
+    )
+
+
+# ------------------------------------- 2-table transactional snapshot
+
+# lineitem transport skew under naive apply; the delete offset and the
+# snapshot cutoff DERIVE from the key range so the skew window lies
+# mid-stream at every scale factor (a fixed cutoff larger than the
+# whole log would make naive == atomic and demonstrate nothing)
+_TXN_SKEW_MS = 300_000
+
+
+@register(
+    "cdc_txn_snapshot_consistency",
+    oracle=f"""
+WITH km AS (SELECT max(o_orderkey) * 1000 AS kms FROM orders),
+o_log AS (
+  SELECT o_orderkey AS k, 'c' AS op, o_orderkey * 1000 AS commit_ms
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'd', o_orderkey * 1000 + (km.kms // 4)
+  FROM orders, km WHERE o_orderkey % 13 = 0
+),
+l_log AS (
+  SELECT l.l_orderkey AS k, l.l_linenumber AS ln, o.op,
+         o.commit_ms, o.commit_ms + {_TXN_SKEW_MS} AS arrival_ms
+  FROM lineitem l JOIN o_log o ON o.k = l.l_orderkey
+),
+modes AS (SELECT unnest(['atomic', 'naive']) AS apply_mode),
+o_live AS (
+  SELECT m.apply_mode, k
+  FROM o_log o CROSS JOIN modes m CROSS JOIN km
+  WHERE o.commit_ms <= km.kms * 5 // 8
+  GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE op = 'd') = 0
+),
+l_live AS (
+  SELECT m.apply_mode, k, ln
+  FROM l_log l CROSS JOIN modes m CROSS JOIN km
+  WHERE (CASE WHEN m.apply_mode = 'atomic' THEN l.commit_ms
+              ELSE l.arrival_ms END) <= km.kms * 5 // 8
+  GROUP BY 1, 2, 3
+  HAVING count(*) FILTER (WHERE op = 'd') = 0
+),
+orphans AS (
+  SELECT l.apply_mode, count(*) AS n
+  FROM l_live l LEFT JOIN o_live o
+    ON o.apply_mode = l.apply_mode AND o.k = l.k
+  WHERE o.k IS NULL GROUP BY 1
+),
+childless AS (
+  SELECT o.apply_mode, count(*) AS n
+  FROM o_live o LEFT JOIN (SELECT DISTINCT apply_mode, k FROM l_live) l
+    ON l.apply_mode = o.apply_mode AND l.k = o.k
+  WHERE l.k IS NULL GROUP BY 1
+)
+SELECT m.apply_mode,
+       CAST((SELECT count(*) FROM o_live WHERE apply_mode = m.apply_mode)
+         AS BIGINT) AS n_orders_live,
+       CAST((SELECT count(*) FROM l_live WHERE apply_mode = m.apply_mode)
+         AS BIGINT) AS n_lineitems_live,
+       CAST(coalesce((SELECT n FROM orphans WHERE apply_mode = m.apply_mode),
+         0) AS BIGINT) AS n_orphan_lineitems,
+       CAST(coalesce((SELECT n FROM childless
+         WHERE apply_mode = m.apply_mode), 0) AS BIGINT) AS n_childless_orders
+FROM modes m ORDER BY m.apply_mode
+""",
+    doc="multi-table TRANSACTIONAL snapshot consistency — the 2-table "
+    "case the reference never handles (it captures exactly one table, "
+    "terraform/main.tf:250): orders and lineitem change streams share "
+    "per-transaction commit timestamps (inserts at k*1000 ms, "
+    "cascading deletes for k%13==0 at +quarter-stream — offsets and "
+    "the 5/8-stream cutoff DERIVE from max(o_orderkey) so the skew "
+    "window sits mid-stream at every SF).  'atomic' applies both "
+    "logs as-of the same COMMIT-time cutoff — referential integrity "
+    "holds by construction (0 orphans); 'naive' cuts each table at "
+    "its own ARRIVAL time with the child stream lagging 300s — "
+    "orders deleted near the cutoff leave orphaned lineitems and "
+    "orders inserted near it appear childless.  This is the "
+    "read-committed / consistent-snapshot distinction "
+    "(terraform/main.tf:133 sets read_committed on the transport but "
+    "nothing enforces cross-table apply order downstream).  Counts "
+    "are per-key latest-op aggregates plus two anti-joins — every "
+    "step shuffles on the key it joins on",
+)
+def cdc_txn_snapshot_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # one bounded driver action: the key range sets the delete offset
+    # and the snapshot cutoff (the emb_density_core_points discipline)
+    kms = orders.agg(F.max("o_orderkey")).collect()[0][0] * 1000
+    cutoff_ms = kms * 5 // 8
+    o_ins = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("c").alias("op"),
+        (F.col("o_orderkey") * 1000).alias("commit_ms"),
+    )
+    o_del = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("d").alias("op"),
+            (F.col("o_orderkey") * 1000 + kms // 4).alias("commit_ms"),
+        )
+    )
+    o_log = o_ins.unionByName(o_del)
+    l_log = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln")
+    ).join(o_log, "k").select(
+        "k",
+        "ln",
+        "op",
+        "commit_ms",
+        (F.col("commit_ms") + _TXN_SKEW_MS).alias("arrival_ms"),
+    )
+    modes = spark.createDataFrame(
+        [("atomic",), ("naive",)], "apply_mode string"
+    )
+
+    o_live = (
+        o_log.crossJoin(F.broadcast(modes))
+        .filter(F.col("commit_ms") <= cutoff_ms)
+        .groupBy("apply_mode", "k")
+        .agg(F.count(F.when(F.col("op") == "d", 1)).alias("n_d"))
+        .filter(F.col("n_d") == 0)
+        .select("apply_mode", "k")
+        .localCheckpoint(eager=False)
+    )
+    cut = F.when(
+        F.col("apply_mode") == "atomic", F.col("commit_ms")
+    ).otherwise(F.col("arrival_ms"))
+    l_live = (
+        l_log.crossJoin(F.broadcast(modes))
+        .filter(cut <= cutoff_ms)
+        .groupBy("apply_mode", "k", "ln")
+        .agg(F.count(F.when(F.col("op") == "d", 1)).alias("n_d"))
+        .filter(F.col("n_d") == 0)
+        .select("apply_mode", "k", "ln")
+        .localCheckpoint(eager=False)
+    )
+    orphans = (
+        l_live.join(o_live, ["apply_mode", "k"], "left_anti")
+        .groupBy("apply_mode")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    )
+    childless = (
+        o_live.join(
+            l_live.select("apply_mode", "k").distinct(),
+            ["apply_mode", "k"],
+            "left_anti",
+        )
+        .groupBy("apply_mode")
+        .agg(F.count(F.lit(1)).alias("n_childless_orders"))
+    )
+    n_o = o_live.groupBy("apply_mode").agg(
+        F.count(F.lit(1)).alias("n_orders_live")
+    )
+    n_l = l_live.groupBy("apply_mode").agg(
+        F.count(F.lit(1)).alias("n_lineitems_live")
+    )
+    return (
+        modes.join(n_o, "apply_mode", "left")
+        .join(n_l, "apply_mode", "left")
+        .join(orphans, "apply_mode", "left")
+        .join(childless, "apply_mode", "left")
+        .select(
+            "apply_mode",
+            F.coalesce("n_orders_live", F.lit(0))
+            .cast("long")
+            .alias("n_orders_live"),
+            F.coalesce("n_lineitems_live", F.lit(0))
+            .cast("long")
+            .alias("n_lineitems_live"),
+            F.coalesce("n_orphan_lineitems", F.lit(0))
+            .cast("long")
+            .alias("n_orphan_lineitems"),
+            F.coalesce("n_childless_orders", F.lit(0))
+            .cast("long")
+            .alias("n_childless_orders"),
+        )
+        .orderBy("apply_mode")
+    )
+
+
+# ------------------------------------------------ Kaplan-Meier
+
+
+@register(
+    "surv_kaplan_meier_monthly",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY 1
+),
+labeled AS (
+  SELECT last_m - first_m AS dur_m,
+         CASE WHEN last_m < 2000 * 12 + 8 THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+by_dur AS (
+  SELECT dur_m, count(*) AS n_total, sum(churned) AS n_churn
+  FROM labeled GROUP BY 1
+),
+risk AS (
+  SELECT dur_m, n_churn,
+         sum(n_total) OVER (ORDER BY dur_m DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM by_dur
+),
+km AS (
+  SELECT dur_m, n_risk, n_churn,
+         sum(CASE WHEN n_churn < n_risk
+                  THEN ln(1.0 - CAST(n_churn AS DOUBLE) / n_risk)
+                  ELSE 0 END)
+           OVER (ORDER BY dur_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+         sum(CASE WHEN n_churn >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros
+  FROM risk
+)
+SELECT dur_m AS month, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_churn AS BIGINT) AS n_events,
+       CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lnsum), 6) END AS s_km
+FROM km WHERE n_churn > 0 ORDER BY month
+""",
+    doc="Kaplan-Meier survival curve over customer order history: "
+    "duration = integer months between first and last order "
+    "(y*12+m arithmetic, never months_between's fractional days), "
+    "event = churn (last order before 2000-08, i.e. >=12 months "
+    "before the fixture's observation end), censored otherwise.  "
+    "S(t) = prod_{t_i<=t} (1 - d_i/n_i) computed as exp of a "
+    "cumulative ln-sum with an explicit zero-factor flag (no ln(0) "
+    "under ANSI), and the at-risk counts come from a DESCENDING "
+    "cumulative sum over the duration histogram — the whole curve "
+    "runs over the <=80-row month-domain aggregate, never the "
+    "customer table (same bounded-window class as the score-"
+    "histogram AUC).  The churn/LTV primitive of subscription "
+    "analytics, and the right-censoring discipline a naive "
+    "'avg lifetime' gets wrong",
+)
+def surv_kaplan_meier_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    labeled = per_cust.select(
+        (F.col("last_m") - F.col("first_m")).alias("dur_m"),
+        F.when(F.col("last_m") < 2000 * 12 + 8, 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    by_dur = labeled.groupBy("dur_m").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("churned").alias("n_churn")
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_dur.withColumn("n_risk", F.sum("n_total").over(w_desc))
+    w_asc = Window.orderBy("dur_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("n_churn") < F.col("n_risk"),
+        F.log(1.0 - F.col("n_churn").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    zero_term = F.when(F.col("n_churn") >= F.col("n_risk"), 1).otherwise(0)
+    km = risk.select(
+        "dur_m",
+        "n_risk",
+        "n_churn",
+        F.sum(ln_term).over(w_asc).alias("lnsum"),
+        F.sum(zero_term).over(w_asc).alias("zeros"),
+    )
+    return (
+        km.filter(F.col("n_churn") > 0)
+        .select(
+            F.col("dur_m").alias("month"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_churn").cast("long").alias("n_events"),
+            F.when(F.col("zeros") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("s_km"),
+        )
+        .orderBy("month")
+    )
+
+
+# ------------------------------------------------ sequential SPRT
+
+_SPRT_P0 = 0.15
+_SPRT_P1 = 0.20
+
+
+@register(
+    "ab_sprt_sequential",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id % 2 AS grp, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS trials,
+         count(*) FILTER (WHERE event_type = 'purchase') AS conv
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, day,
+         sum(conv) OVER w AS c_conv, sum(trials) OVER w AS c_trials
+  FROM daily
+  WINDOW w AS (PARTITION BY grp ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+llr AS (
+  SELECT grp, day,
+         c_conv * ln({_SPRT_P1} / {_SPRT_P0})
+         + (c_trials - c_conv) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+           AS llr
+  FROM cum
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(max(llr), 6) AS max_llr,
+       round(arg_max(llr, day), 6) AS final_llr,
+       min(day) FILTER (WHERE llr >= ln(19.0)) AS first_accept_day,
+       min(day) FILTER (WHERE llr <= -ln(19.0)) AS first_reject_day,
+       CASE WHEN min(day) FILTER (WHERE llr >= ln(19.0)) IS NOT NULL
+            THEN 'accept_h1'
+            WHEN min(day) FILTER (WHERE llr <= -ln(19.0)) IS NOT NULL
+            THEN 'accept_h0' ELSE 'continue' END AS decision
+FROM llr GROUP BY grp ORDER BY grp
+""",
+    doc="sequential probability ratio test (SPRT, Wald) monitoring the "
+    "per-group purchase rate day by day: H0 p=0.15 vs H1 p=0.20, "
+    "alpha=beta=0.05 (boundaries +-ln 19).  The cumulative "
+    "log-likelihood ratio runs over the (group x day) aggregate "
+    "(bounded by the calendar), and the decision is the FIRST "
+    "boundary crossing — the always-valid alternative to peeking at "
+    "a fixed-horizon test (the ab_test_conversion twin) that a "
+    "continuously-updated CDC dashboard actually needs.  "
+    "final_llr = max_by(llr, day) / arg_max — deterministic because "
+    "day is unique per group",
+)
+def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("user_id") % 2).alias("grp"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lr1 = math.log(_SPRT_P1 / _SPRT_P0)
+    lr0 = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    llr = daily.select(
+        "grp",
+        "day",
+        (
+            F.sum("conv").over(w) * lr1
+            + (F.sum("trials").over(w) - F.sum("conv").over(w)) * lr0
+        ).alias("llr"),
+    )
+    a = math.log(19.0)
+    return (
+        llr.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("llr"), 6).alias("max_llr"),
+            F.round(F.expr("max_by(llr, day)"), 6).alias("final_llr"),
+            F.min(F.when(F.col("llr") >= a, F.col("day"))).alias(
+                "first_accept_day"
+            ),
+            F.min(F.when(F.col("llr") <= -a, F.col("day"))).alias(
+                "first_reject_day"
+            ),
+        )
+        .select(
+            "grp",
+            "n_days",
+            "max_llr",
+            "final_llr",
+            "first_accept_day",
+            "first_reject_day",
+            F.when(
+                F.col("first_accept_day").isNotNull(), F.lit("accept_h1")
+            )
+            .when(F.col("first_reject_day").isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ------------------------------------------------ conformal intervals
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         CAST(concat('0x', substr(md5('conf:' || l_orderkey || ':'
+           || l_linenumber), 1, 15)) AS BIGINT) % 10 AS bucket
+  FROM lineitem
+),
+fit AS (
+  SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+  FROM base WHERE bucket <= 5
+),
+cal AS (
+  SELECT CAST(round(abs(y - (f.a + f.b * x)) * 100, 0) AS BIGINT) AS r_cents
+  FROM base, fit f WHERE bucket IN (6, 7)
+),
+cal_n AS (SELECT count(*) AS n FROM cal),
+hist AS (
+  SELECT r_cents, count(*) AS c FROM cal GROUP BY 1
+),
+cum AS (
+  SELECT r_cents, sum(c) OVER (ORDER BY r_cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM hist
+),
+q AS (
+  SELECT min(r_cents) AS q_cents
+  FROM cum, cal_n
+  WHERE cw * 10 >= 9 * (cal_n.n + 1)
+),
+ev AS (
+  SELECT count(*) AS n_eval,
+         sum(CASE WHEN CAST(round(abs(y - (f.a + f.b * x)) * 100, 0)
+                    AS BIGINT) <= q.q_cents THEN 1 ELSE 0 END) AS covered
+  FROM base, fit f, q WHERE bucket >= 8
+)
+SELECT CAST((SELECT count(*) FROM base WHERE bucket <= 5) AS BIGINT)
+         AS n_train,
+       CAST((SELECT n FROM cal_n) AS BIGINT) AS n_cal,
+       CAST(ev.n_eval AS BIGINT) AS n_eval,
+       CAST(q.q_cents AS BIGINT) AS q_cents,
+       round(ev.covered * 1.0 / ev.n_eval, 4) AS coverage,
+       CAST(0.9 AS DOUBLE) AS target
+FROM ev, q
+""",
+    doc="split-conformal prediction intervals over the closed-form OLS "
+    "regressor (ml_linreg_normal_eq's regr_slope/intercept pair): "
+    "deterministic md5 60/20/20 split, nonconformity = |residual| in "
+    "integer CENTS, and the conformal quantile is the ceil(0.9*(n+1))"
+    "-th order statistic found by an exact integer crossing test "
+    "(cw*10 >= 9*(n+1)) over the residual-cents histogram — the "
+    "cumulative scan touches the HISTOGRAM, never the N rows (the "
+    "score-histogram AUC discipline).  Marginal coverage on the "
+    "held-out split lands ~0.9 by the conformal guarantee with NO "
+    "distributional assumption on the (badly heteroskedastic) "
+    "price residuals — the distribution-free uncertainty primitive "
+    "a model-serving pipeline wants next to every point prediction",
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf:"),
+                            F.col("l_orderkey"),
+                            F.lit(":"),
+                            F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    fit = base.filter(F.col("bucket") <= 5).agg(
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+        F.count(F.lit(1)).alias("n_train"),
+    )
+    n_train = fit.select("n_train")
+    r_cents = F.round(
+        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))) * 100, 0
+    ).cast("long")
+    cal = (
+        base.filter(F.col("bucket").isin(6, 7))
+        .crossJoin(F.broadcast(fit))
+        .select(r_cents.alias("r_cents"))
+    )
+    cal_n = cal.agg(F.count(F.lit(1)).alias("n"))
+    hist = cal.groupBy("r_cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("r_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("r_cents", F.sum("c").over(w).alias("cw"))
+    q = (
+        cum.crossJoin(F.broadcast(cal_n))
+        .filter(F.col("cw") * 10 >= 9 * (F.col("n") + 1))
+        .agg(F.min("r_cents").alias("q_cents"))
+    )
+    ev = (
+        base.filter(F.col("bucket") >= 8)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(r_cents <= F.col("q_cents"), 1).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return (
+        n_train.crossJoin(F.broadcast(cal_n.withColumnRenamed("n", "n_cal")))
+        .crossJoin(F.broadcast(ev))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("q_cents").cast("long").alias("q_cents"),
+            F.round(F.col("covered") * 1.0 / F.col("n_eval"), 4).alias(
+                "coverage"
+            ),
+            F.lit(0.9).alias("target"),
+        )
+    )
+
+
+# ------------------------------------------------ PQ + ADC top-k
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 4  # centroids per subspace (seeds: vec_id 0..3)
+
+
+@register(
+    "emb_pq_adc_topk",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, (pos.i - 1) // {_PQ_SUB} AS m,
+         (pos.i - 1) % {_PQ_SUB} AS p,
+         CAST(embedding[CAST(pos.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, {_PQ_M} * {_PQ_SUB} + 1)) AS i) pos
+),
+c0 AS (
+  SELECT m, vec_id AS k, p, x AS c FROM dims WHERE vec_id < {_PQ_K}
+),
+d1 AS (
+  SELECT d.vec_id, d.m, c.k,
+         round(sum((d.x - c.c) * (d.x - c.c)), 6) AS d2
+  FROM dims d JOIN c0 c ON c.m = d.m AND c.p = d.p
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, m, k FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1
+),
+c1 AS (
+  SELECT a.m, a.k, d.p, round(avg(d.x), 6) AS c
+  FROM a1 a JOIN dims d ON d.vec_id = a.vec_id AND d.m = a.m
+  GROUP BY 1, 2, 3
+),
+d2nd AS (
+  SELECT d.vec_id, d.m, c.k,
+         round(sum((d.x - c.c) * (d.x - c.c)), 6) AS d2
+  FROM dims d JOIN c1 c ON c.m = d.m AND c.p = d.p
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM d2nd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.k,
+         round(sum(q.x * c.c), 6) AS pdot
+  FROM dims q JOIN c1 c ON c.m = q.m AND c.p = q.p
+  WHERE q.vec_id IN (0, 1, 2)
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id, round(sum(l.pdot), 4) AS adc_score
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_score FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_score DESC, vec_id) <= 5
+ORDER BY query_id, adc_score DESC, vec_id
+""",
+    doc="product-quantization ANN with asymmetric-distance (ADC) "
+    "scoring — the compression leg that completes the "
+    "exact/LSH/IVF similarity story: the 64-dim space splits into "
+    "4 subspaces of 16, each gets a 4-centroid codebook (seeds = "
+    "vec_id 0..3, one deterministic Lloyd iteration, centroids "
+    "rounded 6dp), every vector compresses to 4 small codes "
+    "(8 bits vs 512 — the 64x memory cut that lets a 100 TB corpus "
+    "fit an in-RAM index), and each query builds its M x K "
+    "lookup table of partial dots ONCE, so scoring a vector is a "
+    "join on (m, code) + a 4-term sum, never a 64-dim dot.  "
+    "Everything is relational on an UNPIVOTED (vec, m, p, x) dims "
+    "table — elementwise centroid math needs no array rebuilds, and "
+    "the argmin/top-k windows partition by (vec_id, m) / query.  "
+    "Top-5 per query by ADC estimate, self excluded, ties by vec_id",
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _PQ_M * _PQ_SUB)
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") / _PQ_SUB).cast("int").alias("m"),
+        (F.col("pos0") % _PQ_SUB).alias("p"),
+        "x",
+    ).localCheckpoint(eager=False)
+    c0 = dims.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), "p", F.col("x").alias("c")
+    )
+    d1 = (
+        dims.join(F.broadcast(c0), ["m", "p"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    w_argmin = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w_argmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    c1 = (
+        a1.join(dims, ["vec_id", "m"])
+        .groupBy("m", "k", "p")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    d2nd = (
+        dims.join(F.broadcast(c1), ["m", "p"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    codes = (
+        d2nd.withColumn("rn", F.row_number().over(w_argmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    lut = (
+        dims.filter(F.col("vec_id").isin(0, 1, 2))
+        .join(F.broadcast(c1), ["m", "p"])
+        .groupBy(F.col("vec_id").alias("query_id"), "m", "k")
+        .agg(F.round(F.sum(F.col("x") * F.col("c")), 6).alias("pdot"))
+    )
+    adc = (
+        codes.alias("cd")
+        .join(
+            F.broadcast(lut.alias("l")),
+            (F.col("l.m") == F.col("cd.m"))
+            & (F.col("l.k") == F.col("cd.code"))
+            & (F.col("cd.vec_id") != F.col("l.query_id")),
+        )
+        .groupBy("l.query_id", "cd.vec_id")
+        .agg(F.round(F.sum("l.pdot"), 4).alias("adc_score"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), "vec_id"
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "adc_score")
+        .orderBy("query_id", F.desc("adc_score"), "vec_id")
+    )
+
+
+# ---------------------------------------- MinHash eval sweep (real)
+
+
+def _register_minhash_eval():
+    from .llm_ops import _MD5_PAIRS_CTES
+
+    oracle = f"""
+WITH {_MD5_PAIRS_CTES},
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS tok FROM sh0),
+hot AS (SELECT tok FROM ex GROUP BY tok HAVING count(*) > 1000),
+sh AS (
+  SELECT doc_id, list(tok) AS s
+  FROM ex WHERE tok NOT IN (SELECT tok FROM hot)
+  GROUP BY doc_id
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)), 6) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.3
+),
+joined AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         coalesce(t.id_b, c.id_b) AS id_b,
+         t.j, c.id_a IS NOT NULL AS in_cand
+  FROM truth t FULL OUTER JOIN cand_pairs c
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+sweep AS (SELECT unnest([CAST(0.3 AS DOUBLE), 0.4, 0.5, 0.6]) AS threshold)
+SELECT s.threshold,
+       CAST(count(*) FILTER (WHERE j >= s.threshold) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand_pairs) AS BIGINT) AS n_cand,
+       CAST(count(*) FILTER (WHERE j >= s.threshold AND in_cand) AS BIGINT)
+         AS tp,
+       round(count(*) FILTER (WHERE j >= s.threshold AND in_cand) * 1.0
+             / (SELECT count(*) FROM cand_pairs), 4) AS precision_t,
+       CASE WHEN count(*) FILTER (WHERE j >= s.threshold) > 0
+            THEN round(count(*) FILTER (WHERE j >= s.threshold AND in_cand)
+                       * 1.0 / count(*) FILTER (WHERE j >= s.threshold), 4)
+       END AS recall_t
+FROM joined CROSS JOIN sweep s
+GROUP BY s.threshold ORDER BY s.threshold
+"""
+
+    @register(
+        "dedup_minhash_eval_sweep",
+        oracle=oracle,
+        doc="near-dup EVALUATION harness: precision/recall of the "
+        "6-band md5-MinHash candidate generator "
+        "(dedup_minhash_md5_pairs, hot-bucket cap 64) against EXACT "
+        "df-capped 3-gram Jaccard ground truth "
+        "(dedup_jaccard_threshold_pairs machinery at floor 0.3), "
+        "swept at thresholds 0.3-0.6.  recall(t) rises with t — "
+        "P[collide] = 1-(1-J)^6 — and precision against the fixed "
+        "candidate set isolates the band filter's false-positive "
+        "cost; this is the measurement that justifies (or indicts) "
+        "every banding parameter choice before a 100 TB dedup run, "
+        "turning 'MinHash is probably fine' into a number.  One "
+        "full-outer join of two already-sub-quadratic pair sets; "
+        "the 4-threshold sweep is a broadcast explode over the "
+        "joined pairs",
+    )
+    def dedup_minhash_eval_sweep(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..operators.dedup import cap_hot_buckets, jaccard_threshold_join
+        from .llm_ops import N_MD5_SIGS, _md5_minhash_signatures
+
+        docs = load_table(spark, sf_dir, "documents")
+        truth = jaccard_threshold_join(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            threshold=0.3,
+            max_shingle_df=1000,
+        ).select("id_a", "id_b", F.col("jaccard").alias("j"))
+        sigs = _md5_minhash_signatures(spark, sf_dir)
+        stack_expr = "stack({}, {}) as (band, sig)".format(
+            N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
+        )
+        banded = cap_hot_buckets(
+            sigs.selectExpr("doc_id", stack_expr), ["band", "sig"], 64
+        ).localCheckpoint(eager=False)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+            .withColumn("in_cand", F.lit(True))
+            .localCheckpoint(eager=False)
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        joined = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+            "j", F.coalesce("in_cand", F.lit(False)).alias("in_cand")
+        )
+        sweep = spark.createDataFrame(
+            [(0.3,), (0.4,), (0.5,), (0.6,)], "threshold double"
+        )
+        hit = F.col("j") >= F.col("threshold")
+        return (
+            joined.crossJoin(F.broadcast(sweep))
+            .groupBy("threshold")
+            .agg(
+                F.count(F.when(hit, 1)).cast("long").alias("n_true"),
+                F.count(F.when(hit & F.col("in_cand"), 1))
+                .cast("long")
+                .alias("tp"),
+            )
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                "threshold",
+                "n_true",
+                F.col("n_cand").cast("long").alias("n_cand"),
+                "tp",
+                F.round(F.col("tp") * 1.0 / F.col("n_cand"), 4).alias(
+                    "precision_t"
+                ),
+                F.when(
+                    F.col("n_true") > 0,
+                    F.round(F.col("tp") * 1.0 / F.col("n_true"), 4),
+                ).alias("recall_t"),
+            )
+            .orderBy("threshold")
+        )
+
+
+# deferred registration: the oracle embeds llm_ops' CTE chain, which
+# must be imported (not duplicated) so the two queries can never drift
+_register_minhash_eval()
+
+
+# ================================================ classical statistics
+# (batch 2: paired tests, rank tests, regression diagnostics)
+
+_MCN_A = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_MCN_B = "o_totalprice > 250000"
+
+
+@register(
+    "stats_mcnemar_paired",
+    oracle=f"""
+WITH t AS (
+  SELECT (o_orderstatus = 'F') AS y,
+         ({_MCN_A}) AS a, ({_MCN_B}) AS b
+  FROM orders
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE (a = y) AND (b != y)) AS BIGINT)
+           AS b_only,
+         CAST(count(*) FILTER (WHERE (b = y) AND (a != y)) AS BIGINT)
+           AS c_only
+  FROM t
+)
+SELECT n, b_only, c_only,
+       CASE WHEN b_only + c_only > 0
+            THEN round((abs(b_only - c_only) - 1.0)
+                       * (abs(b_only - c_only) - 1.0)
+                       / (b_only + c_only), 4) END AS chi2_mcnemar,
+       CASE WHEN b_only + c_only > 0
+            THEN (abs(b_only - c_only) - 1.0)
+                 * (abs(b_only - c_only) - 1.0)
+                 / (b_only + c_only) > 3.841
+            ELSE FALSE END AS significant_5pct
+FROM cells
+""",
+    doc="McNemar's test on PAIRED binary classifiers — the right test "
+    "when two models score the SAME rows (a two-proportion z-test "
+    "ignores the pairing and loses power): rule A (priority is "
+    "urgent/high) vs rule B (totalprice > 250k) against the "
+    "order-status label; only the discordant cells b (A right, B "
+    "wrong) and c (B right, A wrong) matter, chi2 = (|b-c|-1)^2 / "
+    "(b+c) with continuity correction, 1 df critical 3.841.  One "
+    "aggregate pass, integer cells, closed form — the "
+    "model-comparison gate of an evaluation pipeline",
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("y"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("a"),
+        (F.col("o_totalprice") > 250000).alias("b"),
+    )
+    cells = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(
+            F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("b_only"),
+        F.count(
+            F.when((F.col("b") == F.col("y")) & (F.col("a") != F.col("y")), 1)
+        )
+        .cast("long")
+        .alias("c_only"),
+    )
+    disc = F.col("b_only") + F.col("c_only")
+    chi2 = (
+        (F.abs(F.col("b_only") - F.col("c_only")) - 1.0)
+        * (F.abs(F.col("b_only") - F.col("c_only")) - 1.0)
+        / disc
+    )
+    return cells.select(
+        "n",
+        "b_only",
+        "c_only",
+        F.when(disc > 0, F.round(chi2, 4)).alias("chi2_mcnemar"),
+        F.when(disc > 0, chi2 > 3.841)
+        .otherwise(F.lit(False))
+        .alias("significant_5pct"),
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=f"""
+WITH t AS (
+  SELECT ({_MCN_A}) AS a, ({_MCN_B}) AS b FROM orders
+),
+s AS (
+  SELECT count(*) AS n,
+         avg(CASE WHEN a = b THEN 1.0 ELSE 0 END) AS po,
+         avg(CASE WHEN a THEN 1.0 ELSE 0 END) AS pa,
+         avg(CASE WHEN b THEN 1.0 ELSE 0 END) AS pb
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS po,
+       round(pa * pb + (1 - pa) * (1 - pb), 6) AS pe,
+       round((po - (pa * pb + (1 - pa) * (1 - pb)))
+             / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
+FROM s
+""",
+    doc="Cohen's kappa for inter-annotator agreement between two "
+    "binary labeling rules over the same orders: observed agreement "
+    "po corrected by chance agreement pe = pa*pb + (1-pa)(1-pb).  "
+    "The agreement metric every labeling/annotation pipeline "
+    "reports before trusting its labels; raw accuracy-style po "
+    "alone is inflated whenever the marginals are skewed.  The "
+    "denominator 1-pe is provably nonzero here: both rules have "
+    "non-degenerate marginals on the fixture (priority classes and "
+    "the 250k price cut are each strictly between 0 and 1)",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("a"),
+        (F.col("o_totalprice") > 250000).alias("b"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.when(F.col("a") == F.col("b"), 1.0).otherwise(0)).alias("po"),
+        F.avg(F.when(F.col("a"), 1.0).otherwise(0)).alias("pa"),
+        F.avg(F.when(F.col("b"), 1.0).otherwise(0)).alias("pb"),
+    )
+    pe = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (1 - F.col("pb"))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("po", 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((F.col("po") - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+WITH hist AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+byq AS (
+  SELECT q, sum(c) AS t FROM hist GROUP BY q
+),
+mid AS (
+  SELECT q, t,
+         coalesce(sum(t) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS midrank
+  FROM byq
+),
+tot AS (
+  SELECT sum(t) AS n,
+         sum(t * t * t - t) AS tie_sum
+  FROM byq
+),
+grp AS (
+  SELECT h.g, sum(h.c) AS ng, sum(h.c * m.midrank) AS rsum
+  FROM hist h JOIN mid m ON m.q = h.q
+  GROUP BY h.g
+),
+h_stat AS (
+  SELECT 12.0 / (t.n * (t.n + 1))
+         * sum(g.ng * (g.rsum / g.ng - (t.n + 1) / 2.0)
+                    * (g.rsum / g.ng - (t.n + 1) / 2.0)) AS h_raw,
+         1.0 - t.tie_sum / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS c_tie,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp g CROSS JOIN tot t GROUP BY t.n, t.tie_sum
+)
+SELECT round(h_raw, 4) AS h_stat,
+       round(h_raw / c_tie, 4) AS h_tie_corrected,
+       k - 1 AS df,
+       h_raw / c_tie > 5.991 AS significant_5pct
+FROM h_stat
+""",
+    doc="Kruskal-Wallis rank test of l_quantity across the three "
+    "return flags — the distribution-free one-way ANOVA "
+    "(stats_anova_oneway's sibling for non-normal data).  Ranks "
+    "never touch the rows: l_quantity lives on the 1..50 integer "
+    "domain, so midranks come from the 50-row value histogram "
+    "(cumulative-before + (t+1)/2) and every group mean rank is a "
+    "histogram dot product — the bounded-domain rank discipline of "
+    "stats_ks_two_sample / stats_mann_whitney_u.  Tie correction "
+    "C = 1 - sum(t^3-t)/(N^3-N) applied exactly; chi2 df=2 "
+    "critical 5.991",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    byq = hist.groupBy("q").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = byq.select(
+        "q",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    tot = byq.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_sum"
+        ),
+    )
+    grp = (
+        hist.join(F.broadcast(mid), "q")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c") * F.col("midrank")).alias("rsum"),
+        )
+    )
+    dev = F.col("rsum") / F.col("ng") - (F.col("n") + 1) / 2.0
+    h = grp.crossJoin(F.broadcast(tot)).agg(
+        (
+            12.0
+            / (F.max("n") * (F.max("n") + 1))
+            * F.sum(F.col("ng") * dev * dev)
+        ).alias("h_raw"),
+        (
+            1.0
+            - F.max("tie_sum")
+            / (
+                F.max("n").cast("double") * F.max("n") * F.max("n")
+                - F.max("n")
+            )
+        ).alias("c_tie"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return h.select(
+        F.round("h_raw", 4).alias("h_stat"),
+        F.round(F.col("h_raw") / F.col("c_tie"), 4).alias(
+            "h_tie_corrected"
+        ),
+        (F.col("k") - 1).alias("df"),
+        (F.col("h_raw") / F.col("c_tie") > 5.991).alias("significant_5pct"),
+    )
+
+
+@register(
+    "stats_durbin_watson",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) / 86400 AS d,
+         sum(value) AS v
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d - (SELECT min(d) FROM daily) AS t, v FROM daily
+),
+fit AS (SELECT regr_slope(v, t) AS b, regr_intercept(v, t) AS a FROM idx),
+resid AS (
+  SELECT t, v - (f.a + f.b * t) AS e FROM idx, fit f
+),
+dw AS (
+  SELECT e, e - lag(e) OVER (ORDER BY t) AS de FROM resid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(sum(de * de) FILTER (WHERE de IS NOT NULL)
+             / sum(e * e), 4) AS dw_stat,
+       CASE WHEN sum(de * de) FILTER (WHERE de IS NOT NULL)
+                 / sum(e * e) < 1.5 THEN 'positive_autocorr'
+            WHEN sum(de * de) FILTER (WHERE de IS NOT NULL)
+                 / sum(e * e) > 2.5 THEN 'negative_autocorr'
+            ELSE 'no_autocorr' END AS verdict
+FROM dw
+""",
+    doc="Durbin-Watson autocorrelation diagnostic on the residuals of "
+    "a daily-revenue-on-time OLS trend: DW = sum((e_t - e_{t-1})^2) "
+    "/ sum(e_t^2), ~2 under independence, <1.5 flags positive "
+    "serial correlation (the assumption violation that silently "
+    "shrinks every OLS confidence interval on time-series data).  "
+    "The regression and the lag window run over the <=31-row "
+    "per-day aggregate (calendar-bounded, the ts_cusum_drift "
+    "window class); day index = integer epoch-days minus min, "
+    "never a fractional date diff.  regr_slope/intercept are "
+    "closed-form identical on both engines; e*e sums rounded 4dp",
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "v"
+    )
+    fit = idx.agg(
+        F.expr("regr_slope(v, t)").alias("b"),
+        F.expr("regr_intercept(v, t)").alias("a"),
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "t", (F.col("v") - (F.col("a") + F.col("b") * F.col("t"))).alias("e")
+    )
+    w = Window.orderBy("t")
+    dw = resid.select(
+        "e", (F.col("e") - F.lag("e").over(w)).alias("de")
+    )
+    ratio = F.sum(
+        F.when(F.col("de").isNotNull(), F.col("de") * F.col("de"))
+    ) / F.sum(F.col("e") * F.col("e"))
+    return dw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(ratio, 4).alias("dw_stat"),
+        F.when(ratio < 1.5, F.lit("positive_autocorr"))
+        .when(ratio > 2.5, F.lit("negative_autocorr"))
+        .otherwise(F.lit("no_autocorr"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "stats_breusch_pagan",
+    oracle="""
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+),
+fit AS (SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a FROM base),
+sq AS (
+  SELECT x, (y - (f.a + f.b * x)) * (y - (f.a + f.b * x)) AS e2
+  FROM base, fit f
+),
+m AS (SELECT count(*) AS n, avg(x) AS mx, avg(e2) AS me FROM sq),
+cen AS (
+  SELECT sum((sq.x - m.mx) * (sq.e2 - m.me)) AS sxy,
+         sum((sq.x - m.mx) * (sq.x - m.mx)) AS sxx,
+         sum((sq.e2 - m.me) * (sq.e2 - m.me)) AS syy,
+         max(m.n) AS n
+  FROM sq, m GROUP BY m.mx, m.me
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(n * (sxy * sxy) / (sxx * syy), 4) AS lm_stat,
+       CAST(1 AS BIGINT) AS df,
+       n * (sxy * sxy) / (sxx * syy) > 3.841 AS heteroskedastic_5pct
+FROM cen
+""",
+    doc="Breusch-Pagan heteroskedasticity test on the price~quantity "
+    "OLS: regress squared residuals on the regressor, LM = n * R^2, "
+    "chi2 1 df critical 3.841 (TPC-H-ish prices are multiplicative "
+    "in quantity, so the test fires — the diagnostic that says "
+    "'your OLS standard errors are wrong' before anyone trusts "
+    "them).  R^2 comes from TWO-PASS CENTERED sums (means first, "
+    "then deviation products): the raw-sum shortcut "
+    "n*Sxy - Sx*Sy catastrophically cancels at e2 ~ 1e9 scale; "
+    "centered deviations carry no cancellation and both engines "
+    "share the identical formula.  Three aggregate passes total, "
+    "all map-side-combinable",
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    fit = base.agg(
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    )
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    sq = base.crossJoin(F.broadcast(fit)).select(
+        "x", (e * e).alias("e2")
+    ).localCheckpoint(eager=False)
+    m = sq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("e2").alias("me"),
+    )
+    cen = sq.crossJoin(F.broadcast(m)).agg(
+        F.sum((F.col("x") - F.col("mx")) * (F.col("e2") - F.col("me"))).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias(
+            "sxx"
+        ),
+        F.sum(
+            (F.col("e2") - F.col("me")) * (F.col("e2") - F.col("me"))
+        ).alias("syy"),
+        F.max("n").alias("n"),
+    )
+    lm = F.col("n") * (F.col("sxy") * F.col("sxy")) / (
+        F.col("sxx") * F.col("syy")
+    )
+    return cen.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(lm, 4).alias("lm_stat"),
+        F.lit(1).cast("long").alias("df"),
+        (lm > 3.841).alias("heteroskedastic_5pct"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment AS seg, count(*) AS n, avg(c_acctbal) AS mu
+  FROM customer GROUP BY 1
+),
+cen AS (
+  SELECT m.seg, max(m.n) AS n,
+         sum((c.c_acctbal - m.mu) * (c.c_acctbal - m.mu)) AS s2,
+         sum((c.c_acctbal - m.mu) * (c.c_acctbal - m.mu)
+             * (c.c_acctbal - m.mu)) AS s3,
+         sum((c.c_acctbal - m.mu) * (c.c_acctbal - m.mu)
+             * (c.c_acctbal - m.mu) * (c.c_acctbal - m.mu)) AS s4
+  FROM customer c JOIN m ON m.seg = c.c_mktsegment
+  GROUP BY m.seg
+),
+shape AS (
+  SELECT seg, n,
+         round((s3 / n) / pow(s2 / n, 1.5), 6) AS skew,
+         round((s4 / n) / ((s2 / n) * (s2 / n)) - 3, 6) AS ex_kurt
+  FROM cen
+)
+SELECT seg, CAST(n AS BIGINT) AS n, skew, ex_kurt,
+       round(n / 6.0 * (skew * skew + ex_kurt * ex_kurt / 4), 4) AS jb_stat,
+       n / 6.0 * (skew * skew + ex_kurt * ex_kurt / 4) <= 5.991
+         AS normal_5pct
+FROM shape ORDER BY seg
+""",
+    doc="Jarque-Bera normality test per market segment over account "
+    "balances: JB = n/6 (S^2 + K^2/4) from POPULATION skewness and "
+    "excess kurtosis, chi2 2 df critical 5.991 (acctbal is uniform-"
+    "ish, platykurtic — JB rejects normality, which is the point: "
+    "it licenses the nonparametric siblings).  Central moments are "
+    "TWO-PASS (segment means first, deviation powers second) — no "
+    "raw-moment cancellation at 1e3-scale balances — and "
+    "deliberately not the engines' skewness()/kurtosis() builtins, "
+    "whose sample-correction conventions differ "
+    "(agg_skew_kurtosis_moments' convention-free discipline); JB "
+    "is then computed FROM the 6dp-rounded shape stats so the 4dp "
+    "statistic can never disagree across engines",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    m = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("c_acctbal").alias("mu")
+    )
+    dev = F.col("c_acctbal") - F.col("mu")
+    cen = (
+        cust.join(F.broadcast(m), cust["c_mktsegment"] == m["seg"])
+        .groupBy("seg")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(dev * dev).alias("s2"),
+            F.sum(dev * dev * dev).alias("s3"),
+            F.sum(dev * dev * dev * dev).alias("s4"),
+        )
+    )
+    skew = F.round(
+        (F.col("s3") / F.col("n")) / F.pow(F.col("s2") / F.col("n"), 1.5), 6
+    )
+    ex_kurt = F.round(
+        (F.col("s4") / F.col("n"))
+        / ((F.col("s2") / F.col("n")) * (F.col("s2") / F.col("n")))
+        - 3,
+        6,
+    )
+    shape = cen.select(
+        "seg", "n", skew.alias("skew"), ex_kurt.alias("ex_kurt")
+    )
+    jb = F.col("n") / 6.0 * (
+        F.col("skew") * F.col("skew")
+        + F.col("ex_kurt") * F.col("ex_kurt") / 4
+    )
+    return shape.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        "skew",
+        "ex_kurt",
+        F.round(jb, 4).alias("jb_stat"),
+        (jb <= 5.991).alias("normal_5pct"),
+    ).orderBy("seg")
+
+
+# ================================================ time-series batch
+
+
+@register(
+    "ts_pacf_lag2",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+acf AS (
+  SELECT a.event_type, k.k, round(corr(a.x, b.x), 6) AS r
+  FROM daily a
+  JOIN (SELECT unnest([1, 2]) AS k) k ON TRUE
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + k.k * INTERVAL 1 DAY
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN k = 1 THEN r END) AS r1,
+         max(CASE WHEN k = 2 THEN r END) AS r2
+  FROM acf GROUP BY 1
+)
+SELECT event_type, r1, r2,
+       CASE WHEN abs(1 - r1 * r1) > 1e-9
+            THEN round((r2 - r1 * r1) / (1 - r1 * r1), 6) END AS pacf2
+FROM wide ORDER BY event_type
+""",
+    doc="partial autocorrelation at lag 2 per event type, closed form "
+    "from the lag-1/lag-2 autocorrelations (Durbin-Levinson order 2: "
+    "phi_22 = (r2 - r1^2)/(1 - r1^2)) — the AR-order diagnostic "
+    "ts_autocorr_lags' raw ACF can't give (an AR(1) has geometric "
+    "ACF at ALL lags but pacf2 ~ 0).  Same lagged equi-join "
+    "discipline as ts_autocorr_lags over the (type x day) "
+    "aggregate; pacf computed FROM the 6dp-rounded r values so the "
+    "division can never disagree across engines, with an explicit "
+    "guard against a degenerate |r1| = 1 series",
+)
+def ts_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("x"))
+    ks = spark.createDataFrame([(1,), (2,)], "k int")
+    a, b = daily.alias("a"), daily.alias("b")
+    acf = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.col("b.day")
+                == F.col("a.day") + F.col("k") * F.expr("INTERVAL 1 DAY")
+            ),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("r"))
+    )
+    wide = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).alias("r2"),
+    )
+    denom = 1 - F.col("r1") * F.col("r1")
+    return wide.select(
+        "event_type",
+        "r1",
+        "r2",
+        F.when(
+            F.abs(denom) > 1e-9,
+            F.round((F.col("r2") - F.col("r1") * F.col("r1")) / denom, 6),
+        ).alias("pacf2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ts_bollinger_breach_rate",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT event_type, day, v,
+         count(*) OVER w AS wn,
+         avg(v) OVER w AS m,
+         avg(v * v) OVER w AS m2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+bands AS (
+  SELECT event_type, v, m,
+         sqrt(greatest(m2 - m * m, 0)) AS sd
+  FROM roll WHERE wn = 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_evaluated,
+       CAST(count(*) FILTER (WHERE v > m + 2 * sd) AS BIGINT) AS n_upper,
+       CAST(count(*) FILTER (WHERE v < m - 2 * sd) AS BIGINT) AS n_lower,
+       round((count(*) FILTER (WHERE v > m + 2 * sd)
+              + count(*) FILTER (WHERE v < m - 2 * sd)) * 1.0
+             / count(*), 4) AS breach_rate
+FROM bands GROUP BY event_type ORDER BY event_type
+""",
+    doc="Bollinger-band breach rate per event type: 7-day rolling mean "
+    "+- 2 population sigma over the daily value series (sigma from "
+    "the in-frame E[v^2]-E[v]^2 identity — one frame, both engines "
+    "share the formula; greatest(...,0) absorbs the tiny negative "
+    "float residue a constant window can produce), breaches counted "
+    "only where the frame is FULL (wn = 7) so warm-up days can't "
+    "fake volatility.  The rolling windows partition by type over "
+    "the calendar-bounded daily aggregate — the band-monitoring "
+    "primitive of every ops dashboard, stricter than ts_outliers_"
+    "mad's static fence because the band adapts to local level",
+)
+def ts_bollinger_breach_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    roll = daily.select(
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.avg("v").over(w).alias("m"),
+        F.avg(F.col("v") * F.col("v")).over(w).alias("m2"),
+    ).filter(F.col("wn") == 7)
+    sd = F.sqrt(F.greatest(F.col("m2") - F.col("m") * F.col("m"), F.lit(0.0)))
+    upper = F.col("v") > F.col("m") + 2 * sd
+    lower = F.col("v") < F.col("m") - 2 * sd
+    return (
+        roll.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_evaluated"),
+            F.count(F.when(upper, 1)).cast("long").alias("n_upper"),
+            F.count(F.when(lower, 1)).cast("long").alias("n_lower"),
+            F.round(
+                (F.count(F.when(upper, 1)) + F.count(F.when(lower, 1)))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("breach_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_sax_motifs",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS v
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT avg(v) AS mu,
+         sqrt(avg(v * v) - avg(v) * avg(v)) AS sd
+  FROM daily
+),
+sym AS (
+  SELECT day,
+         CASE WHEN (v - s.mu) / s.sd < -0.6745 THEN 'a'
+              WHEN (v - s.mu) / s.sd < 0 THEN 'b'
+              WHEN (v - s.mu) / s.sd < 0.6745 THEN 'c'
+              ELSE 'd' END AS c
+  FROM daily, stats s
+),
+words AS (
+  SELECT c || lead(c, 1) OVER (ORDER BY day)
+           || lead(c, 2) OVER (ORDER BY day) AS word
+  FROM sym
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM words WHERE word IS NOT NULL
+GROUP BY word
+ORDER BY n_occurrences DESC, word
+LIMIT 5
+""",
+    doc="SAX symbolic motif mining over the daily value series: "
+    "z-normalize (population sigma), discretize into 4 equiprobable-"
+    "under-normality symbols (breakpoints -0.6745/0/0.6745 — the "
+    "standard-normal quartiles), slide a 3-day word, count motifs, "
+    "top-5 with (count desc, word) total tiebreak.  The "
+    "dimensionality-reduction front end of classic time-series "
+    "motif/anomaly mining (SAX, Lin et al.) — at 100 TB the "
+    "symbolization is a stateless map over per-series aggregates "
+    "and motif counting is one groupBy; the lead() windows run on "
+    "the <=31-row calendar-bounded series, and NULL-tailed partial "
+    "words are excluded on both engines",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    stats = daily.agg(
+        F.avg("v").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")
+        ).alias("sd"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    sym = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.when(z < -0.6745, "a")
+        .when(z < 0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+        .alias("c"),
+    )
+    w = Window.orderBy("day")
+    words = sym.select(
+        F.concat(
+            F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+        ).alias("word")
+    ).filter(F.col("word").isNotNull())
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(5)
+    )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) / 86400 AS d,
+         sum(value) AS v
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT CAST(d - (SELECT min(d) FROM daily) AS BIGINT) AS t, v FROM daily
+),
+chunked AS (
+  SELECT s.s, t // s.s AS chunk, t, v
+  FROM idx CROSS JOIN (SELECT unnest([5, 10, 15]) AS s) s
+),
+full_chunks AS (
+  SELECT s, chunk FROM chunked GROUP BY s, chunk HAVING count(*) = s
+),
+cum AS (
+  SELECT c.s, c.chunk, c.v,
+         avg(c.v) OVER (PARTITION BY c.s, c.chunk) AS m,
+         sum(c.v) OVER (PARTITION BY c.s, c.chunk ORDER BY c.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (row_number() OVER (PARTITION BY c.s, c.chunk ORDER BY c.t))
+           * avg(c.v) OVER (PARTITION BY c.s, c.chunk) AS y
+  FROM chunked c JOIN full_chunks f ON f.s = c.s AND f.chunk = c.chunk
+),
+rs AS (
+  SELECT s, chunk,
+         (max(y) - min(y))
+         / sqrt(avg(v * v) - avg(v) * avg(v)) AS rs_val
+  FROM cum GROUP BY s, chunk
+  HAVING avg(v * v) - avg(v) * avg(v) > 0
+),
+avg_rs AS (
+  SELECT s, round(avg(rs_val), 6) AS mean_rs, count(*) AS n_chunks
+  FROM rs GROUP BY s
+)
+SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_days,
+       round(max(CASE WHEN s = 5 THEN mean_rs END), 4) AS rs_5,
+       round(max(CASE WHEN s = 10 THEN mean_rs END), 4) AS rs_10,
+       round(max(CASE WHEN s = 15 THEN mean_rs END), 4) AS rs_15,
+       round(regr_slope(ln(mean_rs), ln(s)), 4) AS hurst_exponent
+FROM avg_rs
+""",
+    doc="Hurst exponent via rescaled-range (R/S) analysis of the daily "
+    "value series: for chunk sizes 5/10/15 days, each full chunk "
+    "yields R (range of the cumulative mean-deviation walk, computed "
+    "as running-sum minus rownum*mean so no second pass materializes "
+    "the deviations) over S (population sigma); H is the log-log "
+    "regression slope of mean R/S on size.  H ~ 0.5 = memoryless, "
+    ">0.5 = trending/persistent — the long-memory diagnostic that "
+    "tells a capacity planner whether load bursts cluster.  All "
+    "windows partition by (size, chunk) over the calendar-bounded "
+    "daily aggregate; zero-variance chunks are excluded identically "
+    "on both engines, and the slope is closed-form regr_slope over "
+    "3 points",
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("d0")).cast("long").alias("t"), "v"
+    ).localCheckpoint(eager=False)
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "s int")
+    chunked = idx.crossJoin(F.broadcast(sizes)).select(
+        "s", (F.col("t") / F.col("s")).cast("long").alias("chunk"), "t", "v"
+    )
+    full_chunks = (
+        chunked.groupBy("s", "chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("s"))
+        .select("s", "chunk")
+    )
+    wp = Window.partitionBy("s", "chunk")
+    wo = wp.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = chunked.join(full_chunks, ["s", "chunk"]).select(
+        "s",
+        "chunk",
+        "v",
+        F.avg("v").over(wp).alias("m"),
+        (
+            F.sum("v").over(wo)
+            - F.row_number().over(wp.orderBy("t")) * F.avg("v").over(wp)
+        ).alias("y"),
+    )
+    rs = (
+        cum.groupBy("s", "chunk")
+        .agg(
+            F.max("y").alias("ymax"),
+            F.min("y").alias("ymin"),
+            (
+                F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")
+            ).alias("var"),
+        )
+        .filter(F.col("var") > 0)
+        .select(
+            "s",
+            ((F.col("ymax") - F.col("ymin")) / F.sqrt("var")).alias(
+                "rs_val"
+            ),
+        )
+    )
+    avg_rs = rs.groupBy("s").agg(F.round(F.avg("rs_val"), 6).alias("mean_rs"))
+    n_days = idx.agg(F.count(F.lit(1)).alias("n_days"))
+    return avg_rs.crossJoin(F.broadcast(n_days)).agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.round(F.max(F.when(F.col("s") == 5, F.col("mean_rs"))), 4).alias(
+            "rs_5"
+        ),
+        F.round(F.max(F.when(F.col("s") == 10, F.col("mean_rs"))), 4).alias(
+            "rs_10"
+        ),
+        F.round(F.max(F.when(F.col("s") == 15, F.col("mean_rs"))), 4).alias(
+            "rs_15"
+        ),
+        F.round(
+            F.expr("regr_slope(ln(mean_rs), ln(s))"), 4
+        ).alias("hurst_exponent"),
+    )
+
+
+# ================================================ graph batch
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (
+  SELECT s.s_nationkey AS u, c.c_nationkey AS v, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT u AS n FROM pairs UNION SELECT v FROM pairs
+),
+a0 AS MATERIALIZED (
+  SELECT n, 1.0 / (SELECT count(*) FROM nodes) AS a FROM nodes
+),
+h0 AS MATERIALIZED (
+  SELECT n, 1.0 / (SELECT count(*) FROM nodes) AS h FROM nodes
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+h{i}r AS MATERIALIZED (
+  SELECT p.u AS n, sum(p.w * a.a) AS h
+  FROM pairs p JOIN a{i - 1} a ON a.n = p.v GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT nd.n, round(coalesce(r.h, 0) / (SELECT sum(h) FROM h{i}r), 10) AS h
+  FROM nodes nd LEFT JOIN h{i}r r ON r.n = nd.n
+),
+a{i}r AS MATERIALIZED (
+  SELECT p.v AS n, sum(p.w * h.h) AS a
+  FROM pairs p JOIN h{i} h ON h.n = p.u GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT nd.n, round(coalesce(r.a, 0) / (SELECT sum(a) FROM a{i}r), 10) AS a
+  FROM nodes nd LEFT JOIN a{i}r r ON r.n = nd.n
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.n AS nation, round(a.a, 6) AS authority, round(h.h, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON h.n = a.n
+ORDER BY authority DESC, nation
+LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_nation_trade",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities over the directed supplier-nation -> "
+    "customer-nation trade graph (edge weight = lineitem count; the "
+    "same fact-join-collapses-to-nation-pairs reduction as "
+    "graph_triangle_count_trade, <=625 edges): 5 synchronized "
+    "power iterations with L1 normalization, each state rounded to "
+    "10dp so the two engines' float summation order can never "
+    "drift (sums are over <=25 nation terms; drift < 1e-15 per "
+    "step, rounding absorbs it), finals at 6dp.  Exporter nations "
+    "score as hubs, importer nations as authorities — PageRank's "
+    "bipartite sibling (graph_pagerank_suppliers covers the "
+    "random-walk family).  Spark iterates on a 25-row DataFrame "
+    "with the edge table checkpointed once; the oracle replays "
+    "the identical iterations as chained materialized CTEs",
+)
+def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("n"))
+        .union(pairs.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    a = nodes.select("n", F.lit(1.0 / n_nodes).alias("a"))
+    h = nodes.select("n", F.lit(1.0 / n_nodes).alias("h"))
+    for _ in range(5):
+        hr = (
+            pairs.join(a, pairs["v"] == a["n"])
+            .groupBy("u")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("hraw"))
+        )
+        hs = hr.agg(F.sum("hraw").alias("hsum"))
+        h = (
+            nodes.join(hr, nodes["n"] == hr["u"], "left")
+            .crossJoin(F.broadcast(hs))
+            .select(
+                "n",
+                F.round(
+                    F.coalesce("hraw", F.lit(0.0)) / F.col("hsum"), 10
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ar = (
+            pairs.join(h, pairs["u"] == h["n"])
+            .groupBy("v")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("araw"))
+        )
+        asum = ar.agg(F.sum("araw").alias("asum"))
+        a = (
+            nodes.join(ar, nodes["n"] == ar["v"], "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "n",
+                F.round(
+                    F.coalesce("araw", F.lit(0.0)) / F.col("asum"), 10
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        a.join(h, "n")
+        .select(
+            F.col("n").alias("nation"),
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), "nation")
+        .limit(10)
+    )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle="""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+nodes AS MATERIALIZED (SELECT u AS n FROM edges GROUP BY 1),
+walk AS (
+  SELECT n AS src, n AS node, 0 AS lvl FROM nodes
+  UNION
+  SELECT w.src, e.v AS node, w.lvl + 1 AS lvl
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lvl < 6
+),
+dist AS (
+  SELECT src, node, min(lvl) AS d FROM walk GROUP BY 1, 2
+)
+SELECT src AS nation,
+       CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 6)
+         AS harmonic_centrality
+FROM dist GROUP BY src
+ORDER BY harmonic_centrality DESC, nation
+""",
+    doc="harmonic closeness centrality for every nation over the "
+    "undirected trade graph: all-pairs BFS as ONE frontier "
+    "iteration carrying (src, node) pairs — the multi-source "
+    "generalization of graph_bfs_levels (25 sources share each "
+    "superstep instead of running 25 BFS jobs), 6 rounds cover any "
+    "diameter the 25-nation graph can have.  Harmonic form "
+    "sum(1/d) rather than classic closeness so disconnected nodes "
+    "contribute 0 instead of poisoning the sum — the centrality "
+    "variant that is well-defined on arbitrary graphs.  Spark "
+    "keeps the visited set localCheckpoint-truncated per round "
+    "(PageRank's lineage discipline); the oracle replays it as a "
+    "bounded recursive CTE",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("u").alias("n")).distinct()
+    visited = nodes.select(
+        F.col("n").alias("src"), F.col("n").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select("src", F.col("v").alias("node"), F.lit(lvl).alias("d"))
+            .distinct()
+            .join(visited.select("src", "node"), ["src", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy(F.col("src").alias("nation"))
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+            F.round(
+                F.sum(F.when(F.col("d") > 0, 1.0 / F.col("d")).otherwise(0.0)),
+                6,
+            ).alias("harmonic_centrality"),
+        )
+        .orderBy(F.desc("harmonic_centrality"), "nation")
+    )
+
+
+# ================================================ text batch
+
+_TOKS8 = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_yule_k",
+    oracle=f"""
+WITH tf AS (
+  SELECT lang, tok, count(*) AS m
+  FROM (SELECT lang, unnest({_TOKS8}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+fof AS (
+  SELECT lang, m, count(*) AS vm FROM tf GROUP BY 1, 2
+),
+s AS (
+  SELECT lang, sum(m * vm) AS n, sum(vm) AS vocab,
+         sum(CAST(m AS DOUBLE) * m * vm) AS m2sum
+  FROM fof GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+       round(10000.0 * (m2sum - n) / (CAST(n AS DOUBLE) * n), 4) AS yule_k
+FROM s ORDER BY lang
+""",
+    doc="Yule's K lexical-repetitiveness characteristic per language: "
+    "K = 1e4 (sum m^2 V_m - N) / N^2 over the frequency-of-"
+    "frequencies spectrum (V_m = vocabulary items occurring m "
+    "times).  Unlike raw TTR (text_ttr_lexical_diversity) K is "
+    "length-INVARIANT, so it compares corpora of different sizes "
+    "without the vocabulary-saturation bias Heaps' law quantifies — "
+    "the repetitiveness score a data-quality filter can threshold "
+    "across shards of wildly different length.  Two aggregate "
+    "hops (term frequency -> spectrum), both map-side-combinable; "
+    "the spectrum is at most max-frequency rows",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    fof = tf.groupBy("lang", "m").agg(F.count(F.lit(1)).alias("vm"))
+    s = fof.groupBy("lang").agg(
+        F.sum(F.col("m") * F.col("vm")).alias("n"),
+        F.sum("vm").alias("vocab"),
+        F.sum(F.col("m").cast("double") * F.col("m") * F.col("vm")).alias(
+            "m2sum"
+        ),
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(
+            10000.0
+            * (F.col("m2sum") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("yule_k"),
+    ).orderBy("lang")
+
+
+@register(
+    "text_burstiness_fano",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT tok, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS8}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+d AS (SELECT count(*) AS n_docs FROM documents),
+tot AS (
+  SELECT tok, sum(c) AS total, sum(CAST(c AS DOUBLE) * c) AS c2
+  FROM per_doc GROUP BY tok
+  ORDER BY total DESC, tok LIMIT 20
+),
+stats AS (
+  SELECT tok, total,
+         CAST(total AS DOUBLE) / d.n_docs AS mu,
+         c2 / d.n_docs
+           - (CAST(total AS DOUBLE) / d.n_docs)
+             * (CAST(total AS DOUBLE) / d.n_docs) AS var
+  FROM tot, d
+)
+SELECT tok, CAST(total AS BIGINT) AS total,
+       round(var / mu, 4) AS fano,
+       round((sqrt(var) - mu) / (sqrt(var) + mu), 4) AS burstiness
+FROM stats ORDER BY total DESC, tok
+""",
+    doc="token burstiness for the 20 heaviest corpus tokens: Fano "
+    "factor (variance-to-mean of the per-document count, zeros "
+    "included via E[c^2]-mu^2 over ALL docs — no zero rows ever "
+    "materialize) and the Goh-Barabasi burstiness score "
+    "(sigma-mu)/(sigma+mu).  Function words are Poisson-ish "
+    "(Fano ~ 1); topical words clump (Fano >> 1) — the signal "
+    "content-word extractors and boilerplate detectors threshold.  "
+    "mu > 0 by construction (top-20 by total), and sigma + mu > 0 "
+    "with it, so both divisions are ANSI-safe; one (tok, doc) "
+    "aggregate then a 20-row computation",
+)
+def text_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("c2"),
+        )
+        .orderBy(F.desc("total"), "tok")
+        .limit(20)
+    )
+    mu = F.col("total").cast("double") / F.col("n_docs")
+    var = F.col("c2") / F.col("n_docs") - mu * mu
+    return (
+        tot.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.col("total").cast("long").alias("total"),
+            F.round(var / mu, 4).alias("fano"),
+            F.round((F.sqrt(var) - mu) / (F.sqrt(var) + mu), 4).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.desc("total"), "tok")
+    )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         len({_TOKS8}) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n_docs,
+         sum(words) AS w, sum(sentences) AS st, sum(syllables) AS sy
+  FROM per_doc GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(w AS BIGINT) AS n_words,
+       round(w * 1.0 / st, 4) AS words_per_sentence,
+       round(sy * 1.0 / w, 4) AS syllables_per_word,
+       round(0.39 * w / st + 11.8 * sy / w - 15.59, 4) AS fk_grade
+FROM s ORDER BY source
+""",
+    doc="Flesch-Kincaid readability grade per source: words from the "
+    "shared whitespace tokenizer, sentences = terminal-punctuation "
+    "runs (floored at 1 per doc), syllables = vowel-group runs "
+    "([aeiouy]+, the classic heuristic within ~10%% of dictionary "
+    "syllabification).  FK = 0.39 w/s + 11.8 sy/w - 15.59 — the "
+    "readability band LLM data pipelines use to stratify pretraining "
+    "mixes (alongside the Gopher rules, text_gopher_quality_filter).  "
+    "regexp_extract_all is the fn_regexp_suite-proven parity "
+    "surface; one stateless map + one aggregate, denominators "
+    "provably positive (sentence floor, nonempty docs)",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        ).alias("sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("syllables"),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("w"),
+        F.sum("sentences").alias("st"),
+        F.sum("syllables").alias("sy"),
+    )
+    return s.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w").cast("long").alias("n_words"),
+        F.round(F.col("w") * 1.0 / F.col("st"), 4).alias(
+            "words_per_sentence"
+        ),
+        F.round(F.col("sy") * 1.0 / F.col("w"), 4).alias(
+            "syllables_per_word"
+        ),
+        F.round(
+            0.39 * F.col("w") / F.col("st")
+            + 11.8 * F.col("sy") / F.col("w")
+            - 15.59,
+            4,
+        ).alias("fk_grade"),
+    ).orderBy("source")
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         least(((doc_id - b.lo) * 10) // (b.hi - b.lo + 1), 9) AS bucket,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+  FROM (SELECT doc_id, {_TOKS8} AS tk FROM documents), bounds b
+),
+first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY g
+),
+flags AS (
+  SELECT t.bucket, t.doc_id,
+         CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END AS novel
+  FROM tg t JOIN first_seen f ON f.g = t.g
+)
+SELECT bucket,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(novel) * 1.0 / count(*), 4) AS novelty_rate
+FROM flags GROUP BY bucket ORDER BY bucket
+""",
+    doc="n-gram novelty curve: docs fall into 10 fixed id-range "
+    "position buckets (pure arithmetic on doc_id bounds — no global "
+    "ordinal window), each doc's distinct trigrams check against "
+    "the corpus-wide first-seen doc, and the per-bucket share of "
+    "never-seen-before trigrams falls as the corpus saturates — "
+    "the marginal-novelty measurement behind data-pruning curves "
+    "('how much NEW text does the next shard actually add?'), the "
+    "rate form of text_heaps_law_fit's vocabulary-growth fit.  "
+    "first-seen is one min() aggregate over the trigram explode; "
+    "ties inside a doc collapse via list_distinct before counting "
+    "on both engines",
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    tg = (
+        with_shingles(docs.select("doc_id", "text"), "text")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            F.least(
+                (
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("long"),
+                F.lit(9),
+            ).alias("bucket"),
+            F.explode("__sh").alias("g"),
+        )
+    ).localCheckpoint(eager=False)
+    first_seen = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flags = tg.join(first_seen, "g").select(
+        "bucket",
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return (
+        flags.groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.sum("novel") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ================================================ product analytics
+
+
+@register(
+    "dash_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_d,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY 1
+),
+th AS (
+  SELECT quantile_cont(recency_d, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(monetary_c, [0.2, 0.4, 0.6, 0.8]) AS mq
+  FROM per_cust
+),
+scored AS (
+  SELECT
+    5 - ((recency_d > rq[1])::INT + (recency_d > rq[2])::INT
+       + (recency_d > rq[3])::INT + (recency_d > rq[4])::INT) AS r,
+    1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+      + (frequency > fq[3])::INT + (frequency > fq[4])::INT AS f,
+    1 + (monetary_c > mq[1])::INT + (monetary_c > mq[2])::INT
+      + (monetary_c > mq[3])::INT + (monetary_c > mq[4])::INT AS m,
+    monetary_c
+  FROM per_cust, th
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary_c) / 100.0, 2) AS avg_monetary
+FROM scored GROUP BY r, f, m
+ORDER BY n_customers DESC, r, f, m
+LIMIT 20
+""",
+    doc="RFM (recency/frequency/monetary) segmentation — the classic "
+    "CRM cube: per customer, days since last order (integer "
+    "date_diff from the global max), order count, and lifetime "
+    "spend in integer cents; each dimension scores 1-5 by exact "
+    "quintile thresholds computed ONCE and broadcast (threshold "
+    "comparisons, never a global ntile window — the "
+    "dash_rfm-at-scale shape: the N-sized pass is embarrassingly "
+    "parallel).  Recency scores INVERT (smaller = better = 5).  "
+    "Top-20 cells by population with a total (r,f,m) tiebreak; "
+    "quantile_cont == Spark percentile on both engines",
+)
+def dash_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("gmax"), F.max("o_orderdate")).alias(
+                "recency_d"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = per_cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}q{i}")
+            for c in ("recency_d", "frequency", "monetary_c")
+            for i, q in enumerate([0.2, 0.4, 0.6, 0.8], start=1)
+        ]
+    )
+
+    def score(col, prefix):
+        return sum(
+            (F.col(col) > F.col(f"{prefix}q{i}")).cast("int")
+            for i in range(1, 5)
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(th)).select(
+        (5 - score("recency_d", "r")).alias("r"),
+        (1 + score("frequency", "f")).alias("f"),
+        (1 + score("monetary_c", "m")).alias("m"),
+        "monetary_c",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("monetary_c") / 100.0, 2).alias("avg_monetary"),
+        )
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy(F.desc("n_customers"), "r", "f", "m")
+        .limit(20)
+    )
+
+
+@register(
+    "dash_cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+),
+cohorts AS (
+  SELECT cohort_m, count(*) AS n_customers FROM firsts
+  WHERE cohort_m BETWEEN 1995 * 12 + 1 AND 1995 * 12 + 6
+  GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+           AS age_m,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  WHERE f.cohort_m BETWEEN 1995 * 12 + 1 AND 1995 * 12 + 6
+    AND (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m <= 11
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_m, age_m,
+         sum(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM rev
+)
+SELECT c.cohort_m - 1995 * 12 AS cohort_month_1995, c.age_m,
+       CAST(n.n_customers AS BIGINT) AS n_customers,
+       round(c.cum_c / 100.0 / n.n_customers, 2) AS cum_ltv_per_customer
+FROM cum c JOIN cohorts n ON n.cohort_m = c.cohort_m
+ORDER BY cohort_month_1995, age_m
+""",
+    doc="cohort LTV curves: customers cohorted by first-order month "
+    "(integer y*12+m), cumulative revenue per cohort member over the "
+    "first 12 months of life, for the six 1995 acquisition cohorts.  "
+    "THE growth-analytics curve (payback windows, cohort quality "
+    "trends) — cohort_weekly_retention's revenue-valued sibling.  "
+    "Money in integer cents end to end (exact cross-engine sums), "
+    "divided and rounded only at output; the cumulative window runs "
+    "over the <=72-row (cohort x age) aggregate, and the cohort "
+    "assignment join shuffles on the customer key it groups by",
+)
+def dash_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    lo, hi = 1995 * 12 + 1, 1995 * 12 + 6
+    in_range = F.col("cohort_m").between(lo, hi)
+    cohorts = (
+        firsts.filter(in_range)
+        .groupBy("cohort_m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .filter(in_range & ((midx - F.col("cohort_m")) <= 11))
+        .groupBy(
+            "cohort_m", (midx - F.col("cohort_m")).alias("age_m")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_m", "age_m", F.sum("rev_c").over(w).alias("cum_c")
+    )
+    return (
+        cum.join(F.broadcast(cohorts), "cohort_m")
+        .select(
+            (F.col("cohort_m") - 1995 * 12).alias("cohort_month_1995"),
+            "age_m",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(
+                F.col("cum_c") / 100.0 / F.col("n_customers"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month_1995", "age_m")
+    )
+
+
+@register(
+    "dash_discount_elasticity",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(regr_slope(ln(l.l_quantity), l.l_discount), 4) AS qty_elasticity,
+       round(corr(ln(l.l_quantity), l.l_discount), 4) AS corr_ln_qty_disc
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    doc="discount-quantity elasticity screen per brand: OLS slope of "
+    "ln(quantity) on discount (semi-elasticity: slope*0.01 ~ %% "
+    "quantity change per discount point) with the correlation "
+    "alongside as the effect-size sanity check — the pricing "
+    "analyst's first regression, run as 25 independent closed-form "
+    "regr_slope aggregates in ONE pass over the broadcast-joined "
+    "fact scan.  ln(l_quantity) is ANSI-safe (quantity >= 1 in the "
+    "schema); regr_slope/corr are single-pass commutative "
+    "aggregates identical on both engines, rounded 4dp.  The "
+    "near-zero fixture slopes are themselves the finding: the "
+    "synthetic generator prices independently of discount",
+)
+def dash_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(
+                F.expr("regr_slope(ln(l_quantity), l_discount)"), 4
+            ).alias("qty_elasticity"),
+            F.round(
+                F.corr(F.log("l_quantity"), F.col("l_discount")), 4
+            ).alias("corr_ln_qty_disc"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "funnel_time_decay_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+pairs AS (
+  SELECT p.event_id AS pid, t.event_type AS touch_type,
+         exp(-(p.sec - t.sec) / 7200.0) AS w
+  FROM ev p JOIN ev t
+    ON t.user_id = p.user_id
+   AND t.sec < p.sec
+   AND p.sec - t.sec <= 86400
+  WHERE p.event_type = 'purchase'
+),
+norm AS (
+  SELECT pid, sum(w) AS wsum FROM pairs GROUP BY pid
+),
+credit AS (
+  SELECT p.touch_type, p.w / n.wsum AS c
+  FROM pairs p JOIN norm n ON n.pid = p.pid
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(c), 4) AS total_credit
+FROM credit GROUP BY touch_type ORDER BY touch_type
+""",
+    doc="time-decay multi-touch attribution: every purchase splits one "
+    "unit of credit across the SAME user's touches in the trailing "
+    "24h, weighted exp(-dt/2h) and normalized per purchase — the "
+    "fractional-credit sibling of funnel_attribution_first_last "
+    "(which awards whole credits to endpoints).  Timestamps go "
+    "through floor(epoch()) so dt is exact integer seconds on both "
+    "engines; the self-join is user-keyed (per-user activity "
+    "bounds the pair fan-out, the join_event_self_interval "
+    "discipline — at 100 TB you'd band by day exactly as there); "
+    "strict t.sec < p.sec excludes the purchase itself and "
+    "same-second touches, keeping the pair set order-free",
+)
+def funnel_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("sec").alias("psec"),
+    )
+    pairs = p.join(
+        ev,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("sec") < F.col("psec"))
+        & (F.col("psec") - F.col("sec") <= 86400),
+    ).select(
+        "pid",
+        F.col("event_type").alias("touch_type"),
+        F.exp(-(F.col("psec") - F.col("sec")) / 7200.0).alias("w"),
+    ).localCheckpoint(eager=False)
+    norm = pairs.groupBy("pid").agg(F.sum("w").alias("wsum"))
+    credit = pairs.join(norm, "pid").select(
+        "touch_type", (F.col("w") / F.col("wsum")).alias("c")
+    )
+    return (
+        credit.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("c"), 4).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ================================================ ML evaluation batch
+
+_SCORE8 = "round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)"
+
+
+@register(
+    "ml_threshold_sweep_f1",
+    oracle=f"""
+WITH hist AS (
+  SELECT {_SCORE8} AS score,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         count(*) AS c
+  FROM embeddings GROUP BY 1, 2
+),
+sweep AS (SELECT unnest([CAST(0.1 AS DOUBLE), 0.2, 0.3, 0.4, 0.5,
+                         0.6, 0.7, 0.8, 0.9]) AS threshold),
+cm AS (
+  SELECT s.threshold,
+         sum(CASE WHEN score >= s.threshold AND y = 1 THEN c ELSE 0 END)
+           AS tp,
+         sum(CASE WHEN score >= s.threshold AND y = 0 THEN c ELSE 0 END)
+           AS fp,
+         sum(CASE WHEN score < s.threshold AND y = 1 THEN c ELSE 0 END)
+           AS fn
+  FROM hist CROSS JOIN sweep s GROUP BY 1
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp * 1.0 / (tp + fp), 6) END AS precision_t,
+       CASE WHEN tp + fn > 0
+            THEN round(tp * 1.0 / (tp + fn), 6) END AS recall_t,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM cm ORDER BY threshold
+""",
+    doc="operating-point sweep for the deterministic sigmoid scorer: "
+    "confusion counts and precision/recall/F1 at nine thresholds in "
+    "one pass — the curve a deployment picks its cutoff from, where "
+    "ml_eval_auc_prf reports only AUC plus the fixed 0.5 point.  "
+    "The sweep cross-joins the 9 thresholds against the (score, y) "
+    "HISTOGRAM, never the rows (the score-histogram AUC "
+    "discipline), so the row-scale work is one groupBy; empty "
+    "confusion cells return NULL metrics under explicit CASE "
+    "guards rather than tripping ANSI division",
+)
+def ml_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)
+        ),
+        6,
+    )
+    hist = emb.select(
+        score.alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    ).groupBy("score", "y").agg(F.count(F.lit(1)).alias("c"))
+    sweep = spark.createDataFrame(
+        [(t / 10.0,) for t in range(1, 10)], "threshold double"
+    )
+    pos = F.col("score") >= F.col("threshold")
+    cm = (
+        hist.crossJoin(F.broadcast(sweep))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pos & (F.col("y") == 1), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pos & (F.col("y") == 0), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when((~pos) & (F.col("y") == 1), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.round(tp * 1.0 / (tp + fp), 6)).alias(
+            "precision_t"
+        ),
+        F.when(tp + fn > 0, F.round(tp * 1.0 / (tp + fn), 6)).alias(
+            "recall_t"
+        ),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(2.0 * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+WITH scored AS (
+  SELECT {_SCORE8} AS s,
+         CASE WHEN label = 0 THEN 1.0 ELSE 0 END AS y,
+         least(CAST(floor({_SCORE8} * 10) AS BIGINT), 9) AS bin
+  FROM embeddings
+),
+g AS (SELECT count(*) AS n, avg(y) AS ybar FROM scored),
+bins AS (
+  SELECT bin, count(*) AS nb, avg(s) AS sbar, avg(y) AS ybarb,
+         avg((s - y) * (s - y)) AS brier_b
+  FROM scored GROUP BY bin
+)
+SELECT round(sum(nb * brier_b) / max(g.n), 6) AS brier,
+       round(sum(nb * (sbar - ybarb) * (sbar - ybarb)) / max(g.n), 6)
+         AS reliability,
+       round(sum(nb * (ybarb - g.ybar) * (ybarb - g.ybar)) / max(g.n), 6)
+         AS resolution,
+       round(max(g.ybar) * (1 - max(g.ybar)), 6) AS uncertainty
+FROM bins CROSS JOIN g GROUP BY g.ybar
+""",
+    doc="Murphy decomposition of the Brier score over 10 fixed score "
+    "bins: brier = reliability (calibration error) - resolution "
+    "(how much the bins separate outcomes) + uncertainty (base-rate "
+    "variance), up to the within-bin score variance the binned "
+    "decomposition absorbs into reliability.  The diagnostic that "
+    "says WHY a probabilistic scorer is bad — miscalibrated vs "
+    "uninformative — where ml_eval_calibration_bins only plots the "
+    "per-bin curve.  floor() is explicit in the bin id (DuckDB "
+    "CAST(double AS BIGINT) ROUNDS, Spark cast truncates — the "
+    "text_ngram_novelty_curve lesson); one row-scale aggregate, "
+    "then 10-row arithmetic",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)
+        ),
+        6,
+    )
+    scored = emb.select(
+        s.alias("s"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        F.least(F.floor(s * 10).cast("long"), F.lit(9)).alias("bin"),
+    )
+    g = scored.agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar"))
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.avg("s").alias("sbar"),
+        F.avg("y").alias("ybarb"),
+        F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).alias(
+            "brier_b"
+        ),
+    )
+    return (
+        bins.crossJoin(F.broadcast(g))
+        .agg(
+            F.round(
+                F.sum(F.col("nb") * F.col("brier_b")) / F.max("n"), 6
+            ).alias("brier"),
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("sbar") - F.col("ybarb"))
+                    * (F.col("sbar") - F.col("ybarb"))
+                )
+                / F.max("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("ybarb") - F.col("ybar"))
+                    * (F.col("ybarb") - F.col("ybar"))
+                )
+                / F.max("n"),
+                6,
+            ).alias("resolution"),
+            F.round(F.max("ybar") * (1 - F.max("ybar")), 6).alias(
+                "uncertainty"
+            ),
+        )
+    )
+
+
+@register(
+    "ml_pinball_quantile_eval",
+    oracle="""
+WITH base AS (
+  SELECT l_extendedprice AS y,
+         CAST(concat('0x', substr(md5('pin:' || l_orderkey || ':'
+           || l_linenumber), 1, 15)) AS BIGINT) % 5 AS bucket
+  FROM lineitem
+),
+preds AS (
+  SELECT unnest([CAST(0.1 AS DOUBLE), 0.5, 0.9]) AS q,
+         unnest([round(quantile_cont(y, 0.1), 2),
+                 round(quantile_cont(y, 0.5), 2),
+                 round(quantile_cont(y, 0.9), 2)]) AS yhat
+  FROM base WHERE bucket < 4
+),
+loss AS (
+  SELECT p.q, p.yhat,
+         avg(CASE WHEN b.y >= p.yhat THEN p.q * (b.y - p.yhat)
+                  ELSE (1 - p.q) * (p.yhat - b.y) END) AS pinball
+  FROM base b CROSS JOIN preds p
+  WHERE b.bucket = 4
+  GROUP BY 1, 2
+)
+SELECT q AS quantile, yhat AS pred_value, round(pinball, 4) AS pinball_loss
+FROM loss ORDER BY quantile
+""",
+    doc="pinball (quantile) loss evaluation: exact P10/P50/P90 of the "
+    "train split (md5 80/20) serve as constant quantile predictors, "
+    "scored on the held-out split with the asymmetric pinball loss "
+    "— the metric quantile forecasts are actually judged by (MAE "
+    "only validates the median).  The constant-predictor losses are "
+    "the BASELINE every quantile-regression model must beat, the "
+    "regression sibling of a majority-class classifier.  Train "
+    "quantiles round to cents before scoring so both engines "
+    "compare against the identical predictor; one aggregate per "
+    "split, 3-row cross join",
+)
+def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pin:"),
+                            F.col("l_orderkey"),
+                            F.lit(":"),
+                            F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("bucket"),
+    )
+    preds = (
+        base.filter(F.col("bucket") < 4)
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(y, {q})"), 2).alias(f"p{i}")
+                for i, q in enumerate([0.1, 0.5, 0.9])
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"), F.col(f"p{i}").alias("yhat")
+                        )
+                        for i, q in enumerate([0.1, 0.5, 0.9])
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.q", "p.yhat")
+    )
+    loss = (
+        base.filter(F.col("bucket") == 4)
+        .crossJoin(F.broadcast(preds))
+        .groupBy("q", "yhat")
+        .agg(
+            F.avg(
+                F.when(
+                    F.col("y") >= F.col("yhat"),
+                    F.col("q") * (F.col("y") - F.col("yhat")),
+                ).otherwise(
+                    (1 - F.col("q")) * (F.col("yhat") - F.col("y"))
+                )
+            ).alias("pinball")
+        )
+    )
+    return loss.select(
+        F.col("q").alias("quantile"),
+        F.col("yhat").alias("pred_value"),
+        F.round("pinball", 4).alias("pinball_loss"),
+    ).orderBy("quantile")
+
+
+@register(
+    "ml_shapley_revenue_split",
+    oracle="""
+WITH m AS (
+  SELECT avg(l_quantity) AS m1,
+         avg(l_extendedprice / l_quantity) AS m2
+  FROM lineitem
+),
+phi AS (
+  SELECT l.l_returnflag AS flag,
+         0.5 * (l.l_quantity - m.m1)
+             * (l.l_extendedprice / l.l_quantity + m.m2) AS phi_qty,
+         0.5 * (l.l_extendedprice / l.l_quantity - m.m2)
+             * (l.l_quantity + m.m1) AS phi_price,
+         l.l_extendedprice - m.m1 * m.m2 AS total_dev
+  FROM lineitem l, m
+)
+SELECT flag, CAST(count(*) AS BIGINT) AS n,
+       round(avg(phi_qty), 2) AS avg_phi_quantity,
+       round(avg(phi_price), 2) AS avg_phi_unit_price,
+       round(avg(total_dev), 2) AS avg_total_deviation,
+       round(avg(phi_qty + phi_price - total_dev), 6) + 0.0
+         AS additivity_check
+FROM phi GROUP BY flag ORDER BY flag
+""",
+    doc="EXACT Shapley attribution of revenue deviation to quantity vs "
+    "unit price: revenue = qty * price is a 2-feature product game, "
+    "whose Shapley values have the closed form phi_qty = "
+    "(q - E[q])(p + E[p]) / 2 and symmetrically for price — no "
+    "sampling, no model calls, and additivity phi_q + phi_p = "
+    "revenue - E[q]E[p] holds per ROW (the additivity_check column "
+    "proves it at 6dp).  The decomposition a revenue dashboard "
+    "wants ('volume or price?') done with game-theoretic books "
+    "that sum exactly, unlike the ad-hoc 'price effect then volume "
+    "effect' waterfall that depends on ordering.  Unit price "
+    "divides by l_quantity >= 1 (ANSI-safe); one stateless map + "
+    "one aggregate per flag",
+)
+def ml_shapley_revenue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.avg("l_quantity").alias("m1"),
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("m2"),
+    )
+    price = F.col("l_extendedprice") / F.col("l_quantity")
+    phi_qty = 0.5 * (F.col("l_quantity") - F.col("m1")) * (
+        price + F.col("m2")
+    )
+    phi_price = 0.5 * (price - F.col("m2")) * (
+        F.col("l_quantity") + F.col("m1")
+    )
+    total_dev = F.col("l_extendedprice") - F.col("m1") * F.col("m2")
+    return (
+        li.crossJoin(F.broadcast(m))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(phi_qty), 2).alias("avg_phi_quantity"),
+            F.round(F.avg(phi_price), 2).alias("avg_phi_unit_price"),
+            F.round(F.avg(total_dev), 2).alias("avg_total_deviation"),
+            (
+                F.round(F.avg(phi_qty + phi_price - total_dev), 6) + 0.0
+            ).alias("additivity_check"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "ml_hard_negative_mining",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id, label, {_SCORE8} AS score
+  FROM embeddings WHERE label != 0
+)
+SELECT label, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY label
+            ORDER BY score DESC, vec_id) AS BIGINT) AS hardness_rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY label
+                           ORDER BY score DESC, vec_id) <= 3
+ORDER BY label, hardness_rank
+""",
+    doc="hard-negative mining for the sigmoid scorer: among true "
+    "negatives (label != 0), the top-3 HIGHEST-scoring examples per "
+    "label class — the rows a contrastive/triplet training loop "
+    "feeds back as hard negatives, and the rows an error analyst "
+    "reads first.  Complements ml_negative_sampling_table "
+    "(frequency-proportional random negatives) with "
+    "difficulty-proportional selection.  Per-label rank windows "
+    "partition on label (the per-group top-k W1 pattern); "
+    "(score desc, vec_id) is a total order so top-3 is "
+    "deterministic on both engines",
+)
+def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)
+        ),
+        6,
+    )
+    scored = emb.filter(F.col("label") != 0).select(
+        "vec_id", "label", score.alias("score")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("hardness_rank", F.row_number().over(w))
+        .filter(F.col("hardness_rank") <= 3)
+        .select(
+            "label",
+            "vec_id",
+            "score",
+            F.col("hardness_rank").cast("long").alias("hardness_rank"),
+        )
+        .orderBy("label", "hardness_rank")
+    )
+
+
+# ================================================ final batch:
+# embeddings, search eval, DQ, windows, inequality, nearest join, CDC
+
+
+@register(
+    "emb_hubness_indegree",
+    oracle="""
+WITH pp AS (
+  SELECT least(16, greatest(4, CAST(ceil(log2(count(*) / 128.0)) AS INT)))
+           AS bits,
+         greatest(64, (8 * count(*)) // (1 << least(16, greatest(4,
+           CAST(ceil(log2(count(*) / 128.0)) AS INT))))) AS cap
+  FROM embeddings
+),
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en,
+         CAST(list_sum(list_transform(range(0, p.bits),
+           i -> CASE WHEN e[CAST(i + 1 AS INT)] > 0
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)
+           AS bucket
+  FROM raw CROSS JOIN pp p
+),
+capped AS (
+  SELECT vec_id, en, bucket FROM b
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= (SELECT cap FROM pp)
+),
+probes AS (
+  SELECT vec_id, en,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, p.bits),
+             i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS pbucket
+  FROM b CROSS JOIN pp p
+),
+top3 AS (
+  SELECT p.vec_id, v.vec_id AS nb
+  FROM probes p JOIN capped v ON v.bucket = p.pbucket
+  WHERE v.vec_id != p.vec_id
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+    ORDER BY round(list_dot_product(p.en, v.en), 6) DESC, v.vec_id) <= 3
+),
+indeg AS (
+  SELECT r.vec_id, count(t.vec_id) AS ind
+  FROM raw r LEFT JOIN top3 t ON t.nb = r.vec_id
+  GROUP BY r.vec_id
+)
+SELECT least(ind, 6) AS indegree_band,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM indeg GROUP BY 1 ORDER BY 1
+""",
+    doc="hubness diagnostic for the ANN index: every vector's LSH-"
+    "candidate top-3 neighbor list (sign-bit code with bits DERIVED "
+    "from corpus size + Hamming-1 probes, hot buckets capped at 8x "
+    "the expected size — the emb_density_core_points discipline, "
+    "oracle-replayed via QUALIFY), then the IN-degree "
+    "distribution: how often each vector appears in others' top-3 "
+    "(band 6 = 6+).  High-dimensional spaces grow hub points that "
+    "dominate neighbor lists and silently skew kNN classifiers and "
+    "dedup clusters — this histogram is the standard check "
+    "(Radovanovic et al.) before trusting ANN output.  The "
+    "LEFT-join from the full corpus keeps 0-in-degree "
+    "(anti-hub) vectors in the census",
+)
+def emb_hubness_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.dedup import cap_hot_buckets
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = min(16, max(4, math.ceil(math.log2(max(n, 1) / 128.0))))
+    cap = max(64, (8 * n) >> bits)
+    raw = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = raw.select(
+        "vec_id",
+        F.transform(
+            "e", lambda x: x / F.sqrt(_dot(F.col("e"), F.col("e")))
+        ).alias("en"),
+        sum(
+            F.when(F.element_at(F.col("e"), i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(bits)
+        ).cast("long").alias("bucket"),
+    )
+    probes = b.select(
+        "vec_id",
+        "en",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    v = cap_hot_buckets(b, ["bucket"], cap).select(
+        F.col("vec_id").alias("nb"), F.col("en").alias("ven"), "bucket"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
+    top3 = (
+        probes.join(v, "bucket")
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "nb",
+            F.round(_dot(F.col("en"), F.col("ven")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "nb")
+    )
+    indeg = (
+        raw.select("vec_id")
+        .join(
+            top3.groupBy(F.col("nb").alias("vec_id")).agg(
+                F.count(F.lit(1)).alias("ind")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(F.coalesce("ind", F.lit(0)).alias("ind"))
+    )
+    return (
+        indeg.select(F.least(F.col("ind"), F.lit(6)).alias("indegree_band"))
+        .groupBy("indegree_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("indegree_band")
+    )
+
+
+@register(
+    "emb_whitening_2d",
+    oracle="""
+WITH d AS (
+  SELECT label, CAST(embedding[1] AS DOUBLE) AS x1,
+         CAST(embedding[2] AS DOUBLE) AS x2
+  FROM embeddings
+),
+c AS (
+  SELECT label, count(*) AS n, avg(x1) AS mu1, avg(x2) AS mu2,
+         avg(x1 * x1) - avg(x1) * avg(x1) AS a,
+         avg(x1 * x2) - avg(x1) * avg(x2) AS b,
+         avg(x2 * x2) - avg(x2) * avg(x2) AS cc
+  FROM d GROUP BY label
+),
+w AS (
+  SELECT label, n, mu1, mu2, a, b, cc,
+         sqrt(a * cc - b * b) AS sdet,
+         sqrt(a + cc + 2 * sqrt(a * cc - b * b)) AS snorm
+  FROM c
+),
+wm AS (
+  -- sqrt(C) = (C + sqrt(det) I)/snorm; W = inverse(sqrt(C))
+  SELECT label, n, mu1, mu2,
+         ((cc + sdet) / snorm) / (((a + sdet) / snorm) * ((cc + sdet) / snorm)
+           - (b / snorm) * (b / snorm)) AS w11,
+         (-(b / snorm)) / (((a + sdet) / snorm) * ((cc + sdet) / snorm)
+           - (b / snorm) * (b / snorm)) AS w12,
+         ((a + sdet) / snorm) / (((a + sdet) / snorm) * ((cc + sdet) / snorm)
+           - (b / snorm) * (b / snorm)) AS w22,
+         a AS pre_var1, cc AS pre_var2, b AS pre_cov
+  FROM w
+),
+white AS (
+  SELECT d.label,
+         wm.w11 * (d.x1 - wm.mu1) + wm.w12 * (d.x2 - wm.mu2) AS z1,
+         wm.w12 * (d.x1 - wm.mu1) + wm.w22 * (d.x2 - wm.mu2) AS z2,
+         wm.pre_var1, wm.pre_var2, wm.pre_cov
+  FROM d JOIN wm ON wm.label = d.label
+)
+SELECT label,
+       round(any_value(pre_var1), 6) AS pre_var1,
+       round(any_value(pre_var2), 6) AS pre_var2,
+       round(any_value(pre_cov), 6) AS pre_cov,
+       round(avg(z1 * z1) - avg(z1) * avg(z1), 4) + 0.0 AS post_var1,
+       round(avg(z2 * z2) - avg(z2) * avg(z2), 4) + 0.0 AS post_var2,
+       round(avg(z1 * z2) - avg(z1) * avg(z2), 4) + 0.0 AS post_cov
+FROM white GROUP BY label ORDER BY label
+""",
+    doc="closed-form ZCA whitening of embedding dims 1-2 per label "
+    "cluster: the 2x2 covariance root inverts analytically "
+    "(sqrt(C) = (C + sqrt(det) I) / sqrt(tr + 2 sqrt(det)) for SPD "
+    "2x2 — no eigensolver, no iteration), W = sqrt(C)^-1 is applied "
+    "row-wise, and the output PROVES the whitening: post-transform "
+    "variances land on 1 and covariance on 0 at 4dp.  ZCA is the "
+    "standard decorrelation step before cosine retrieval when "
+    "embedding dims are anisotropic; the per-label model table is "
+    "label-domain-bounded and broadcast back over one stateless "
+    "row map.  `round + 0.0` normalizes the IEEE -0.0 DuckDB can "
+    "emit on tiny negative covariances",
+)
+def emb_whitening_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.element_at(F.col("embedding"), 1).cast("double").alias("x1"),
+        F.element_at(F.col("embedding"), 2).cast("double").alias("x2"),
+    )
+    c = d.groupBy("label").agg(
+        F.avg("x1").alias("mu1"),
+        F.avg("x2").alias("mu2"),
+        (F.avg(F.col("x1") * F.col("x1")) - F.avg("x1") * F.avg("x1")).alias(
+            "a"
+        ),
+        (F.avg(F.col("x1") * F.col("x2")) - F.avg("x1") * F.avg("x2")).alias(
+            "b"
+        ),
+        (F.avg(F.col("x2") * F.col("x2")) - F.avg("x2") * F.avg("x2")).alias(
+            "cc"
+        ),
+    )
+    sdet = F.sqrt(F.col("a") * F.col("cc") - F.col("b") * F.col("b"))
+    snorm = F.sqrt(F.col("a") + F.col("cc") + 2 * sdet)
+    s11 = (F.col("a") + sdet) / snorm
+    s12 = F.col("b") / snorm
+    s22 = (F.col("cc") + sdet) / snorm
+    det_s = s11 * s22 - s12 * s12
+    wm = c.select(
+        "label",
+        "mu1",
+        "mu2",
+        (s22 / det_s).alias("w11"),
+        (-s12 / det_s).alias("w12"),
+        (s11 / det_s).alias("w22"),
+        F.col("a").alias("pre_var1"),
+        F.col("cc").alias("pre_var2"),
+        F.col("b").alias("pre_cov"),
+    )
+    z1 = F.col("w11") * (F.col("x1") - F.col("mu1")) + F.col("w12") * (
+        F.col("x2") - F.col("mu2")
+    )
+    z2 = F.col("w12") * (F.col("x1") - F.col("mu1")) + F.col("w22") * (
+        F.col("x2") - F.col("mu2")
+    )
+    white = d.join(F.broadcast(wm), "label").select(
+        "label",
+        z1.alias("z1"),
+        z2.alias("z2"),
+        "pre_var1",
+        "pre_var2",
+        "pre_cov",
+    )
+    return (
+        white.groupBy("label")
+        .agg(
+            F.round(F.first("pre_var1"), 6).alias("pre_var1"),
+            F.round(F.first("pre_var2"), 6).alias("pre_var2"),
+            F.round(F.first("pre_cov"), 6).alias("pre_cov"),
+            (
+                F.round(
+                    F.avg(F.col("z1") * F.col("z1"))
+                    - F.avg("z1") * F.avg("z1"),
+                    4,
+                )
+                + 0.0
+            ).alias("post_var1"),
+            (
+                F.round(
+                    F.avg(F.col("z2") * F.col("z2"))
+                    - F.avg("z2") * F.avg("z2"),
+                    4,
+                )
+                + 0.0
+            ).alias("post_var2"),
+            (
+                F.round(
+                    F.avg(F.col("z1") * F.col("z2"))
+                    - F.avg("z1") * F.avg("z2"),
+                    4,
+                )
+                + 0.0
+            ).alias("post_cov"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "search_ndcg_at_10",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS8}) AS tok FROM documents)
+  WHERE tok IN ('join', 'scan')
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score,
+         sum(t.tf) AS rel
+  FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+  GROUP BY t.doc_id
+),
+sys_top AS (
+  SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+  FROM scored
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+),
+gold_top AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+  FROM scored
+  QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id) <= 10
+),
+dcg AS (
+  SELECT round(sum(rel / (ln(pos + 1) / ln(2))), 6) AS dcg_at_10 FROM sys_top
+),
+idcg AS (
+  SELECT round(sum(rel / (ln(pos + 1) / ln(2))), 6) AS idcg_at_10
+  FROM gold_top
+)
+SELECT CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_docs_matched,
+       dcg.dcg_at_10, idcg.idcg_at_10,
+       round(dcg.dcg_at_10 / idcg.idcg_at_10, 6) AS ndcg_at_10
+FROM dcg, idcg
+""",
+    doc="NDCG@10 ranking evaluation: the TF-IDF ranker for the 2-term "
+    "query {join, scan} is scored against graded gold relevance = "
+    "raw combined term count (the idf weighting makes the system "
+    "order genuinely differ from gold, so NDCG < 1 measures real "
+    "rank damage).  Linear-gain DCG rel/log2(pos+1); both top-10 "
+    "lists carry (score desc, doc_id) total tiebreaks.  This and "
+    "ml_eval_precision_at_k are the retrieval-quality pair: "
+    "precision@k for set overlap, NDCG for graded order.  The "
+    "rank windows run over the df-bounded matched-docs set after "
+    "a TakeOrdered top-10 on the Spark side; idcg > 0 whenever "
+    "any document matches, which the fixture guarantees",
+)
+def search_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok").isin("join", "scan"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("score"),
+            F.sum("tf").alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_sys = Window.orderBy(F.desc("score"), "doc_id")
+    w_gold = Window.orderBy(F.desc("rel"), "doc_id")
+    sys_top = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .withColumn("pos", F.row_number().over(w_sys))
+    )
+    gold_top = (
+        scored.orderBy(F.desc("rel"), "doc_id")
+        .limit(10)
+        .withColumn("pos", F.row_number().over(w_gold))
+    )
+    gain = F.col("rel") / (F.log(F.col("pos") + 1) / F.log(F.lit(2.0)))
+    dcg = sys_top.agg(F.round(F.sum(gain), 6).alias("dcg_at_10"))
+    idcg = gold_top.agg(F.round(F.sum(gain), 6).alias("idcg_at_10"))
+    n_matched = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_matched")
+    )
+    return (
+        n_matched.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_docs_matched",
+            "dcg_at_10",
+            "idcg_at_10",
+            F.round(F.col("dcg_at_10") / F.col("idcg_at_10"), 6).alias(
+                "ndcg_at_10"
+            ),
+        )
+    )
+
+
+@register(
+    "search_prefix_autocomplete",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_TOKS8}) AS tok FROM documents)
+  WHERE length(tok) >= 3
+),
+df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+pre AS (
+  SELECT substr(tok, 1, 3) AS prefix, tok, df FROM df
+  WHERE substr(tok, 1, 3) IN ('sca', 'joi', 'agg', 'par', 'the')
+)
+SELECT prefix, tok AS completion, CAST(df AS BIGINT) AS doc_freq,
+       CAST(row_number() OVER (PARTITION BY prefix
+            ORDER BY df DESC, tok) AS BIGINT) AS rank
+FROM pre
+QUALIFY row_number() OVER (PARTITION BY prefix ORDER BY df DESC, tok) <= 3
+ORDER BY prefix, rank
+""",
+    doc="prefix autocomplete index probe: document frequency of every "
+    "distinct token (presence, not raw count — dropDuplicates "
+    "before the df aggregate), grouped under its 3-char prefix, "
+    "top-3 completions per probed prefix by (df desc, token) — the "
+    "type-ahead suggestion backend as one vocabulary-bounded "
+    "aggregate + per-prefix top-k window (W1 pattern partitioned "
+    "by prefix).  At 100 TB the prefix becomes the index sort key "
+    "and the probe a range scan; the query-time shape is "
+    "unchanged",
+)
+def search_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 3)
+        .dropDuplicates(["doc_id", "tok"])
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pre = df.select(
+        F.substring("tok", 1, 3).alias("prefix"),
+        F.col("tok").alias("completion"),
+        "df",
+    ).filter(F.col("prefix").isin("sca", "joi", "agg", "par", "the"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), "completion")
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "prefix",
+            "completion",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("prefix", "rank")
+    )
+
+
+@register(
+    "dq_reconcile_order_totals",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS net_c
+  FROM lineitem GROUP BY 1
+),
+rec AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_c,
+         coalesce(li.net_c, 0) AS net_c
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+),
+banded AS (
+  SELECT CASE
+           WHEN net_c = 0 THEN 'no_lineitems'
+           WHEN abs(total_c - net_c) * 100 <= total_c THEN 'within_1pct'
+           WHEN abs(total_c - net_c) * 10 <= total_c THEN 'within_10pct'
+           WHEN abs(total_c - net_c) * 2 <= total_c THEN 'within_50pct'
+           ELSE 'over_50pct'
+         END AS band,
+         total_c, net_c
+  FROM rec
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(total_c) / 100.0, 2) AS sum_header_total,
+       round(sum(net_c) / 100.0, 2) AS sum_lineitem_net
+FROM banded GROUP BY band ORDER BY band
+""",
+    doc="cross-table reconciliation audit: order-header totals vs the "
+    "sum of their lineitems' discounted revenue, banded by relative "
+    "mismatch via EXACT INTEGER cross-multiplication on cents "
+    "(|diff|*100 <= total is the 1%% test — no float ratio ever "
+    "compared).  The fixture header totals do NOT reconcile (the "
+    "generator prices them independently) and this query QUANTIFIES "
+    "that drift instead of assuming it away — the daily books-"
+    "balance check of any pipeline that materializes the same fact "
+    "at two grains (dq_referential_orphans checks existence; this "
+    "checks VALUE agreement).  One fact-fact join on the key both "
+    "sides shuffle on anyway",
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("net_c")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rec = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left"
+    ).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_c"),
+        F.coalesce("net_c", F.lit(0)).alias("net_c"),
+    )
+    diff = F.abs(F.col("total_c") - F.col("net_c"))
+    band = (
+        F.when(F.col("net_c") == 0, "no_lineitems")
+        .when(diff * 100 <= F.col("total_c"), "within_1pct")
+        .when(diff * 10 <= F.col("total_c"), "within_10pct")
+        .when(diff * 2 <= F.col("total_c"), "within_50pct")
+        .otherwise("over_50pct")
+    )
+    return (
+        rec.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("total_c") / 100.0, 2).alias("sum_header_total"),
+            F.round(F.sum("net_c") / 100.0, 2).alias("sum_lineitem_net"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle="""
+WITH fd1 AS (
+  SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS lhs,
+         count(*) FILTER (WHERE nd > 1) AS viol
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+        FROM orders GROUP BY 1)
+),
+fd2 AS (
+  SELECT 'p_brand->p_type' AS fd, count(*) AS lhs,
+         count(*) FILTER (WHERE nd > 1) AS viol
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+        FROM part GROUP BY 1)
+),
+fd3 AS (
+  SELECT 'c_nationkey->c_mktsegment' AS fd, count(*) AS lhs,
+         count(*) FILTER (WHERE nd > 1) AS viol
+  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+        FROM customer GROUP BY 1)
+),
+fd4 AS (
+  SELECT 'l_orderkey,l_linenumber->row' AS fd, count(*) AS lhs,
+         count(*) FILTER (WHERE nd > 1) AS viol
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS nd
+        FROM lineitem GROUP BY 1, 2)
+)
+SELECT fd, CAST(lhs AS BIGINT) AS n_lhs_groups,
+       CAST(viol AS BIGINT) AS n_violating_groups,
+       viol = 0 AS holds
+FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+ORDER BY fd
+""",
+    doc="functional-dependency audit over four candidate FDs: each is "
+    "one groupBy(LHS) counting distinct RHS values, violation = any "
+    "group with >1 — the schema-inference primitive profilers use "
+    "to DISCOVER keys and denormalization (and the regression alarm "
+    "when an ETL change breaks one: the key FDs hold, the "
+    "brand->type and nation->segment ones genuinely don't, and "
+    "this query pins both facts).  Four independent aggregates in "
+    "one lazy union, the dq_referential_orphans one-action family; "
+    "each branch's shuffle carries (LHS, distinct-count) pairs "
+    "only",
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fd(df, lhs, rhs, name, count_rows=False):
+        inner = df.groupBy(*lhs).agg(
+            (
+                F.count(F.lit(1)) if count_rows else F.countDistinct(rhs)
+            ).alias("nd")
+        )
+        return inner.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.count(F.when(F.col("nd") > 1, 1))
+            .cast("long")
+            .alias("n_violating_groups"),
+            (F.count(F.when(F.col("nd") > 1, 1)) == 0).alias("holds"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        fd(orders, ["o_orderkey"], "o_custkey", "o_orderkey->o_custkey")
+        .unionByName(fd(part, ["p_brand"], "p_type", "p_brand->p_type"))
+        .unionByName(
+            fd(
+                cust,
+                ["c_nationkey"],
+                "c_mktsegment",
+                "c_nationkey->c_mktsegment",
+            )
+        )
+        .unionByName(
+            fd(
+                li,
+                ["l_orderkey", "l_linenumber"],
+                None,
+                "l_orderkey,l_linenumber->row",
+                count_rows=True,
+            )
+        )
+        .orderBy("fd")
+    )
+
+
+@register(
+    "win_record_high_events",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events
+),
+rec AS (
+  SELECT user_id, pos,
+         CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END
+           AS is_record
+  FROM seq
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_record) AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN is_record = 1 THEN pos END) AS BIGINT)
+         AS last_record_pos
+FROM rec GROUP BY user_id
+ORDER BY n_records DESC, user_id
+LIMIT 25
+""",
+    doc="record-high census per user: an event sets a record when its "
+    "value beats the user's running max over STRICTLY PRECEDING "
+    "events — the exclusive-frame running max "
+    "(operators/topk.global_prefix_max's per-key form), with the "
+    "(ts, event_id) total order the frame requires for "
+    "determinism among duplicate timestamps (the ADVICE-r6 "
+    "tie-break discipline, enforced here by construction).  For "
+    "i.i.d. values E[records] ~ H(n) ~ ln n, so a user whose "
+    "record count far exceeds ln(n_events) has a trending series — "
+    "a screen for growth accounts.  Top-25 by record count with "
+    "user_id tiebreak; all windows partition by user",
+)
+def win_record_high_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wx = wo.rowsBetween(Window.unboundedPreceding, -1)
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.max("value").over(wx).alias("prev_max"),
+        F.row_number().over(wo).alias("pos"),
+    )
+    rec = seq.select(
+        "user_id",
+        "pos",
+        F.when(
+            F.col("prev_max").isNull()
+            | (F.col("value") > F.col("prev_max")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    return (
+        rec.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_record").cast("long").alias("n_records"),
+            F.max(F.when(F.col("is_record") == 1, F.col("pos")))
+            .cast("long")
+            .alias("last_record_pos"),
+        )
+        .orderBy(F.desc("n_records"), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "agg_atkinson_inequality",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg, sum(o.o_totalprice) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+s AS (
+  SELECT seg, count(*) AS n, avg(v) AS mu,
+         avg(sqrt(v)) AS m_half,
+         avg(ln(v)) AS m_ln
+  FROM spend GROUP BY seg
+)
+SELECT seg, CAST(n AS BIGINT) AS n_customers,
+       round(1 - (m_half * m_half) / mu, 6) AS atkinson_eps_05,
+       round(1 - exp(m_ln) / mu, 6) AS atkinson_eps_1
+FROM s ORDER BY seg
+""",
+    doc="Atkinson inequality index of customer spend per segment at "
+    "two inequality-aversion levels: eps=0.5 closes to "
+    "1 - (E[sqrt v])^2 / E[v], eps=1 to 1 - geomean/mean — both "
+    "pure one-pass aggregates, no sorting, no Lorenz curve "
+    "(complementing agg_gini_revenue_concentration and "
+    "agg_theil_index_decomposition: Atkinson is the member of the "
+    "family with an explicit normative parameter, and the eps "
+    "sweep shows how much of measured inequality is bottom-"
+    "sensitive).  Spend v > 0 by construction (order totals are "
+    "positive), so sqrt/ln are ANSI-safe; per-customer rollup "
+    "shuffles once on the customer key",
+)
+def agg_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    s = spend.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mu"),
+        F.avg(F.sqrt("v")).alias("m_half"),
+        F.avg(F.log("v")).alias("m_ln"),
+    )
+    return s.select(
+        "seg",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            1 - (F.col("m_half") * F.col("m_half")) / F.col("mu"), 6
+        ).alias("atkinson_eps_05"),
+        F.round(1 - F.exp("m_ln") / F.col("mu"), 6).alias("atkinson_eps_1"),
+    ).orderBy("seg")
+
+
+@register(
+    "dash_mom_revenue_waterfall",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE year(o.o_orderdate) = 1995
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT seg, m, rev_c,
+         rev_c - lag(rev_c) OVER (PARTITION BY seg ORDER BY m) AS d_c
+  FROM rev
+),
+tot AS (
+  SELECT m, sum(d_c) AS total_d FROM delta WHERE d_c IS NOT NULL GROUP BY m
+)
+SELECT d.m - 1995 * 12 AS month_1995, d.seg,
+       round(d.rev_c / 100.0, 2) AS revenue,
+       round(d.d_c / 100.0, 2) AS mom_delta,
+       CASE WHEN t.total_d != 0
+            THEN round(d.d_c * 1.0 / t.total_d, 4) END AS share_of_total_delta
+FROM delta d JOIN tot t ON t.m = d.m
+WHERE d.d_c IS NOT NULL
+ORDER BY month_1995, seg
+""",
+    doc="month-over-month revenue waterfall decomposed by segment: "
+    "each month's total revenue delta splits into per-segment "
+    "contributions (share_of_total_delta sums to 1 per month when "
+    "the total moved) — the 'what drove the change' chart behind "
+    "every exec dashboard, done additively so the pieces "
+    "provably reconcile.  Money in integer cents until the final "
+    "division; the lag window partitions by segment over the "
+    "(segment x month) aggregate; a flat month (total delta 0) "
+    "yields NULL shares under an explicit guard rather than an "
+    "ANSI division error",
+)
+def dash_mom_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("m")
+    delta = rev.select(
+        "seg",
+        "m",
+        "rev_c",
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("d_c"),
+    ).filter(F.col("d_c").isNotNull())
+    tot = delta.groupBy("m").agg(F.sum("d_c").alias("total_d"))
+    return (
+        delta.join(F.broadcast(tot), "m")
+        .select(
+            (F.col("m") - 1995 * 12).alias("month_1995"),
+            "seg",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("d_c") / 100.0, 2).alias("mom_delta"),
+            F.when(
+                F.col("total_d") != 0,
+                F.round(F.col("d_c") * 1.0 / F.col("total_d"), 4),
+            ).alias("share_of_total_delta"),
+        )
+        .orderBy("month_1995", "seg")
+    )
+
+
+@register(
+    "join_nearest_price",
+    oracle="""
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc
+  FROM part WHERE p_partkey <= 20
+),
+cand AS (
+  SELECT p_partkey AS cand_id,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cc,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) // 100 AS band
+  FROM part
+),
+pairs AS (
+  SELECT p.probe_id, c.cand_id, abs(p.pc - c.cc) AS diff_c
+  FROM probes p
+  JOIN cand c
+    ON c.band BETWEEN p.pc // 100 - 5 AND p.pc // 100 + 5
+   AND c.cand_id != p.probe_id
+)
+SELECT probe_id, cand_id AS nearest_id,
+       round(diff_c / 100.0, 2) AS price_diff
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY diff_c, cand_id) = 1
+ORDER BY probe_id
+""",
+    doc="nearest-value (1-D nearest-neighbor) join: for 20 probe "
+    "parts, the other part with the closest retail price.  The "
+    "banded-join discipline of join_range_binned_scale lifted to "
+    "NEAREST semantics: both sides band on integer price dollars "
+    "(prices as exact cents, band = cents//100), candidates come "
+    "from a +-5-dollar band window, and the per-probe argmin is a "
+    "(diff, cand_id)-ordered rank-1 window — never a cross join, "
+    "never a global sort.  The +-5 window is guaranteed on this "
+    "fixture (max adjacent gap << $5 at every SF) and the "
+    "documented contract is nearest-within-$5; at 100 TB the same "
+    "shape serves as-near-as joins for price matching and sensor "
+    "alignment",
+)
+def join_nearest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    probes = part.filter(F.col("p_partkey") <= 20).select(
+        F.col("p_partkey").alias("probe_id"),
+        cents.alias("pc"),
+        F.explode(
+            F.sequence(
+                (cents / 100).cast("long") - 5,
+                (cents / 100).cast("long") + 5,
+            )
+        ).alias("band"),
+    )
+    cand = part.select(
+        F.col("p_partkey").alias("cand_id"),
+        cents.alias("cc"),
+        (cents / 100).cast("long").alias("band"),
+    )
+    pairs = probes.join(cand, "band").filter(
+        F.col("cand_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy("diff_c", "cand_id")
+    return (
+        pairs.select(
+            "probe_id",
+            "cand_id",
+            F.abs(F.col("pc") - F.col("cc")).alias("diff_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("nearest_id"),
+            F.round(F.col("diff_c") / 100.0, 2).alias("price_diff"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "cdc_out_of_order_fraction",
+    oracle="""
+WITH log AS (
+  SELECT c_custkey * 10 AS seq, c_custkey * 1000 AS rel_ms, 'c' AS op
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 10 + 1, c_custkey * 1000 + 500000, 'u'
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey * 10 + 2, c_custkey * 1000 + 900000, 'd'
+  FROM customer WHERE c_custkey % 7 = 0
+),
+uniq AS (SELECT seq, max(rel_ms) AS rel_ms, max(op) AS op FROM log GROUP BY 1),
+pm AS (
+  SELECT seq, op, rel_ms,
+         max(rel_ms) OVER (ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM uniq
+)
+SELECT op,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE rel_ms < prior_max) AS BIGINT)
+         AS n_out_of_order,
+       round(count(*) FILTER (WHERE rel_ms < prior_max) * 1.0 / count(*), 4)
+         AS ooo_fraction
+FROM pm GROUP BY op ORDER BY op
+""",
+    doc="out-of-order arrival telemetry for the CDC stream: an event "
+    "is out of order when its commit timestamp precedes the max "
+    "commit time of any earlier-ARRIVING event (arrival = the "
+    "generator's seq, its Kafka-offset stand-in).  Updates and "
+    "deletes commit +500s/+900s after their row's insert but "
+    "arrive in key order, so late-keyed inserts interleave behind "
+    "them — exactly the skew a watermark must absorb (T4), now "
+    "measured per op type.  The exclusive running max is "
+    "operators/topk.global_prefix_max's shape; replay duplicates "
+    "collapse to unique seq FIRST (max per seq — the documented "
+    "unique-sort-key requirement of an exclusive ROWS frame), "
+    "oracle replays via the deterministic generator arithmetic.  "
+    "The oracle's single-partition window is the replayable twin; "
+    "the Spark side uses the two-level partitioned operator",
+)
+def cdc_out_of_order_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc.generator import BASE_MS, generate_envelope_log
+    from ..operators.topk import global_prefix_max
+
+    log = generate_envelope_log(spark, sf_dir).select(
+        "seq", "op", (F.col("ts_ms") - F.lit(BASE_MS)).alias("rel_ms")
+    )
+    uniq = log.groupBy("seq").agg(
+        F.max("rel_ms").alias("rel_ms"), F.max("op").alias("op")
+    )
+    pm = global_prefix_max(
+        uniq, [F.col("seq")], "rel_ms", out_col="prior_max"
+    )
+    ooo = F.col("rel_ms") < F.col("prior_max")
+    return (
+        pm.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(ooo, 1)).cast("long").alias("n_out_of_order"),
+            F.round(
+                F.count(F.when(ooo, 1)) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("ooo_fraction"),
+        )
+        .orderBy("op")
+    )

@@ -118,6 +118,21 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "text_zipf_fit shape)",
     "agg_lorenz_curve_points": "cumulative window over the 10 fixed "
     "deciles (bounded by construction)",
+    # --- round-8 batch (built in round 7) ---
+    "cdc_lag_percentiles": "boundary-stitch lag over the 1000s-bucket "
+    "AGGREGATE (time-domain-bounded); per-event lag is partitioned",
+    "ml_conformal_interval": "cumulative window over the residual-"
+    "cents HISTOGRAM (the score-histogram AUC class)",
+    "search_ndcg_at_10": "rank windows over LIMIT-10 inputs "
+    "(TakeOrdered upstream bounds both)",
+    "stats_durbin_watson": "lag over the <=2400-day aggregated "
+    "daily series (calendar-bounded)",
+    "stats_kruskal_wallis": "midrank cumulative over the 50-row "
+    "l_quantity value histogram (bounded integer domain)",
+    "surv_kaplan_meier_monthly": "ascending + descending cumulative "
+    "windows over the <=80-row month-duration aggregate",
+    "ts_sax_motifs": "lead windows over the calendar-bounded daily "
+    "series",
 }
 
 
@@ -215,6 +230,11 @@ ALLOWED_UNCAPPED_BUCKET_JOIN = {
     # and a pair counts once at the bucket of the later start
     "join_event_self_interval": "time banding (concurrency-bounded)",
     "join_interval_allen_counts": "time banding (concurrency-bounded)",
+    # 'bucket' here is a CALENDAR month / fixed doc-position band — a
+    # bounded domain (<=80 months / 20 positions), not an LSH code;
+    # the join fans out to domain size, never to corpus size
+    "dash_orders_per_month_dense": "calendar-month band (<=80 buckets)",
+    "text_heaps_law_fit": "fixed 20 doc-position buckets",
 }
 
 
@@ -420,6 +440,51 @@ ALLOWED_EXCHANGES = {
     # exchanges are the THREE independent crossing-test min
     # aggregates (one per quantile) over that table plus the total.
     "agg_weighted_percentiles": 8,
+    # --- round-8 batch (built in round 7) ---
+    # cdc_txn_snapshot_consistency: two live-set builds (orders,
+    # lineitems) + two anti-joins + four per-mode rollups — every
+    # exchange carries (mode, key) longs; the live sets are
+    # localCheckpoint'ed so each N-sized build runs once.
+    "cdc_txn_snapshot_consistency": 10,
+    # dash_cohort_ltv_curve: cohort-assign join shuffles the orders
+    # once on o_custkey; the cumulative window, cohort-size rollup
+    # and final join all move the <=72-row (cohort x age) aggregate.
+    "dash_cohort_ltv_curve": 8,
+    # dash_mom_revenue_waterfall: one fact aggregate; the lag window,
+    # monthly-total rollup and join-back move the <=60-row
+    # (segment x month) table.
+    "dash_mom_revenue_waterfall": 9,
+    # dedup_minhash_eval_sweep: composes TWO audited sub-quadratic
+    # pair builds (prefix-filtered exact-Jaccard truth + capped
+    # banded MinHash candidates, both checkpointed) with a full-outer
+    # pair join and a 4-threshold broadcast sweep — the exchange
+    # count is the sum of the two audited shapes.
+    "dedup_minhash_eval_sweep": 12,
+    # dq_functional_dependencies: four INDEPENDENT FD audits in one
+    # lazy union (the dq_referential_orphans family): each branch is
+    # a distinct-count aggregate + a 1-row rollup.
+    "dq_functional_dependencies": 16,
+    # emb_pq_adc_topk: codebook train/encode are two joins over the
+    # unpivoted dims table (checkpointed, runs once); every exchange
+    # after it moves (vec, m, k) code tuples or the M*K-row LUT.
+    "emb_pq_adc_topk": 9,
+    # ml_conformal_interval: three split passes over the checkpointed
+    # base (fit agg, calibration histogram, eval coverage agg) plus
+    # 1-row broadcast combines of fit/quantile/count tables — every
+    # exchange past the three passes moves <=1-row tables.
+    "ml_conformal_interval": 27,
+    # stats_durbin_watson: daily aggregate -> fit agg -> residual lag
+    # -> final agg, each 2-phase over the <=31-row day table after
+    # the one N-sized groupBy.
+    "stats_durbin_watson": 9,
+    # stats_kruskal_wallis: one N-sized (flag, qty) histogram; the
+    # midrank window, marginal rollups and H fold all move <=150-row
+    # bounded-domain tables.
+    "stats_kruskal_wallis": 11,
+    # ts_hurst_rs: one N-sized daily aggregate; chunking explodes the
+    # <=31-row series x3 sizes and every window/rollup/regression
+    # exchange moves that calendar-bounded table.
+    "ts_hurst_rs": 8,
 }
 
 
