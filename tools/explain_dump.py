@@ -52,6 +52,17 @@ HEADLINERS = [
     "text_js_divergence_sources",
     "win_time_to_next_purchase",
     "agg_theil_index_decomposition",
+    # round-7 fixes + round-8 queue headliners
+    "emb_density_core_points",
+    "emb_pq_adc_topk",
+    "emb_hubness_indegree",
+    "cdc_txn_snapshot_consistency",
+    "cdc_lag_percentiles",
+    "dedup_minhash_eval_sweep",
+    "surv_kaplan_meier_monthly",
+    "ml_conformal_interval",
+    "funnel_time_decay_attribution",
+    "join_nearest_price",
 ]
 
 # Hand-maintained notes that must survive regeneration.
