@@ -3165,15 +3165,30 @@ def emb_hubness_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    b = raw.select(
-        "vec_id",
-        F.transform(
-            "e", lambda x: x / F.sqrt(_dot(F.col("e"), F.col("e")))
-        ).alias("en"),
-        sum(
-            F.when(F.element_at(F.col("e"), i + 1) > 0, 1 << i).otherwise(0)
-            for i in range(bits)
-        ).cast("long").alias("bucket"),
+    # norm through a SEPARATE projection (never inlined into the
+    # transform lambda), and NO checkpoint: hiding size statistics from
+    # AQE makes the bucket join a sort-merge on a 2^bits-value key
+    # instead of a broadcast of the capped build side.  The remaining
+    # per-pair cost is the interpreted HOF dot (~7us/pair — measured:
+    # an unrolled 64-term codegen dot is bit-identical but pays a 29s
+    # janino compile; the BLAS cogroup path from the density twin is
+    # the cluster-scale default, excluded here for hash stability)
+    b = (
+        raw.select(
+            "vec_id",
+            "e",
+            F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
+            sum(
+                F.when(F.element_at(F.col("e"), i + 1) > 0, 1 << i)
+                .otherwise(0)
+                for i in range(bits)
+            ).cast("long").alias("bucket"),
+        )
+        .select(
+            "vec_id",
+            "bucket",
+            F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
+        )
     )
     probes = b.select(
         "vec_id",
