@@ -4083,3 +4083,625 @@ def cdc_out_of_order_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+# ================================================ bonus batch
+# (round-9 queue head start: regression diagnostics, index numbers,
+# CV evaluation, DQ completeness, graph reciprocity, sentence dedup)
+
+
+@register(
+    "stats_grubbs_max_outlier",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS v
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n, avg(v) AS mu,
+         sqrt((sum(v * v) - count(*) * avg(v) * avg(v))
+              / (count(*) - 1)) AS sd
+  FROM daily
+),
+g AS (
+  SELECT d.day, abs(d.v - s.mu) / s.sd AS z, s.n
+  FROM daily d, s
+)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       round(max(z), 4) AS g_stat,
+       arg_max(day, z) AS outlier_day,
+       max(z) > 2.9085 AS significant_5pct
+FROM g
+""",
+    doc="Grubbs' maximum-outlier test on the daily value series: "
+    "G = max|x - mean| / s (SAMPLE sd, n-1) with the n=31 two-sided "
+    "5%% critical value 2.9085 hardcoded and documented (the fixture "
+    "window is one calendar month at every SF; a general operator "
+    "takes the critical value as a parameter since engines lack a "
+    "t-quantile builtin).  The single-worst-day screen that "
+    "complements ts_outliers_mad's per-row fences — Grubbs asks "
+    "'is even the worst point consistent with one normal "
+    "population?'.  arg_max/max_by picks the day deterministically "
+    "(z values are distinct reals; ties broken by DuckDB/Spark "
+    "identically only on distinct maxima, which a continuous sum "
+    "guarantees here)",
+)
+def stats_grubbs_max_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("v") * F.col("v"))
+                - F.count(F.lit(1)) * F.avg("v") * F.avg("v")
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    g = daily.crossJoin(F.broadcast(s)).select(
+        "day",
+        "n",
+        (F.abs(F.col("v") - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    return g.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("z"), 4).alias("g_stat"),
+        F.expr("max_by(day, z)").alias("outlier_day"),
+        (F.max("z") > 2.9085).alias("significant_5pct"),
+    )
+
+
+@register(
+    "stats_cooks_distance_top",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+),
+fit AS (
+  SELECT count(*) AS n, avg(x) AS mx,
+         regr_slope(y, x) AS b, regr_intercept(y, x) AS a,
+         sum((x - (SELECT avg(x) FROM base))
+             * (x - (SELECT avg(x) FROM base))) AS sxx
+  FROM base
+),
+resid AS (
+  SELECT l_orderkey, l_linenumber,
+         y - (f.a + f.b * x) AS e,
+         1.0 / f.n + (x - f.mx) * (x - f.mx) / f.sxx AS h,
+         f.n
+  FROM base, fit f
+),
+mse AS (
+  SELECT sum(e * e) / (max(n) - 2) AS s2 FROM resid
+)
+SELECT l_orderkey, l_linenumber,
+       round(e * e * h / (2 * m.s2 * (1 - h) * (1 - h)), 6) AS cooks_d,
+       round(h, 6) AS leverage,
+       round(e, 2) AS residual
+FROM resid, mse m
+ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+    doc="Cook's distance influence screen for the price~quantity OLS: "
+    "D_i = e_i^2 h_i / (p s^2 (1-h_i)^2) with closed-form simple-"
+    "regression leverage h_i = 1/n + (x_i - xbar)^2/Sxx — the top-10 "
+    "rows that, if deleted, would move the fit most.  The error-"
+    "analysis triage step after stats_breusch_pagan says the "
+    "residuals are suspect: three aggregate passes (fit, MSE, "
+    "per-row D) and a TakeOrdered top-10 with a full key tiebreak; "
+    "no N-sized window anywhere",
+)
+def stats_cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    mx = base.agg(F.avg("x").alias("mx"))
+    fit = base.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("mx").alias("mx"),
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias(
+            "sxx"
+        ),
+    )
+    resid = base.crossJoin(F.broadcast(fit)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x") - F.col("mx"))
+            * (F.col("x") - F.col("mx"))
+            / F.col("sxx")
+        ).alias("h"),
+        "n",
+    ).localCheckpoint(eager=False)
+    mse = resid.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2")
+    )
+    d = F.col("e") * F.col("e") * F.col("h") / (
+        2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h"))
+    )
+    return (
+        resid.crossJoin(F.broadcast(mse))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(d, 6).alias("cooks_d"),
+            F.round("h", 6).alias("leverage"),
+            F.round("e", 2).alias("residual"),
+        )
+        .orderBy(F.desc("cooks_d"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "stats_bartlett_variance",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp, count(*) AS n,
+         (sum(l_quantity * l_quantity)
+          - count(*) * avg(l_quantity) * avg(l_quantity))
+         / (count(*) - 1) AS s2
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS k, sum(n) AS n_total,
+         sum((n - 1) * s2) / sum(n - 1) AS sp2,
+         sum((n - 1) * ln(s2)) AS sum_ln,
+         sum(1.0 / (n - 1)) AS sum_inv
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+       round(((n_total - k) * ln(sp2) - sum_ln)
+             / (1 + (sum_inv - 1.0 / (n_total - k)) / (3 * (k - 1))), 4)
+         AS chi2_stat,
+       CAST(k - 1 AS BIGINT) AS df,
+       ((n_total - k) * ln(sp2) - sum_ln)
+       / (1 + (sum_inv - 1.0 / (n_total - k)) / (3 * (k - 1))) > 5.991
+         AS significant_5pct
+FROM tot
+""",
+    doc="Bartlett's test of variance homogeneity across the return "
+    "flags: chi2 = [(N-k) ln Sp^2 - sum (n_i-1) ln s_i^2] / C with "
+    "the small-sample correction C — the normal-theory counterpart "
+    "of the robust stats_levene_test (running both is the textbook "
+    "practice: Bartlett is more powerful under normality, Levene "
+    "survives heavy tails).  Sample variances from one group-"
+    "aggregate pass (raw sums, n-1 denominator — provably positive "
+    "on the 1..50 quantity domain), then a k-row fold; df = 2, "
+    "critical 5.991",
+)
+def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (
+                F.sum(F.col("l_quantity") * F.col("l_quantity"))
+                - F.count(F.lit(1))
+                * F.avg("l_quantity")
+                * F.avg("l_quantity")
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        (
+            F.sum((F.col("n") - 1) * F.col("s2")) / F.sum(F.col("n") - 1)
+        ).alias("sp2"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    num = (F.col("n_total") - F.col("k")) * F.log("sp2") - F.col("sum_ln")
+    c = 1 + (
+        F.col("sum_inv") - 1.0 / (F.col("n_total") - F.col("k"))
+    ) / (3 * (F.col("k") - 1))
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(num / c, 4).alias("chi2_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        (num / c > 5.991).alias("significant_5pct"),
+    )
+
+
+@register(
+    "agg_price_index_fisher",
+    oracle="""
+WITH per AS (
+  SELECT l_partkey AS pk,
+         CASE WHEN year(l_shipdate) = 1995 THEN 0
+              ELSE year(l_shipdate) END AS yr,
+         sum(l_extendedprice) / sum(l_quantity) AS p,
+         sum(l_quantity) AS q
+  FROM lineitem
+  WHERE year(l_shipdate) BETWEEN 1995 AND 2000
+  GROUP BY 1, 2
+),
+base AS (SELECT pk, p AS p0, q AS q0 FROM per WHERE yr = 0),
+cur AS (SELECT pk, yr, p AS pt, q AS qt FROM per WHERE yr != 0),
+j AS (
+  SELECT c.yr, c.pt, c.qt, b.p0, b.q0
+  FROM cur c JOIN base b ON b.pk = c.pk
+),
+idx AS (
+  SELECT yr,
+         sum(pt * q0) / sum(p0 * q0) AS laspeyres,
+         sum(pt * qt) / sum(p0 * qt) AS paasche,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM j GROUP BY yr
+)
+SELECT yr AS year, n_parts,
+       round(laspeyres, 6) AS laspeyres,
+       round(paasche, 6) AS paasche,
+       round(sqrt(laspeyres * paasche), 6) AS fisher
+FROM idx ORDER BY year
+""",
+    doc="Laspeyres / Paasche / Fisher price indexes per year against "
+    "the 1995 base period: per-part unit prices and quantity weights "
+    "from one grouped pass, base joined to each current year on the "
+    "part key (inner: the matched-basket convention), then the three "
+    "index formulas — base-weighted, current-weighted, and their "
+    "geometric mean (the 'ideal' index that cancels the substitution "
+    "biases of the other two).  The economic-index primitive a "
+    "pricing dashboard needs beyond raw averages, which conflate "
+    "price movement with basket drift; denominators are sums of "
+    "positive price*quantity products, ANSI-safe by construction",
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.year("l_shipdate").between(1995, 2000))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.when(F.year("l_shipdate") == 1995, 0)
+            .otherwise(F.year("l_shipdate"))
+            .alias("yr"),
+        )
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+            F.sum("l_quantity").alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = per.filter(F.col("yr") == 0).select(
+        "pk", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = per.filter(F.col("yr") != 0).select(
+        "pk", "yr", F.col("p").alias("pt"), F.col("q").alias("qt")
+    )
+    j = cur.join(base, "pk")
+    idx = j.groupBy("yr").agg(
+        (
+            F.sum(F.col("pt") * F.col("q0"))
+            / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("pt") * F.col("qt"))
+            / F.sum(F.col("p0") * F.col("qt"))
+        ).alias("paasche"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return idx.select(
+        F.col("yr").alias("year"),
+        "n_parts",
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias(
+            "fisher"
+        ),
+    ).orderBy("year")
+
+
+@register(
+    "ml_kfold_rmse",
+    oracle="""
+WITH base AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         CAST(concat('0x', substr(md5('fold:' || l_orderkey || ':'
+           || l_linenumber), 1, 15)) AS BIGINT) % 5 AS fold
+  FROM lineitem
+),
+fs AS (
+  SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM base GROUP BY fold
+),
+tot AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(sxy) AS sxy
+  FROM fs
+),
+coef AS (
+  SELECT f.fold,
+         ((t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+         / ((t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n))
+           AS b,
+         (t.sy - f.sy) / (t.n - f.n)
+         - ((t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+           / ((t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n))
+           * (t.sx - f.sx) / (t.n - f.n) AS a
+  FROM fs f CROSS JOIN tot t
+)
+SELECT b.fold, CAST(count(*) AS BIGINT) AS n_eval,
+       round(sqrt(avg((b.y - (c.a + c.b * b.x))
+                      * (b.y - (c.a + c.b * b.x)))), 4) AS rmse
+FROM base b JOIN coef c ON c.fold = b.fold
+GROUP BY b.fold ORDER BY b.fold
+""",
+    doc="5-fold cross-validated RMSE for the price~quantity OLS with "
+    "the LEAVE-FOLD-OUT-FROM-SUFFICIENT-STATISTICS trick: one "
+    "grouped pass collects per-fold moment sums, each fold's "
+    "training coefficients come from TOTAL-minus-FOLD arithmetic "
+    "(never 5 separate training scans), and one scoring pass joins "
+    "each row to its own fold's coefficients.  Completes "
+    "ml_kfold_assign (which only assigns folds) with the actual CV "
+    "evaluation loop, at 2 data passes for any k — the pattern that "
+    "makes CV affordable at 100 TB.  The md5 fold hash is the "
+    "established deterministic split discipline",
+)
+def ml_kfold_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"),
+                            F.col("l_orderkey"),
+                            F.lit(":"),
+                            F.col("l_linenumber"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)
+    fs = base.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    tr_n = F.col("tn") - F.col("n")
+    tr_sx = F.col("tsx") - F.col("sx")
+    tr_sy = F.col("tsy") - F.col("sy")
+    tr_sxx = F.col("tsxx") - F.col("sxx")
+    tr_sxy = F.col("tsxy") - F.col("sxy")
+    b = (tr_sxy - tr_sx * tr_sy / tr_n) / (tr_sxx - tr_sx * tr_sx / tr_n)
+    coef = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        b.alias("b"),
+        (tr_sy / tr_n - b * tr_sx / tr_n).alias("a"),
+    )
+    e = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    return (
+        base.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.round(F.sqrt(F.avg(e * e)), 4).alias("rmse"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+WITH ok AS (
+  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+         count(DISTINCT o_orderkey) AS n
+  FROM orders
+),
+days AS (
+  SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+         max(CAST(date_trunc('day', ts) AS DATE)) AS hi,
+         count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n
+  FROM events
+)
+SELECT 'orderkey_space' AS check_name,
+       CAST(hi - lo + 1 AS BIGINT) AS expected,
+       CAST(n AS BIGINT) AS actual,
+       CAST(hi - lo + 1 - n AS BIGINT) AS missing
+FROM ok
+UNION ALL
+SELECT 'event_days',
+       CAST(date_diff('day', lo, hi) + 1 AS BIGINT),
+       CAST(n AS BIGINT),
+       CAST(date_diff('day', lo, hi) + 1 - n AS BIGINT)
+FROM days
+ORDER BY check_name
+""",
+    doc="sequence/calendar completeness audit: the orderkey space "
+    "checked against a dense [min, max] expectation and the event "
+    "stream checked for silent missing days — the 'did ingestion "
+    "drop a partition?' alarm, counting holes without materializing "
+    "the expected sequence (expected = range width, holes = width "
+    "minus distinct count; one aggregate per check, the "
+    "dq_freshness_lag family).  A nonzero orderkey deficit is "
+    "itself a fixture fact this query pins; the day check reads 0 "
+    "missing on healthy ingestion at every SF",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ok = orders.agg(
+        F.lit("orderkey_space").alias("check_name"),
+        (F.max("o_orderkey") - F.min("o_orderkey") + 1)
+        .cast("long")
+        .alias("expected"),
+        F.countDistinct("o_orderkey").cast("long").alias("actual"),
+        (
+            F.max("o_orderkey")
+            - F.min("o_orderkey")
+            + 1
+            - F.countDistinct("o_orderkey")
+        )
+        .cast("long")
+        .alias("missing"),
+    )
+    day = F.to_date(F.date_trunc("day", "ts"))
+    days = ev.agg(
+        F.lit("event_days").alias("check_name"),
+        (F.datediff(F.max(day), F.min(day)) + 1).cast("long").alias(
+            "expected"
+        ),
+        F.countDistinct(day).cast("long").alias("actual"),
+        (
+            F.datediff(F.max(day), F.min(day))
+            + 1
+            - F.countDistinct(day)
+        )
+        .cast("long")
+        .alias("missing"),
+    )
+    return ok.unionByName(days).orderBy("check_name")
+
+
+@register(
+    "graph_reciprocity_trade",
+    oracle="""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+m AS (
+  SELECT (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM edges e
+          JOIN edges r ON r.u = e.v AND r.v = e.u) AS n_reciprocated
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_reciprocated AS BIGINT) AS n_reciprocated,
+       CAST(n_reciprocated / 2 AS BIGINT) AS n_mutual_dyads,
+       CAST(n_edges - n_reciprocated AS BIGINT) AS n_asymmetric_edges,
+       round(n_reciprocated * 1.0 / n_edges, 6) AS reciprocity
+FROM m
+""",
+    doc="reciprocity of the directed nation trade graph: the share of "
+    "supplier->customer nation edges whose reverse edge also exists "
+    "(the dyad census' mutual/asymmetric split) — the first "
+    "structural question about any directed graph (trade "
+    "partnerships vs one-way flows), complementing the undirected "
+    "triangle/assortativity family.  The fact join collapses to "
+    "<=600 distinct nation pairs BEFORE any graph work "
+    "(graph_triangle_count_trade's reduction); reciprocation is a "
+    "self-semi-join on the reversed key over that bounded edge "
+    "table",
+)
+def graph_reciprocity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = edges.join(rev, ["u", "v"], "left_semi")
+    n_edges = edges.count()
+    n_recip = recip.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_edges,
+                n_recip,
+                n_recip // 2,
+                n_edges - n_recip,
+                round(n_recip / n_edges, 6),
+            )
+        ],
+        "n_edges long, n_reciprocated long, n_mutual_dyads long, "
+        "n_asymmetric_edges long, reciprocity double",
+    )
+
+
+@register(
+    "text_sentence_dedup_rate",
+    oracle="""
+WITH sent AS (
+  SELECT source,
+         trim(unnest(string_split_regex(text, '[.!?]+'))) AS s
+  FROM documents
+),
+norm AS (
+  SELECT source, md5(lower(s)) AS fp
+  FROM sent WHERE length(s) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_rate
+FROM norm GROUP BY source ORDER BY source
+""",
+    doc="sentence-grain exact-dedup audit per source: documents split "
+    "on terminal punctuation, sentences casefolded and md5-"
+    "fingerprinted, duplicate share = 1 - distinct/total.  The "
+    "boilerplate detector that document-level dedup "
+    "(dedup_exact_fingerprint) is blind to — corpora dedup clean at "
+    "doc grain while repeating the same disclaimer sentence "
+    "everywhere, and sentence dup_rate is the standard pretraining-"
+    "data quality signal for that (fingerprints shuffle as 16-byte "
+    "hashes only, the exact-dedup discipline at a finer grain)",
+)
+def text_sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sent = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0"),
+    ).select("source", F.trim("s0").alias("s"))
+    norm = sent.filter(F.length("s") > 0).select(
+        "source", F.md5(F.lower("s")).alias("fp")
+    )
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.countDistinct("fp").cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("fp") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -246,3 +246,49 @@ def test_record_highs_at_most_events(spark):
     for r in _run(spark, "win_record_high_events"):
         assert 1 <= r.n_records <= r.n_events
         assert r.last_record_pos <= r.n_events
+
+
+def test_fisher_index_between_laspeyres_paasche(spark):
+    for r in _run(spark, "agg_price_index_fisher"):
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        assert lo - 1e-6 <= r.fisher <= hi + 1e-6, (
+            "geometric mean must lie between its factors"
+        )
+        assert r.n_parts > 0
+
+
+def test_kfold_rmse_well_formed(spark):
+    rows = _run(spark, "ml_kfold_rmse")
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r.rmse > 0 and r.n_eval > 0
+
+
+def test_reciprocity_bounds_and_dyads(spark):
+    (r,) = _run(spark, "graph_reciprocity_trade")
+    assert 0.0 <= r.reciprocity <= 1.0
+    assert r.n_reciprocated == 2 * r.n_mutual_dyads
+    assert r.n_reciprocated + r.n_asymmetric_edges == r.n_edges
+
+
+def test_cooks_distance_sorted_and_positive(spark):
+    rows = _run(spark, "stats_cooks_distance_top")
+    ds = [r.cooks_d for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    assert all(d >= 0 for d in ds)
+    assert all(0 < r.leverage < 1 for r in rows)
+
+
+def test_sentence_dedup_rate_bounds(spark):
+    for r in _run(spark, "text_sentence_dedup_rate"):
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.n_distinct <= r.n_sentences
+
+
+def test_sequence_gaps_consistent(spark):
+    rows = {r.check_name: r for r in _run(spark, "dq_sequence_gaps")}
+    for r in rows.values():
+        assert r.expected == r.actual + r.missing
+        assert r.missing >= 0
+    # events cover every day of their span on the fixture
+    assert rows["event_days"].missing == 0
