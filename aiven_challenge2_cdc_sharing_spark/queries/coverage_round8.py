@@ -4705,3 +4705,568 @@ def text_sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ================================================ bonus batch 2
+# (forecast eval, portmanteau test, concentration ratios, temporal
+# coalescing, conditional entropy, anisotropy bias, graph churn)
+
+
+@register(
+    "stats_ljung_box",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) / 86400 AS d,
+         sum(value) AS v
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d - (SELECT min(d) FROM daily) AS t, v FROM daily
+),
+fit AS (SELECT regr_slope(v, t) AS b, regr_intercept(v, t) AS a FROM idx),
+resid AS (
+  SELECT t, v - (f.a + f.b * t) AS e FROM idx, fit f
+),
+stats AS (SELECT count(*) AS n, avg(e) AS me FROM resid),
+den AS (
+  SELECT sum((e - s.me) * (e - s.me)) AS s0 FROM resid, stats s
+),
+acf AS (
+  SELECT k.k,
+         sum((a.e - s.me) * (b.e - s.me)) / max(d.s0) AS r
+  FROM resid a
+  JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k) k ON TRUE
+  JOIN resid b ON b.t = a.t + k.k
+  CROSS JOIN stats s CROSS JOIN den d
+  GROUP BY k.k
+)
+SELECT CAST(max(s.n) AS BIGINT) AS n_days,
+       round(max(s.n) * (max(s.n) + 2.0)
+             * sum(r * r / (s.n - k)), 4) AS q_stat,
+       CAST(5 AS BIGINT) AS df,
+       max(s.n) * (max(s.n) + 2.0) * sum(r * r / (s.n - k)) > 11.07
+         AS autocorrelated_5pct
+FROM acf CROSS JOIN stats s
+""",
+    doc="Ljung-Box portmanteau test on the detrended daily series: "
+    "Q = n(n+2) sum_{k=1..5} r_k^2/(n-k) against chi2(5) critical "
+    "11.07 — the JOINT 'is there autocorrelation at ANY early lag' "
+    "test that complements stats_durbin_watson's lag-1-only "
+    "diagnostic and the raw per-lag ACF.  Residual autocorrelations "
+    "use the classic common-denominator estimator (centered lagged "
+    "products over the lag-0 sum of squares) via the (t, t+k) "
+    "equi-join over the calendar-bounded daily aggregate — the "
+    "ts_autocorr_lags discipline with the normalization the test "
+    "statistic requires",
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("d0")).alias("t"), "v"
+    )
+    fit = idx.agg(
+        F.expr("regr_slope(v, t)").alias("b"),
+        F.expr("regr_intercept(v, t)").alias("a"),
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "t", (F.col("v") - (F.col("a") + F.col("b") * F.col("t"))).alias("e")
+    ).localCheckpoint(eager=False)
+    stats = resid.agg(F.count(F.lit(1)).alias("n"), F.avg("e").alias("me"))
+    den = resid.crossJoin(F.broadcast(stats)).agg(
+        F.sum((F.col("e") - F.col("me")) * (F.col("e") - F.col("me"))).alias(
+            "s0"
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k int")
+    a, b2 = resid.alias("a"), resid.alias("b")
+    acf = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b2, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(den))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    (F.col("a.e") - F.col("me"))
+                    * (F.col("b.e") - F.col("me"))
+                )
+                / F.max("s0")
+            ).alias("r")
+        )
+    )
+    # n is a constant column after the crossJoin — keep it OUT of the
+    # sum argument (nested aggregates are illegal) and fold it back in
+    # afterwards
+    q = F.max("n") * (F.max("n") + 2.0) * F.sum(
+        F.col("r") * F.col("r") / (F.col("n") - F.col("k"))
+    )
+    return acf.crossJoin(F.broadcast(stats)).agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(q, 4).alias("q_stat"),
+        F.lit(5).cast("long").alias("df"),
+        (q > 11.07).alias("autocorrelated_5pct"),
+    )
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) / 86400 AS d,
+         sum(value) AS v
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT c.v AS actual, n1.v AS f_naive1, n7.v AS f_snaive7
+  FROM daily c
+  JOIN daily n1 ON n1.d = c.d - 1
+  JOIN daily n7 ON n7.d = c.d - 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(abs(actual - f_naive1)), 4) AS mae_naive1,
+       round(avg(abs(actual - f_snaive7)), 4) AS mae_snaive7,
+       round(avg(abs(actual - f_snaive7))
+             / avg(abs(actual - f_naive1)), 4) AS mase,
+       avg(abs(actual - f_snaive7)) < avg(abs(actual - f_naive1))
+         AS seasonal_better
+FROM j
+""",
+    doc="MASE forecast evaluation of the seasonal-naive (lag-7) "
+    "predictor scaled by the naive (lag-1) baseline over the daily "
+    "value series — the scale-free forecast metric (Hyndman) that "
+    "makes accuracy comparable across series of different volume, "
+    "and the benchmark gate every fancier forecaster (ts_holt_"
+    "linear, ts_ewma_smooth) must beat before deployment: MASE >= 1 "
+    "means the model loses to 'same as yesterday'.  Both forecasts "
+    "are lagged equi-joins on the integer day index over the "
+    "calendar-bounded aggregate (no ordered window at all); the "
+    "evaluation restricts to days where both lags exist so the "
+    "comparison is paired",
+)
+def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d")
+    ).agg(F.sum("value").alias("v")).localCheckpoint(eager=False)
+    c, n1, n7 = daily.alias("c"), daily.alias("n1"), daily.alias("n7")
+    j = (
+        c.join(n1, F.col("n1.d") == F.col("c.d") - 1)
+        .join(n7, F.col("n7.d") == F.col("c.d") - 7)
+        .select(
+            F.col("c.v").alias("actual"),
+            F.col("n1.v").alias("f_naive1"),
+            F.col("n7.v").alias("f_snaive7"),
+        )
+    )
+    mae1 = F.avg(F.abs(F.col("actual") - F.col("f_naive1")))
+    mae7 = F.avg(F.abs(F.col("actual") - F.col("f_snaive7")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(mae1, 4).alias("mae_naive1"),
+        F.round(mae7, 4).alias("mae_snaive7"),
+        F.round(mae7 / mae1, 4).alias("mase"),
+        (mae7 < mae1).alias("seasonal_better"),
+    )
+
+
+@register(
+    "agg_cr_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+         sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS r_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT brand, r_c,
+         row_number() OVER (PARTITION BY brand
+                            ORDER BY r_c DESC, pk) AS rk,
+         sum(r_c) OVER (PARTITION BY brand) AS tot
+  FROM rev
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(CASE WHEN rk = 1 THEN r_c ELSE 0 END) * 1.0
+             / max(tot), 4) AS cr1,
+       round(sum(CASE WHEN rk <= 4 THEN r_c ELSE 0 END) * 1.0
+             / max(tot), 4) AS cr4
+FROM ranked GROUP BY brand ORDER BY brand
+""",
+    doc="CR1/CR4 concentration ratios of part revenue within each "
+    "brand — the market-structure statistic regulators and category "
+    "managers quote alongside agg_hhi_by_nation's Herfindahl (CR-k "
+    "reads as 'share of the top k'; HHI weights the whole "
+    "distribution), here over integer-cents revenue with a "
+    "(revenue desc, partkey) total tiebreak.  The rank window "
+    "partitions by brand over the per-part AGGREGATE (bounded by "
+    "part count per brand), never the fact rows; 25 output rows",
+)
+def agg_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("r_c")
+        )
+    )
+    wr = Window.partitionBy("brand").orderBy(F.desc("r_c"), "pk")
+    wt = Window.partitionBy("brand")
+    ranked = rev.select(
+        "brand",
+        "r_c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("r_c").over(wt).alias("tot"),
+    )
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.when(F.col("rk") == 1, F.col("r_c")).otherwise(0))
+                * 1.0
+                / F.max("tot"),
+                4,
+            ).alias("cr1"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 4, F.col("r_c")).otherwise(0))
+                * 1.0
+                / F.max("tot"),
+                4,
+            ).alias("cr4"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "join_temporal_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS e
+  FROM orders
+),
+marked AS (
+  SELECT ck, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY ck ORDER BY s, ok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s
+              THEN 0 ELSE 1 END AS new_period
+  FROM iv
+),
+pid AS (
+  SELECT ck, s, e,
+         sum(new_period) OVER (PARTITION BY ck ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM (SELECT ck, s, e, new_period,
+               row_number() OVER (PARTITION BY ck ORDER BY s) AS ok
+        FROM marked)
+),
+periods AS (
+  SELECT ck, p, min(s) AS ps, max(e) AS pe FROM pid GROUP BY 1, 2
+),
+per_cust AS (
+  SELECT ck, count(*) AS n_periods,
+         sum(date_diff('day', ps, pe)) AS covered_days
+  FROM periods GROUP BY ck
+)
+SELECT least(n_periods, 8) AS n_periods_band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(covered_days), 2) AS avg_covered_days
+FROM per_cust GROUP BY 1 ORDER BY 1
+""",
+    doc="temporal interval coalescing — the classic temporal-DB "
+    "NORMALIZE operation: each order opens a 30-day activity "
+    "interval, per-customer overlapping/touching intervals merge "
+    "into maximal periods via gaps-and-islands ON INTERVALS (a new "
+    "period starts iff the start exceeds the running max END of all "
+    "strictly-prior intervals — the exclusive-frame prefix max with "
+    "the (start, orderkey) tie pin), then the periods-per-customer "
+    "histogram with covered-day averages.  The coverage/downtime "
+    "primitive behind SLA reporting and subscription-overlap "
+    "cleanup; all windows partition by customer",
+)
+def join_temporal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("ck")
+        .orderBy("s", "ok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "ck",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_period"),
+        "ok",
+    )
+    w_cum = (
+        Window.partitionBy("ck")
+        .orderBy("s", "ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pid = marked.select(
+        "ck", "s", "e", F.sum("new_period").over(w_cum).alias("p")
+    )
+    periods = pid.groupBy("ck", "p").agg(
+        F.min("s").alias("ps"), F.max("e").alias("pe")
+    )
+    per_cust = periods.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(F.datediff("pe", "ps")).alias("covered_days"),
+    )
+    return (
+        per_cust.groupBy(
+            F.least(F.col("n_periods"), F.lit(8)).alias("n_periods_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("covered_days"), 2).alias("avg_covered_days"),
+        )
+        .orderBy("n_periods_band")
+    )
+
+
+@register(
+    "text_bigram_cond_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, {_TOKS8} AS tk FROM documents
+),
+bg AS (
+  SELECT lang, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS c12
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i) x
+  GROUP BY 1, 2, 3
+),
+ug AS (SELECT lang, w1, sum(c12) AS c1 FROM bg GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c12) AS n FROM bg GROUP BY lang)
+SELECT b.lang,
+       CAST(max(t.n) AS BIGINT) AS n_bigrams,
+       CAST(count(DISTINCT b.w1) AS BIGINT) AS vocab_w1,
+       round(-sum(b.c12 * ln(CAST(b.c12 AS DOUBLE) / u.c1)) / max(t.n), 4)
+         AS cond_entropy_nats
+FROM bg b
+JOIN ug u ON u.lang = b.lang AND u.w1 = b.w1
+JOIN tot t ON t.lang = b.lang
+GROUP BY b.lang ORDER BY b.lang
+""",
+    doc="conditional bigram entropy H(W2|W1) per language — the "
+    "sequence-predictability measure (the quantity a bigram LM's "
+    "perplexity exponentiates, cf. text_perplexity_filter's "
+    "smoothed scorer): -sum p(w1,w2) ln p(w2|w1) computed from one "
+    "bigram-count aggregate joined to its own w1 marginal, all "
+    "vocabulary-bounded after the single corpus pass.  Low H = "
+    "formulaic/templated text, high H = diverse continuations — a "
+    "corpus-mix signal char-level entropy (text_char_entropy_per_"
+    "source) can't see because it ignores word transitions; "
+    "c12 <= c1 by construction so the ln argument is in (0, 1]",
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tk = F.split(F.lower(F.trim("text")), r"\s+")
+    bg = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(1))),
+                    F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.w2").isNotNull())
+        .groupBy("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ug = bg.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    tot = bg.groupBy("lang").agg(F.sum("c12").alias("n"))
+    return (
+        bg.join(ug, ["lang", "w1"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.countDistinct("w1").cast("long").alias("vocab_w1"),
+            F.round(
+                -F.sum(
+                    F.col("c12")
+                    * F.log(F.col("c12").cast("double") / F.col("c1"))
+                )
+                / F.max("n"),
+                4,
+            ).alias("cond_entropy_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "emb_mean_vector_bias",
+    oracle="""
+WITH dims AS (
+  SELECT label, i.i AS d, CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS x,
+         vec_id
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, 65)) AS i) i
+),
+per_vec AS (
+  SELECT label, vec_id, sqrt(sum(x * x)) AS nrm
+  FROM dims GROUP BY 1, 2
+),
+mean_vec AS (
+  SELECT label, d, avg(x) AS mx FROM dims GROUP BY 1, 2
+),
+agg AS (
+  SELECT m.label,
+         sqrt(sum(m.mx * m.mx)) AS norm_of_mean
+  FROM mean_vec m GROUP BY 1
+)
+SELECT a.label,
+       round(avg(p.nrm), 6) AS mean_norm,
+       round(max(a.norm_of_mean), 6) AS norm_of_mean,
+       round(max(a.norm_of_mean) / avg(p.nrm), 6) AS bias_ratio
+FROM per_vec p JOIN agg a ON a.label = p.label
+GROUP BY a.label ORDER BY a.label
+""",
+    doc="anisotropy / common-direction bias per label cluster: the "
+    "norm of the MEAN embedding over the mean of the norms.  "
+    "Isotropic clouds score ~1/sqrt(n) (the mean cancels); "
+    "contextual-embedding pathologies score near 1 (all vectors "
+    "share a dominant direction), which silently inflates every "
+    "cosine similarity — the diagnostic that says whether "
+    "emb_whitening_2d / mean-centering is NEEDED before cosine "
+    "retrieval.  One unpivoted pass feeds both the per-vector norms "
+    "and the per-dimension means; everything downstream is "
+    "label-domain-bounded",
+)
+def emb_mean_vector_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    per_vec = emb.select(
+        "label", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    dims = emb.select(
+        "label", F.posexplode("e").alias("d", "x")
+    )
+    mean_vec = dims.groupBy("label", "d").agg(F.avg("x").alias("mx"))
+    agg = mean_vec.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("norm_of_mean")
+    )
+    return (
+        per_vec.join(F.broadcast(agg), "label")
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.max("norm_of_mean"), 6).alias("norm_of_mean"),
+            F.round(F.max("norm_of_mean") / F.avg("nrm"), 6).alias(
+                "bias_ratio"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "graph_edge_churn_periods",
+    oracle="""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT
+         CASE WHEN year(o.o_orderdate) <= 1997 THEN 0 ELSE 1 END AS era,
+         s.s_nationkey AS u, c.c_nationkey AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+early AS (SELECT u, v FROM edges WHERE era = 0),
+late AS (SELECT u, v FROM edges WHERE era = 1),
+kept AS (
+  SELECT count(*) AS n FROM early e JOIN late l USING (u, v)
+)
+SELECT CAST((SELECT count(*) FROM early) AS BIGINT) AS n_edges_early,
+       CAST((SELECT count(*) FROM late) AS BIGINT) AS n_edges_late,
+       CAST(k.n AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM early) - k.n AS BIGINT) AS n_removed,
+       CAST((SELECT count(*) FROM late) - k.n AS BIGINT) AS n_added,
+       round(k.n * 1.0 / ((SELECT count(*) FROM early)
+             + (SELECT count(*) FROM late) - k.n), 4) AS jaccard_overlap
+FROM kept k
+""",
+    doc="trade-graph edge churn between the 1995-1997 and 1998-2001 "
+    "eras: kept/added/removed nation-pair edges and their Jaccard "
+    "overlap — the graph-drift telemetry that tells an ops team "
+    "whether relationship structure is stable before trusting any "
+    "centrality/community result computed on last quarter's graph "
+    "(the graph-family sibling of ml_psi_score_drift's tabular "
+    "drift).  The fact join collapses to distinct (era, u, v) "
+    "FIRST; the era graphs and their intersection are all "
+    "<=600-row bounded tables",
+)
+def graph_edge_churn_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.when(F.year("o_orderdate") <= 1997, 0).otherwise(1).alias(
+                "era"
+            ),
+            F.col("s_nationkey").alias("u"),
+            F.col("c_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    early = edges.filter(F.col("era") == 0).select("u", "v")
+    late = edges.filter(F.col("era") == 1).select("u", "v")
+    n_early = early.count()
+    n_late = late.count()
+    n_kept = early.join(late, ["u", "v"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_early,
+                n_late,
+                n_kept,
+                n_early - n_kept,
+                n_late - n_kept,
+                round(n_kept / (n_early + n_late - n_kept), 4),
+            )
+        ],
+        "n_edges_early long, n_edges_late long, n_kept long, "
+        "n_removed long, n_added long, jaccard_overlap double",
+    )

@@ -292,3 +292,59 @@ def test_sequence_gaps_consistent(spark):
         assert r.missing >= 0
     # events cover every day of their span on the fixture
     assert rows["event_days"].missing == 0
+
+
+def test_mase_consistent_with_maes(spark):
+    (r,) = _run(spark, "ts_seasonal_naive_mase")
+    assert r.mase == pytest.approx(r.mae_snaive7 / r.mae_naive1, rel=1e-3)
+    assert r.seasonal_better == (r.mae_snaive7 < r.mae_naive1)
+
+
+def test_cr_concentration_ordered(spark):
+    for r in _run(spark, "agg_cr_concentration"):
+        assert 0.0 < r.cr1 <= r.cr4 <= 1.0 + 1e-9
+        assert r.cr4 <= 4.0 * r.cr1 + 1e-9, "top-4 <= 4x the top-1 share"
+
+
+def test_temporal_coalesce_conserves_customers(spark):
+    import duckdb
+
+    rows = _run(spark, "join_temporal_coalesce")
+    n_cust = sum(r.n_customers for r in rows)
+    con = duckdb.connect()
+    truth = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF01}/orders.parquet'"
+    ).fetchone()[0]
+    assert n_cust == truth, "every ordering customer lands in one band"
+    for r in rows:
+        # a customer's coalesced coverage is at least one 30-day window
+        # per period
+        assert r.avg_covered_days >= 30 * r.n_periods_band - 1e-9
+
+
+def test_bigram_cond_entropy_bounds(spark):
+    rows = _run(spark, "text_bigram_cond_entropy")
+    assert rows
+    for r in rows:
+        # 0 <= H(W2|W1) <= ln(vocab)
+        assert 0.0 <= r.cond_entropy_nats <= math.log(max(r.vocab_w1, 2)) + 5
+
+
+def test_mean_vector_bias_bounds(spark):
+    for r in _run(spark, "emb_mean_vector_bias"):
+        # Jensen: ||mean|| <= mean ||x||, so the ratio is in [0, 1]
+        assert 0.0 <= r.bias_ratio <= 1.0 + 1e-9
+
+
+def test_edge_churn_set_algebra(spark):
+    (r,) = _run(spark, "graph_edge_churn_periods")
+    assert r.n_kept + r.n_removed == r.n_edges_early
+    assert r.n_kept + r.n_added == r.n_edges_late
+    union = r.n_edges_early + r.n_edges_late - r.n_kept
+    assert r.jaccard_overlap == pytest.approx(r.n_kept / union, abs=1e-3)
+
+
+def test_ljung_box_nonnegative(spark):
+    (r,) = _run(spark, "stats_ljung_box")
+    assert r.q_stat >= 0
+    assert r.df == 5

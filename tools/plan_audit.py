@@ -485,6 +485,11 @@ ALLOWED_EXCHANGES = {
     # <=31-row series x3 sizes and every window/rollup/regression
     # exchange moves that calendar-bounded table.
     "ts_hurst_rs": 8,
+    # stats_ljung_box: one N-sized daily aggregate (checkpointed
+    # residuals); the fit, mean, denominator, 5-lag self-join and Q
+    # fold each add a 2-phase aggregate/broadcast combine over the
+    # <=31-row calendar-bounded series.
+    "stats_ljung_box": 12,
 }
 
 
