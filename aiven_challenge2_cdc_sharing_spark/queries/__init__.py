@@ -56,6 +56,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round6,
         coverage_round7,
         coverage_round8,
+        coverage_round9,
         dashboards,
         extras2,
         ingest,

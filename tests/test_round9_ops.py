@@ -1,0 +1,172 @@
+"""Invariant pins for the round-9 query batches (built in round 7).
+
+Each family gets a structural invariant the oracle hash can't express
+on its own: non-degeneracy guards (drawdown strictly positive on the
+centered path — the lesson-17 class of silent degeneracy both engines
+would agree on), conservation (sign-test pos+neg == pairs, HL pair
+mass == |R| x |N|), bounds (|ccf| <= 1, CI brackets the point
+estimate), and ordering contracts (top-k scores non-increasing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.01 testdata absent"
+)
+
+
+def _run(spark, name):
+    return load_registry()[name].fn(spark, SF01).collect()
+
+
+def test_drawdown_non_degenerate_and_bounded(spark):
+    rows = _run(spark, "ts_max_drawdown_runup")
+    assert rows
+    for r in rows:
+        # the centered path must produce a REAL drawdown everywhere —
+        # the raw cumulative of the all-positive value column would
+        # give 0.0 and both engines would agree on the degenerate
+        # answer (the invariant the oracle can't check)
+        assert r.max_drawdown > 0, r
+        assert r.max_runup > 0, r
+        assert 0 <= r.underwater_days <= r.n_days
+        assert 0.0 <= r.underwater_share <= 1.0
+
+
+def test_ccf_bounded_and_peak_pairs_at_lag0(spark):
+    rows = {r.lag: r for r in _run(spark, "ts_cross_correlation_lead_lag")}
+    assert set(rows) == set(range(-7, 8))
+    n0 = rows[0].n_pairs
+    for lag, r in rows.items():
+        assert abs(r.ccf) <= 1.0
+        assert r.n_pairs <= n0, "overlap can only shrink with |lag|"
+        assert r.n_pairs >= 2
+
+
+def test_anderson_darling_positive(spark):
+    (r,) = _run(spark, "stats_anderson_darling_2s")
+    assert r.n1 > 0 and r.n2 > 0
+    assert r.n_support > 1
+    assert r.a2_stat >= 0.0
+
+
+def test_odds_ratio_ci_brackets_estimate(spark):
+    rows = _run(spark, "stats_odds_ratio_ci")
+    assert rows
+    for r in rows:
+        assert min(r.a, r.b, r.c, r.d) > 0
+        assert r.ci_lo <= r.odds_ratio <= r.ci_hi
+        assert (r.ci_lo > 1.0 or r.ci_hi < 1.0) == r.significant_5pct
+
+
+def test_sign_test_conserves_pairs(spark):
+    (r,) = _run(spark, "stats_sign_test_lag7")
+    assert r.n_pos + r.n_neg == r.n_pairs
+    assert r.n_pairs > 0
+    assert (abs(r.z_stat) > 1.96) == r.significant_5pct
+
+
+def test_hodges_lehmann_pair_mass_and_range(spark):
+    (r,) = _run(spark, "stats_hodges_lehmann_shift")
+    li = load_table(spark, SF01, "lineitem")
+    n_r = li.filter(F.col("l_returnflag") == "R").count()
+    n_n = li.filter(F.col("l_returnflag") == "N").count()
+    assert r.n_pairs == n_r * n_n, "histogram cross join must conserve mass"
+    assert -49.0 <= r.hl_shift <= 49.0
+    assert -49.0 <= r.mean_shift <= 49.0
+
+
+def test_adamic_adar_sorted_positive(spark):
+    rows = _run(spark, "graph_adamic_adar")
+    assert rows, "sparsified graph must leave predictable non-edges"
+    prev = float("inf")
+    for r in rows:
+        assert r.n_common >= 1
+        assert r.aa_score > 0
+        assert r.aa_score <= prev + 1e-9
+        prev = r.aa_score
+        assert r.u < r.v
+
+
+def test_kmv_estimates_track_exact(spark):
+    rows = _run(spark, "sketch_kmv_set_ops")
+    assert len(rows) == 10, "5 event types -> 10 unordered pairs"
+    for r in rows:
+        assert r.exact_inter <= r.exact_union
+        assert r.est_union > 0
+        # KMV with k = D/4 has ~1/sqrt(k) relative error; 3x is a
+        # generous structural bound that still catches a broken hash
+        assert 0.3 * r.exact_union <= r.est_union <= 3.0 * r.exact_union
+        assert r.est_inter <= r.est_union + 1e-9
+
+
+def test_ams_f2_estimator_sane(spark):
+    rows = _run(spark, "sketch_ams_f2")
+    assert rows
+    for r in rows:
+        assert r.f2_exact > 0
+        assert r.f2_est >= 0
+        assert r.rel_err >= 0
+
+
+def test_linear_counting_near_exact_at_low_load(spark):
+    rows = _run(spark, "sketch_linear_counting")
+    assert rows
+    for r in rows:
+        assert r.filled <= r.exact_distinct
+        assert r.est_distinct >= r.filled - 1e-6
+        # m >= 4n by construction -> load factor <= 0.25 -> LC is
+        # near-exact; 10% is far above the expected error
+        assert r.rel_err < 0.10
+        assert r.m_buckets >= 4 * r.exact_distinct - 3
+
+
+def test_schema_evolution_conserves_customers(spark):
+    rows = {r.tier: r for r in _run(spark, "cdc_schema_evolution_merge")}
+    cu = load_table(spark, SF01, "customer")
+    total = cu.count()
+    n_updated = cu.filter(F.col("c_custkey") % 3 == 0).count()
+    assert sum(r.n_customers for r in rows.values()) == total
+    assert rows["v1-legacy"].n_customers == total - n_updated
+    assert set(rows) <= {"v1-legacy", "gold", "silver", "bronze"}
+
+
+def test_dlq_replay_completeness(spark):
+    rows = _run(spark, "cdc_dlq_replay")
+    cu = load_table(spark, SF01, "customer")
+    assert sum(r.n_customers for r in rows) == cu.count()
+    for r in rows:
+        # every quarantined row must come back exactly once, clamped
+        assert r.n_quarantined_replayed == r.n_clamped_zero
+        assert r.sum_final_bal >= 0
+
+
+def test_association_rules_measure_bounds(spark):
+    rows = _run(spark, "basket_association_rules")
+    assert rows
+    for r in rows:
+        assert 0 < r.confidence <= 1.0
+        assert r.lift > 0
+        if r.confidence == 1.0:
+            assert r.conviction is None
+        else:
+            assert r.conviction is not None and r.conviction > 0
+        assert r.n_both >= 2
+
+
+def test_turning_points_bounds(spark):
+    (r,) = _run(spark, "ts_turning_points_test")
+    assert 0 <= r.n_turning_points <= r.n_days - 2
+    assert abs(r.expected_tp - 2.0 * (r.n_days - 2) / 3.0) < 0.01
+    assert (abs(r.z_stat) > 1.96) == r.significant_5pct

@@ -490,6 +490,24 @@ ALLOWED_EXCHANGES = {
     # fold each add a 2-phase aggregate/broadcast combine over the
     # <=31-row calendar-bounded series.
     "stats_ljung_box": 12,
+    # --- round-9 batch (built in round 7) ---
+    # basket_association_rules: the distinct (order, part) item table
+    # is checkpointed and scanned once; the extra exchanges over the
+    # copurchase sibling are the freq aggregate joined TWICE (the
+    # antecedent and consequent sides of the directed rules — the
+    # asymmetry is the query's point), the distinct-orders broadcast,
+    # and the top-20 TakeOrdered.  Every exchange carries (partkey,
+    # count) longs; lineitem rows move exactly once.
+    "basket_association_rules": 11,
+    # sketch_kmv_set_ops: the per-type sketch build (distinct + top-k
+    # window) is the only N-sized leg and is checkpointed; the pair
+    # merge, union-k window and estimate fold all move k-bounded
+    # (type, hash) longs.  The count doubles because the query ALSO
+    # computes the exact union/intersection per pair — the
+    # verification baseline the sketch is scored against, which a
+    # production pipeline would drop (it defeats the sketch's
+    # purpose); the sketch path alone is ~8 exchanges.
+    "sketch_kmv_set_ops": 21,
 }
 
 
