@@ -1470,3 +1470,896 @@ def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_5pct"),
     )
+
+
+# ------------------------------------------------ ML calibration / eval
+
+
+@register(
+    "ml_isotonic_calibration_pav",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)
+           AS score
+  FROM embeddings
+),
+bins AS (
+  SELECT CAST(least(floor(score * 20), 19) AS BIGINT) AS b,
+         count(*) AS n, sum(y) AS pos
+  FROM scored GROUP BY 1
+),
+iv AS (
+  SELECT i.b AS i, j.b AS j,
+         sum(m.pos) AS p, sum(m.n) AS nn
+  FROM bins i
+  JOIN bins j ON j.b >= i.b
+  JOIN bins m ON m.b BETWEEN i.b AND j.b
+  GROUP BY 1, 2
+),
+inner_min AS (
+  SELECT k.b AS k, v.i,
+         min(v.p * 1.0 / v.nn) AS mn
+  FROM bins k
+  JOIN iv v ON v.i <= k.b AND v.j >= k.b
+  GROUP BY 1, 2
+)
+SELECT b.b AS bin,
+       CAST(b.n AS BIGINT) AS n,
+       round(b.pos * 1.0 / b.n, 6) AS raw_rate,
+       round(max(im.mn), 6) AS iso_rate
+FROM bins b JOIN inner_min im ON im.k = b.b
+GROUP BY b.b, b.n, b.pos
+ORDER BY bin
+""",
+    doc="isotonic (PAV) calibration of the sigmoid scorer over 20 "
+    "score bins via the MINIMAX identity: the pool-adjacent-"
+    "violators solution at bin k equals max over i<=k of min over "
+    "j>=k of the interval positive rate mean(y_i..y_j) — which "
+    "turns the inherently SEQUENTIAL PAV pooling loop into three "
+    "O(B^3) joins over the bin aggregate (B=20 -> 8000 interval "
+    "rows), fully parallel and oracle-replayable, vs "
+    "ml_eval_calibration_bins which only REPORTS the raw "
+    "reliability table.  Interval rates are single divisions of "
+    "exact integer sums — identical doubles, so the max/min "
+    "lattice agrees bit-for-bit across engines.  The N-sized pass "
+    "is one groupBy to the 20-bin histogram; everything after is "
+    "bin-bounded.  Same deterministic score/label derivation as "
+    "ml_eval_auc_prf (embeddings fixture)",
+)
+def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)),
+        6,
+    )
+    bins = (
+        emb.select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            score.alias("score"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("score") * 20), F.lit(19))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=False)
+    )
+    i = bins.select(F.col("b").alias("i"))
+    j = bins.select(F.col("b").alias("j"))
+    m = bins.select(F.col("b").alias("mb"), "n", "pos")
+    iv = (
+        i.crossJoin(F.broadcast(j))
+        .filter(F.col("j") >= F.col("i"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("i")) & (F.col("mb") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("pos").alias("p"), F.sum("n").alias("nn"))
+    )
+    k = bins.select(F.col("b").alias("k"))
+    inner_min = (
+        k.join(
+            F.broadcast(iv),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min(F.col("p") * 1.0 / F.col("nn")).alias("mn"))
+    )
+    return (
+        bins.join(F.broadcast(inner_min), F.col("b") == F.col("k"))
+        .groupBy("b", "n", "pos")
+        .agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+        .select(
+            F.col("b").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ml_eval_mcc_youden",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CASE WHEN 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4))
+                   >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM embeddings
+),
+c AS (
+  SELECT sum(y * pred) AS tp,
+         sum((1 - y) * pred) AS fp,
+         sum(y * (1 - pred)) AS fn,
+         sum((1 - y) * (1 - pred)) AS tn
+  FROM scored
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 4) + 0.0 AS mcc,
+       round(tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0, 4) + 0.0
+         AS youden_j,
+       round((tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)) / 2.0, 4)
+         AS balanced_acc,
+       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4) AS accuracy
+FROM c
+""",
+    doc="Matthews correlation, Youden's J and balanced accuracy for "
+    "the 0.5-thresholded sigmoid scorer — the prevalence-robust "
+    "evaluation panel: with the positive class at ~10% (label 0 of "
+    "10), raw accuracy is dominated by the majority class while "
+    "MCC/J expose the true (lack of) signal; complements "
+    "ml_confusion_logreg (the raw matrix) and ml_threshold_sweep_f1 "
+    "(P/R/F1 across thresholds) with the chance-corrected single "
+    "numbers.  All four confusion cells are provably nonzero on "
+    "the smallest fixture (verified: 25/220/31/224 at sf0.001), so "
+    "the ANSI divisions and the sqrt-product denominator (computed "
+    "in doubles to dodge the int64 overflow at large n) are total.  "
+    "One aggregate over the scan; everything else is scalar "
+    "arithmetic on a 1-row table",
+)
+def ml_eval_mcc_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    y = F.when(F.col("label") == 0, 1).otherwise(0)
+    pred = F.when(
+        1.0 / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4))
+        >= 0.5,
+        1,
+    ).otherwise(0)
+    c = emb.select(y.alias("y"), pred.alias("pred")).agg(
+        F.sum(F.col("y") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("pred"))).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    sens = tp * 1.0 / (tp + fn)
+    spec = tn * 1.0 / (tn + fp)
+    return c.select(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        (
+            F.round(
+                (tp.cast("double") * tn - fp.cast("double") * fn)
+                / F.sqrt(
+                    (tp + fp).cast("double")
+                    * (tp + fn)
+                    * (tn + fp)
+                    * (tn + fn)
+                ),
+                4,
+            )
+            + 0.0  # kill IEEE -0.0 (DuckDB rounds tiny negatives to -0.0)
+        ).alias("mcc"),
+        (F.round(sens + spec - 1.0, 4) + 0.0).alias("youden_j"),
+        F.round((sens + spec) / 2.0, 4).alias("balanced_acc"),
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4).alias("accuracy"),
+    )
+
+
+@register(
+    "ml_next_event_bigram_acc",
+    oracle="""
+WITH cut AS (
+  SELECT CAST(floor(quantile_cont(floor(epoch(ts)), 0.7)) AS BIGINT) AS c
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER w AS nxt,
+         CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS nxt_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+train AS (
+  SELECT prev, nxt, count(*) AS cnt FROM pairs
+  WHERE nxt IS NOT NULL AND nxt_s <= (SELECT c FROM cut)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT t.prev, min(t.nxt) AS predicted_next, max(t.cnt) AS best_cnt
+  FROM train t
+  JOIN (SELECT prev, max(cnt) AS mx FROM train GROUP BY prev) m
+    ON m.prev = t.prev AND t.cnt = m.mx
+  GROUP BY t.prev
+),
+sup AS (SELECT prev, sum(cnt) AS train_support FROM train GROUP BY 1),
+ev AS (
+  SELECT p.prev, b.predicted_next,
+         CASE WHEN p.nxt = b.predicted_next THEN 1 ELSE 0 END AS hit
+  FROM pairs p JOIN best b ON b.prev = p.prev
+  WHERE p.nxt IS NOT NULL AND p.nxt_s > (SELECT c FROM cut)
+)
+SELECT e.prev AS prev_event_type, max(e.predicted_next) AS predicted_next,
+       CAST(max(s.train_support) AS BIGINT) AS train_support,
+       CAST(count(*) AS BIGINT) AS eval_n,
+       round(avg(hit), 4) AS accuracy
+FROM ev e JOIN sup s ON s.prev = e.prev
+GROUP BY e.prev ORDER BY e.prev
+""",
+    doc="next-event prediction with a bigram majority model: learn "
+    "argmax P(next | prev) on the first 70%% of time (cutoff = "
+    "DERIVED 0.7 quantile of event seconds), score accuracy on the "
+    "strictly-later pairs — the train/eval temporal split "
+    "discipline of ml_split_train_eval applied to the sequence "
+    "model family (dash_event_transitions reports the transition "
+    "matrix; this one closes the loop into a scored predictor, the "
+    "baseline every sequential recommender must beat).  Majority "
+    "pick uses exact integer (count desc, type asc) argmax via a "
+    "max-join, no window; consecutive pairs come from a lead() "
+    "window partitioned per user (ordered by (ts, event_id) — the "
+    "pinned total order); a pair belongs to eval iff its LABEL "
+    "event falls after the cutoff, so no future leaks into "
+    "training.  Floor(epoch()) per the timestamp discipline",
+)
+def ml_next_event_bigram_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.floor(
+            F.expr("percentile(floor(unix_timestamp(ts)), 0.7)")
+        ).cast("long").alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("nxt"),
+            F.floor(F.unix_timestamp(F.lead("ts").over(w)))
+            .cast("long")
+            .alias("nxt_s"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(cut))
+        .localCheckpoint(eager=False)
+    )
+    train = (
+        pairs.filter(F.col("nxt_s") <= F.col("c"))
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mx = train.groupBy("prev").agg(F.max("cnt").alias("mx"))
+    best = (
+        train.join(mx, "prev")
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("prev")
+        .agg(F.min("nxt").alias("predicted_next"))
+    )
+    sup = train.groupBy("prev").agg(F.sum("cnt").alias("train_support"))
+    evl = (
+        pairs.filter(F.col("nxt_s") > F.col("c"))
+        .join(F.broadcast(best), "prev")
+        .select(
+            "prev",
+            "predicted_next",
+            F.when(F.col("nxt") == F.col("predicted_next"), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return (
+        evl.groupBy("prev")
+        .agg(
+            F.max("predicted_next").alias("predicted_next"),
+            F.count(F.lit(1)).cast("long").alias("eval_n"),
+            F.round(F.avg("hit"), 4).alias("accuracy"),
+        )
+        .join(F.broadcast(sup), "prev")
+        .select(
+            F.col("prev").alias("prev_event_type"),
+            "predicted_next",
+            F.col("train_support").cast("long").alias("train_support"),
+            "eval_n",
+            "accuracy",
+        )
+        .orderBy("prev_event_type")
+    )
+
+
+# ------------------------------------------------ embedding diagnostics
+
+_LSH_PP_SQL = """
+pp AS (
+  SELECT least(16, greatest(4, CAST(ceil(log2(count(*) / 128.0)) AS INT)))
+           AS bits,
+         greatest(64, (8 * count(*)) // (1 << least(16, greatest(4,
+           CAST(ceil(log2(count(*) / 128.0)) AS INT))))) AS cap
+  FROM embeddings
+),
+raw AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en,
+         CAST(list_sum(list_transform(range(0, p.bits),
+           i -> CASE WHEN e[CAST(i + 1 AS INT)] > 0
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)
+           AS bucket
+  FROM raw CROSS JOIN pp p
+),
+capped AS (
+  SELECT vec_id, label, en, bucket FROM b
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= (SELECT cap FROM pp)
+),
+probes AS (
+  SELECT vec_id, label, en,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, p.bits),
+             i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS pbucket
+  FROM b CROSS JOIN pp p
+)
+"""
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str):
+    """Shared probe->capped-candidate join (the emb_hubness_indegree
+    discipline: derived bit count, Hamming-1 multi-probe, hot buckets
+    capped at 8x expected size; cites reference BASELINE.json scope —
+    the reference has no vector ops at all).  Returns (vec_id, label,
+    en, nb, nlabel, sim) with sim rounded 6dp."""
+    import math
+
+    from ..operators.dedup import cap_hot_buckets
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = min(16, max(4, math.ceil(math.log2(max(n, 1) / 128.0))))
+    cap = max(64, (8 * n) >> bits)
+    raw = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = raw.select(
+        "vec_id",
+        "label",
+        "e",
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
+        sum(
+            F.when(F.element_at(F.col("e"), i + 1) > 0, 1 << i).otherwise(0)
+            for i in range(bits)
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).select(
+        "vec_id",
+        "label",
+        "bucket",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
+    )
+    probes = b.select(
+        "vec_id",
+        "label",
+        "en",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    v = cap_hot_buckets(b, ["bucket"], cap).select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nlabel"),
+        F.col("en").alias("ven"),
+        "bucket",
+    )
+    return (
+        probes.join(v, "bucket")
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label",
+            "nb",
+            "nlabel",
+            F.round(_dot(F.col("en"), F.col("ven")), 6).alias("sim"),
+        )
+    )
+
+
+@register(
+    "emb_two_nn_intrinsic_dim",
+    oracle=f"""
+WITH {_LSH_PP_SQL},
+top2 AS (
+  SELECT p.vec_id, p.label,
+         round(list_dot_product(p.en, v.en), 6) AS sim,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY round(list_dot_product(p.en, v.en), 6) DESC, v.vec_id)
+           AS rn
+  FROM probes p JOIN capped v ON v.bucket = p.pbucket
+  WHERE v.vec_id != p.vec_id
+  QUALIFY rn <= 2
+),
+nn AS (
+  SELECT vec_id, label,
+         max(CASE WHEN rn = 1 THEN sim END) AS s1,
+         max(CASE WHEN rn = 2 THEN sim END) AS s2
+  FROM top2 GROUP BY 1, 2
+),
+mu AS (
+  SELECT label,
+         0.5 * (ln(2.0 - 2.0 * s2) - ln(2.0 - 2.0 * s1)) AS lnmu
+  FROM nn WHERE s2 IS NOT NULL AND s1 < 1.0
+),
+agg AS (
+  SELECT label, count(*) AS n_used, sum(lnmu) AS slm
+  FROM mu GROUP BY 1
+)
+SELECT label, CAST(n_used AS BIGINT) AS n_used,
+       round(n_used / slm, 4) AS id_hat
+FROM agg WHERE slm > 1e-9 ORDER BY label
+""",
+    doc="Two-NN intrinsic-dimension estimate (Facco et al.) per label: "
+    "for each vector the ratio mu = d2/d1 of its two nearest "
+    "neighbors is Pareto(id)-distributed, so id_hat = n / sum "
+    "ln(mu) — the one-number diagnostic that tells you whether 64 "
+    "ambient dimensions hide a low-dimensional manifold (drives "
+    "PQ/IVF codebook sizing and whether ANN recall targets are "
+    "achievable).  Neighbors come from the standard capped "
+    "multi-probe LSH candidate join (derived bits, 8x hot-bucket "
+    "cap — emb_hubness_indegree's plan, oracle-replayed via "
+    "QUALIFY); distances on unit vectors via d^2 = 2-2*sim with "
+    "sims rounded 6dp, so ln() arguments agree bit-for-bit.  "
+    "Exact-duplicate anchors (s1 = 1) are excluded — their d1 = 0 "
+    "breaks the ratio (and ANSI division) by definition of the "
+    "estimator.  Interpreted-HOF dot is the measured per-pair "
+    "floor for oracle-replayable cosine; the BLAS cogroup is the "
+    "cluster path (SCALING.md)",
+)
+def emb_two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidates(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("s2"),
+        )
+    )
+    mu = nn.filter(
+        F.col("s2").isNotNull() & (F.col("s1") < 1.0)
+    ).select(
+        "label",
+        (
+            0.5
+            * (F.log(2.0 - 2.0 * F.col("s2")) - F.log(2.0 - 2.0 * F.col("s1")))
+        ).alias("lnmu"),
+    )
+    return (
+        mu.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_used"), F.sum("lnmu").alias("slm"))
+        .filter(F.col("slm") > 1e-9)
+        .select(
+            "label",
+            F.col("n_used").cast("long").alias("n_used"),
+            F.round(F.col("n_used") / F.col("slm"), 4).alias("id_hat"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "emb_triplet_margin_stats",
+    oracle=f"""
+WITH {_LSH_PP_SQL},
+cand AS (
+  SELECT p.vec_id, p.label, v.label AS nlabel,
+         round(list_dot_product(p.en, v.en), 6) AS sim
+  FROM probes p JOIN capped v ON v.bucket = p.pbucket
+  WHERE v.vec_id != p.vec_id
+),
+sides AS (
+  SELECT vec_id, label,
+         max(CASE WHEN nlabel = label THEN sim END) AS sp,
+         max(CASE WHEN nlabel != label THEN sim END) AS sn
+  FROM cand GROUP BY 1, 2
+),
+tri AS (
+  SELECT label, round(sp - sn, 6) AS margin
+  FROM sides WHERE sp IS NOT NULL AND sn IS NOT NULL
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_triplets,
+       round(avg(CASE WHEN margin < 0 THEN 1.0 ELSE 0.0 END), 4)
+         AS violation_rate,
+       round(avg(margin), 4) + 0.0 AS avg_margin
+FROM tri GROUP BY label ORDER BY label
+""",
+    doc="triplet-margin diagnostic per label: for each anchor, the "
+    "hardest positive (most-similar same-label candidate) and "
+    "hardest negative (most-similar other-label candidate) from "
+    "the capped multi-probe LSH join form the triplet a metric-"
+    "learning loss would see; margin = sim(a,p) - sim(a,n), "
+    "violation = the negative is CLOSER than the positive — the "
+    "fraction a contrastive fine-tune would need to fix, and the "
+    "per-label complement to ml_hard_negative_mining's instance "
+    "listing and emb_inter_intra_separability's centroid-level "
+    "ratio (margins are per-anchor extremes, not means — hubness "
+    "and boundary overlap show up here first).  Both sides come "
+    "from ONE conditional-max groupBy over the candidate join — "
+    "no window at all; sims rounded 6dp before the subtraction "
+    "and +0.0 on the rounded mean (the +-0 discipline, the "
+    "isotropic fixture's margins are near-zero by construction)",
+)
+def emb_triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidates(spark, sf_dir)
+    sides = cand.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("nlabel") == F.col("label"), F.col("sim"))
+        ).alias("sp"),
+        F.max(
+            F.when(F.col("nlabel") != F.col("label"), F.col("sim"))
+        ).alias("sn"),
+    )
+    tri = sides.filter(
+        F.col("sp").isNotNull() & F.col("sn").isNotNull()
+    ).select("label", F.round(F.col("sp") - F.col("sn"), 6).alias("margin"))
+    return (
+        tri.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triplets"),
+            F.round(
+                F.avg(F.when(F.col("margin") < 0, 1.0).otherwise(0.0)), 4
+            ).alias("violation_rate"),
+            (F.round(F.avg("margin"), 4) + 0.0).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------------ retrieval evaluation
+
+_TOKS9 = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "search_mrr_map_eval",
+    oracle=f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS9}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS MATERIALIZED (
+  SELECT tok, count(*) AS df FROM tf WHERE length(tok) >= 4 GROUP BY 1
+),
+top6 AS (
+  SELECT * FROM (
+    SELECT d.tok, d.df,
+           (SELECT count(*) FROM df o
+            WHERE o.df > d.df OR (o.df = d.df AND o.tok < d.tok)) + 1 AS rn
+    FROM df d
+  ) WHERE rn <= 6
+),
+qd AS (SELECT (rn - 1) // 2 AS qid, tok, df FROM top6),
+m AS MATERIALIZED (
+  SELECT q.qid, t.doc_id,
+         count(*) AS n_terms, sum(t.tf) AS tfs,
+         round(sum(t.tf * ln(CAST(n.n_docs AS DOUBLE) / q.df)), 6) AS score
+  FROM qd q JOIN tf t ON t.tok = q.tok CROSS JOIN n
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         CASE WHEN n_terms = 2 AND tfs >= 4 THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM m
+),
+cum AS (
+  SELECT qid, rel, rnk,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rnk
+                        ROWS UNBOUNDED PRECEDING) AS crel
+  FROM ranked
+),
+per AS (
+  SELECT qid,
+         count(*) AS n_matched,
+         sum(rel) AS n_relevant,
+         1.0 / min(CASE WHEN rel = 1 THEN rnk END) AS rr,
+         sum(CASE WHEN rel = 1 AND rnk <= 10
+                  THEN crel * 1.0 / rnk ELSE 0 END)
+           / least(sum(rel), 10) AS ap10
+  FROM cum GROUP BY qid
+),
+terms AS (
+  SELECT qid, min(tok) || ' ' || max(tok) AS query_terms FROM qd GROUP BY qid
+)
+SELECT p.qid, t.query_terms,
+       CAST(p.n_matched AS BIGINT) AS n_matched,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       round(p.rr, 6) AS rr,
+       round(p.ap10, 6) AS ap_at_10
+FROM per p JOIN terms t ON t.qid = p.qid
+WHERE p.n_relevant > 0
+ORDER BY p.qid
+""",
+    doc="MRR and MAP@10 over a DERIVED 3-query workload: the top-6 "
+    "length>=4 tokens by document frequency pair up into three "
+    "2-term queries (derivation keeps the workload meaningful at "
+    "every scale factor), the TF-IDF ranker orders matched docs, "
+    "and binary relevance = both terms present with combined tf >= "
+    "4.  Completes the retrieval-metric family: search_ndcg_at_10 "
+    "grades with graded gain, ml_eval_precision_at_k with set "
+    "overlap; MRR scores the FIRST hit (navigational quality) and "
+    "MAP integrates precision over the full ranking (recall-"
+    "oriented).  Rank + cumulative-relevance windows are "
+    "partitioned per query over the posting-list join (df-bounded, "
+    "never corpus-wide); the top-6 selection uses a rank self-join "
+    "on the tiny df aggregate, no global window.  All scores are "
+    "integer-tf x ln(N/df) rounded 6dp with (score, doc_id) total "
+    "tiebreaks",
+)
+def search_mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.filter(F.length("tok") >= 4).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    o = df.select(F.col("tok").alias("o_tok"), F.col("df").alias("o_df"))
+    top6 = (
+        df.join(
+            F.broadcast(o),
+            (F.col("o_df") > F.col("df"))
+            | ((F.col("o_df") == F.col("df")) & (F.col("o_tok") < F.col("tok"))),
+            "left",
+        )
+        .groupBy("tok", "df")
+        .agg((F.count("o_tok") + 1).alias("rn"))
+        .filter(F.col("rn") <= 6)
+    )
+    qd = top6.select(
+        ((F.col("rn") - 1) / 2).cast("long").alias("qid"), "tok", "df"
+    )
+    m = (
+        F.broadcast(qd)
+        .join(tf, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("tfs"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    ranked = m.select(
+        "qid",
+        "doc_id",
+        F.when((F.col("n_terms") == 2) & (F.col("tfs") >= 4), 1)
+        .otherwise(0)
+        .alias("rel"),
+        F.row_number().over(wq).alias("rnk"),
+    )
+    wc = (
+        Window.partitionBy("qid")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn("crel", F.sum("rel").over(wc))
+    per = cum.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.round(
+            1.0 / F.min(F.when(F.col("rel") == 1, F.col("rnk"))), 6
+        ).alias("rr"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("rnk") <= 10),
+                    F.col("crel") * 1.0 / F.col("rnk"),
+                ).otherwise(0.0)
+            )
+            / F.least(F.sum("rel"), F.lit(10)),
+            6,
+        ).alias("ap_at_10"),
+    )
+    terms = qd.groupBy("qid").agg(
+        F.concat(F.min("tok"), F.lit(" "), F.max("tok")).alias("query_terms")
+    )
+    return (
+        per.join(F.broadcast(terms), "qid")
+        .filter(F.col("n_relevant") > 0)
+        .select(
+            "qid", "query_terms", "n_matched", "n_relevant", "rr", "ap_at_10"
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "search_rocchio_prf",
+    oracle=f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS9}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS MATERIALIZED (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+r1 AS (
+  SELECT t.doc_id,
+         round(sum(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score1
+  FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+  WHERE t.tok IN ('join', 'scan')
+  GROUP BY t.doc_id
+),
+seeds AS (
+  SELECT doc_id, score1 FROM r1 ORDER BY score1 DESC, doc_id LIMIT 3
+),
+exp_terms AS (
+  SELECT t.tok,
+         round(sum(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS w
+  FROM seeds s
+  JOIN tf t ON t.doc_id = s.doc_id
+  JOIN df d ON d.tok = t.tok
+  CROSS JOIN n
+  WHERE length(t.tok) >= 4 AND t.tok NOT IN ('join', 'scan')
+  GROUP BY t.tok
+  ORDER BY w DESC, t.tok LIMIT 2
+),
+q2 AS (
+  SELECT 'join' AS tok, 1.0 AS qw UNION ALL
+  SELECT 'scan', 1.0 UNION ALL
+  SELECT tok, 0.5 FROM exp_terms
+),
+r2 AS (
+  SELECT t.doc_id,
+         round(sum(q.qw * t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6)
+           AS score2
+  FROM q2 q
+  JOIN tf t ON t.tok = q.tok
+  JOIN df d ON d.tok = q.tok
+  CROSS JOIN n
+  GROUP BY t.doc_id
+)
+SELECT r2.doc_id,
+       coalesce(r1.score1, 0.0) AS score_initial,
+       r2.score2 AS score_expanded,
+       s.doc_id IS NOT NULL AS is_prf_seed
+FROM r2
+LEFT JOIN r1 ON r1.doc_id = r2.doc_id
+LEFT JOIN seeds s ON s.doc_id = r2.doc_id
+ORDER BY score_expanded DESC, r2.doc_id LIMIT 10
+""",
+    doc="Rocchio pseudo-relevance feedback: rank the 2-term query "
+    "{join, scan} with TF-IDF, take the top-3 docs as pseudo-"
+    "relevant, expand the query with their 2 strongest non-query "
+    "terms at beta = 0.5, and re-rank — the classic automatic "
+    "query-expansion loop (Rocchio 1971; PRF is still the "
+    "strongest non-neural recall lever) layered on the same "
+    "index-build shape as search_bm25_ranking.  Every selection "
+    "is a TakeOrdered LIMIT with a total (score, id) tiebreak — "
+    "seeds, expansion terms, and the final top-10 — so there is "
+    "NO window anywhere in the plan; scores are integer-tf x "
+    "ln(N/df) rounded 6dp.  The expansion-term aggregate runs "
+    "over 3 seed docs (posting-list bounded); the re-rank joins "
+    "the weighted 4-term query back through the inverted index, "
+    "exactly the production PRF dataflow at any corpus size",
+)
+def search_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    r1 = (
+        tf.filter(F.col("tok").isin("join", "scan"))
+        .join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("score1"))
+        .localCheckpoint(eager=False)
+    )
+    seeds = r1.orderBy(F.desc("score1"), "doc_id").limit(3)
+    exp_terms = (
+        F.broadcast(seeds.select("doc_id"))
+        .join(tf, "doc_id")
+        .filter(
+            (F.length("tok") >= 4) & (~F.col("tok").isin("join", "scan"))
+        )
+        .join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("tok")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("w"))
+        .orderBy(F.desc("w"), "tok")
+        .limit(2)
+    )
+    q2 = (
+        spark.createDataFrame(
+            [("join", 1.0), ("scan", 1.0)], "tok string, qw double"
+        )
+        .unionAll(exp_terms.select("tok", F.lit(0.5).alias("qw")))
+    )
+    r2 = (
+        F.broadcast(q2)
+        .join(tf, "tok")
+        .join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("qw") * F.col("tf") * idf), 6).alias(
+                "score2"
+            )
+        )
+    )
+    return (
+        r2.join(r1.withColumnRenamed("score1", "s1"), "doc_id", "left")
+        .join(
+            F.broadcast(
+                seeds.select("doc_id", F.lit(True).alias("seed"))
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("s1", F.lit(0.0)).alias("score_initial"),
+            F.col("score2").alias("score_expanded"),
+            F.coalesce("seed", F.lit(False)).alias("is_prf_seed"),
+        )
+        .orderBy(F.desc("score_expanded"), "doc_id")
+        .limit(10)
+    )

@@ -170,3 +170,81 @@ def test_turning_points_bounds(spark):
     assert 0 <= r.n_turning_points <= r.n_days - 2
     assert abs(r.expected_tp - 2.0 * (r.n_days - 2) / 3.0) < 0.01
     assert (abs(r.z_stat) > 1.96) == r.significant_5pct
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    rows = sorted(_run(spark, "ml_isotonic_calibration_pav"), key=lambda r: r.bin)
+    assert rows
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r.iso_rate <= 1.0
+        assert r.iso_rate >= prev - 1e-9, "PAV fit must be non-decreasing"
+        prev = r.iso_rate
+    # the isotonic solution preserves the weighted mean of the raw rates
+    tot = sum(r.n for r in rows)
+    raw_mean = sum(r.raw_rate * r.n for r in rows) / tot
+    iso_mean = sum(r.iso_rate * r.n for r in rows) / tot
+    assert abs(raw_mean - iso_mean) < 1e-3
+
+
+def test_mcc_panel_consistency(spark):
+    (r,) = _run(spark, "ml_eval_mcc_youden")
+    assert -1.0 <= r.mcc <= 1.0
+    assert -1.0 <= r.youden_j <= 1.0
+    assert abs(r.balanced_acc - (r.youden_j + 1.0) / 2.0) < 1e-3
+    assert r.tp + r.fp + r.fn + r.tn > 0
+
+
+def test_next_event_split_no_leakage(spark):
+    rows = _run(spark, "ml_next_event_bigram_acc")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.train_support > 0
+        assert r.eval_n > 0
+        assert r.predicted_next in {
+            "click", "view", "purchase", "signup", "error",
+        }
+
+
+def test_two_nn_dim_positive_and_ambient_bounded(spark):
+    rows = _run(spark, "emb_two_nn_intrinsic_dim")
+    assert rows
+    for r in rows:
+        assert r.n_used > 0
+        # the MLE is positive; with LSH-candidate neighbors on an
+        # isotropic 64-dim fixture it can exceed the ambient dim due
+        # to candidate truncation, but not absurdly
+        assert 0 < r.id_hat < 500
+
+
+def test_triplet_margins_bounded(spark):
+    rows = _run(spark, "emb_triplet_margin_stats")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.violation_rate <= 1.0
+        assert -2.0 <= r.avg_margin <= 2.0
+        assert r.n_triplets > 0
+
+
+def test_mrr_map_bounds(spark):
+    rows = _run(spark, "search_mrr_map_eval")
+    assert len(rows) == 3, "3 derived 2-term queries"
+    for r in rows:
+        assert 0 < r.rr <= 1.0
+        assert 0 <= r.ap_at_10 <= 1.0
+        assert r.n_relevant <= r.n_matched
+
+
+def test_rocchio_expansion_changes_ranking_honestly(spark):
+    rows = _run(spark, "search_rocchio_prf")
+    assert len(rows) == 10
+    prev = float("inf")
+    n_seeds = 0
+    for r in rows:
+        assert r.score_expanded <= prev + 1e-9
+        prev = r.score_expanded
+        # beta=0.5 expansion only ADDS weighted score mass
+        assert r.score_expanded >= r.score_initial - 1e-9
+        n_seeds += int(r.is_prf_seed)
+    assert n_seeds >= 1, "at least one seed should survive re-ranking"

@@ -508,6 +508,30 @@ ALLOWED_EXCHANGES = {
     # production pipeline would drop (it defeats the sketch's
     # purpose); the sketch path alone is ~8 exchanges.
     "sketch_kmv_set_ops": 21,
+    # ml_isotonic_calibration_pav: ONE N-sized pass (the 20-bin score
+    # histogram, checkpointed); the minimax lattice is three joins
+    # over <=8000-row interval tables — every exchange past the
+    # histogram moves bin-bounded integers.
+    "ml_isotonic_calibration_pav": 8,
+    # ml_next_event_bigram_acc: the per-user lead() window runs once
+    # over the checkpointed pair stream; train/argmax/support/eval
+    # aggregates all exchange (prev, next, count) tables bounded by
+    # the 5x5 type domain, plus the broadcast cutoff quantile.
+    "ml_next_event_bigram_acc": 11,
+    # search_mrr_map_eval: inverted-index build (tf checkpointed, text
+    # scanned once) + df aggregate + the rank self-join on the tiny
+    # df table + per-query rank/cumulative windows over the
+    # posting-list join — the BM25/TF-IDF index-build family; every
+    # exchange carries (doc_id, tok, count) longs or query-bounded
+    # metric rows.
+    "search_mrr_map_eval": 15,
+    # search_rocchio_prf: pseudo-relevance feedback is BY DESIGN two
+    # full ranking passes through the inverted index (initial + re-
+    # rank) plus two TakeOrdered selections (3 seeds, 2 expansion
+    # terms); tf is checkpointed so document text moves exactly once,
+    # and every later exchange carries posting longs or <=4-row query
+    # tables.
+    "search_rocchio_prf": 16,
 }
 
 
