@@ -2363,3 +2363,838 @@ def search_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_expanded"), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------ forecasting / EVT / ops
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle="""
+WITH top5 AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY 1 ORDER BY sum(l_quantity) DESC, l_partkey LIMIT 5
+),
+demand AS (
+  SELECT l.l_partkey,
+         CAST(floor(epoch(date_trunc('day', l.l_shipdate))) AS BIGINT)
+           / 86400 AS d,
+         round(sum(l.l_quantity), 6) AS z
+  FROM lineitem l JOIN top5 USING (l_partkey)
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT l_partkey, d, z,
+         d - lag(d) OVER (PARTITION BY l_partkey ORDER BY d) AS gap
+  FROM demand
+),
+folded AS (
+  SELECT l_partkey,
+         count(*) AS n_demand_days,
+         round(avg(z), 4) AS mean_size,
+         list_reduce(list(z ORDER BY d),
+                     (acc, x) -> 0.2 * x + 0.8 * acc) AS zf,
+         list_reduce(list(CAST(gap AS DOUBLE) ORDER BY d)
+                       FILTER (gap IS NOT NULL),
+                     (acc, x) -> 0.2 * x + 0.8 * acc) AS pf
+  FROM gaps GROUP BY 1
+)
+SELECT l_partkey,
+       CAST(n_demand_days AS BIGINT) AS n_demand_days,
+       mean_size,
+       round(zf, 4) AS croston_z,
+       round(pf, 4) AS croston_p,
+       round(zf / pf, 4) AS forecast_per_day
+FROM folded ORDER BY l_partkey
+""",
+    doc="Croston's method for intermittent demand on the 5 highest-"
+    "volume parts (derived; their daily ship series are ~2%% "
+    "nonzero over the 2289-day calendar — exactly the sparse "
+    "regime where ts_holt_linear and ts_ewma_smooth break down by "
+    "forecasting between demands): separate exponential smoothing "
+    "of nonzero demand SIZES and of inter-demand INTERVALS, "
+    "forecast = z/p per day (Croston 1972, the standard "
+    "spare-parts/slow-SKU forecaster).  Both smoothings are "
+    "SCALAR ordered folds (alpha = 0.2, state seeded with the "
+    "first element) — the list_reduce regime DuckDB evaluates "
+    "correctly (the struct-state misbinding hazard of lesson 4 "
+    "does not apply); Spark folds the identical ordered arrays "
+    "with aggregate(), so every intermediate double matches "
+    "bit-for-bit.  Per-part lists are bounded by that part's "
+    "demand-day count; the N-sized work is one (part, day) "
+    "aggregate behind a 5-key semi-join",
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    top5 = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy(F.desc("q"), "l_partkey")
+        .limit(5)
+        .select("l_partkey")
+    )
+    demand = (
+        li.join(F.broadcast(top5), "l_partkey")
+        .groupBy(
+            "l_partkey",
+            (
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("day", "l_shipdate")) / 86400
+                )
+            ).alias("d"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("z"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("d")
+    gaps = demand.withColumn(
+        "gap", (F.col("d") - F.lag("d").over(w)).cast("double")
+    )
+    folded = gaps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_demand_days"),
+        F.round(F.avg("z"), 4).alias("mean_size"),
+        F.sort_array(F.collect_list(F.struct("d", "z"))).alias("zs"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("gap").isNotNull(), F.struct("d", "gap")
+                )
+            )
+        ).alias("ps"),
+    )
+    zf = F.aggregate(
+        F.slice(F.transform("zs", lambda s: s.getField("z")), 2, 1000000),
+        F.element_at(F.transform("zs", lambda s: s.getField("z")), 1),
+        lambda acc, x: 0.2 * x + 0.8 * acc,
+    )
+    pvals = F.transform("ps", lambda s: s.getField("gap"))
+    pf = F.aggregate(
+        F.slice(pvals, 2, 1000000),
+        F.element_at(pvals, 1),
+        lambda acc, x: 0.2 * x + 0.8 * acc,
+    )
+    return folded.select(
+        "l_partkey",
+        F.col("n_demand_days").cast("long").alias("n_demand_days"),
+        "mean_size",
+        F.round(zf, 4).alias("croston_z"),
+        F.round(pf, 4).alias("croston_p"),
+        F.round(zf / pf, 4).alias("forecast_per_day"),
+    ).orderBy("l_partkey")
+
+
+@register(
+    "stats_gumbel_block_maxima",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+           // 86400 AS d,
+         CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+           // 86400 // 30 AS blk,
+         round(sum(o_totalprice), 6) AS v
+  FROM orders GROUP BY 1, 2
+),
+bm AS (SELECT blk, max(v) AS mx FROM daily GROUP BY 1),
+mom AS (
+  SELECT count(*) AS n, avg(mx) AS m, stddev_samp(mx) AS s,
+         max(mx) AS max_observed
+  FROM bm
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       round(s * sqrt(6.0) / pi(), 4) AS beta,
+       round(m - 0.5772156649015329 * s * sqrt(6.0) / pi(), 4) AS mu,
+       round((m - 0.5772156649015329 * s * sqrt(6.0) / pi())
+             - (s * sqrt(6.0) / pi()) * ln(-ln(1.0 - 1.0 / 12.0)), 4)
+         AS return_level_12blk,
+       round(max_observed, 4) AS max_observed
+FROM mom
+""",
+    doc="extreme-value analysis of daily revenue: 30-day block maxima "
+    "fitted to a Gumbel distribution by the method of moments "
+    "(beta = s*sqrt(6)/pi, mu = mean - gamma*beta) and inverted "
+    "for the 12-block return level mu - beta*ln(-ln(1-1/12)) — "
+    "'the worst day we should expect per year' — the EVT "
+    "complement to ts_outliers_mad (which flags PAST outliers; "
+    "the return level EXTRAPOLATES the tail for capacity "
+    "planning).  Blocks come from integer day-index division (no "
+    "calendar edge cases); ~80 blocks over the 7-year order "
+    "history at every scale factor.  Two bounded aggregates over "
+    "the daily rollup; daily sums rounded 6dp before the block "
+    "max per the partial-aggregate discipline, moments via the "
+    "same stddev_samp estimator on both engines",
+)
+def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    day = F.floor(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+    )
+    daily = od.groupBy(
+        day.alias("d"), F.floor(day / 30).alias("blk")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("v"))
+    bm = daily.groupBy("blk").agg(F.max("v").alias("mx"))
+    mom = bm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("s"),
+        F.max("mx").alias("max_observed"),
+    )
+    import math
+
+    gamma = 0.5772156649015329
+    beta = F.col("s") * math.sqrt(6.0) / math.pi
+    mu = F.col("m") - gamma * beta
+    return mom.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(beta, 4).alias("beta"),
+        F.round(mu, 4).alias("mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / 12.0))), 4
+        ).alias("return_level_12blk"),
+        F.round("max_observed", 4).alias("max_observed"),
+    )
+
+
+@register(
+    "dash_apdex_fulfillment",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(epoch(date_trunc('day', l.l_shipdate))) AS BIGINT)
+           / 86400
+         - CAST(floor(epoch(date_trunc('day', o.o_orderdate))) AS BIGINT)
+           / 86400 AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+t AS (
+  SELECT CAST(floor(quantile_cont(days, 0.5)) AS BIGINT) AS tt FROM lat
+)
+SELECT o_orderpriority,
+       CAST((SELECT tt FROM t) AS BIGINT) AS t_days,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(avg(CASE WHEN days <= (SELECT tt FROM t) THEN 1.0
+                      WHEN days <= 4 * (SELECT tt FROM t) THEN 0.5
+                      ELSE 0.0 END), 4) AS apdex
+FROM lat GROUP BY 1 ORDER BY 1
+""",
+    doc="Apdex score for order fulfillment per priority class: ship "
+    "latency in integer days against the DERIVED target T = median "
+    "latency (satisfied <= T scores 1, tolerating <= 4T scores "
+    "1/2, frustrated 0) — the industry-standard satisfaction "
+    "index (Apdex Alliance) applied to the order-to-ship SLA, "
+    "turning dash_days_to_nth_order-style latency distributions "
+    "into one comparable number per segment; the deliberately "
+    "simple ops-dashboard twin of the percentile views.  Latency "
+    "is an exact integer day difference (floor(epoch()) per the "
+    "timestamp discipline), the threshold compare is integer, and "
+    "the score is a 3-valued CASE average — one fact join (orders "
+    "broadcast-eligible per AQE at test scale, shuffled equi-join "
+    "at 100 TB) and one aggregate",
+)
+def dash_apdex_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    lat = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "l_shipdate")) / 86400)
+            - F.floor(
+                F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+            )
+        ).alias("days"),
+    ).localCheckpoint(eager=False)
+    t = lat.agg(
+        F.floor(F.expr("percentile(days, 0.5)")).cast("long").alias("tt")
+    )
+    return (
+        lat.crossJoin(F.broadcast(t))
+        .groupBy("o_orderpriority", "tt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(
+                F.avg(
+                    F.when(F.col("days") <= F.col("tt"), 1.0)
+                    .when(F.col("days") <= 4 * F.col("tt"), 0.5)
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias("apdex"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("tt").alias("t_days"),
+            "n_lineitems",
+            "apdex",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "text_doc_cooccur_lift",
+    oracle=f"""
+WITH pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_TOKS9}) AS tok FROM documents)
+  WHERE length(tok) >= 4
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT tok, count(*) AS df FROM pres GROUP BY 1),
+top15 AS (
+  SELECT * FROM (
+    SELECT d.tok, d.df,
+           (SELECT count(*) FROM df o
+            WHERE o.df > d.df OR (o.df = d.df AND o.tok < d.tok)) + 1 AS rn
+    FROM df d
+  ) WHERE rn <= 15
+),
+pp AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+  FROM pres a
+  JOIN pres b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  JOIN top15 ta ON ta.tok = a.tok
+  JOIN top15 tb ON tb.tok = b.tok
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.tok_a, p.tok_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       round(p.n_both * 1.0 * n.n_docs / (ta.df * tb.df), 6) AS lift
+FROM pp p
+JOIN top15 ta ON ta.tok = p.tok_a
+JOIN top15 tb ON tb.tok = p.tok_b
+CROSS JOIN n
+ORDER BY lift DESC, p.tok_a, p.tok_b
+LIMIT 20
+""",
+    doc="document-level co-occurrence lift between the top-15 "
+    "length>=4 vocabulary terms (derived by document frequency "
+    "with a rank self-join — no global window): lift = "
+    "P(a,b)/(P(a)P(b)) over DOCUMENT presence, the topicality "
+    "signal text_bigram_pmi cannot see (PMI counts ADJACENT "
+    "pairs; doc-level lift catches terms that travel together "
+    "anywhere in a document — the feature co-occurrence matrices, "
+    "topic models and related-term suggesters start from).  The "
+    "pair join is per-document over presence rows restricted to "
+    "the 15-term vocabulary — at most C(15,2) combinations per "
+    "doc, basket-bounded exactly like basket_copurchase_pairs, "
+    "never vocabulary-squared over the corpus.  Lift is one "
+    "division of exact integer counts, rounded 6dp, with a "
+    "(lift, a, b) total order on the top-20",
+)
+def text_doc_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.length("tok") >= 4)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    o = df.select(F.col("tok").alias("o_tok"), F.col("df").alias("o_df"))
+    top15 = (
+        df.join(
+            F.broadcast(o),
+            (F.col("o_df") > F.col("df"))
+            | ((F.col("o_df") == F.col("df")) & (F.col("o_tok") < F.col("tok"))),
+            "left",
+        )
+        .groupBy("tok", "df")
+        .agg((F.count("o_tok") + 1).alias("rn"))
+        .filter(F.col("rn") <= 15)
+        .select("tok", "df")
+    )
+    pres15 = (
+        pres.join(F.broadcast(top15.select("tok")), "tok")
+        .select("doc_id", "tok")
+        .localCheckpoint(eager=True)
+    )
+    pa = pres15.select("doc_id", F.col("tok").alias("tok_a"))
+    pb = pres15.select("doc_id", F.col("tok").alias("tok_b"))
+    pp = (
+        pa.join(pb, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    ta = top15.select(F.col("tok").alias("tok_a"), F.col("df").alias("dfa"))
+    tb = top15.select(F.col("tok").alias("tok_b"), F.col("df").alias("dfb"))
+    return (
+        pp.join(F.broadcast(ta), "tok_a")
+        .join(F.broadcast(tb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n_docs")
+                / (F.col("dfa") * F.col("dfb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ graph: spanning backbone
+
+
+@register(
+    "graph_mst_boruvka",
+    oracle="""
+WITH RECURSIVE
+raw AS MATERIALIZED (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         count(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+big AS (SELECT max(cnt) + 1 AS b FROM raw),
+edges AS MATERIALIZED (
+  SELECT u, v, cnt,
+         ((SELECT b FROM big) - cnt) * 1000000 + u * 1000 + v AS cost
+  FROM raw
+),
+n0 AS (SELECT min(u) AS s FROM edges),
+grow AS (
+  SELECT 0 AS step, [CAST((SELECT s FROM n0) AS INT)] AS vis,
+         CAST(NULL AS INT) AS eu, CAST(NULL AS INT) AS ev,
+         CAST(NULL AS BIGINT) AS ecnt
+  UNION ALL
+  SELECT g.step + 1,
+         list_append(g.vis,
+           CASE WHEN list_contains(g.vis, pick.u)
+                THEN pick.v ELSE pick.u END),
+         pick.u, pick.v, pick.cnt
+  FROM grow g
+  JOIN LATERAL (
+    SELECT e.u, e.v, e.cnt
+    FROM edges e
+    WHERE list_contains(g.vis, e.u) <> list_contains(g.vis, e.v)
+    ORDER BY e.cost LIMIT 1
+  ) pick ON TRUE
+)
+SELECT eu AS u, ev AS v, CAST(ecnt AS BIGINT) AS n_trades
+FROM grow WHERE eu IS NOT NULL
+ORDER BY u, v
+""",
+    doc="MAXIMUM spanning tree of the nation trade graph — the trade "
+    "'backbone' (the V-1 strongest links that keep every nation "
+    "connected; the standard network-science reduction of a dense "
+    "correlation/flow graph) — computed with BORUVKA's algorithm: "
+    "each round every component picks its best incident crossing "
+    "edge (one aggregate + join, all components in parallel), the "
+    "picked edges merge components via the repo's iterative "
+    "min-label connected_components operator, and the component "
+    "count at least halves per round, so the loop is O(log V) "
+    "rounds of pure DataFrame ops — THE distributed MST algorithm "
+    "(vs Prim/Kruskal, which are inherently sequential in the "
+    "edge/vertex order).  Costs are made STRICTLY DISTINCT by "
+    "folding the (u, v) tiebreak into the integer cost key "
+    "((max_cnt+1-cnt)*10^6 + u*10^3 + v), which makes the MST "
+    "provably UNIQUE — so the oracle may verify with a completely "
+    "different algorithm: sequential Prim via a recursive CTE "
+    "growing a visited list, LATERAL argmin per step.  Same-answer-"
+    "by-theorem across two algorithm families is the strongest "
+    "oracle in the registry.  The per-round driver data is one "
+    "emptiness probe (the cluster_resolution convergence pattern)",
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    raw = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    big = raw.agg((F.max("cnt") + 1).alias("b"))
+    edges = (
+        raw.crossJoin(F.broadcast(big))
+        .select(
+            "u",
+            "v",
+            "cnt",
+            (
+                (F.col("b") - F.col("cnt")) * 1000000
+                + F.col("u") * 1000
+                + F.col("v")
+            ).alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = nodes.select("node", F.col("node").alias("comp"))
+    sel = None
+    for _ in range(8):  # O(log V) rounds; 8 covers V <= 256 components
+        cu_map = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv_map = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        crossing = (
+            edges.join(cu_map, "u")
+            .join(cv_map, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if not crossing.take(1):
+            break
+        cand = crossing.select(
+            F.col("cu").alias("comp"), "cost", "u", "v"
+        ).unionAll(crossing.select(F.col("cv").alias("comp"), "cost", "u", "v"))
+        mc = cand.groupBy("comp").agg(F.min("cost").alias("mcost"))
+        pick = (
+            cand.join(
+                mc.withColumnRenamed("comp", "mcomp"),
+                (F.col("comp") == F.col("mcomp"))
+                & (F.col("cost") == F.col("mcost")),
+            )
+            .select("u", "v")
+            .distinct()
+        )
+        sel = pick if sel is None else sel.unionAll(pick).distinct()
+        sel = sel.localCheckpoint(eager=True)
+        cc = connected_components(sel, id_a="u", id_b="v")
+        comp = (
+            nodes.join(
+                cc.withColumnRenamed("node", "n2"),
+                nodes.node == F.col("n2"),
+                "left",
+            )
+            .select(
+                "node", F.coalesce("component", F.col("node")).alias("comp")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sel.join(edges, ["u", "v"])
+        .select("u", "v", F.col("cnt").cast("long").alias("n_trades"))
+        .orderBy("u", "v")
+    )
+
+
+# ------------------------------------------------ ML-ops: importance / trend
+
+
+@register(
+    "ml_permutation_importance_det",
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT l_orderkey * 10 + l_linenumber AS k,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS qi,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS di,
+         l_extendedprice AS x1, l_discount AS x2,
+         l_extendedprice * (1.0 - l_discount) AS y
+  FROM lineitem
+),
+stats AS MATERIALIZED (
+  SELECT count(*) AS n,
+         round(avg(x1), 6) AS m1, round(avg(x2), 6) AS m2,
+         round(avg(y), 6) AS my,
+         round(avg(x1 * x1), 6) AS s11, round(avg(x2 * x2), 6) AS s22,
+         round(avg(x1 * x2), 6) AS s12,
+         round(avg(x1 * y), 6) AS s1y, round(avg(x2 * y), 6) AS s2y
+  FROM base
+),
+beta AS (
+  SELECT n, m1, m2, my,
+         ((s1y - m1 * my) * (s22 - m2 * m2)
+          - (s2y - m2 * my) * (s12 - m1 * m2))
+         / ((s11 - m1 * m1) * (s22 - m2 * m2)
+            - (s12 - m1 * m2) * (s12 - m1 * m2)) AS b1,
+         ((s2y - m2 * my) * (s11 - m1 * m1)
+          - (s1y - m1 * my) * (s12 - m1 * m2))
+         / ((s11 - m1 * m1) * (s22 - m2 * m2)
+            - (s12 - m1 * m2) * (s12 - m1 * m2)) AS b2
+  FROM stats
+),
+ord_rows AS MATERIALIZED (
+  SELECT k, x1, x2, y,
+         row_number() OVER (
+           ORDER BY md5(CAST(k AS VARCHAR) || '#' || CAST(qi AS VARCHAR)
+                        || '#' || CAST(di AS VARCHAR)),
+                    k, qi, di) AS r
+  FROM base
+),
+paired AS (
+  SELECT a.x1, a.x2, a.y,
+         p.x1 AS px1, p.x2 AS px2
+  FROM ord_rows a
+  CROSS JOIN (SELECT n FROM stats) s
+  JOIN ord_rows p ON p.r = ((a.r - 1 + s.n // 2) % s.n) + 1
+),
+scored AS (
+  SELECT b.b1, b.b2, b.my, b.m1, b.m2,
+         (my + b1 * (x1 - m1) + b2 * (x2 - m2)) - y AS e0,
+         (my + b1 * (px1 - m1) + b2 * (x2 - m2)) - y AS e1,
+         (my + b1 * (x1 - m1) + b2 * (px2 - m2)) - y AS e2
+  FROM paired CROSS JOIN beta b
+),
+rmse AS (
+  SELECT sqrt(avg(e0 * e0)) AS r0,
+         sqrt(avg(e1 * e1)) AS r1,
+         sqrt(avg(e2 * e2)) AS r2
+  FROM scored
+)
+SELECT f.feature,
+       round(r.r0, 4) AS rmse_base,
+       round(CASE f.feature WHEN 'l_extendedprice' THEN r.r1
+             ELSE r.r2 END, 4) AS rmse_permuted,
+       round(CASE f.feature WHEN 'l_extendedprice' THEN r.r1 ELSE r.r2 END
+             - r.r0, 4) AS delta_rmse
+FROM (SELECT 'l_extendedprice' AS feature UNION ALL
+      SELECT 'l_discount') f
+CROSS JOIN rmse r
+ORDER BY f.feature
+""",
+    doc="deterministic permutation feature importance for the "
+    "closed-form 2-feature OLS (net revenue price*(1-discount) ~ "
+    "price + discount — the target has KNOWN structure, price "
+    "dominant and discount secondary, because the raw fixture "
+    "columns are mutually independent and any fit on them is pure "
+    "noise, the lesson-17 degeneracy): score the FITTED model with "
+    "one feature's column "
+    "replaced by a derangement of itself, report the RMSE "
+    "inflation — the model-agnostic importance measure (Breiman), "
+    "here with a REPLAYABLE permutation: rows ranked by the md5 of "
+    "their integer-ized CONTENT (key + price cents + discount cents "
+    "— the fixture has duplicate (orderkey, linenumber) "
+    "keys with different values, so no key alone is total; ties in "
+    "the content hash are value-identical rows, for which any "
+    "intra-tie order yields the same permuted values) and paired "
+    "with the rank n/2 away (mod n) — a fixed-point-free pairing, "
+    "deterministic on both engines.  The engine ranks with the "
+    "two-level global_ordinal operator (range-partition + offset, "
+    "no single-task window); the oracle's plain row_number() is "
+    "provably identical because the range buckets tile the md5 "
+    "order (lesson-18 equivalence).  Normal-equation moments are "
+    "rounded 6dp before inversion so both engines solve the "
+    "IDENTICAL 2x2 system; permuting price must inflate RMSE far "
+    "more than permuting discount — the sanity ordering the "
+    "invariant test pins",
+)
+def ml_permutation_importance_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("qi"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("di"),
+        F.col("l_extendedprice").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("y"),
+    ).localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x1"), 6).alias("m1"),
+        F.round(F.avg("x2"), 6).alias("m2"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.avg(F.col("x1") * F.col("x1")), 6).alias("s11"),
+        F.round(F.avg(F.col("x2") * F.col("x2")), 6).alias("s22"),
+        F.round(F.avg(F.col("x1") * F.col("x2")), 6).alias("s12"),
+        F.round(F.avg(F.col("x1") * F.col("y")), 6).alias("s1y"),
+        F.round(F.avg(F.col("x2") * F.col("y")), 6).alias("s2y"),
+    )
+    c11 = F.col("s11") - F.col("m1") * F.col("m1")
+    c22 = F.col("s22") - F.col("m2") * F.col("m2")
+    c12 = F.col("s12") - F.col("m1") * F.col("m2")
+    c1y = F.col("s1y") - F.col("m1") * F.col("my")
+    c2y = F.col("s2y") - F.col("m2") * F.col("my")
+    det = c11 * c22 - c12 * c12
+    beta = stats.select(
+        "n",
+        "m1",
+        "m2",
+        "my",
+        ((c1y * c22 - c2y * c12) / det).alias("b1"),
+        ((c2y * c11 - c1y * c12) / det).alias("b2"),
+    )
+    row_hash = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("k").cast("string"),
+            F.col("qi").cast("string"),
+            F.col("di").cast("string"),
+        )
+    )
+    ordered, _n = global_ordinal(
+        base,
+        [row_hash, F.col("k"), F.col("qi"), F.col("di")],
+        out_col="r",
+    )
+    ordered = ordered.localCheckpoint(eager=True)
+    a = ordered
+    p = ordered.select(
+        F.col("r").alias("pr"),
+        F.col("x1").alias("px1"),
+        F.col("x2").alias("px2"),
+    )
+    paired = (
+        a.crossJoin(F.broadcast(beta))
+        .withColumn(
+            "partner",
+            ((F.col("r") - 1 + F.floor(F.col("n") / 2)) % F.col("n")) + 1,
+        )
+        .join(p, F.col("pr") == F.col("partner"))
+    )
+    e0 = (
+        F.col("my")
+        + F.col("b1") * (F.col("x1") - F.col("m1"))
+        + F.col("b2") * (F.col("x2") - F.col("m2"))
+        - F.col("y")
+    )
+    e1 = (
+        F.col("my")
+        + F.col("b1") * (F.col("px1") - F.col("m1"))
+        + F.col("b2") * (F.col("x2") - F.col("m2"))
+        - F.col("y")
+    )
+    e2 = (
+        F.col("my")
+        + F.col("b1") * (F.col("x1") - F.col("m1"))
+        + F.col("b2") * (F.col("px2") - F.col("m2"))
+        - F.col("y")
+    )
+    rmse = paired.agg(
+        F.sqrt(F.avg(e0 * e0)).alias("r0"),
+        F.sqrt(F.avg(e1 * e1)).alias("r1"),
+        F.sqrt(F.avg(e2 * e2)).alias("r2"),
+    )
+    feats = spark.createDataFrame(
+        [("l_discount",), ("l_extendedprice",)], "feature string"
+    )
+    perm = F.when(
+        F.col("feature") == "l_extendedprice", F.col("r1")
+    ).otherwise(F.col("r2"))
+    return (
+        feats.crossJoin(F.broadcast(rmse))
+        .select(
+            "feature",
+            F.round("r0", 4).alias("rmse_base"),
+            F.round(perm, 4).alias("rmse_permuted"),
+            F.round(perm - F.col("r0"), 4).alias("delta_rmse"),
+        )
+        .orderBy("feature")
+    )
+
+
+@register(
+    "stats_cochran_armitage_trend",
+    oracle="""
+WITH g AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS s,
+         count(*) AS n_i,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_i
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT sum(n_i) AS n, sum(r_i) AS r,
+         sum(s * r_i) AS a, sum(s * n_i) AS b, sum(s * s * n_i) AS c
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM g) AS BIGINT) AS n_levels,
+       round(n * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+               * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+             / (CAST(r AS DOUBLE) * (n - r)
+                * (CAST(n AS DOUBLE) * c - CAST(b AS DOUBLE) * b)), 4)
+         AS chi2_trend,
+       round(CASE WHEN CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b >= 0
+                  THEN 1.0 ELSE -1.0 END
+             * sqrt(n * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+                      * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+                    / (CAST(r AS DOUBLE) * (n - r)
+                       * (CAST(n AS DOUBLE) * c - CAST(b AS DOUBLE) * b))),
+             4) + 0.0 AS z_trend,
+       n * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+         * (CAST(n AS DOUBLE) * a - CAST(r AS DOUBLE) * b)
+         / (CAST(r AS DOUBLE) * (n - r)
+            * (CAST(n AS DOUBLE) * c - CAST(b AS DOUBLE) * b)) > 3.8415
+         AS significant_5pct
+FROM t
+""",
+    doc="Cochran-Armitage trend test: does return probability trend "
+    "MONOTONICALLY across the 11 ordered discount levels (scores = "
+    "integer discount cents)?  The ordered-alternative test that "
+    "stats_chi_square_independence throws power away on (general "
+    "chi2 spends df on every deviation pattern; CA concentrates on "
+    "the linear trend, df=1, critical 3.8415).  chi2 = N(NA - RB)^2 "
+    "/ (R(N-R)(NC - B^2)) with A = sum s*r_i, B = sum s*n_i, C = "
+    "sum s^2*n_i — every sum is an exact 64-bit integer from one "
+    "groupBy over the scan; only the final products are cast to "
+    "double (the squared numerator would overflow int64), which is "
+    "deterministic on both engines since the operands are "
+    "identical integers.  The signed z carries the trend "
+    "direction; +0.0 guards the +-0 hazard on a flat trend",
+)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("r_i"),
+    )
+    t = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).alias("a"),
+        F.sum(F.col("s") * F.col("n_i")).alias("b"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("c"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+    num = F.col("n").cast("double") * F.col("a") - F.col("r").cast(
+        "double"
+    ) * F.col("b")
+    chi2 = (
+        F.col("n")
+        * num
+        * num
+        / (
+            F.col("r").cast("double")
+            * (F.col("n") - F.col("r"))
+            * (
+                F.col("n").cast("double") * F.col("c")
+                - F.col("b").cast("double") * F.col("b")
+            )
+        )
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_levels").cast("long").alias("n_levels"),
+        F.round(chi2, 4).alias("chi2_trend"),
+        (
+            F.round(
+                F.when(num >= 0, 1.0).otherwise(-1.0) * F.sqrt(chi2), 4
+            )
+            + 0.0
+        ).alias("z_trend"),
+        (chi2 > 3.8415).alias("significant_5pct"),
+    )

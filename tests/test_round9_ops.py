@@ -248,3 +248,88 @@ def test_rocchio_expansion_changes_ranking_honestly(spark):
         assert r.score_expanded >= r.score_initial - 1e-9
         n_seeds += int(r.is_prf_seed)
     assert n_seeds >= 1, "at least one seed should survive re-ranking"
+
+
+def test_croston_forecast_consistency(spark):
+    rows = _run(spark, "ts_croston_intermittent")
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_demand_days > 1
+        assert r.croston_z > 0
+        assert r.croston_p >= 1.0, "inter-demand interval is >= 1 day"
+        # forecast = z/p must sit below the mean size (p >= 1)
+        assert r.forecast_per_day <= r.croston_z + 1e-6
+
+
+def test_gumbel_return_level_beyond_mean(spark):
+    (r,) = _run(spark, "stats_gumbel_block_maxima")
+    assert r.n_blocks > 20
+    assert r.beta > 0
+    # the 12-block return level must exceed the Gumbel location
+    assert r.return_level_12blk > r.mu
+
+
+def test_apdex_bounds(spark):
+    rows = _run(spark, "dash_apdex_fulfillment")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.apdex <= 1.0
+        assert r.t_days >= 0
+        # T = median latency -> at least half the rows are satisfied
+        # in the pooled population; per class it can dip, but apdex
+        # can never be below the satisfied share alone
+        assert r.n_lineitems > 0
+
+
+def test_cooccur_lift_sorted_and_positive(spark):
+    rows = _run(spark, "text_doc_cooccur_lift")
+    assert rows
+    prev = float("inf")
+    for r in rows:
+        assert r.lift > 0
+        assert r.lift <= prev + 1e-9
+        prev = r.lift
+        assert r.tok_a < r.tok_b
+        assert r.n_both >= 2
+
+
+def test_mst_is_spanning_and_acyclic(spark):
+    rows = _run(spark, "graph_mst_boruvka")
+    # V-1 edges spanning V nodes with no cycle (union-find check)
+    nodes = {r.u for r in rows} | {r.v for r in rows}
+    assert len(rows) == len(nodes) - 1
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ru, rv = find(r.u), find(r.v)
+        assert ru != rv, f"cycle via edge ({r.u},{r.v})"
+        parent[ru] = rv
+        assert r.n_trades > 0
+    roots = {find(n) for n in nodes}
+    assert len(roots) == 1, "MST must be connected"
+
+
+def test_permutation_importance_orders_features(spark):
+    rows = {r.feature: r for r in _run(spark, "ml_permutation_importance_det")}
+    assert set(rows) == {"l_extendedprice", "l_discount"}
+    q, d = rows["l_extendedprice"], rows["l_discount"]
+    assert q.rmse_base == d.rmse_base
+    # price drives net revenue by construction; discount is a small
+    # multiplicative correction — permuting price must hurt far more
+    assert q.delta_rmse > 10 * max(d.delta_rmse, 0.0)
+    assert q.delta_rmse > 0
+    assert d.delta_rmse > 0
+
+
+def test_cochran_armitage_consistency(spark):
+    (r,) = _run(spark, "stats_cochran_armitage_trend")
+    assert r.n_levels >= 5
+    assert r.chi2_trend >= 0
+    assert abs(r.z_trend * r.z_trend - r.chi2_trend) < 0.01
+    assert (r.chi2_trend > 3.8415) == r.significant_5pct

@@ -532,6 +532,13 @@ ALLOWED_EXCHANGES = {
     # and every later exchange carries posting longs or <=4-row query
     # tables.
     "search_rocchio_prf": 16,
+    # text_doc_cooccur_lift: presence-index build (explode + distinct,
+    # checkpointed) + df aggregate + the rank self-join on the tiny df
+    # table, then the per-document pair self-join over the 15-term
+    # restriction (checkpointed, basket-bounded) and broadcast metric
+    # joins.  Index-build family; every exchange past the explode
+    # carries (doc_id, tok) pairs or <=120-row pair tables.
+    "text_doc_cooccur_lift": 14,
 }
 
 
