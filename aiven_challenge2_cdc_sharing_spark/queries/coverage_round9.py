@@ -3198,3 +3198,395 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_trend"),
         (chi2 > 3.8415).alias("significant_5pct"),
     )
+
+
+# ------------------------------------------------ survey sampling / ranks
+
+_TR_ITERS = 5
+_TR_DAMP = 0.85
+
+
+@register(
+    "ml_survey_ratio_estimator",
+    oracle="""
+WITH x AS MATERIALIZED (
+  SELECT o.o_orderkey, o.o_totalprice AS y,
+         (SELECT count(*) FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey) AS xi
+  FROM orders o
+),
+pop AS (
+  SELECT count(*) AS n_pop, sum(xi) AS x_tot,
+         round(sum(y), 2) AS y_true
+  FROM x
+),
+samp AS MATERIALIZED (
+  SELECT * FROM x
+  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+             AS BIGINT) % 10 = 0
+),
+est AS (
+  SELECT count(*) AS n_s, sum(y) AS sy, sum(xi) AS sx FROM samp
+),
+resid AS (
+  SELECT var_samp(s.y - (e.sy * 1.0 / e.sx) * s.xi) AS s2e
+  FROM samp s CROSS JOIN est e
+)
+SELECT CAST(p.n_pop AS BIGINT) AS n_pop,
+       CAST(e.n_s AS BIGINT) AS n_sample,
+       round(e.sy * 1.0 / e.sx, 6) AS ratio_hat,
+       round((e.sy * 1.0 / e.sx) * p.x_tot, 2) AS y_total_est,
+       p.y_true AS y_total_true,
+       round(abs((e.sy * 1.0 / e.sx) * p.x_tot - p.y_true) / p.y_true, 4)
+         AS rel_err,
+       abs((e.sy * 1.0 / e.sx) * p.x_tot - p.y_true)
+         <= 1.96 * p.n_pop * sqrt((1.0 - e.n_s * 1.0 / p.n_pop)
+                                  * r.s2e / e.n_s) AS ci_covers
+FROM pop p CROSS JOIN est e CROSS JOIN resid r
+""",
+    doc="design-based survey ratio estimator: estimate total order "
+    "revenue from a deterministic md5 10%% sample using the known "
+    "auxiliary total (lineitem count per order, known for ALL "
+    "orders from the cheap fact scan), Y_hat = (sum_s y / sum_s x) "
+    "* X_pop, with the Hajek-style linearized variance N^2(1-f) "
+    "s2_e/n over ratio residuals e_i = y_i - R_hat x_i — the "
+    "estimator survey statistics runs on expensive-to-measure "
+    "targets with cheap frame covariates, completing the sampling "
+    "family (ml_neyman_allocation designs the sample; this "
+    "ESTIMATES from one, with a CI-coverage check against the "
+    "known truth).  The md5 sample is the repo's standard "
+    "replayable Bernoulli device; all moments are single "
+    "aggregates; the correlated lineitem count is a per-order "
+    "subquery in the oracle and an outer-join aggregate in the "
+    "engine (same values, orphan orders get x = 0)",
+)
+def ml_survey_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("xi")
+    )
+    x = (
+        od.join(cnt, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("y"),
+            F.coalesce("xi", F.lit(0)).alias("xi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pop = x.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("xi").alias("x_tot"),
+        F.round(F.sum("y"), 2).alias("y_true"),
+    )
+    samp = x.filter(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    ).localCheckpoint(eager=False)
+    est = samp.agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("y").alias("sy"),
+        F.sum("xi").alias("sx"),
+    )
+    resid = (
+        samp.crossJoin(F.broadcast(est))
+        .agg(
+            F.var_samp(
+                F.col("y") - (F.col("sy") * 1.0 / F.col("sx")) * F.col("xi")
+            ).alias("s2e")
+        )
+    )
+    rhat = F.col("sy") * 1.0 / F.col("sx")
+    yhat = rhat * F.col("x_tot")
+    halfwidth = (
+        1.96
+        * F.col("n_pop")
+        * F.sqrt(
+            (1.0 - F.col("n_s") * 1.0 / F.col("n_pop"))
+            * F.col("s2e")
+            / F.col("n_s")
+        )
+    )
+    return (
+        pop.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.col("n_s").cast("long").alias("n_sample"),
+            F.round(rhat, 6).alias("ratio_hat"),
+            F.round(yhat, 2).alias("y_total_est"),
+            F.col("y_true").alias("y_total_true"),
+            F.round(F.abs(yhat - F.col("y_true")) / F.col("y_true"), 4).alias(
+                "rel_err"
+            ),
+            (F.abs(yhat - F.col("y_true")) <= halfwidth).alias("ci_covers"),
+        )
+    )
+
+
+def _textrank_oracle() -> str:
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    sql = f"""
+WITH seq AS MATERIALIZED (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id) AS pos
+  FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+),
+pairs AS MATERIALIZED (
+  SELECT least(a.tok, b.tok) AS wa, greatest(a.tok, b.tok) AS wb,
+         count(*) AS w
+  FROM seq a JOIN seq b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE length(a.tok) >= 4 AND length(b.tok) >= 4 AND a.tok <> b.tok
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT wa AS src, wb AS dst, w FROM pairs
+  UNION ALL SELECT wb, wa, w FROM pairs
+),
+wdeg AS MATERIALIZED (
+  SELECT src, sum(w) AS wd FROM edges GROUP BY src
+),
+n AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),
+r0 AS MATERIALIZED (SELECT src AS node, 1.0 / n.n AS rank FROM wdeg, n)"""
+    prev = "r0"
+    for k in range(_TR_ITERS):
+        sql += f""",
+r{k + 1} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         (1 - {_TR_DAMP}) / n.n
+           + {_TR_DAMP} * sum(r.rank * e.w / d.wd) AS rank
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN wdeg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst, n.n
+)"""
+        prev = f"r{k + 1}"
+    return (
+        sql
+        + f"""
+SELECT node AS keyword, round(rank, 10) AS rank
+FROM {prev}
+ORDER BY rank DESC, node LIMIT 10"""
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction: weighted PageRank (5 iterations, "
+    "damping 0.85, uniform start) over the word co-occurrence graph "
+    "of ADJACENT length>=4 token pairs, top-10 keywords — the "
+    "graph-centrality keyword extractor (Mihalcea & Tarau 2004) "
+    "that complements text_rake_keywords' degree/frequency scoring "
+    "and text_tfidf_top_terms' corpus statistics: TextRank rewards "
+    "terms that co-occur with OTHER well-connected terms, a "
+    "recursive notion only the power iteration captures.  Same "
+    "iteration discipline as graph_pagerank_suppliers (weighted "
+    "transition rank*w/wdeg, MATERIALIZED per-round CTEs in the "
+    "oracle, 10-dp rounding); the adjacency build uses a "
+    "row_number window PARTITIONED per document (position within "
+    "doc), never global.  The vocabulary graph is tiny here but "
+    "the plan is vocabulary-bounded, not corpus-bounded — the "
+    "iteration tables are (word, rank) pairs",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    seq = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    a = seq.select("doc_id", "pos", F.col("tok").alias("ta"))
+    b = seq.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tb")
+    )
+    pairs = (
+        a.join(b, ["doc_id", "pos"])
+        .filter(
+            (F.length("ta") >= 4)
+            & (F.length("tb") >= 4)
+            & (F.col("ta") != F.col("tb"))
+        )
+        .groupBy(
+            F.least("ta", "tb").alias("wa"), F.greatest("ta", "tb").alias("wb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        pairs.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "w")
+        .unionAll(
+            pairs.select(
+                F.col("wb").alias("src"), F.col("wa").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
+    n = wdeg.agg(F.count(F.lit(1)).alias("n"))
+    rank = (
+        wdeg.crossJoin(F.broadcast(n))
+        .select(F.col("src").alias("node"), (1.0 / F.col("n")).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    ew = edges.join(wdeg, "src")
+    for _ in range(_TR_ITERS):
+        rank = (
+            ew.join(rank, ew.src == rank.node)
+            .crossJoin(F.broadcast(n))
+            .groupBy(F.col("dst").alias("node2"), "n")
+            .agg(
+                (
+                    (1 - _TR_DAMP) / F.col("n")
+                    + _TR_DAMP
+                    * F.sum(F.col("rank") * F.col("w") / F.col("wd"))
+                ).alias("rank")
+            )
+            .select(F.col("node2").alias("node"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        rank.select(
+            F.col("node").alias("keyword"), F.round("rank", 10).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "keyword")
+        .limit(10)
+    )
+
+
+@register(
+    "win_h_index_users",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+),
+h AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN value >= rk THEN rk END), 0) AS h_index
+  FROM ranked GROUP BY user_id
+)
+SELECT h_index,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM h GROUP BY 1 ORDER BY 1
+""",
+    doc="per-user h-index over event values (the largest h such that "
+    "the user has >= h events of value >= h — Hirsch's citation "
+    "index transplanted to engagement scoring, used to rank "
+    "contributors by SUSTAINED high-value activity where "
+    "sum/max/count are each gameable by one big or many tiny "
+    "events), then the population histogram over the raw h values "
+    "(fixture h spans ~22-47 at every scale; a capped band would "
+    "collapse to one degenerate row, the lesson-17 class).  The "
+    "crossing h = max rank where value >= rank needs only a "
+    "per-user rank window ((value desc, event_id) total order) and "
+    "one conditional max — the rank-vs-value crossing trick from "
+    "the ABC/Pareto family applied per key; the integer-vs-double "
+    "compare is exact on both engines.  Partitioned window, "
+    "per-user state bounded by that user's event count",
+)
+def win_h_index_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rk")
+    )
+    h = ranked.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("value") >= F.col("rk"), F.col("rk"))),
+            F.lit(0),
+        ).alias("h_index")
+    )
+    return (
+        h.groupBy("h_index")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("h_index")
+    )
+
+
+@register(
+    "ts_variance_ratio",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1
+),
+sums5 AS (
+  SELECT a.d, sum(b.v) AS s5, count(*) AS k
+  FROM daily a JOIN daily b ON b.d BETWEEN a.d - 4 AND a.d
+  GROUP BY a.d HAVING count(*) = 5
+),
+m AS (
+  SELECT (SELECT count(*) FROM daily) AS n,
+         (SELECT var_samp(v) FROM daily) AS v1,
+         (SELECT var_samp(s5) FROM sums5) AS v5
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(v5 / (5.0 * v1), 4) AS vr_5,
+       round((v5 / (5.0 * v1) - 1.0)
+             / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n)), 4)
+         AS z_stat,
+       abs((v5 / (5.0 * v1) - 1.0)
+             / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n))) > 1.96
+         AS not_iid_5pct
+FROM m
+""",
+    doc="Lo-MacKinlay variance-ratio test at horizon q=5 on the daily "
+    "value series: if daily values were i.i.d., the variance of "
+    "5-day sums would be 5x the daily variance (VR = 1); VR > 1 "
+    "means positive persistence (momentum/weekly ramps), VR < 1 "
+    "mean reversion — the aggregate-horizon randomness probe that "
+    "complements ts_autocorr_lags (per-lag linear) and "
+    "ts_turning_points_test (local ordinal): VR integrates ALL "
+    "autocovariances up to q with triangular weights in one "
+    "number.  Overlapping 5-day sums come from a bounded range "
+    "self-join on the integer day index (HAVING count = 5 drops "
+    "calendar-gap windows identically on both engines); the "
+    "homoskedastic asymptotic z uses phi = 2(2q-1)(q-1)/(3qn).  "
+    "Two variance aggregates over calendar-bounded tables",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("v")).localCheckpoint(eager=False)
+    a = daily.select(F.col("d").alias("ad"))
+    b = daily.select(F.col("d").alias("bd"), "v")
+    sums5 = (
+        a.join(
+            b,
+            (F.col("bd") >= F.col("ad") - 4) & (F.col("bd") <= F.col("ad")),
+        )
+        .groupBy("ad")
+        .agg(F.sum("v").alias("s5"), F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 5)
+    )
+    nv1 = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.var_samp("v").alias("v1")
+    )
+    v5 = sums5.agg(F.var_samp("s5").alias("v5"))
+    vr = F.col("v5") / (5.0 * F.col("v1"))
+    phi = F.sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * F.col("n")))
+    z = (vr - 1.0) / phi
+    return (
+        nv1.crossJoin(F.broadcast(v5))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.round(vr, 4).alias("vr_5"),
+            F.round(z, 4).alias("z_stat"),
+            (F.abs(z) > 1.96).alias("not_iid_5pct"),
+        )
+    )

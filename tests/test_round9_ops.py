@@ -333,3 +333,41 @@ def test_cochran_armitage_consistency(spark):
     assert r.chi2_trend >= 0
     assert abs(r.z_trend * r.z_trend - r.chi2_trend) < 0.01
     assert (r.chi2_trend > 3.8415) == r.significant_5pct
+
+
+def test_survey_ratio_estimator_close_to_truth(spark):
+    (r,) = _run(spark, "ml_survey_ratio_estimator")
+    assert r.n_sample > 0
+    assert 0.05 < r.n_sample / r.n_pop < 0.2, "md5 sample should be ~10%"
+    assert r.ratio_hat > 0
+    # 10% of thousands of orders: the ratio estimate lands well
+    # within 20% of the true total
+    assert r.rel_err < 0.2
+
+
+def test_textrank_scores_form_distribution(spark):
+    rows = _run(spark, "text_textrank_keywords")
+    assert len(rows) == 10
+    prev = float("inf")
+    for r in rows:
+        assert 0 < r.rank < 1
+        assert r.rank <= prev + 1e-12
+        prev = r.rank
+        assert len(r.keyword) >= 4
+
+
+def test_h_index_histogram_conserves_users(spark):
+    rows = _run(spark, "win_h_index_users")
+    ev = load_table(spark, SF01, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert len(rows) > 1, "h distribution must not collapse to one band"
+    for r in rows:
+        assert r.h_index >= 0
+
+
+def test_variance_ratio_positive(spark):
+    (r,) = _run(spark, "ts_variance_ratio")
+    assert r.n_days > 20
+    assert r.vr_5 > 0
+    assert (abs(r.z_stat) > 1.96) == r.not_iid_5pct
