@@ -3590,3 +3590,405 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.96).alias("not_iid_5pct"),
         )
     )
+
+
+# ------------------------------------------------ multiple testing / queueing
+
+# Zelen & Severo 26.2.17 rational approximation of the standard
+# normal CDF (|error| < 7.5e-8): identical closed-form arithmetic on
+# both engines, replacing the erf() neither Spark SQL nor the
+# cross-engine discipline can rely on.  p-values derived from it are
+# rounded 8dp before any comparison.
+_PHI_SQL = (
+    "(1.0 - exp(-0.5 * {z} * {z}) / sqrt(2.0 * pi())"
+    " * (0.319381530 * (1.0 / (1.0 + 0.2316419 * {z}))"
+    "    - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * {z}), 2)"
+    "    + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * {z}), 3)"
+    "    - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * {z}), 4)"
+    "    + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * {z}), 5)))"
+)
+
+
+def _phi_col(z):
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * t * t
+        + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t
+        + 1.330274429 * t * t * t * t * t
+    )
+    import math
+
+    return 1.0 - F.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi) * poly
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, count(*) AS n, round(avg(c_acctbal), 6) AS m,
+         round(var_samp(c_acctbal), 6) AS v
+  FROM customer GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS nt, round(avg(c_acctbal), 6) AS mt,
+         round(var_samp(c_acctbal), 6) AS vt
+  FROM customer
+),
+z AS (
+  SELECT g.c_nationkey,
+         round(abs(g.m - (t.mt * t.nt - g.m * g.n) / (t.nt - g.n))
+               / sqrt(g.v / g.n + t.vt / (t.nt - g.n)), 6) AS az
+  FROM g CROSS JOIN tot t
+),
+p AS (
+  SELECT c_nationkey, az,
+         round(2.0 * (1.0 - {_PHI_SQL.format(z='az')}), 8) AS p_value
+  FROM z
+),
+rk AS (
+  SELECT p.*,
+         (SELECT count(*) FROM p o
+          WHERE o.p_value < p.p_value
+             OR (o.p_value = p.p_value
+                 AND o.c_nationkey < p.c_nationkey)) + 1 AS rnk,
+         (SELECT count(*) FROM p) AS m
+  FROM p
+),
+thresh AS (
+  SELECT coalesce(max(rnk), 0) AS kstar FROM rk
+  WHERE p_value <= round(0.10 * rnk / m, 8)
+)
+SELECT r.c_nationkey, r.az AS abs_z, r.p_value,
+       CAST(r.rnk AS BIGINT) AS p_rank,
+       round(0.10 * r.rnk / r.m, 8) AS bh_critical,
+       r.rnk <= (SELECT kstar FROM thresh) AS rejected_fdr10
+FROM rk r ORDER BY r.rnk
+""",
+    doc="Benjamini-Hochberg FDR control over the 25 per-nation "
+    "two-sample mean tests (nation's customer balances vs the "
+    "rest): the multiple-testing step-up procedure every "
+    "segment-screening dashboard needs — 25 simultaneous tests at "
+    "alpha = 0.05 yield ~1 false positive by design, and BH is the "
+    "standard repair (reject all p(i) up to the LARGEST i with "
+    "p(i) <= alpha*i/m, alpha = 0.10).  Introduces the "
+    "Zelen-Severo normal-CDF approximation (|err| < 7.5e-8, "
+    "identical closed-form arithmetic on both engines — neither "
+    "relies on a built-in erf), with z and p rounded 6/8dp before "
+    "the rank comparisons; ranks come from a count self-join on "
+    "the 25-row p table with a nationkey tiebreak, and the "
+    "step-up cutoff is one conditional max.  Note the step-up "
+    "subtlety the naive per-row compare misses: rows BELOW an "
+    "accepted rank are rejected even if their own p > crit",
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 6).alias("m"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("v"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.round(F.avg("c_acctbal"), 6).alias("mt"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("vt"),
+    )
+    rest_mean = (F.col("mt") * F.col("nt") - F.col("m") * F.col("n")) / (
+        F.col("nt") - F.col("n")
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        F.round(
+            F.abs(F.col("m") - rest_mean)
+            / F.sqrt(
+                F.col("v") / F.col("n") + F.col("vt") / (F.col("nt") - F.col("n"))
+            ),
+            6,
+        ).alias("az"),
+    )
+    p = z.select(
+        "c_nationkey",
+        "az",
+        F.round(2.0 * (1.0 - _phi_col(F.col("az"))), 8).alias("p_value"),
+    ).localCheckpoint(eager=False)
+    o = p.select(
+        F.col("c_nationkey").alias("ok"), F.col("p_value").alias("op")
+    )
+    m = p.agg(F.count(F.lit(1)).alias("m"))
+    rk = (
+        p.join(
+            F.broadcast(o),
+            (F.col("op") < F.col("p_value"))
+            | (
+                (F.col("op") == F.col("p_value"))
+                & (F.col("ok") < F.col("c_nationkey"))
+            ),
+            "left",
+        )
+        .groupBy("c_nationkey", "az", "p_value")
+        .agg((F.count("ok") + 1).alias("rnk"))
+        .crossJoin(F.broadcast(m))
+    )
+    thresh = rk.filter(
+        F.col("p_value") <= F.round(0.10 * F.col("rnk") / F.col("m"), 8)
+    ).agg(F.coalesce(F.max("rnk"), F.lit(0)).alias("kstar"))
+    return (
+        rk.crossJoin(F.broadcast(thresh))
+        .select(
+            "c_nationkey",
+            F.col("az").alias("abs_z"),
+            "p_value",
+            F.col("rnk").cast("long").alias("p_rank"),
+            F.round(0.10 * F.col("rnk") / F.col("m"), 8).alias("bh_critical"),
+            (F.col("rnk") <= F.col("kstar")).alias("rejected_fdr10"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+@register(
+    "stats_cochran_q_weeks",
+    oracle="""
+WITH p90 AS (
+  SELECT quantile_cont(value, 0.9) AS q FROM events
+  WHERE event_type = 'purchase'
+),
+t0 AS (SELECT min(ts) AS t0 FROM events),
+x AS (
+  SELECT user_id,
+         max(CASE WHEN floor(epoch(ts)) - floor(epoch(t.t0))
+                       < 10 * 86400 THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN floor(epoch(ts)) - floor(epoch(t.t0))
+                       >= 10 * 86400
+                   AND floor(epoch(ts)) - floor(epoch(t.t0))
+                       < 20 * 86400 THEN 1 ELSE 0 END) AS w2,
+         max(CASE WHEN floor(epoch(ts)) - floor(epoch(t.t0))
+                       >= 20 * 86400 THEN 1 ELSE 0 END) AS w3
+  FROM events, t0 t
+  WHERE event_type = 'purchase' AND value >= (SELECT q FROM p90)
+  GROUP BY user_id
+),
+s AS (
+  SELECT count(*) AS nu,
+         sum(w1) AS c1, sum(w2) AS c2, sum(w3) AS c3,
+         sum(w1 + w2 + w3) AS sr,
+         sum((w1 + w2 + w3) * (w1 + w2 + w3)) AS sr2
+  FROM x
+)
+SELECT CAST(nu AS BIGINT) AS n_users,
+       CAST(c1 AS BIGINT) AS active_p1,
+       CAST(c2 AS BIGINT) AS active_p2,
+       CAST(c3 AS BIGINT) AS active_p3,
+       round(2.0 * (3 * (c1*c1 + c2*c2 + c3*c3) - sr * sr)
+             / (3 * sr - sr2), 4) AS q_stat,
+       2.0 * (3 * (c1*c1 + c2*c2 + c3*c3) - sr * sr)
+         / (3 * sr - sr2) > 5.991 AS significant_5pct
+FROM s
+""",
+    doc="Cochran's Q test for equal high-value-purchase activity "
+    "across three consecutive 10-day periods: the k-related-samples "
+    "extension of stats_mcnemar_paired (k = 2 McNemar is Q's "
+    "special case) on matched binary outcomes per user — 'did "
+    "engagement shift across the month' with each user as their "
+    "own control, which the independent-samples chi2 cannot claim. "
+    " Activity = any purchase above the DERIVED global P90 value "
+    "(raw purchase activity saturates — every user buys every "
+    "period — making Q's denominator zero, the lesson-17 "
+    "degeneracy; the high-value bar leaves ~80%% of users mixed at "
+    "every scale).  Q = (k-1)(k*sum C_j^2 - (sum C_j)^2)/(k*sum "
+    "R_u - sum R_u^2) is EXACT 64-bit integer arithmetic up to "
+    "one final division, vs chi2(k-1 = 2) critical 5.991.  "
+    "All-zero users drop out (provably Q-invariant); one "
+    "conditional-max groupBy per user, one total aggregate",
+)
+def stats_cochran_q_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    p90 = pur.agg(F.expr("percentile(value, 0.9)").alias("q"))
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    off = F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("t0"))
+    x = (
+        pur.crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(t0))
+        .filter(F.col("value") >= F.col("q"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(off < 10 * 86400, 1).otherwise(0)).alias("w1"),
+            F.max(
+                F.when(
+                    (off >= 10 * 86400) & (off < 20 * 86400), 1
+                ).otherwise(0)
+            ).alias("w2"),
+            F.max(F.when(off >= 20 * 86400, 1).otherwise(0)).alias("w3"),
+        )
+    )
+    r = F.col("w1") + F.col("w2") + F.col("w3")
+    s = x.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("w1").alias("c1"),
+        F.sum("w2").alias("c2"),
+        F.sum("w3").alias("c3"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("sr2"),
+    )
+    qnum = 3 * (
+        F.col("c1") * F.col("c1")
+        + F.col("c2") * F.col("c2")
+        + F.col("c3") * F.col("c3")
+    ) - F.col("sr") * F.col("sr")
+    qstat = 2.0 * qnum / (3 * F.col("sr") - F.col("sr2"))
+    return s.select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("c1").cast("long").alias("active_p1"),
+        F.col("c2").cast("long").alias("active_p2"),
+        F.col("c3").cast("long").alias("active_p3"),
+        F.round(qstat, 4).alias("q_stat"),
+        (qstat > 5.991).alias("significant_5pct"),
+    )
+
+
+@register(
+    "ops_littles_law_check",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s0,
+         CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS s1
+  FROM (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+  )
+  GROUP BY user_id, sid
+),
+span AS (
+  SELECT min(s0) AS t0, max(s1) AS t1,
+         count(*) AS n_sessions,
+         sum(s1 - s0) AS total_dur
+  FROM sessions
+),
+ticks AS (
+  SELECT t0 + 3600 * h.h AS tick
+  FROM span, (SELECT unnest(range(0, 100000)) AS h) h
+  WHERE t0 + 3600 * h.h < t1
+),
+sampled AS (
+  SELECT t.tick, count(s.user_id) AS active
+  FROM ticks t
+  LEFT JOIN sessions s ON s.s0 <= t.tick AND t.tick < s.s1
+  GROUP BY t.tick
+)
+SELECT CAST(sp.n_sessions AS BIGINT) AS n_sessions,
+       round(sp.n_sessions * 1.0 / (sp.t1 - sp.t0), 8) AS lambda_per_sec,
+       round(sp.total_dur * 1.0 / sp.n_sessions, 4) AS w_avg_sec,
+       round(sp.total_dur * 1.0 / (sp.t1 - sp.t0), 4) AS l_littles,
+       round((SELECT avg(active) FROM sampled), 4) AS l_sampled,
+       round((SELECT avg(active) FROM sampled)
+             / (sp.total_dur * 1.0 / (sp.t1 - sp.t0)), 4) AS ratio
+FROM span sp
+""",
+    doc="empirical Little's law check over 30-minute-gap user "
+    "sessions: L = lambda * W, with lambda (arrival rate) and W "
+    "(mean session duration) from the session table, and L "
+    "measured INDEPENDENTLY by sampling active-session "
+    "concurrency at hourly ticks — the queueing-theory identity "
+    "behind every capacity dashboard, and the cross-check that "
+    "validates dash_peak_concurrency-style gauges against "
+    "session-log aggregates (ratio ~ 1 up to edge effects and "
+    "sampling grain; computing L from total_dur/T alone would be "
+    "a tautology, which is why the tick sweep exists).  Sessions "
+    "reuse win_session_windows' gaps-and-islands with the (ts, "
+    "event_id) tie pin; the tick join is a bounded interval join "
+    "(ticks x concurrent sessions); integer-second arithmetic "
+    "throughout, with the 30-min close-out counted in the "
+    "duration exactly as session_end is defined there",
+)
+def ops_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = (
+        marked.select(
+            "user_id",
+            "ts",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("s0"),
+            (F.floor(F.unix_timestamp(F.max("ts"))) + 1800)
+            .cast("long")
+            .alias("s1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    span = sess.agg(
+        F.min("s0").alias("t0"),
+        F.max("s1").alias("t1"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("s1") - F.col("s0")).alias("total_dur"),
+    )
+    ticks = (
+        spark.range(0, 100000)
+        .crossJoin(F.broadcast(span.select("t0", "t1")))
+        .select((F.col("t0") + 3600 * F.col("id")).alias("tick"), "t1")
+        .filter(F.col("tick") < F.col("t1"))
+        .select("tick")
+    )
+    sampled = (
+        ticks.join(
+            sess,
+            (F.col("s0") <= F.col("tick")) & (F.col("tick") < F.col("s1")),
+            "left",
+        )
+        .groupBy("tick")
+        .agg(F.count("user_id").alias("active"))
+        .agg(F.avg("active").alias("l_sampled"))
+    )
+    return (
+        span.crossJoin(F.broadcast(sampled))
+        .select(
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.round(
+                F.col("n_sessions") * 1.0 / (F.col("t1") - F.col("t0")), 8
+            ).alias("lambda_per_sec"),
+            F.round(
+                F.col("total_dur") * 1.0 / F.col("n_sessions"), 4
+            ).alias("w_avg_sec"),
+            F.round(
+                F.col("total_dur") * 1.0 / (F.col("t1") - F.col("t0")), 4
+            ).alias("l_littles"),
+            F.round(F.col("l_sampled"), 4).alias("l_sampled"),
+            F.round(
+                F.col("l_sampled")
+                / (F.col("total_dur") * 1.0 / (F.col("t1") - F.col("t0"))),
+                4,
+            ).alias("ratio"),
+        )
+    )

@@ -371,3 +371,38 @@ def test_variance_ratio_positive(spark):
     assert r.n_days > 20
     assert r.vr_5 > 0
     assert (abs(r.z_stat) > 1.96) == r.not_iid_5pct
+
+
+def test_bh_stepup_monotone(spark):
+    rows = sorted(_run(spark, "stats_benjamini_hochberg"), key=lambda r: r.p_rank)
+    assert len(rows) == 25
+    # p sorted by rank; rejected set is a prefix of the ranking
+    prev_p = -1.0
+    seen_accept = False
+    for r in rows:
+        assert r.p_value >= prev_p - 1e-12
+        prev_p = r.p_value
+        if not r.rejected_fdr10:
+            seen_accept = True
+        else:
+            assert not seen_accept, "rejections must form a rank prefix"
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_cochran_q_cells_bounded(spark):
+    (r,) = _run(spark, "stats_cochran_q_weeks")
+    assert r.n_users > 0
+    for c in (r.active_p1, r.active_p2, r.active_p3):
+        assert 0 <= c <= r.n_users
+    assert r.q_stat >= 0
+    assert (r.q_stat > 5.991) == r.significant_5pct
+
+
+def test_littles_law_holds_approximately(spark):
+    (r,) = _run(spark, "ops_littles_law_check")
+    assert r.n_sessions > 0
+    assert r.w_avg_sec >= 1800, "every session includes the 30-min close-out"
+    # independently sampled concurrency must agree with lambda*W
+    # within sampling/edge error
+    assert 0.5 <= r.ratio <= 1.5
+    assert abs(r.l_littles - r.lambda_per_sec * r.w_avg_sec) < 0.01 * r.l_littles + 0.01

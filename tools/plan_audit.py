@@ -539,6 +539,11 @@ ALLOWED_EXCHANGES = {
     # joins.  Index-build family; every exchange past the explode
     # carries (doc_id, tok) pairs or <=120-row pair tables.
     "text_doc_cooccur_lift": 14,
+    # stats_benjamini_hochberg: ONE N-sized pass (the per-nation
+    # moment aggregate + the global aggregate); the z/p projection,
+    # 25-row rank self-join, m count, step-up cutoff and final sort
+    # each exchange <=25-row p-value tables.
+    "stats_benjamini_hochberg": 11,
 }
 
 
