@@ -3992,3 +3992,168 @@ def ops_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+# ------------------------------------------------ mixture model EM
+
+_EM_ITERS = 5
+
+
+def _gmm_oracle() -> str:
+    sql = """
+WITH bins AS MATERIALIZED (
+  SELECT round(ln(o_totalprice), 2) AS y, count(*) AS w
+  FROM orders GROUP BY 1
+),
+p0 AS MATERIALIZED (
+  SELECT 0.5 AS pi,
+         round(quantile_cont(ln(o_totalprice), 0.25), 6) AS mu1,
+         round(quantile_cont(ln(o_totalprice), 0.75), 6) AS mu2,
+         round(stddev_samp(ln(o_totalprice)), 6) AS s1,
+         round(stddev_samp(ln(o_totalprice)), 6) AS s2
+  FROM orders
+)"""
+    prev = "p0"
+    for k in range(_EM_ITERS):
+        sql += f""",
+e{k} AS MATERIALIZED (
+  SELECT b.y, b.w,
+         p.pi * exp(-(b.y - p.mu1) * (b.y - p.mu1) / (2 * p.s1 * p.s1))
+           / p.s1 AS d1,
+         (1 - p.pi) * exp(-(b.y - p.mu2) * (b.y - p.mu2)
+           / (2 * p.s2 * p.s2)) / p.s2 AS d2
+  FROM bins b CROSS JOIN {prev} p
+),
+m{k}a AS MATERIALIZED (
+  SELECT round(sum(w * d1 / (d1 + d2)) / sum(w), 6) AS pi,
+         round(sum(w * y * d1 / (d1 + d2))
+               / sum(w * d1 / (d1 + d2)), 6) AS mu1,
+         round(sum(w * y * d2 / (d1 + d2))
+               / sum(w * d2 / (d1 + d2)), 6) AS mu2
+  FROM e{k}
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT m.pi, m.mu1, m.mu2,
+         round(sqrt(sum(e.w * (e.y - m.mu1) * (e.y - m.mu1)
+                        * e.d1 / (e.d1 + e.d2))
+                    / sum(e.w * e.d1 / (e.d1 + e.d2))), 6) AS s1,
+         round(sqrt(sum(e.w * (e.y - m.mu2) * (e.y - m.mu2)
+                        * e.d2 / (e.d1 + e.d2))
+                    / sum(e.w * e.d2 / (e.d1 + e.d2))), 6) AS s2
+  FROM e{k} e CROSS JOIN m{k}a m
+  GROUP BY m.pi, m.mu1, m.mu2
+)"""
+        prev = f"p{k + 1}"
+    return (
+        sql
+        + f"""
+SELECT c.component,
+       round(CASE c.component WHEN 1 THEN p.pi ELSE 1 - p.pi END, 6)
+         AS weight_pi,
+       CASE c.component WHEN 1 THEN p.mu1 ELSE p.mu2 END AS mu_log,
+       CASE c.component WHEN 1 THEN p.s1 ELSE p.s2 END AS sigma_log,
+       round(exp(CASE c.component WHEN 1 THEN p.mu1 ELSE p.mu2 END), 2)
+         AS mu_price
+FROM {prev} p
+CROSS JOIN (SELECT 1 AS component UNION ALL SELECT 2) c
+ORDER BY c.component"""
+    )
+
+
+@register(
+    "ml_gmm_em_1d",
+    oracle=_gmm_oracle(),
+    doc="two-component 1-D Gaussian mixture on log order totals, "
+    "fitted with 5 EM iterations from deterministic moment "
+    "initialization (mu = P25/P75, sigma = global sd, pi = 0.5) — "
+    "the soft-assignment counterpart to the hard k-means the "
+    "semantic-dedup family uses, and the classic "
+    "customer-segmentation fit (budget vs premium order regimes) "
+    "with posterior responsibilities a downstream query could "
+    "threshold.  The E and M steps run over the 2dp-log-binned "
+    "VALUE HISTOGRAM (bounded ~600 bins regardless of order "
+    "count) — the equi-depth/AUC histogram discipline applied to "
+    "EM, so each iteration is one bounded aggregate, not an "
+    "N-sized pass; parameters are rounded 6dp after every M step "
+    "so both engines re-synchronize before the next exp() (the "
+    "EWMA/Holt recursion discipline).  The oracle unrolls all 5 "
+    "iterations as MATERIALIZED CTE chains (E, M-means, M-sigmas "
+    "per round); the engine drives the same recurrence with a "
+    "5-step loop collecting ONE 5-number parameter row per step "
+    "(the k-means-centroid class of bounded driver data)",
+)
+def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    od = load_table(spark, sf_dir, "orders")
+    lny = F.log(F.col("o_totalprice"))
+    bins = (
+        od.groupBy(F.round(lny, 2).alias("y"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    init = od.agg(
+        F.round(F.expr("percentile(ln(o_totalprice), 0.25)"), 6).alias("mu1"),
+        F.round(F.expr("percentile(ln(o_totalprice), 0.75)"), 6).alias("mu2"),
+        F.round(F.stddev_samp(lny), 6).alias("s"),
+    ).collect()[0]
+    pi, mu1, mu2, s1, s2 = 0.5, init["mu1"], init["mu2"], init["s"], init["s"]
+    for _ in range(_EM_ITERS):
+        d1 = (
+            pi
+            * F.exp(-(F.col("y") - mu1) * (F.col("y") - mu1) / (2 * s1 * s1))
+            / s1
+        )
+        d2 = (
+            (1 - pi)
+            * F.exp(-(F.col("y") - mu2) * (F.col("y") - mu2) / (2 * s2 * s2))
+            / s2
+        )
+        e = bins.select(
+            "y",
+            "w",
+            (F.col("w") * d1 / (d1 + d2)).alias("r1w"),
+            (F.col("w") * d2 / (d1 + d2)).alias("r2w"),
+        )
+        m = e.agg(
+            F.round(F.sum("r1w") / F.sum(F.col("r1w") + F.col("r2w")), 6).alias(
+                "pi"
+            ),
+            F.round(
+                F.sum(F.col("y") * F.col("r1w")) / F.sum("r1w"), 6
+            ).alias("mu1"),
+            F.round(
+                F.sum(F.col("y") * F.col("r2w")) / F.sum("r2w"), 6
+            ).alias("mu2"),
+        ).collect()[0]
+        pi_n, mu1_n, mu2_n = m["pi"], m["mu1"], m["mu2"]
+        sg = e.agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("y") - mu1_n) * (F.col("y") - mu1_n) * F.col("r1w")
+                    )
+                    / F.sum("r1w")
+                ),
+                6,
+            ).alias("s1"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("y") - mu2_n) * (F.col("y") - mu2_n) * F.col("r2w")
+                    )
+                    / F.sum("r2w")
+                ),
+                6,
+            ).alias("s2"),
+        ).collect()[0]
+        pi, mu1, mu2, s1, s2 = pi_n, mu1_n, mu2_n, sg["s1"], sg["s2"]
+    rows = [
+        (1, round(pi, 6), mu1, s1, round(math.exp(mu1), 2)),
+        (2, round(1 - pi, 6), mu2, s2, round(math.exp(mu2), 2)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, weight_pi double, mu_log double, sigma_log double,"
+        " mu_price double",
+    ).orderBy("component")

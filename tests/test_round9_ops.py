@@ -406,3 +406,18 @@ def test_littles_law_holds_approximately(spark):
     # within sampling/edge error
     assert 0.5 <= r.ratio <= 1.5
     assert abs(r.l_littles - r.lambda_per_sec * r.w_avg_sec) < 0.01 * r.l_littles + 0.01
+
+
+def test_gmm_components_ordered_and_normalized(spark):
+    rows = sorted(_run(spark, "ml_gmm_em_1d"), key=lambda r: r.component)
+    assert len(rows) == 2
+    c1, c2 = rows
+    assert abs(c1.weight_pi + c2.weight_pi - 1.0) < 1e-6
+    assert 0 < c1.weight_pi < 1
+    assert c1.mu_log < c2.mu_log, "moment init orders the components"
+    assert c1.sigma_log > 0 and c2.sigma_log > 0
+    import math
+
+    assert c1.mu_price == pytest.approx(math.exp(c1.mu_log), rel=0.01)
+    # separation: the two means must not collapse in 5 iterations
+    assert c2.mu_log - c1.mu_log > 0.1
