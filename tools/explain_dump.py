@@ -63,6 +63,13 @@ HEADLINERS = [
     "ml_conformal_interval",
     "funnel_time_decay_attribution",
     "join_nearest_price",
+    # round-9 batch headliners (built in round 7)
+    "graph_mst_boruvka",
+    "stats_anderson_darling_2s",
+    "sketch_kmv_set_ops",
+    "ml_isotonic_calibration_pav",
+    "search_rocchio_prf",
+    "ml_permutation_importance_det",
 ]
 
 # Hand-maintained notes that must survive regeneration.
