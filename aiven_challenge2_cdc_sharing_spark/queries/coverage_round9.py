@@ -4157,3 +4157,367 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, weight_pi double, mu_log double, sigma_log double,"
         " mu_price double",
     ).orderBy("component")
+
+
+# ------------------------------------------------ power / spectrum / audit
+
+
+@register(
+    "stats_two_prop_power",
+    oracle=f"""
+WITH totals AS (
+  SELECT user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         round(sum(CASE WHEN event_type = 'purchase'
+                        THEN value ELSE 0 END), 6) AS pv
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT quantile_cont(pv, 0.5) AS m FROM totals),
+arms AS (
+  SELECT user_id, arm,
+         CASE WHEN pv > (SELECT m FROM med) THEN 1 ELSE 0 END AS conv
+  FROM totals
+),
+c AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x1,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x2
+  FROM arms
+),
+e AS (
+  SELECT n1, n2, x1, x2,
+         x1 * 1.0 / n1 AS p1, x2 * 1.0 / n2 AS p2,
+         round(abs(x1 * 1.0 / n1 - x2 * 1.0 / n2), 6) AS diff,
+         round(sqrt((x1 * 1.0 / n1) * (1 - x1 * 1.0 / n1) / n1
+                    + (x2 * 1.0 / n2) * (1 - x2 * 1.0 / n2) / n2), 6) AS se
+  FROM c
+),
+z AS (SELECT *, round(diff / se - 1.96, 6) AS zp FROM e)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(p1, 6) AS p1, round(p2, 6) AS p2, diff AS observed_diff,
+       round(CASE WHEN zp >= 0 THEN {_PHI_SQL.format(z='zp')}
+                  ELSE 1.0 - {_PHI_SQL.format(z='(-zp)')} END, 4)
+         AS power_observed,
+       CASE WHEN diff > 0 THEN CAST(ceil(
+         (1.96 + 0.8416) * (1.96 + 0.8416)
+         * (p1 * (1 - p1) + p2 * (1 - p2)) / (diff * diff)) AS BIGINT)
+       END AS n_per_arm_80pct
+FROM z
+""",
+    doc="post-hoc power analysis for the two-proportion conversion "
+    "test (arms = replayable md5 user split, conversion = per-user "
+    "purchase total above the DERIVED median of user totals — a "
+    "~50%% base rate at every scale factor; 'any purchase' "
+    "saturates to p = 1 and zeroes the standard error, the "
+    "lesson-17 hazard): the power the OBSERVED effect size had, "
+    "power = "
+    "Phi(|p1-p2|/SE - z_alpha/2), and the per-arm n required for "
+    "80%% power at that effect — the 'was this A/B test even able "
+    "to detect what it claims' companion that ab_test_conversion "
+    "and ab_wilson_intervals lack (an insignificant result from an "
+    "underpowered test is not evidence of no effect).  Reuses the "
+    "Zelen-Severo normal CDF (stats_benjamini_hochberg's "
+    "approximation, reflected for negative arguments since it is "
+    "only valid for z >= 0); diff and SE rounded 6dp before the "
+    "division.  One per-user conditional aggregate, one total "
+    "aggregate; n_per_arm is NULL exactly when the observed diff "
+    "is 0 (its defined singularity, integer-exact test)",
+)
+def stats_two_prop_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("pv")
+    ).localCheckpoint(eager=False)
+    med = totals.agg(F.expr("percentile(pv, 0.5)").alias("m"))
+    arms = totals.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "arm",
+        F.when(F.col("pv") > F.col("m"), 1).otherwise(0).alias("conv"),
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "x1"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "x2"
+        ),
+    )
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    p2 = F.col("x2") * 1.0 / F.col("n2")
+    e = c.select(
+        "n1",
+        "n2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.round(F.abs(p1 - p2), 6).alias("diff"),
+        F.round(
+            F.sqrt(p1 * (1 - p1) / F.col("n1") + p2 * (1 - p2) / F.col("n2")),
+            6,
+        ).alias("se"),
+    )
+    zp = F.round(F.col("diff") / F.col("se") - 1.96, 6)
+    power = F.when(zp >= 0, _phi_col(zp)).otherwise(1.0 - _phi_col(-zp))
+    need = F.ceil(
+        (1.96 + 0.8416) ** 2
+        * (
+            F.col("p1") * (1 - F.col("p1"))
+            + F.col("p2") * (1 - F.col("p2"))
+        )
+        / (F.col("diff") * F.col("diff"))
+    ).cast("long")
+    return e.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.col("diff").alias("observed_diff"),
+        F.round(power, 4).alias("power_observed"),
+        F.when(F.col("diff") > 0, need).alias("n_per_arm_80pct"),
+    )
+
+
+@register(
+    "ts_spectral_entropy",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+         avg(x) OVER (PARTITION BY event_type) AS mu
+  FROM daily
+),
+periods AS (SELECT unnest(range(2, 15)) AS p),
+power AS (
+  SELECT event_type, p,
+         round(pow(sum((x - mu) * cos(2 * pi() * t / p)), 2)
+               + pow(sum((x - mu) * sin(2 * pi() * t / p)), 2), 4) AS pw
+  FROM seq, periods GROUP BY event_type, p
+),
+tot AS (
+  SELECT event_type, sum(pw) AS spw, count(*) AS np FROM power GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(max(t.np) AS BIGINT) AS n_periods,
+       round(-sum(CASE WHEN p.pw > 0
+                       THEN (p.pw / t.spw) * ln(p.pw / t.spw) END)
+             / ln(max(t.np)), 4) AS spectral_entropy,
+       round(exp(avg(ln(p.pw)) FILTER (p.pw > 0))
+             / (max(t.spw) / max(t.np)), 4) AS spectral_flatness
+FROM power p JOIN tot t ON t.event_type = p.event_type
+GROUP BY p.event_type ORDER BY p.event_type
+""",
+    doc="spectral entropy and Wiener flatness of the 2-14-day "
+    "periodogram per event type: how CONCENTRATED the series' "
+    "energy is across candidate periods — entropy ~ 1 / flatness "
+    "~ 1 means white-noise-like (no rhythm), low values mean a "
+    "few dominant cycles — the whole-spectrum summary on top of "
+    "ts_dominant_period's argmax (which reports WHERE the peak "
+    "is; this reports HOW MUCH of the spectrum the peaks own, the "
+    "feature forecast-model selectors and anomaly detectors "
+    "condition on).  Same explicit-DFT discipline and 4dp power "
+    "rounding as the sibling; the entropy normalizes by ln(13) "
+    "and the flatness is the geometric/arithmetic power-mean "
+    "ratio, with the identical rounded powers making the > 0 "
+    "guards agree bit-for-bit.  Per-type spectra are "
+    "13-row tables; the N-sized work is the daily aggregate",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "x",
+        (F.row_number().over(wo) - 1).alias("t"),
+        F.avg("x").over(wt).alias("mu"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    tau = 2 * math.pi
+    power = (
+        seq.crossJoin(F.broadcast(periods))
+        .groupBy("event_type", "p")
+        .agg(
+            F.round(
+                F.pow(
+                    F.sum(
+                        (F.col("x") - F.col("mu"))
+                        * F.cos(tau * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        (F.col("x") - F.col("mu"))
+                        * F.sin(tau * F.col("t") / F.col("p"))
+                    ),
+                    2,
+                ),
+                4,
+            ).alias("pw")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = power.groupBy("event_type").agg(
+        F.sum("pw").alias("spw"), F.count(F.lit(1)).alias("np")
+    )
+    q = F.col("pw") / F.col("spw")
+    return (
+        power.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("np").cast("long").alias("n_periods"),
+            F.round(
+                -F.sum(F.when(F.col("pw") > 0, q * F.log(q)))
+                / F.log(F.max("np").cast("double")),
+                4,
+            ).alias("spectral_entropy"),
+            F.round(
+                F.exp(F.avg(F.when(F.col("pw") > 0, F.log("pw"))))
+                / (F.max("spw") / F.max("np")),
+                4,
+            ).alias("spectral_flatness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+from .temporal import SCD2_SQL as SCD2_SQL_REF  # noqa: E402
+
+
+@register(
+    "dq_scd2_integrity_audit",
+    oracle=f"""
+WITH hist AS MATERIALIZED ({SCD2_SQL_REF}
+),
+w AS (
+  SELECT id, version, valid_from_ms, valid_to_ms, is_current,
+         lag(valid_to_ms) OVER (PARTITION BY id ORDER BY valid_from_ms)
+           AS prev_to,
+         row_number() OVER (PARTITION BY id ORDER BY valid_from_ms)
+           AS expect_v
+  FROM hist
+),
+per_key AS (
+  SELECT id,
+         count(*) AS nv,
+         sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_cur,
+         sum(CASE WHEN prev_to IS NOT NULL
+                   AND prev_to > valid_from_ms THEN 1 ELSE 0 END) AS n_olap,
+         sum(CASE WHEN prev_to IS NOT NULL
+                   AND prev_to < valid_from_ms THEN 1 ELSE 0 END) AS n_gap,
+         sum(CASE WHEN version <> expect_v THEN 1 ELSE 0 END) AS n_badv
+  FROM w GROUP BY id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(nv) AS BIGINT) AS n_versions,
+       CAST(max(nv) AS BIGINT) AS max_versions_per_key,
+       round(avg(CASE WHEN nv > 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS share_multiversion,
+       CAST(sum(CASE WHEN n_cur > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_multi_current,
+       CAST(sum(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_closed_out,
+       CAST(sum(n_olap) AS BIGINT) AS overlap_violations,
+       CAST(sum(n_gap) AS BIGINT) AS gap_violations,
+       CAST(sum(n_badv) AS BIGINT) AS version_violations
+FROM per_key
+""",
+    doc="temporal-integrity audit OVER the SCD Type 2 operator's own "
+    "output (cdc_scd2_history, cdc/scd2.py): per key, validity "
+    "intervals ordered by valid_from must TILE — no overlaps "
+    "(prev valid_to > next valid_from), no gaps, version numbers "
+    "dense, at most one open (is_current) interval, deleted keys "
+    "fully closed out — the DQ meta-query every slowly-changing "
+    "dimension needs in CI, and a COMPOSITION proof: one "
+    "registry operator audited by another, with the oracle "
+    "recomputing the full SCD2 derivation inside a materialized "
+    "CTE and the same window checks on top.  The violation "
+    "counters are structural zeros (the invariant tests pin "
+    "them); the distribution columns (max versions, multiversion "
+    "share, closed-out keys) carry the real per-fixture signal.  "
+    "One lag window per key partition on top of the history's "
+    "existing key shuffle",
+)
+def dq_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc.generator import generate_envelope_log
+    from ..cdc.scd2 import scd2_history
+
+    hist = scd2_history(generate_envelope_log(spark, sf_dir))
+    w = Window.partitionBy("id").orderBy("valid_from_ms")
+    ww = hist.select(
+        "id",
+        "version",
+        "valid_from_ms",
+        "valid_to_ms",
+        "is_current",
+        F.lag("valid_to_ms").over(w).alias("prev_to"),
+        F.row_number().over(w).alias("expect_v"),
+    )
+    per_key = ww.groupBy("id").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_cur"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("prev_to") > F.col("valid_from_ms")),
+                1,
+            ).otherwise(0)
+        ).alias("n_olap"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("prev_to") < F.col("valid_from_ms")),
+                1,
+            ).otherwise(0)
+        ).alias("n_gap"),
+        F.sum(
+            F.when(F.col("version") != F.col("expect_v"), 1).otherwise(0)
+        ).alias("n_badv"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("nv").cast("long").alias("n_versions"),
+        F.max("nv").cast("long").alias("max_versions_per_key"),
+        F.round(
+            F.avg(F.when(F.col("nv") > 1, 1.0).otherwise(0.0)), 4
+        ).alias("share_multiversion"),
+        F.sum(F.when(F.col("n_cur") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("keys_multi_current"),
+        F.sum(F.when(F.col("n_cur") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("keys_closed_out"),
+        F.sum("n_olap").cast("long").alias("overlap_violations"),
+        F.sum("n_gap").cast("long").alias("gap_violations"),
+        F.sum("n_badv").cast("long").alias("version_violations"),
+    )

@@ -421,3 +421,34 @@ def test_gmm_components_ordered_and_normalized(spark):
     assert c1.mu_price == pytest.approx(math.exp(c1.mu_log), rel=0.01)
     # separation: the two means must not collapse in 5 iterations
     assert c2.mu_log - c1.mu_log > 0.1
+
+
+def test_two_prop_power_bounds(spark):
+    (r,) = _run(spark, "stats_two_prop_power")
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 < r.p1 < 1.0 and 0.0 < r.p2 < 1.0
+    assert 0.0 <= r.power_observed <= 1.0
+    if r.observed_diff > 0:
+        assert r.n_per_arm_80pct is not None and r.n_per_arm_80pct > 0
+
+
+def test_spectral_entropy_bounds(spark):
+    rows = _run(spark, "ts_spectral_entropy")
+    assert rows
+    for r in rows:
+        assert r.n_periods == 13
+        assert 0.0 <= r.spectral_entropy <= 1.0 + 1e-9
+        # AM-GM: flatness in (0, 1]
+        assert 0.0 < r.spectral_flatness <= 1.0 + 1e-9
+
+
+def test_scd2_audit_invariants_hold(spark):
+    (r,) = _run(spark, "dq_scd2_integrity_audit")
+    # the SCD2 operator must produce a TILING history
+    assert r.overlap_violations == 0
+    assert r.gap_violations == 0
+    assert r.version_violations == 0
+    assert r.keys_multi_current == 0
+    assert r.n_versions >= r.n_keys
+    assert r.max_versions_per_key >= 2, "updates must create versions"
+    assert r.keys_closed_out > 0, "deletes must close keys out"
