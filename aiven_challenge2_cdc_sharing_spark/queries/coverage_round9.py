@@ -4521,3 +4521,336 @@ def dq_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_gap").cast("long").alias("gap_violations"),
         F.sum("n_badv").cast("long").alias("version_violations"),
     )
+
+
+# ------------------------------------------------ calibration / ranks / graphs
+
+_PLATT_ITERS = 5
+
+
+def _platt_oracle() -> str:
+    sql = """
+WITH bins AS MATERIALIZED (
+  SELECT round(avg(score), 6) AS x, count(*) AS n, sum(y) AS pos
+  FROM (
+    SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+           round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)
+             AS score,
+           CAST(least(floor(round(1.0 / (1.0 + exp(-CAST(embedding[1]
+             AS DOUBLE) * 4)), 6) * 20), 19) AS BIGINT) AS b
+    FROM embeddings
+  ) GROUP BY b
+),
+p0 AS MATERIALIZED (
+  SELECT 0.0 AS a,
+         round(ln((sum(pos) + 1.0) / (sum(n) - sum(pos) + 1.0)), 6) AS bb
+  FROM bins
+)"""
+    prev = "p0"
+    for k in range(_PLATT_ITERS):
+        sql += f""",
+e{k} AS MATERIALIZED (
+  SELECT b.x, b.n, b.pos,
+         1.0 / (1.0 + exp(-(p.a * b.x + p.bb))) AS pr
+  FROM bins b CROSS JOIN {prev} p
+),
+p{k + 1} AS MATERIALIZED (
+  SELECT round(p.a + (sum(e.x * (e.pos - e.n * e.pr))
+                      * sum(e.n * e.pr * (1 - e.pr))
+                 - sum(e.pos - e.n * e.pr)
+                      * sum(e.x * e.n * e.pr * (1 - e.pr)))
+               / (sum(e.x * e.x * e.n * e.pr * (1 - e.pr))
+                      * sum(e.n * e.pr * (1 - e.pr))
+                  - sum(e.x * e.n * e.pr * (1 - e.pr))
+                      * sum(e.x * e.n * e.pr * (1 - e.pr))), 6) AS a,
+         round(p.bb + (sum(e.pos - e.n * e.pr)
+                      * sum(e.x * e.x * e.n * e.pr * (1 - e.pr))
+                 - sum(e.x * (e.pos - e.n * e.pr))
+                      * sum(e.x * e.n * e.pr * (1 - e.pr)))
+               / (sum(e.x * e.x * e.n * e.pr * (1 - e.pr))
+                      * sum(e.n * e.pr * (1 - e.pr))
+                  - sum(e.x * e.n * e.pr * (1 - e.pr))
+                      * sum(e.x * e.n * e.pr * (1 - e.pr))), 6) AS bb
+  FROM e{k} e CROSS JOIN {prev} p
+  GROUP BY p.a, p.bb
+)"""
+        prev = f"p{k + 1}"
+    return (
+        sql
+        + f"""
+SELECT p.a AS a_coef, p.bb AS b_coef,
+       round(sum(b.n * (1.0 / (1.0 + exp(-(p.a * b.x + p.bb)))))
+             / sum(b.n), 6) AS avg_pred,
+       round(sum(b.pos) * 1.0 / sum(b.n), 6) AS base_rate
+FROM bins b CROSS JOIN {prev} p
+GROUP BY p.a, p.bb"""
+    )
+
+
+@register(
+    "ml_platt_scaling",
+    oracle=_platt_oracle(),
+    doc="Platt scaling (logistic recalibration p = sigma(A*s + B)) of "
+    "the sigmoid scorer, fitted with 5 Newton-Raphson iterations "
+    "over the 20-bin score histogram — the PARAMETRIC calibration "
+    "sibling of ml_isotonic_calibration_pav (Platt needs 2 "
+    "parameters and extrapolates smoothly; isotonic is "
+    "nonparametric and can overfit small bins — shipping both is "
+    "the standard practice).  Each Newton step solves the exact "
+    "2x2 system (gradient and Hessian of the binomial "
+    "log-likelihood are closed-form sums over bins); parameters "
+    "are rounded 6dp per step so both engines re-synchronize "
+    "before the next exp — the GMM/EWMA recursion discipline — "
+    "and B initializes at the log-odds prior (A = 0), so every "
+    "quantity is derived.  The oracle unrolls the 5 iterations as "
+    "materialized CTE pairs; the engine collects one 2-number "
+    "parameter row per step (bounded driver data).  The fitted "
+    "avg_pred must reproduce the base rate (Newton solves the "
+    "score equation sum(pos - n*p) = 0) — the invariant test",
+)
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)),
+        6,
+    )
+    bins = (
+        emb.select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            score.alias("score"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("score") * 20), F.lit(19))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.round(F.avg("score"), 6).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("pt")
+    ).collect()[0]
+    a = 0.0
+    b = round(math.log((tot["pt"] + 1.0) / (tot["nt"] - tot["pt"] + 1.0)), 6)
+    for _ in range(_PLATT_ITERS):
+        pr = 1.0 / (1.0 + F.exp(-(a * F.col("x") + b)))
+        g = bins.agg(
+            F.sum(F.col("x") * (F.col("pos") - F.col("n") * pr)).alias("g1"),
+            F.sum(F.col("pos") - F.col("n") * pr).alias("g0"),
+            F.sum(
+                F.col("x") * F.col("x") * F.col("n") * pr * (1 - pr)
+            ).alias("h11"),
+            F.sum(F.col("x") * F.col("n") * pr * (1 - pr)).alias("h01"),
+            F.sum(F.col("n") * pr * (1 - pr)).alias("h00"),
+        ).collect()[0]
+        det = g["h11"] * g["h00"] - g["h01"] * g["h01"]
+        a = round(a + (g["g1"] * g["h00"] - g["g0"] * g["h01"]) / det, 6)
+        b = round(b + (g["g0"] * g["h11"] - g["g1"] * g["h01"]) / det, 6)
+    pr = 1.0 / (1.0 + F.exp(-(a * F.col("x") + b)))
+    return bins.agg(
+        F.lit(a).alias("a_coef"),
+        F.lit(b).alias("b_coef"),
+        F.round(F.sum(F.col("n") * pr) / F.sum("n"), 6).alias("avg_pred"),
+        F.round(F.sum("pos") * 1.0 / F.sum("n"), 6).alias("base_rate"),
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+full_days AS (
+  SELECT d FROM daily GROUP BY d HAVING count(*) = 5
+),
+ranked AS (
+  SELECT daily.event_type, daily.d,
+         row_number() OVER (PARTITION BY daily.d
+                            ORDER BY daily.v, daily.event_type) AS rk
+  FROM daily JOIN full_days USING (d)
+),
+rsum AS (
+  SELECT event_type, sum(rk) AS rj, count(*) AS n FROM ranked GROUP BY 1
+),
+s AS (
+  SELECT max(n) AS n, sum(rj * rj) AS srj2 FROM rsum
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       round(12.0 * srj2 / (n * 5 * 6) - 3.0 * n * 6, 4) AS q_stat,
+       CAST(4 AS BIGINT) AS df,
+       12.0 * srj2 / (n * 5 * 6) - 3.0 * n * 6 > 9.488
+         AS significant_5pct
+FROM s
+""",
+    doc="Friedman rank test: do the five event types differ in daily "
+    "value when each DAY is its own block?  The k-related-samples "
+    "rank analogue of repeated-measures ANOVA — blocking by day "
+    "removes day-to-day volume swings that would swamp an "
+    "independent-samples comparison (stats_kruskal_wallis pools "
+    "across groups with no blocking; stats_cochran_q_weeks is the "
+    "binary special case).  Q = 12/(nk(k+1)) * sum R_j^2 - 3n(k+1) "
+    "over within-day ranks 1..5, chi2(4) critical 9.488.  Ranks "
+    "use a (value, type) TOTAL order on 6dp-rounded sums — ties "
+    "are broken identically on both engines, a documented "
+    "deterministic variant of the midrank convention (exact ties "
+    "in 6dp daily sums are measure-zero on this fixture); only "
+    "complete 5-type days enter, dropped identically via the "
+    "HAVING census.  Everything after the daily aggregate is "
+    "integer arithmetic on a 5-row rank-sum table",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        ).alias("d"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    full_days = daily.groupBy("d").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") == 5
+    ).select("d")
+    w = Window.partitionBy("d").orderBy("v", "event_type")
+    ranked = daily.join(full_days, "d").select(
+        "event_type", F.row_number().over(w).alias("rk")
+    )
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("rk").alias("rj"), F.count(F.lit(1)).alias("n")
+    )
+    s = rsum.agg(
+        F.max("n").alias("n"), F.sum(F.col("rj") * F.col("rj")).alias("srj2")
+    )
+    q = 12.0 * F.col("srj2") / (F.col("n") * 5 * 6) - 3.0 * F.col("n") * 6
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(q, 4).alias("q_stat"),
+        F.lit(4).cast("long").alias("df"),
+        (q > 9.488).alias("significant_5pct"),
+    )
+
+
+@register(
+    "graph_modularity_regions",
+    oracle="""
+WITH raw AS MATERIALIZED (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+m AS (SELECT sum(w) AS m FROM raw),
+memb AS (SELECT n_nationkey AS nk, n_regionkey AS rg FROM nation),
+internal AS (
+  SELECT mu.rg, sum(r.w) AS iw
+  FROM raw r
+  JOIN memb mu ON mu.nk = r.u
+  JOIN memb mv ON mv.nk = r.v AND mv.rg = mu.rg
+  GROUP BY mu.rg
+),
+deg AS (
+  SELECT mb.rg, sum(x.w) AS dsum
+  FROM (
+    SELECT u AS nk, w FROM raw UNION ALL SELECT v, w FROM raw
+  ) x JOIN memb mb ON mb.nk = x.nk
+  GROUP BY mb.rg
+)
+SELECT reg.r_name AS region,
+       CAST(coalesce(i.iw, 0) AS BIGINT) AS internal_weight,
+       CAST(d.dsum AS BIGINT) AS degree_weight,
+       round(coalesce(i.iw, 0) * 1.0 / mm.m
+             - (d.dsum * 0.5 / mm.m) * (d.dsum * 0.5 / mm.m), 6)
+         AS q_contribution
+FROM deg d
+JOIN region reg ON reg.r_regionkey = d.rg
+LEFT JOIN internal i ON i.rg = d.rg
+CROSS JOIN m mm
+ORDER BY region
+""",
+    doc="Newman modularity of the REGION partition of the weighted "
+    "nation trade graph: Q = sum over communities of [w_in/m - "
+    "(d_c/2m)^2], asking whether nations trade more within their "
+    "region than a degree-preserving random rewiring predicts — "
+    "the partition-QUALITY metric that completes the community "
+    "family (graph_label_propagation FINDS communities; modularity "
+    "SCORES a candidate partition, and the geographic partition is "
+    "the natural domain-given candidate; LPA's own output "
+    "collapses to connected components on this dense graph, which "
+    "would score a degenerate Q = 0).  Per-region contribution "
+    "rows let the test verify both the identity sum(Q_c) in "
+    "[-0.5, 1] and that internal weight never exceeds the degree "
+    "sum.  All weights are exact integer trade counts; one 4-way "
+    "fact join feeds a 25-node edge aggregate and everything "
+    "after is region-bounded",
+)
+def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rg = load_table(spark, sf_dir, "region")
+    raw = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    m = raw.agg(F.sum("w").alias("m"))
+    memb = na.select(F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rg"))
+    mu = memb.select(F.col("nk").alias("u"), F.col("rg").alias("rgu"))
+    mv = memb.select(F.col("nk").alias("v"), F.col("rg").alias("rgv"))
+    internal = (
+        raw.join(F.broadcast(mu), "u")
+        .join(F.broadcast(mv), "v")
+        .filter(F.col("rgu") == F.col("rgv"))
+        .groupBy(F.col("rgu").alias("rg"))
+        .agg(F.sum("w").alias("iw"))
+    )
+    deg = (
+        raw.select(F.col("u").alias("nk"), "w")
+        .unionAll(raw.select(F.col("v").alias("nk"), "w"))
+        .join(F.broadcast(memb), "nk")
+        .groupBy("rg")
+        .agg(F.sum("w").alias("dsum"))
+    )
+    return (
+        deg.join(
+            F.broadcast(rg.select(F.col("r_regionkey").alias("rg"), "r_name")),
+            "rg",
+        )
+        .join(F.broadcast(internal), "rg", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("r_name").alias("region"),
+            F.coalesce("iw", F.lit(0)).cast("long").alias("internal_weight"),
+            F.col("dsum").cast("long").alias("degree_weight"),
+            F.round(
+                F.coalesce("iw", F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("dsum") * 0.5 / F.col("m"))
+                * (F.col("dsum") * 0.5 / F.col("m")),
+                6,
+            ).alias("q_contribution"),
+        )
+        .orderBy("region")
+    )

@@ -452,3 +452,33 @@ def test_scd2_audit_invariants_hold(spark):
     assert r.n_versions >= r.n_keys
     assert r.max_versions_per_key >= 2, "updates must create versions"
     assert r.keys_closed_out > 0, "deletes must close keys out"
+
+
+def test_platt_reproduces_base_rate(spark):
+    (r,) = _run(spark, "ml_platt_scaling")
+    # Newton solves the score equation: fitted mean == empirical rate
+    assert abs(r.avg_pred - r.base_rate) < 1e-3
+    assert 0.0 < r.base_rate < 1.0
+
+
+def test_friedman_bounds(spark):
+    (r,) = _run(spark, "stats_friedman_test")
+    assert r.n_blocks > 10
+    # Q is bounded by n*(k-1) for k=5 with integer ranks
+    assert 0 <= r.q_stat <= r.n_blocks * 4 + 1e-9
+    assert (r.q_stat > 9.488) == r.significant_5pct
+
+
+def test_modularity_identities(spark):
+    rows = _run(spark, "graph_modularity_regions")
+    assert len(rows) == 5
+    q = sum(r.q_contribution for r in rows)
+    assert -0.5 <= q <= 1.0
+    total_internal = sum(r.internal_weight for r in rows)
+    total_degree = sum(r.degree_weight for r in rows)
+    # every edge contributes its weight twice to the degree sum
+    assert total_degree == 2 * total_internal + 2 * (
+        total_degree // 2 - total_internal
+    )
+    for r in rows:
+        assert 2 * r.internal_weight <= r.degree_weight

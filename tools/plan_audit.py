@@ -544,6 +544,12 @@ ALLOWED_EXCHANGES = {
     # 25-row rank self-join, m count, step-up cutoff and final sort
     # each exchange <=25-row p-value tables.
     "stats_benjamini_hochberg": 11,
+    # graph_modularity_regions: the 4-way fact join to the 25-node
+    # edge aggregate (checkpointed) is the only N-sized leg; the
+    # internal-weight join, degree rollup (the union doubles the edge
+    # table by construction of the degree sum), membership broadcasts
+    # and the total-weight broadcast all move <=625-row tables.
+    "graph_modularity_regions": 10,
 }
 
 
