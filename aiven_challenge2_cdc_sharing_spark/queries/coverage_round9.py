@@ -4854,3 +4854,187 @@ def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ------------------------------------------------ order-statistic CI / ECE
+
+
+@register(
+    "stats_median_ci_binomial",
+    oracle="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+),
+n AS (SELECT count(*) AS n FROM o),
+ranks AS (
+  SELECT CAST(floor(n / 2.0 - 1.96 * sqrt(n) / 2.0) AS BIGINT) AS lo_r,
+         CAST(ceil(n / 2.0 + 1.96 * sqrt(n) / 2.0) + 1 AS BIGINT) AS hi_r,
+         n
+  FROM n
+),
+hist AS (
+  SELECT cents, count(*) AS c FROM o GROUP BY cents
+),
+cum AS MATERIALIZED (
+  SELECT cents, sum(c) OVER (ORDER BY cents) AS cw FROM hist
+),
+sel AS (
+  SELECT r.n, r.lo_r, r.hi_r,
+         (SELECT min(cents) FROM cum WHERE cw >= r.lo_r) AS lo_cents,
+         (SELECT min(cents) FROM cum WHERE cw >= r.hi_r) AS hi_cents,
+         (SELECT min(cents) FROM cum
+          WHERE 2 * cw >= r.n) AS med_lo,
+         (SELECT min(cents) FROM cum
+          WHERE 2 * cw > r.n) AS med_hi
+  FROM ranks r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((med_lo + med_hi) / 200.0, 4) AS median_price,
+       round(lo_cents / 100.0, 4) AS ci_lo,
+       round(hi_cents / 100.0, 4) AS ci_hi,
+       CAST(lo_r AS BIGINT) AS lo_rank,
+       CAST(hi_r AS BIGINT) AS hi_rank
+FROM sel
+""",
+    doc="distribution-free confidence interval for the median order "
+    "price via BINOMIAL ORDER STATISTICS: the 95%% CI is [x_(l), "
+    "x_(u)] with l = floor(n/2 - 1.96*sqrt(n)/2) and u = ceil(n/2 "
+    "+ 1.96*sqrt(n)/2) + 1 — exact coverage logic from the sign-"
+    "test inversion, no normality or density assumption, the "
+    "uncertainty statement stats_bootstrap_ci_mean cannot make "
+    "for a QUANTILE (bootstrap of the median is notoriously "
+    "unstable).  Order statistics are selected EXACTLY from the "
+    "integer-cents value histogram by cumulative-count crossing — "
+    "prices have ~n DISTINCT values, so unlike the 50-value "
+    "quantity histograms a cumulative SELF-JOIN would be "
+    "quadratic; the engine runs the two-level global_prefix_sum "
+    "(range-partitioned, no single-task window) and the oracle "
+    "keeps the plain window, equal because the range buckets tile "
+    "the cents order (lesson-18) — and the median itself uses the "
+    "same lower/upper "
+    "midpoint convention as stats_hodges_lehmann_shift.  Every "
+    "comparison left of the final /100 is exact 64-bit integer",
+)
+def stats_median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    o = od.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    ranks = n.select(
+        "n",
+        F.floor(F.col("n") / 2.0 - 1.96 * F.sqrt(F.col("n")) / 2.0)
+        .cast("long")
+        .alias("lo_r"),
+        (F.ceil(F.col("n") / 2.0 + 1.96 * F.sqrt(F.col("n")) / 2.0) + 1)
+        .cast("long")
+        .alias("hi_r"),
+    )
+    from ..operators.topk import global_prefix_sum
+
+    hist = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sum(
+        hist, [F.col("cents")], "c", out_col="cw"
+    ).crossJoin(F.broadcast(ranks))
+    sel = cum.agg(
+        F.max("n").alias("n"),
+        F.max("lo_r").alias("lo_r"),
+        F.max("hi_r").alias("hi_r"),
+        F.min(F.when(F.col("cw") >= F.col("lo_r"), F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.min(F.when(F.col("cw") >= F.col("hi_r"), F.col("cents"))).alias(
+            "hi_cents"
+        ),
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("cents"))).alias(
+            "med_lo"
+        ),
+        F.min(F.when(2 * F.col("cw") > F.col("n"), F.col("cents"))).alias(
+            "med_hi"
+        ),
+    )
+    return sel.select(
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("med_lo") + F.col("med_hi")) / 200.0, 4).alias(
+            "median_price"
+        ),
+        F.round(F.col("lo_cents") / 100.0, 4).alias("ci_lo"),
+        F.round(F.col("hi_cents") / 100.0, 4).alias("ci_hi"),
+        F.col("lo_r").cast("long").alias("lo_rank"),
+        F.col("hi_r").cast("long").alias("hi_rank"),
+    )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)
+           AS score
+  FROM embeddings
+),
+bins AS (
+  SELECT CAST(least(floor(score * 20), 19) AS BIGINT) AS b,
+         count(*) AS n,
+         round(avg(score), 6) AS ms,
+         round(avg(y), 6) AS pr
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt FROM bins)
+SELECT CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_bins,
+       CAST(t.nt AS BIGINT) AS n_rows,
+       round(sum(b.n * abs(b.ms - b.pr)) / t.nt, 6) AS ece,
+       round(max(abs(b.ms - b.pr)), 6) AS mce,
+       round(sum(b.n * (b.ms - b.pr)) / t.nt, 6) + 0.0 AS signed_gap
+FROM bins b CROSS JOIN tot t
+GROUP BY t.nt
+""",
+    doc="expected / maximum calibration error of the sigmoid scorer "
+    "over 20 score bins: ECE = sum n_i |mean_score_i - pos_rate_i| "
+    "/ N and MCE = max gap — THE one-number calibration summaries "
+    "(Guo et al.) on top of ml_eval_calibration_bins' per-bin "
+    "reliability table, plus the SIGNED mean gap that tells over- "
+    "from under-confidence (the quantity Platt's intercept and the "
+    "isotonic fit each remove differently).  Per-bin means rounded "
+    "6dp before the absolute gaps per the partial-aggregate "
+    "discipline; +0.0 on the signed gap (it is algebraically "
+    "near-zero and DuckDB rounds tiny negatives to -0.0).  One "
+    "groupBy to 20 bins, one bounded fold — the entire query is "
+    "histogram-sized after the scan",
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (1.0 + F.exp(-F.element_at(F.col("embedding"), 1).cast("double") * 4)),
+        6,
+    )
+    bins = (
+        emb.select(
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+            score.alias("score"),
+        )
+        .groupBy(
+            F.least(F.floor(F.col("score") * 20), F.lit(19))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("ms"),
+            F.round(F.avg("y"), 6).alias("pr"),
+        )
+    )
+    gap = F.col("ms") - F.col("pr")
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col("n") * F.abs(gap)) / F.sum("n"), 6
+        ).alias("ece"),
+        F.round(F.max(F.abs(gap)), 6).alias("mce"),
+        (F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6) + 0.0).alias(
+            "signed_gap"
+        ),
+    )

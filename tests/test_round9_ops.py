@@ -482,3 +482,20 @@ def test_modularity_identities(spark):
     )
     for r in rows:
         assert 2 * r.internal_weight <= r.degree_weight
+
+
+def test_median_ci_brackets_median(spark):
+    (r,) = _run(spark, "stats_median_ci_binomial")
+    assert r.ci_lo <= r.median_price <= r.ci_hi
+    assert r.lo_rank < r.n / 2 < r.hi_rank
+    # the order-statistic CI tightens as sqrt(n); it must be narrow
+    # relative to the price range but strictly positive-width
+    assert r.ci_hi > r.ci_lo
+
+
+def test_ece_bounds_and_consistency(spark):
+    (r,) = _run(spark, "ml_calibration_ece")
+    assert 0.0 <= r.ece <= 1.0
+    assert r.ece <= r.mce <= 1.0
+    assert abs(r.signed_gap) <= r.ece + 1e-9
+    assert r.n_bins <= 20
