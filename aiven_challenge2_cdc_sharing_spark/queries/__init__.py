@@ -57,6 +57,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round7,
         coverage_round8,
         coverage_round9,
+        coverage_round10,
         dashboards,
         extras2,
         ingest,
