@@ -820,3 +820,688 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(my - slope * mx, 4).alias("deming_intercept"),
         F.round(cxy / vx, 6).alias("ols_slope"),
     )
+
+
+# ------------------------------------------------ ts: stationarity
+
+
+_DAILY_CTE = """
+daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1
+)"""
+
+
+def _daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily total event value, the shared series of the
+    stationarity-test family: one groupBy(day) shuffle, then every
+    downstream window is bounded by the calendar (days, not events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)).alias(
+            "d"
+        )
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+
+
+@register(
+    "ts_kpss_level_stat",
+    oracle=f"""
+WITH {_DAILY_CTE},
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_days, round(avg(y), 6) AS mu
+  FROM daily
+),
+e AS (
+  SELECT d, y - mu AS eps,
+         sum(y - mu) OVER (ORDER BY d) AS s
+  FROM daily, stats
+),
+lagged AS (
+  SELECT eps, s,
+         lag(eps, 1) OVER (ORDER BY d) AS e1,
+         lag(eps, 2) OVER (ORDER BY d) AS e2,
+         lag(eps, 3) OVER (ORDER BY d) AS e3,
+         lag(eps, 4) OVER (ORDER BY d) AS e4
+  FROM e
+),
+parts AS (
+  SELECT sum(eps * eps) AS g0,
+         sum(eps * e1) AS g1, sum(eps * e2) AS g2,
+         sum(eps * e3) AS g3, sum(eps * e4) AS g4,
+         sum(s * s) AS ss
+  FROM lagged
+)
+SELECT t_days,
+       round((ss / (t_days * t_days))
+             / ((g0 + 2 * (0.8 * coalesce(g1, 0) + 0.6 * coalesce(g2, 0)
+                 + 0.4 * coalesce(g3, 0) + 0.2 * coalesce(g4, 0)))
+                / t_days), 4) AS kpss_eta,
+       CASE WHEN (ss / (t_days * t_days))
+             / ((g0 + 2 * (0.8 * coalesce(g1, 0) + 0.6 * coalesce(g2, 0)
+                 + 0.4 * coalesce(g3, 0) + 0.2 * coalesce(g4, 0)))
+                / t_days) > 0.463
+            THEN 1 ELSE 0 END AS reject_level_stationary
+FROM parts, stats
+""",
+    doc="KPSS level-stationarity statistic on the daily total value "
+    "series: eta = sum(S_t^2) / (T^2 * s2_lrv) where S_t are the "
+    "partial sums of the demeaned series and s2_lrv the Bartlett "
+    "long-run variance at bandwidth 4 (weights 1 - l/5), flagged "
+    "at the 5% critical value 0.463.  The null here is "
+    "STATIONARITY — the mirror image of ts_df_unit_root's "
+    "unit-root null, and running both is the textbook "
+    "confirmatory pair before any forecasting model "
+    "(ts_holt_linear, ts_croston_intermittent) is trusted.  The "
+    "daily mean is rounded 6dp before demeaning so both engines "
+    "cumsum identical doubles over the unique day order; the "
+    "autocovariance terms come from 4 lag() columns in one "
+    "window pass.  Plan: one day-grain aggregate, then "
+    "calendar-bounded windows — state is days, not events",
+)
+def ts_kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir)
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("t_days"),
+        F.round(F.avg("y"), 6).alias("mu"),
+    )
+    w = Window.orderBy("d")
+    e = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "t_days",
+        (F.col("y") - F.col("mu")).alias("eps"),
+        F.sum(F.col("y") - F.col("mu")).over(w).alias("s"),
+    )
+    lagged = e.select(
+        "t_days",
+        "eps",
+        "s",
+        F.lag("eps", 1).over(w).alias("e1"),
+        F.lag("eps", 2).over(w).alias("e2"),
+        F.lag("eps", 3).over(w).alias("e3"),
+        F.lag("eps", 4).over(w).alias("e4"),
+    )
+    parts = lagged.groupBy("t_days").agg(
+        F.sum(F.col("eps") * F.col("eps")).alias("g0"),
+        F.sum(F.col("eps") * F.col("e1")).alias("g1"),
+        F.sum(F.col("eps") * F.col("e2")).alias("g2"),
+        F.sum(F.col("eps") * F.col("e3")).alias("g3"),
+        F.sum(F.col("eps") * F.col("e4")).alias("g4"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+    )
+    t = F.col("t_days")
+    lrv = (
+        F.col("g0")
+        + 2
+        * (
+            0.8 * F.coalesce(F.col("g1"), F.lit(0.0))
+            + 0.6 * F.coalesce(F.col("g2"), F.lit(0.0))
+            + 0.4 * F.coalesce(F.col("g3"), F.lit(0.0))
+            + 0.2 * F.coalesce(F.col("g4"), F.lit(0.0))
+        )
+    ) / t
+    eta = (F.col("ss") / (t * t)) / lrv
+    return parts.select(
+        "t_days",
+        F.round(eta, 4).alias("kpss_eta"),
+        F.when(eta > 0.463, 1).otherwise(0).alias("reject_level_stationary"),
+    )
+
+
+@register(
+    "ts_df_unit_root",
+    oracle=f"""
+WITH {_DAILY_CTE},
+pairs AS (
+  SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+         lag(y) OVER (ORDER BY d) AS y1
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(y1) AS sx, sum(dy) AS sy,
+         sum(y1 * y1) AS sxx, sum(y1 * dy) AS sxy, sum(dy * dy) AS syy
+  FROM pairs WHERE y1 IS NOT NULL
+),
+fit AS (
+  SELECT n,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+         (syy - sy * sy / n
+          - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n)) / (n - 2)
+           AS mse,
+         sxx - sx * sx / n AS cxx
+  FROM m
+)
+SELECT n AS n_diffs,
+       round(b, 6) AS rho_minus_1,
+       round(b / sqrt(mse / cxx), 4) AS df_tau,
+       CASE WHEN b / sqrt(mse / cxx) < -2.86 THEN 1 ELSE 0 END
+         AS reject_unit_root
+FROM fit
+""",
+    doc="Dickey-Fuller unit-root test (no augmentation) on the daily "
+    "total value series: OLS of the first difference on the lagged "
+    "level with intercept, tau = (rho-1)/se flagged at the 5% "
+    "critical value -2.86 — the mirror of ts_kpss_level_stat "
+    "(null = unit root here, null = stationary there).  The "
+    "regression is the centered-moments closed form (slope = "
+    "cov/var, MSE from the residual identity syy - b^2*sxx on "
+    "centered sums), so the whole test is one lag() window plus "
+    "one moment aggregate — no iterative fitting.  Daily sums "
+    "rounded 6dp feed bit-identical pairs to both engines.  Plan: "
+    "day-grain aggregate then a single-row reduce; state is days",
+)
+def ts_df_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_totals(spark, sf_dir)
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("y1"),
+    ).filter(F.col("y1").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y1").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sxx"),
+        F.sum(F.col("y1") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    b = cxy / cxx
+    mse = (cyy - F.pow(cxy, 2) / cxx) / (n - 2)
+    tau = b / F.sqrt(mse / cxx)
+    return m.select(
+        n.alias("n_diffs"),
+        F.round(b, 6).alias("rho_minus_1"),
+        F.round(tau, 4).alias("df_tau"),
+        F.when(tau < -2.86, 1).otherwise(0).alias("reject_unit_root"),
+    )
+
+
+@register(
+    "ts_granger_views_purchases",
+    oracle="""
+WITH spine AS (
+  SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                  // 86400 AS d
+  FROM events
+),
+cnt AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS xv,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS yp
+  FROM events GROUP BY 1
+),
+series AS (
+  SELECT s.d, coalesce(c.xv, 0) AS xv, coalesce(c.yp, 0) AS yp
+  FROM spine s LEFT JOIN cnt c ON s.d = c.d
+),
+rows_l AS (
+  SELECT yp * 1.0 AS y,
+         lag(yp) OVER (ORDER BY d) * 1.0 AS y1,
+         lag(xv) OVER (ORDER BY d) * 1.0 AS x1
+  FROM series
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(y) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
+         sum(y1 * y1) AS s11, sum(x1 * x1) AS s22, sum(y1 * x1) AS s12,
+         sum(y * y1) AS r1s, sum(y * x1) AS r2s, sum(y * y) AS syy
+  FROM rows_l WHERE y1 IS NOT NULL
+),
+c AS (
+  SELECT n,
+         s11 - sy1 * sy1 / n AS c11, s22 - sx1 * sx1 / n AS c22,
+         s12 - sy1 * sx1 / n AS c12,
+         r1s - sy * sy1 / n AS r1, r2s - sy * sx1 / n AS r2,
+         syy - sy * sy / n AS cyy
+  FROM m
+),
+fit AS (
+  SELECT n, cyy, r1, r2, c11,
+         (r1 * c22 - r2 * c12) / (c11 * c22 - c12 * c12) AS b,
+         (c11 * r2 - c12 * r1) / (c11 * c22 - c12 * c12) AS g
+  FROM c
+)
+SELECT n AS n_days,
+       round(b, 6) AS coef_y_lag,
+       round(g, 6) AS coef_x_lag,
+       round(((cyy - r1 * r1 / c11) - (cyy - b * r1 - g * r2))
+             / ((cyy - b * r1 - g * r2) / (n - 3)), 4) AS f_stat,
+       CASE WHEN ((cyy - r1 * r1 / c11) - (cyy - b * r1 - g * r2))
+             / ((cyy - b * r1 - g * r2) / (n - 3)) > 4.22
+            THEN 1 ELSE 0 END AS granger_flag
+FROM fit
+""",
+    doc="one-lag Granger causality from daily view counts to daily "
+    "purchase counts: F-test of the restricted AR(1) of purchases "
+    "against the unrestricted model adding lagged views, computed "
+    "entirely in closed form — after centering, the two-regressor "
+    "OLS collapses to a 2x2 solve (Cramer), SSE_u = cyy - b*r1 - "
+    "g*r2, SSE_r = cyy - r1^2/c11, F = (SSE_r - SSE_u)/(SSE_u/"
+    "(n-3)) flagged at the F(1,26) 5% value 4.22.  Inputs are "
+    "EXACT integer day counts on a dense day spine (missing "
+    "type-days coalesce to 0), so both engines run identical "
+    "arithmetic from the first moment sum.  The lead-lag "
+    "complement of ts_cross_correlation_lead_lag: that query "
+    "finds the best lag, this one tests whether the lag has "
+    "predictive content.  Plan: one day-grain aggregate + one "
+    "window + single-row reduce; state is days",
+)
+def ts_granger_views_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+    cnt = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("xv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("yp"),
+    )
+    w = Window.orderBy("d")
+    rows_l = cnt.select(
+        F.col("yp").cast("double").alias("y"),
+        (F.lag("yp").over(w)).cast("double").alias("y1"),
+        (F.lag("xv").over(w)).cast("double").alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+    m = rows_l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("y1") * F.col("x1")).alias("s12"),
+        F.sum(F.col("y") * F.col("y1")).alias("r1s"),
+        F.sum(F.col("y") * F.col("x1")).alias("r2s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("sy1") * F.col("sy1") / n
+    c22 = F.col("s22") - F.col("sx1") * F.col("sx1") / n
+    c12 = F.col("s12") - F.col("sy1") * F.col("sx1") / n
+    r1 = F.col("r1s") - F.col("sy") * F.col("sy1") / n
+    r2 = F.col("r2s") - F.col("sy") * F.col("sx1") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b = (r1 * c22 - r2 * c12) / det
+    g = (c11 * r2 - c12 * r1) / det
+    sse_u = cyy - b * r1 - g * r2
+    sse_r = cyy - r1 * r1 / c11
+    f = (sse_r - sse_u) / (sse_u / (n - 3))
+    return m.select(
+        n.alias("n_days"),
+        F.round(b, 6).alias("coef_y_lag"),
+        F.round(g, 6).alias("coef_x_lag"),
+        F.round(f, 4).alias("f_stat"),
+        F.when(f > 4.22, 1).otherwise(0).alias("granger_flag"),
+    )
+
+
+# ------------------------------------------------ ts: model selection
+
+
+@register(
+    "ts_ses_alpha_grid",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS MATERIALIZED (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS t
+  FROM daily
+),
+alphas AS (SELECT unnest(generate_series(1, 9)) / 10.0 AS alpha),
+levels AS (
+  SELECT tgt.event_type, a.alpha, tgt.t, tgt.y,
+         sum(CASE WHEN src.t = 0
+                  THEN pow(1 - a.alpha, tgt.t - 1) * src.y
+                  ELSE a.alpha * pow(1 - a.alpha, tgt.t - 1 - src.t)
+                       * src.y END) AS l_prev
+  FROM idx tgt
+  JOIN idx src ON src.event_type = tgt.event_type AND src.t < tgt.t
+  CROSS JOIN alphas a
+  WHERE tgt.t >= 1
+  GROUP BY 1, 2, 3, 4
+),
+sse AS (
+  SELECT event_type, alpha,
+         round(sum(pow(y - l_prev, 2)), 4) AS sse
+  FROM levels GROUP BY 1, 2
+),
+best AS (
+  SELECT event_type, alpha, sse,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sse, alpha) AS rk
+  FROM sse
+)
+SELECT event_type, round(alpha, 1) AS best_alpha, sse AS best_sse
+FROM best WHERE rk = 1 ORDER BY event_type
+""",
+    doc="simple-exponential-smoothing alpha selection by one-step "
+    "SSE over a 9-point grid, per event type on the daily value "
+    "series: the sequential SES recursion l_t = a*y_t + (1-a)*"
+    "l_{t-1} is UNROLLED into its closed geometric form l_{t-1} = "
+    "sum_s a*(1-a)^(t-1-s)*y_s (+ (1-a)^(t-1)*y_0), turning the "
+    "order-dependent fold into an order-free weighted pair sum "
+    "both engines compute identically — the "
+    "parallel-closed-form-for-sequential-procedures discipline "
+    "(SCALING.md, Croston/Holt family).  The pair join is "
+    "O(days^2 x 9) per type — bounded by the CALENDAR, not the "
+    "event count, so it is flat in data volume; the one shuffle "
+    "is the day-grain aggregate.  SSE rounded 4dp before the "
+    "argmin; ties break toward the smaller alpha.  Complements "
+    "ts_ewma_smooth (fixed alpha, recursive form): this query is "
+    "the model-selection step that picks its parameter",
+)
+def ts_ses_alpha_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)).alias(
+            "d"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("t")
+    ).localCheckpoint(eager=False)
+    alphas = spark.range(1, 10).select(
+        (F.col("id") / 10.0).alias("alpha")
+    )
+    tgt = idx.select(
+        "event_type", F.col("t").alias("tt"), F.col("y").alias("yt")
+    ).filter(F.col("tt") >= 1)
+    src = idx.select(
+        "event_type", F.col("t").alias("ts_"), F.col("y").alias("ys")
+    )
+    a = F.col("alpha")
+    levels = (
+        tgt.join(src, "event_type")
+        .filter(F.col("ts_") < F.col("tt"))
+        .crossJoin(F.broadcast(alphas))
+        .groupBy("event_type", "alpha", "tt", "yt")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts_") == 0,
+                    F.pow(1 - a, F.col("tt") - 1) * F.col("ys"),
+                ).otherwise(
+                    a
+                    * F.pow(1 - a, F.col("tt") - 1 - F.col("ts_"))
+                    * F.col("ys")
+                )
+            ).alias("l_prev")
+        )
+    )
+    sse = levels.groupBy("event_type", "alpha").agg(
+        F.round(F.sum(F.pow(F.col("yt") - F.col("l_prev"), 2)), 4).alias(
+            "sse"
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("sse", "alpha")
+    return (
+        sse.select(
+            "event_type",
+            "alpha",
+            "sse",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.round("alpha", 1).alias("best_alpha"),
+            F.col("sse").alias("best_sse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_sample_entropy_binned",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, d,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY y, d) AS s
+  FROM daily
+),
+grams AS (
+  SELECT event_type,
+         s AS s0,
+         lead(s, 1) OVER (PARTITION BY event_type ORDER BY d) AS s1,
+         lead(s, 2) OVER (PARTITION BY event_type ORDER BY d) AS s2
+  FROM sym
+),
+b2 AS (
+  SELECT event_type,
+         CAST(sum(c * (c - 1) / 2) AS BIGINT) AS b_pairs
+  FROM (SELECT event_type, s0, s1, CAST(count(*) AS BIGINT) AS c
+        FROM grams WHERE s1 IS NOT NULL GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+a3 AS (
+  SELECT event_type,
+         CAST(sum(c * (c - 1) / 2) AS BIGINT) AS a_pairs
+  FROM (SELECT event_type, s0, s1, s2, CAST(count(*) AS BIGINT) AS c
+        FROM grams WHERE s2 IS NOT NULL GROUP BY 1, 2, 3, 4)
+  GROUP BY 1
+)
+SELECT b2.event_type, b_pairs, a_pairs,
+       CASE WHEN a_pairs > 0
+            THEN round(-ln(a_pairs * 1.0 / b_pairs), 4) END AS sampen
+FROM b2 JOIN a3 ON b2.event_type = a3.event_type
+ORDER BY b2.event_type
+""",
+    doc="sample entropy of the quartile-symbolized daily value "
+    "series per event type: discretize days into 4 ntile symbols "
+    "(ordered by (value, day) for a replayable total order — the "
+    "SAX discipline of ts_sax_motifs), then SampEn(m=2) = "
+    "-ln(A/B) where B counts matching 2-gram template pairs and A "
+    "matching 3-gram pairs, both via EXACT integer "
+    "count-choose-2 on grouped patterns instead of the textbook "
+    "O(T^2) template scan — grouping by the gram value IS the "
+    "pair count, the same combinatorial shortcut the dedup "
+    "family uses.  Low SampEn = the series repeats its motifs "
+    "(regular); high = unpredictable.  NULL when no 3-gram ever "
+    "repeats (A=0), stated rather than an ANSI ln(0) error.  "
+    "Plan: day-grain aggregate, two lead() columns, two "
+    "integer-count groupBys — state is days, the grain bounded",
+)
+def ts_sample_entropy_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)).alias(
+            "d"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    wq = Window.partitionBy("event_type").orderBy("y", "d")
+    wd = Window.partitionBy("event_type").orderBy("d")
+    grams = daily.select(
+        "event_type", F.ntile(4).over(wq).alias("s"), "d"
+    ).select(
+        "event_type",
+        F.col("s").alias("s0"),
+        F.lead("s", 1).over(wd).alias("s1"),
+        F.lead("s", 2).over(wd).alias("s2"),
+    )
+    b2 = (
+        grams.filter(F.col("s1").isNotNull())
+        .groupBy("event_type", "s0", "s1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("b_pairs")
+        )
+    )
+    a3 = (
+        grams.filter(F.col("s2").isNotNull())
+        .groupBy("event_type", "s0", "s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("a_pairs")
+        )
+    )
+    return (
+        b2.join(a3, "event_type")
+        .select(
+            "event_type",
+            "b_pairs",
+            "a_pairs",
+            F.when(
+                F.col("a_pairs") > 0,
+                F.round(-F.log(F.col("a_pairs") / F.col("b_pairs")), 4),
+            ).alias("sampen"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_shape_features_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         round(sum(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+mu AS (
+  SELECT event_type, round(avg(y), 6) AS m FROM daily GROUP BY 1
+),
+lagged AS (
+  SELECT daily.event_type, d, y, m,
+         lag(y) OVER (PARTITION BY daily.event_type ORDER BY d) AS yp,
+         lead(y) OVER (PARTITION BY daily.event_type ORDER BY d) AS yn,
+         row_number() OVER (PARTITION BY daily.event_type ORDER BY d) AS rn,
+         CASE WHEN y > m THEN 1 ELSE 0 END AS above
+  FROM daily JOIN mu ON daily.event_type = mu.event_type
+),
+runs AS (
+  SELECT event_type, above,
+         rn - row_number() OVER (PARTITION BY event_type, above
+                                 ORDER BY rn) AS grp
+  FROM lagged
+),
+run_lens AS (
+  SELECT event_type, above, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY 1, 2, 3
+),
+feat AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         round(sqrt(sum(pow(y - yp, 2))), 4) AS cid_complexity,
+         round(avg(abs(y - yp)), 4) AS mean_abs_change,
+         CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                        AND y > yp AND y > yn THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_peaks
+  FROM lagged GROUP BY 1
+),
+longest AS (
+  SELECT event_type, CAST(max(run_len) AS BIGINT) AS longest_above_mean
+  FROM run_lens WHERE above = 1 GROUP BY 1
+)
+SELECT feat.event_type, n_days, cid_complexity, mean_abs_change,
+       n_peaks, longest_above_mean
+FROM feat JOIN longest ON feat.event_type = longest.event_type
+ORDER BY feat.event_type
+""",
+    doc="tsfresh-style shape features of the daily value series per "
+    "event type in ONE pass: CID complexity sqrt(sum(diff^2)) — "
+    "the complexity-invariant distance normalizer — mean absolute "
+    "change, strict local-peak count, and the longest run of days "
+    "above the (6dp-pre-rounded) mean via the gaps-islands "
+    "rn - rn_within grouping (win_gaps_islands_streaks' pattern "
+    "applied to a derived boolean).  The feature-extraction "
+    "front-end a time-series classifier consumes — each feature "
+    "is a window or aggregate over the day-grain series, so the "
+    "whole bundle costs one shuffle regardless of event volume.  "
+    "Strict comparisons decide peaks/above on the pre-rounded "
+    "bit-identical doubles",
+)
+def ts_shape_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)).alias(
+            "d"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    mu = daily.groupBy("event_type").agg(F.round(F.avg("y"), 6).alias("m"))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.join(mu, "event_type").select(
+        "event_type",
+        "d",
+        "y",
+        F.lag("y").over(wd).alias("yp"),
+        F.lead("y").over(wd).alias("yn"),
+        F.row_number().over(wd).alias("rn"),
+        F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above"),
+    )
+    wr = Window.partitionBy("event_type", "above").orderBy("rn")
+    runs = lagged.select(
+        "event_type", "above", (F.col("rn") - F.row_number().over(wr)).alias("grp")
+    )
+    longest = (
+        runs.filter(F.col("above") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").cast("long").alias("longest_above_mean"))
+    )
+    feat = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sqrt(F.sum(F.pow(F.col("y") - F.col("yp"), 2))), 4
+        ).alias("cid_complexity"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("yp"))), 4).alias(
+            "mean_abs_change"
+        ),
+        F.sum(
+            F.when(
+                F.col("yp").isNotNull()
+                & F.col("yn").isNotNull()
+                & (F.col("y") > F.col("yp"))
+                & (F.col("y") > F.col("yn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_peaks"),
+    )
+    return (
+        feat.join(longest, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "cid_complexity",
+            "mean_abs_change",
+            "n_peaks",
+            "longest_above_mean",
+        )
+        .orderBy("event_type")
+    )
