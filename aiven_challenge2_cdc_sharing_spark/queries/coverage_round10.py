@@ -1505,3 +1505,426 @@ def ts_shape_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ text: LM statistics
+
+
+@register(
+    "text_good_turing_mass",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY 1
+),
+fof AS MATERIALIZED (
+  SELECT source, c AS r, CAST(count(*) AS BIGINT) AS n_r
+  FROM cnt GROUP BY 1, 2
+),
+low AS (
+  SELECT source, r, n_r,
+         row_number() OVER (PARTITION BY source ORDER BY r) AS rk
+  FROM fof
+),
+gt AS (
+  SELECT f.source, f.r, f.n_r,
+         coalesce(nx.n_r, 0) AS n_r1
+  FROM low f
+  LEFT JOIN fof nx ON nx.source = f.source AND nx.r = f.r + 1
+  WHERE f.rk <= 5
+)
+SELECT gt.source, gt.r, gt.n_r,
+       round((gt.r + 1) * gt.n_r1 * 1.0 / gt.n_r, 6) AS r_star,
+       round(gt.n_r * 1.0 / t.n_types, 6) AS share_of_types,
+       round(coalesce((SELECT n_r FROM fof
+              WHERE fof.source = gt.source AND fof.r = 1), 0) * 1.0
+             / t.n_tokens, 6) AS p0_unseen
+FROM gt JOIN tot t ON gt.source = t.source
+ORDER BY gt.source, gt.r
+""",
+    doc="Good-Turing frequency-of-frequencies profile per corpus "
+    "source: N_r for the 5 SMALLEST observed counts r (derived, "
+    "not a fixed r<=5 cut — at bench scale every type clears a "
+    "fixed threshold and a hardcoded window goes empty, the "
+    "lesson-17 degeneracy), the "
+    "Turing-adjusted count r* = (r+1) N_{r+1} / N_r, and the "
+    "unseen-probability mass p0 = N_1/N that the hapax count "
+    "donates — the estimator behind every smoothed LM and the "
+    "standard answer to 'how much of this domain have we NOT "
+    "crawled yet' when sizing a scrape (complementing "
+    "text_heaps_law_fit's vocabulary-growth curve).  Pure "
+    "integer counting: tokens -> per-type counts -> counts of "
+    "counts, three shuffles of strictly decreasing size "
+    "(tokens, types, 5 rows/source), all map-side combinable.  "
+    "The self-join for N_{r+1} is on the 5-row-per-source "
+    "frequency table",
+)
+def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    fof = cnt.groupBy("source", F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nx = fof.select(
+        "source", (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    hapax = fof.filter(F.col("r") == 1).select(
+        "source", F.col("n_r").alias("n_hapax")
+    )
+    wlow = Window.partitionBy("source").orderBy("r")
+    gt = (
+        fof.withColumn("rk", F.row_number().over(wlow))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+        .join(nx, ["source", "r"], "left")
+        .withColumn("n_r1", F.coalesce(F.col("n_r1"), F.lit(0)))
+    )
+    return (
+        gt.join(F.broadcast(tot), "source")
+        .join(F.broadcast(hapax), "source", "left")
+        .select(
+            "source",
+            "r",
+            "n_r",
+            F.round((F.col("r") + 1) * F.col("n_r1") / F.col("n_r"), 6).alias(
+                "r_star"
+            ),
+            F.round(F.col("n_r") / F.col("n_types"), 6).alias(
+                "share_of_types"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hapax"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("p0_unseen"),
+        )
+        .orderBy("source", "r")
+    )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle="""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(
+           t[1:len(t)-1],
+           (x, i) -> struct_pack(w1 := x, w2 := t[i + 1])
+         )) AS b
+  FROM toks
+),
+bc AS MATERIALIZED (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bi GROUP BY 1, 2
+),
+left_c AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS t1
+  FROM bc GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_hist FROM bc GROUP BY 1
+),
+types AS (SELECT CAST(count(*) AS BIGINT) AS n_bt FROM bc)
+SELECT bc.w1, bc.w2, bc.c2,
+       round(bc.c2 * 1.0 / l.c1, 6) AS p_mle,
+       round((bc.c2 - 0.75) / l.c1
+             + 0.75 * l.t1 / l.c1 * (cont.n_hist * 1.0 / types.n_bt), 6)
+         AS p_kn
+FROM bc
+JOIN left_c l ON bc.w1 = l.w1
+JOIN cont ON bc.w2 = cont.w2
+CROSS JOIN types
+ORDER BY bc.c2 DESC, bc.w1, bc.w2
+LIMIT 20
+""",
+    doc="interpolated Kneser-Ney bigram probabilities (absolute "
+    "discount d=0.75) for the corpus's 20 most frequent bigrams: "
+    "P_KN(w2|w1) = (c(w1 w2) - d)/c(w1 .) + d * T(w1)/c(w1 .) * "
+    "P_cont(w2), where T(w1) counts distinct continuations and "
+    "P_cont(w2) = distinct histories of w2 / distinct bigram "
+    "types — the continuation probability that makes KN the "
+    "default n-gram smoother ('francisco' is frequent but "
+    "follows only 'san', so its continuation mass is tiny).  "
+    "Shipped next to p_mle to show exactly what the discount "
+    "redistributes.  All inputs are exact integer counts over "
+    "the SAME bigram table (c(w1 .) = sum of bigram counts, "
+    "kept consistent with the discount numerator); every count "
+    "table is a map-side-combinable groupBy, and the three "
+    "lookup joins are on the (much smaller) type tables, the "
+    "w1/w2-keyed broadcast pattern of text_bigram_pmi",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    left_c = bc.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t1"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist")
+    )
+    types = bc.agg(F.count(F.lit(1)).cast("long").alias("n_bt"))
+    return (
+        bc.join(F.broadcast(left_c), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(F.col("c2") / F.col("c1"), 6).alias("p_mle"),
+            F.round(
+                (F.col("c2") - 0.75) / F.col("c1")
+                + 0.75
+                * F.col("t1")
+                / F.col("c1")
+                * (F.col("n_hist") / F.col("n_bt")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "text_bigram_loglik_g2",
+    oracle="""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(
+           t[1:len(t)-1],
+           (x, i) -> struct_pack(w1 := x, w2 := t[i + 1])
+         )) AS b
+  FROM toks
+),
+bc AS MATERIALIZED (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+  FROM bi GROUP BY 1, 2
+),
+rowc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS r1 FROM bc GROUP BY 1),
+colc AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+nn AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM bc),
+cells AS (
+  SELECT bc.w1, bc.w2, bc.c2,
+         bc.c2 AS k11, rowc.r1 - bc.c2 AS k12,
+         colc.c1 - bc.c2 AS k21,
+         nn.n - rowc.r1 - colc.c1 + bc.c2 AS k22,
+         rowc.r1, colc.c1, nn.n
+  FROM bc JOIN rowc ON bc.w1 = rowc.w1
+  JOIN colc ON bc.w2 = colc.w2 CROSS JOIN nn
+  WHERE bc.c2 >= 5
+)
+SELECT w1, w2, c2,
+       round(2 * (
+         CASE WHEN k11 > 0 THEN k11 * ln(k11 * 1.0 * n / (r1 * c1))
+              ELSE 0 END
+         + CASE WHEN k12 > 0
+                THEN k12 * ln(k12 * 1.0 * n / (r1 * (n - c1)))
+                ELSE 0 END
+         + CASE WHEN k21 > 0
+                THEN k21 * ln(k21 * 1.0 * n / ((n - r1) * c1))
+                ELSE 0 END
+         + CASE WHEN k22 > 0
+                THEN k22 * ln(k22 * 1.0 * n / ((n - r1) * (n - c1)))
+                ELSE 0 END), 4) AS g2
+FROM cells
+ORDER BY g2 DESC, w1, w2
+LIMIT 30
+""",
+    doc="Dunning log-likelihood-ratio (G^2) collocation ranking for "
+    "bigrams with count >= 5: the 2x2 contingency table per "
+    "bigram (this-w1/other-w1 x this-w2/other-w2 over bigram "
+    "tokens) scored by G2 = 2 * sum k_ij ln(k_ij N / E_ij) with "
+    "empty cells contributing 0 — Dunning's point is that G2 "
+    "stays calibrated on RARE counts where text_bigram_pmi "
+    "over-rewards hapax pairs (PMI is maximal for a 1/1/1 "
+    "coincidence; G2 ranks it near zero).  The two rankings "
+    "over the same counts are the standard collocation-mining "
+    "pair.  Exact integer margins from one bigram-count table; "
+    "the per-bigram score is map-side arithmetic after two "
+    "small broadcast joins",
+)
+def text_bigram_loglik_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    rowc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("r1"))
+    colc = bc.groupBy("w2").agg(F.sum("c2").cast("long").alias("c1"))
+    nn = bc.agg(F.sum("c2").cast("long").alias("n"))
+    cells = (
+        bc.filter(F.col("c2") >= 5)
+        .join(F.broadcast(rowc), "w1")
+        .join(F.broadcast(colc), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.col("c2").alias("k11"),
+            (F.col("r1") - F.col("c2")).alias("k12"),
+            (F.col("c1") - F.col("c2")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("c2")).alias(
+                "k22"
+            ),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+
+    def term(k, e_num, e_den):
+        return F.when(
+            k > 0, k * F.log(k * F.col("n") / (e_num * e_den))
+        ).otherwise(0.0)
+
+    g2 = 2 * (
+        term(F.col("k11"), F.col("r1"), F.col("c1"))
+        + term(F.col("k12"), F.col("r1"), F.col("n") - F.col("c1"))
+        + term(F.col("k21"), F.col("n") - F.col("r1"), F.col("c1"))
+        + term(
+            F.col("k22"), F.col("n") - F.col("r1"), F.col("n") - F.col("c1")
+        )
+    )
+    return (
+        cells.select("w1", "w2", "c2", F.round(g2, 4).alias("g2"))
+        .orderBy(F.desc("g2"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "text_oov_rate_split",
+    oracle="""
+WITH split AS (
+  SELECT doc_id, source, text,
+         CASE WHEN CAST(concat('0x', substr(md5('oov:' || doc_id), 1, 15))
+                    AS BIGINT) % 5 = 0
+              THEN 'test' ELSE 'train' END AS part
+  FROM documents
+),
+toks AS (
+  SELECT part, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM split
+),
+vocab AS MATERIALIZED (
+  SELECT DISTINCT w FROM toks WHERE part = 'train'
+),
+test_toks AS (
+  SELECT source, w FROM toks WHERE part = 'test'
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_test_tokens,
+       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate,
+       CAST(count(DISTINCT CASE WHEN vocab.w IS NULL THEN test_toks.w END)
+            AS BIGINT) AS n_oov_types
+FROM test_toks LEFT JOIN vocab ON test_toks.w = vocab.w
+GROUP BY source ORDER BY source
+""",
+    doc="out-of-vocabulary rate on a held-out md5 split (20% of docs "
+    "to test, the deterministic-assignment discipline): the "
+    "train-side vocabulary is built once and the test tokens "
+    "left-join it, giving token-level OOV rate and distinct OOV "
+    "types per source — the generalization twin of "
+    "text_type_coverage_budget (that query asks how many types "
+    "cover the SAME corpus; this one asks how a FROZEN vocab "
+    "survives unseen documents, the number that actually sizes "
+    "an <unk> budget for tokenizer training).  Pure integer "
+    "counting; the vocab join keys on the token string — at "
+    "corpus scale the vocabulary is orders of magnitude smaller "
+    "than the token stream and broadcasts",
+)
+def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "source",
+        "text",
+        F.when(_md5_mod("oov:", F.col("doc_id"), 5) == 0, "test")
+        .otherwise("train")
+        .alias("part"),
+    )
+    toks = split.select(
+        "part",
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    )
+    vocab = (
+        toks.filter(F.col("part") == "train").select("w").distinct()
+    ).withColumn("in_vocab", F.lit(1))
+    test_toks = toks.filter(F.col("part") == "test").select("source", "w")
+    j = test_toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .orderBy("source")
+    )
