@@ -1928,3 +1928,418 @@ def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ graph: Katz / rich club
+
+_TRADE_EDGES_CTE = """
+raw AS MATERIALIZED (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         greatest(c.c_nationkey, s.s_nationkey) AS v,
+         count(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(cnt, 0.75) AS t FROM raw),
+edges AS MATERIALIZED (
+  SELECT u, v FROM raw WHERE cnt >= (SELECT t FROM thr)
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+)"""
+
+
+def _trade_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirected adjacency of the sparsified nation trade graph —
+    the shared fixture of the graph family (edges = nation pairs
+    with trade volume >= the DERIVED p75 pair-count threshold, the
+    graph_adamic_adar construction)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    thr = raw.agg(F.expr("percentile(cnt, 0.75)").alias("t"))
+    edges = (
+        raw.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") >= F.col("t"))
+        .select("u", "v")
+    )
+    return edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+
+
+_KATZ_ALPHA = 0.1
+_KATZ_ITERS = 6
+
+
+def _katz_oracle() -> str:
+    alpha = f"CAST({_KATZ_ALPHA} AS DOUBLE)"
+    ctes = [
+        "c1 AS MATERIALIZED (SELECT a, "
+        f"{alpha} * count(*) AS x FROM adj GROUP BY 1)"
+    ]
+    for k in range(2, _KATZ_ITERS + 1):
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT adj.a, "
+            f"{alpha} * sum(p.x) AS x "
+            f"FROM adj JOIN c{k - 1} p ON adj.b = p.a GROUP BY 1)"
+        )
+    total = " + ".join(
+        f"coalesce((SELECT x FROM c{k} WHERE c{k}.a = n.a), CAST(0 AS DOUBLE))"
+        for k in range(1, _KATZ_ITERS + 1)
+    )
+    return f"""
+WITH {_TRADE_EDGES_CTE},
+{','.join(ctes)},
+nodes AS (SELECT DISTINCT a FROM adj)
+SELECT n.a AS nation, round({total}, 6) AS katz
+FROM nodes n ORDER BY katz DESC, nation
+"""
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    doc="Katz centrality on the sparsified nation trade graph "
+    "(graph_adamic_adar's p75-thresholded edge fixture): the "
+    "6-term truncation of sum_k alpha^k (A^k 1) at alpha=0.1 — "
+    "unlike graph_pagerank_suppliers' random-walk mass (out-degree "
+    "normalized), Katz counts ALL walks arriving at a node with "
+    "geometric damping, rewarding nodes reachable by many short "
+    "paths even from low-degree sources.  alpha is well inside "
+    "1/lambda_max so the truncation tail is < alpha^7 * deg^7 ~ "
+    "1e-3 relative and the ranking is stable.  Each term is one "
+    "join(contribution, adj) + groupBy — the rank-and-edges "
+    "iteration of the pagerank operator with the SAME reusable "
+    "hash partitioning on the join key; the oracle replays all 6 "
+    "rounds as MATERIALIZED CTEs.  Per-node neighbor sums drift "
+    "~1e-15 across engines against 6dp output rounding",
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=True)
+    contrib = adj.groupBy("a").agg(
+        (F.lit(_KATZ_ALPHA) * F.count(F.lit(1))).alias("x")
+    )
+    katz = contrib.select("a", "x")
+    cur = contrib
+    for _ in range(2, _KATZ_ITERS + 1):
+        cur = (
+            adj.join(
+                cur.select(F.col("a").alias("b"), F.col("x").alias("px")),
+                "b",
+            )
+            .groupBy("a")
+            .agg((F.lit(_KATZ_ALPHA) * F.sum("px")).alias("x"))
+            .localCheckpoint(eager=False)
+        )
+        katz = katz.unionAll(cur.select("a", "x"))
+    return (
+        katz.groupBy("a")
+        .agg(F.round(F.sum("x"), 6).alias("katz"))
+        .select(F.col("a").alias("nation"), "katz")
+        .orderBy(F.desc("katz"), "nation")
+    )
+
+
+@register(
+    "graph_rich_club",
+    oracle=f"""
+WITH {_TRADE_EDGES_CTE},
+deg AS MATERIALIZED (
+  SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+),
+ks AS (SELECT DISTINCT d AS k FROM deg),
+rich AS (
+  SELECT ks.k, deg.a
+  FROM ks JOIN deg ON deg.d > ks.k
+),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY 1
+),
+ek AS (
+  SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+  FROM edges e
+  JOIN rich r1 ON r1.a = e.u
+  JOIN rich r2 ON r2.a = e.v AND r2.k = r1.k
+  GROUP BY 1
+)
+SELECT nk.k, nk.n_rich, coalesce(ek.e_rich, 0) AS e_rich,
+       round(2.0 * coalesce(ek.e_rich, 0)
+             / (nk.n_rich * (nk.n_rich - 1)), 6) AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_rich > 1
+ORDER BY nk.k
+""",
+    doc="rich-club coefficient phi(k) of the sparsified nation trade "
+    "graph: for every DERIVED degree threshold k (the distinct "
+    "observed degrees — no fixed grid to go empty at other "
+    "scales), the density 2*E_k/(N_k*(N_k-1)) among nodes of "
+    "degree > k.  A rising phi(k) means high-degree trade hubs "
+    "preferentially interconnect — the core-periphery diagnostic "
+    "that complements graph_degree_assortativity's single global "
+    "correlation with a full curve.  Thresholds where fewer than "
+    "2 nodes qualify are dropped (the 0/0 guard is structural, "
+    "not a CASE).  The rich-node sets shrink monotonically in k, "
+    "so the threshold x node expansion is bounded by "
+    "sum_k N_k <= N * max_deg — on a nation graph trivially "
+    "small, and at any scale the edge test joins EDGES (not "
+    "pairs) against the rich sets",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=True)
+    edges = adj.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    rich = F.broadcast(ks).join(deg, deg.d > ks.k).select("k", "a")
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("a").alias("u"))
+    r2 = rich.select(F.col("k"), F.col("a").alias("v"))
+    ek = (
+        edges.join(F.broadcast(r1), "u")
+        .join(F.broadcast(r2), ["k", "v"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .withColumn("e_rich", F.coalesce(F.col("e_rich"), F.lit(0)))
+        .filter(F.col("n_rich") > 1)
+        .select(
+            "k",
+            "n_rich",
+            "e_rich",
+            F.round(
+                2.0
+                * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+# ------------------------------------------------ CDC: log compaction
+
+
+@register(
+    "cdc_log_compaction_ratio",
+    oracle="""
+WITH log AS (
+  SELECT c_custkey AS k, 'c' AS op, c_custkey * 1000 AS rel_ms
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'u', c_custkey * 1000 + 500000
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 'd', c_custkey * 1000 + 900000
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 'c', c_custkey * 1000
+  FROM customer WHERE c_custkey % 11 = 0
+),
+latest AS (
+  SELECT k, op,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY rel_ms DESC, op DESC) AS rk
+  FROM log
+),
+per_key AS (SELECT k, op FROM latest WHERE rk = 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_log_records FROM log
+)
+SELECT per_key.op AS last_op,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       (SELECT n_log_records FROM tot) AS n_log_records,
+       round(count(*) * 1.0 / (SELECT n_log_records FROM tot), 6)
+         AS retained_share
+FROM per_key GROUP BY 1 ORDER BY 1
+""",
+    doc="Kafka log-compaction telemetry on the deterministic envelope "
+    "log (cdc/generator.py, the replayable twin of "
+    "producer_insert.py's workload): compaction keeps exactly the "
+    "LAST record per key — updates supersede inserts, deletes "
+    "leave tombstones — so the retained set per last-op class and "
+    "its share of the raw log IS the compaction ratio an operator "
+    "capacity-plans the compacted topic with (the reference's "
+    "topic, terraform/main.tf:221-266, has cleanup.policy "
+    "unset — this is the number that decision needs).  Tie order "
+    "(rel_ms DESC, op DESC) pins the at-least-once replay "
+    "duplicates ('c' at the same ts) deterministically.  "
+    "Complements cdc_change_data_stats (raw per-op volume): this "
+    "is the per-KEY terminal state.  One window over the keyed "
+    "log (hash-partitioned by key, no global sort) + a 3-row "
+    "aggregate",
+)
+def cdc_log_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cdc.generator import BASE_MS, generate_envelope_log
+
+    log = generate_envelope_log(spark, sf_dir).select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("k"),
+        "op",
+        (F.col("ts_ms") - F.lit(BASE_MS)).alias("rel_ms"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.desc("rel_ms"), F.desc("op")
+    )
+    per_key = (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("k", "op")
+    )
+    tot = log.agg(F.count(F.lit(1)).cast("long").alias("n_log_records"))
+    return (
+        per_key.groupBy(F.col("op").alias("last_op"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "last_op",
+            "n_keys",
+            "n_log_records",
+            F.round(F.col("n_keys") / F.col("n_log_records"), 6).alias(
+                "retained_share"
+            ),
+        )
+        .orderBy("last_op")
+    )
+
+
+# ------------------------------------------------ attribution: removal
+
+
+@register(
+    "funnel_markov_removal_effect",
+    oracle="""
+WITH firstp AS (
+  SELECT user_id, min(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+touches AS (
+  SELECT DISTINCT e.user_id, e.event_type AS channel
+  FROM events e JOIN firstp f ON e.user_id = f.user_id
+  WHERE e.ts < f.p_ts AND e.event_type <> 'purchase'
+),
+conv AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_conv FROM touches
+),
+chans AS (SELECT DISTINCT channel FROM touches),
+still AS (
+  SELECT c.channel,
+         CAST(count(DISTINCT t.user_id) AS BIGINT) AS conv_without
+  FROM chans c
+  LEFT JOIN touches t ON t.channel <> c.channel
+  GROUP BY 1
+),
+re AS (
+  SELECT channel,
+         CAST((SELECT n_conv FROM conv) AS BIGINT) AS n_conv,
+         conv_without,
+         ((SELECT n_conv FROM conv) - conv_without) * 1.0
+           / (SELECT n_conv FROM conv) AS removal_effect
+  FROM still
+),
+norm AS (SELECT sum(removal_effect) AS s FROM re)
+SELECT channel, n_conv, conv_without,
+       round(removal_effect, 6) AS removal_effect,
+       round(removal_effect / (SELECT s FROM norm), 6)
+         AS attribution_share
+FROM re ORDER BY channel
+""",
+    doc="removal-effect (Markov-style) attribution over pre-purchase "
+    "touchpoints: for each channel, delete it from every "
+    "converting user's touch set and count how many users still "
+    "have a path to conversion — the removal effect (1 - "
+    "surviving/total) normalized into attribution shares.  The "
+    "data-driven alternative to funnel_attribution_first_last's "
+    "positional rules and funnel_time_decay_attribution's decay "
+    "heuristic: a channel earns credit exactly in proportion to "
+    "the conversions that COLLAPSE without it (users it touched "
+    "exclusively).  Touch sets are distinct (user, channel) pairs "
+    "before the user's first purchase; 'still converts' = at "
+    "least one other channel remains.  All integer counting: one "
+    "min-per-user aggregate, one distinct-pair projection, and a "
+    "channels x touches count — channels number ~5, so the "
+    "'remove each channel' expansion is a 5x broadcast fan-out "
+    "of the touch table, embarrassingly map-side",
+)
+def funnel_markov_removal_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    touches = (
+        ev.join(firstp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    conv = touches.agg(
+        F.countDistinct("user_id").cast("long").alias("n_conv")
+    )
+    chans = touches.select("channel").distinct().select(
+        F.col("channel").alias("removed")
+    )
+    still = (
+        F.broadcast(chans)
+        .join(touches, touches.channel != F.col("removed"), "left")
+        .groupBy("removed")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("conv_without")
+        )
+    )
+    re = still.crossJoin(F.broadcast(conv)).select(
+        F.col("removed").alias("channel"),
+        "n_conv",
+        "conv_without",
+        (
+            (F.col("n_conv") - F.col("conv_without"))
+            / F.col("n_conv")
+        ).alias("re_raw"),
+    )
+    norm = re.agg(F.sum("re_raw").alias("s"))
+    return (
+        re.crossJoin(F.broadcast(norm))
+        .select(
+            "channel",
+            "n_conv",
+            "conv_without",
+            F.round(F.col("re_raw"), 6).alias("removal_effect"),
+            F.round(F.col("re_raw") / F.col("s"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )
