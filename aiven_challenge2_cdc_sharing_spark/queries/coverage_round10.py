@@ -2343,3 +2343,758 @@ def funnel_markov_removal_effect(
         )
         .orderBy("channel")
     )
+
+
+# ------------------------------------------------ ML: discriminant / noise
+
+
+@register(
+    "ml_fisher_lda_2class",
+    oracle="""
+WITH t AS (
+  SELECT l_quantity AS x1, 100 * l_discount AS x2
+  FROM lineitem
+),
+mu AS (SELECT avg(x1 + x2) AS thr FROM t),
+lab AS (
+  SELECT x1, x2, CASE WHEN x1 + x2 > thr THEN 1 ELSE 0 END AS y
+  FROM t, mu
+),
+m AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12
+  FROM lab GROUP BY 1
+),
+cls AS (
+  SELECT y, n, s1 / n AS m1, s2 / n AS m2,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12
+  FROM m
+),
+pool AS (
+  SELECT a.n AS n0, b.n AS n1,
+         b.m1 - a.m1 AS d1, b.m2 - a.m2 AS d2,
+         (a.c11 + b.c11) / (a.n + b.n - 2) AS w11,
+         (a.c22 + b.c22) / (a.n + b.n - 2) AS w22,
+         (a.c12 + b.c12) / (a.n + b.n - 2) AS w12
+  FROM cls a, cls b WHERE a.y = 0 AND b.y = 1
+),
+wvec AS (
+  SELECT n0, n1, d1, d2,
+         (w22 * d1 - w12 * d2) / (w11 * w22 - w12 * w12) AS wa,
+         (w11 * d2 - w12 * d1) / (w11 * w22 - w12 * w12) AS wb
+  FROM pool
+)
+SELECT n0, n1,
+       round(wa / sqrt(wa * wa + wb * wb), 6) AS w_quantity,
+       round(wb / sqrt(wa * wa + wb * wb), 6) AS w_discount,
+       round(wa * d1 + wb * d2, 4) AS fisher_j
+FROM wvec
+""",
+    doc="Fisher linear discriminant for two classes over the "
+    "(quantity, 100*discount) feature pair, labels DERIVED as "
+    "x1 + x2 above its own mean (lesson 27: fixture columns are "
+    "mutually independent, so a separable-class demo must "
+    "construct the structure it recovers — recovering a "
+    "direction ~(1,1) from the pooled 2x2 solve is exactly the "
+    "validation): w = Sw^-1 (m1 - m0) via the closed-form 2x2 "
+    "inverse on pooled within-class scatter, reported as a unit "
+    "vector plus the Fisher criterion J = w.(m1-m0).  The "
+    "supervised-projection sibling of emb_pca_top_component "
+    "(unsupervised power iteration) and the geometry behind "
+    "ml_decision_stump's axis-aligned cut.  One labeled moment "
+    "aggregate per class (single scan after the broadcast "
+    "threshold), single-row algebra — no iteration, no shuffle "
+    "beyond the 2-row reduce",
+)
+def ml_fisher_lda_2class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").alias("x1"),
+        (100 * F.col("l_discount")).alias("x2"),
+    )
+    mu = t.agg(F.avg(F.col("x1") + F.col("x2")).alias("thr"))
+    lab = t.crossJoin(F.broadcast(mu)).select(
+        "x1",
+        "x2",
+        F.when(F.col("x1") + F.col("x2") > F.col("thr"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    m = lab.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+    n = F.col("n")
+    cls = m.select(
+        "y",
+        "n",
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+    )
+    a = cls.filter(F.col("y") == 0).select(
+        *[F.col(c).alias(f"{c}_0") for c in cls.columns]
+    )
+    b = cls.filter(F.col("y") == 1).select(
+        *[F.col(c).alias(f"{c}_1") for c in cls.columns]
+    )
+    j = a.crossJoin(F.broadcast(b))
+    dof = F.col("n_0") + F.col("n_1") - 2
+    w11 = (F.col("c11_0") + F.col("c11_1")) / dof
+    w22 = (F.col("c22_0") + F.col("c22_1")) / dof
+    w12 = (F.col("c12_0") + F.col("c12_1")) / dof
+    d1 = F.col("m1_1") - F.col("m1_0")
+    d2 = F.col("m2_1") - F.col("m2_0")
+    det = w11 * w22 - w12 * w12
+    wa = (w22 * d1 - w12 * d2) / det
+    wb = (w11 * d2 - w12 * d1) / det
+    nrm = F.sqrt(wa * wa + wb * wb)
+    return j.select(
+        F.col("n_0").alias("n0"),
+        F.col("n_1").alias("n1"),
+        F.round(wa / nrm, 6).alias("w_quantity"),
+        F.round(wb / nrm, 6).alias("w_discount"),
+        F.round(wa * d1 + wb * d2, 4).alias("fisher_j"),
+    )
+
+
+@register(
+    "ml_uplift_by_segment",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(n_orders, 0.5) AS m FROM oc),
+base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(concat('0x', substr(md5('uplift:' || c.c_custkey), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN coalesce(oc.n_orders, 0) > med.m THEN 1 ELSE 0 END
+           AS conv
+  FROM customer c
+  LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+  CROSS JOIN med
+),
+g AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS k_t,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS k_c
+  FROM base GROUP BY 1
+)
+SELECT segment, n_t, n_c,
+       round(k_t * 1.0 / n_t, 6) AS rate_t,
+       round(k_c * 1.0 / n_c, 6) AS rate_c,
+       round(k_t * 1.0 / n_t - k_c * 1.0 / n_c, 6) AS uplift,
+       CASE WHEN k_t * (n_t - k_t) + k_c * (n_c - k_c) > 0
+            THEN round((k_t * 1.0 / n_t - k_c * 1.0 / n_c)
+                 / sqrt(k_t * 1.0 / n_t * (1 - k_t * 1.0 / n_t) / n_t
+                        + k_c * 1.0 / n_c * (1 - k_c * 1.0 / n_c) / n_c),
+                 4) END AS z_stat
+FROM g ORDER BY segment
+""",
+    doc="heterogeneous-treatment-effect readout: per-segment uplift "
+    "(conversion-rate difference between md5-assigned arms) with "
+    "its two-proportion z — the subgroup breakdown that follows "
+    "ab_test_conversion's single pooled test, and the "
+    "observed-outcome half of a two-model uplift pipeline.  "
+    "Conversion is DERIVED (customer's order count above the "
+    "cohort median — lesson 17), so the rate sits mid-range at "
+    "every scale.  The z is NULL (stated, not an ANSI 0-div) "
+    "when a cell is degenerate 0/1-rate; under the null "
+    "assignment the expected uplift is 0, which the invariant "
+    "test pins within 4 SE.  One aggregate over customers after "
+    "a broadcast median; per-segment cells are exact integers",
+)
+def ml_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    med = oc.agg(F.expr("percentile(n_orders, 0.5)").alias("m"))
+    base = (
+        cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            _md5_mod("uplift:", F.col("c_custkey"), 2).alias("arm"),
+            F.when(
+                F.coalesce(F.col("n_orders"), F.lit(0)) > F.col("m"), 1
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    g = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("k_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("k_c"),
+    )
+    pt = F.col("k_t") / F.col("n_t")
+    pc = F.col("k_c") / F.col("n_c")
+    degen = (
+        F.col("k_t") * (F.col("n_t") - F.col("k_t"))
+        + F.col("k_c") * (F.col("n_c") - F.col("k_c"))
+    )
+    return g.select(
+        "segment",
+        "n_t",
+        "n_c",
+        F.round(pt, 6).alias("rate_t"),
+        F.round(pc, 6).alias("rate_c"),
+        F.round(pt - pc, 6).alias("uplift"),
+        F.when(
+            degen > 0,
+            F.round(
+                (pt - pc)
+                / F.sqrt(
+                    pt * (1 - pt) / F.col("n_t")
+                    + pc * (1 - pc) / F.col("n_c")
+                ),
+                4,
+            ),
+        ).alias("z_stat"),
+    ).orderBy("segment")
+
+
+@register(
+    "ml_confident_joint",
+    oracle="""
+WITH m AS (
+  SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd,
+         quantile_cont(o_totalprice, 0.6) AS p60
+  FROM orders
+),
+base AS (
+  SELECT 1 / (1 + exp(-(o_totalprice - mu) / sd)) AS p,
+         CASE WHEN o_totalprice > p60 THEN 1 ELSE 0 END AS y_true,
+         CASE WHEN CAST(concat('0x', substr(md5('noise:' || o_orderkey),
+                    1, 15)) AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END
+           AS flipped
+  FROM orders, m
+),
+noisy AS (
+  SELECT p, y_true, flipped,
+         CASE WHEN flipped = 1 THEN 1 - y_true ELSE y_true END AS y_noisy
+  FROM base
+),
+thr AS (
+  SELECT avg(CASE WHEN y_noisy = 1 THEN p END) AS t1,
+         avg(CASE WHEN y_noisy = 0 THEN p END) AS t0
+  FROM noisy
+),
+cj AS (
+  SELECT y_noisy,
+         CASE WHEN p >= t1 THEN 1
+              WHEN p < t0 THEN 0 END AS y_conf,
+         flipped
+  FROM noisy, thr
+)
+SELECT y_noisy, y_conf,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(flipped) AS BIGINT) AS n_truly_flipped
+FROM cj WHERE y_conf IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="confident-joint estimation of label noise (confident "
+    "learning, Northcutt et al.): order values carry a CONSTRUCTED "
+    "ground truth (above the p60 quantile) corrupted by a "
+    "deterministic md5 10% flip, the model score is the logistic "
+    "of the z-scored value (a monotone proxy any scorer "
+    "provides), per-class confidence thresholds t_c = mean score "
+    "of examples NOISILY labeled c, and the joint counts "
+    "C[y_noisy][y_confident] localize the corruption: the "
+    "off-diagonal cells should be dominated by truly-flipped "
+    "rows, which the n_truly_flipped column verifies against the "
+    "known injection — the data-centric audit an LLM training "
+    "pipeline runs on crowd labels before training.  Ambiguous "
+    "mid-band examples (t0 <= p < t1) abstain, per the method.  "
+    "One moment pass for (mu, sd, p60), one labeled scan, a "
+    "4-cell aggregate — all broadcast scalars, no shuffle",
+)
+def ml_confident_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+    )
+    base = orders.crossJoin(F.broadcast(m)).select(
+        (
+            1
+            / (1 + F.exp(-(F.col("o_totalprice") - F.col("mu")) / F.col("sd")))
+        ).alias("p"),
+        F.when(F.col("o_totalprice") > F.col("p60"), 1)
+        .otherwise(0)
+        .alias("y_true"),
+        F.when(_md5_mod("noise:", F.col("o_orderkey"), 10) == 0, 1)
+        .otherwise(0)
+        .alias("flipped"),
+    )
+    noisy = base.select(
+        "p",
+        "flipped",
+        F.when(F.col("flipped") == 1, 1 - F.col("y_true"))
+        .otherwise(F.col("y_true"))
+        .alias("y_noisy"),
+    )
+    thr = noisy.agg(
+        F.avg(F.when(F.col("y_noisy") == 1, F.col("p"))).alias("t1"),
+        F.avg(F.when(F.col("y_noisy") == 0, F.col("p"))).alias("t0"),
+    )
+    cj = noisy.crossJoin(F.broadcast(thr)).select(
+        "y_noisy",
+        "flipped",
+        F.when(F.col("p") >= F.col("t1"), 1)
+        .when(F.col("p") < F.col("t0"), 0)
+        .alias("y_conf"),
+    )
+    return (
+        cj.filter(F.col("y_conf").isNotNull())
+        .groupBy("y_noisy", "y_conf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("flipped").cast("long").alias("n_truly_flipped"),
+        )
+        .orderBy("y_noisy", "y_conf")
+    )
+
+
+# ------------------------------------------------ stats: resampling-free
+
+
+@register(
+    "stats_randomization_test_det",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         c_mktsegment AS seg
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+obs AS (
+  SELECT round(
+           sum(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0 END) / 100.0
+             / sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+           - sum(CASE WHEN seg = 'MACHINERY' THEN cents ELSE 0 END) / 100.0
+             / sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END), 6)
+         AS d_obs
+  FROM pool
+),
+draws AS (
+  SELECT b, c_custkey, cents,
+         CAST(concat('0x', substr(md5('perm:' || c_custkey || ':' || b),
+              1, 15)) AS BIGINT) % 2 AS arm
+  FROM pool, (SELECT unnest(generate_series(1, 200)) AS b)
+),
+dist AS (
+  SELECT b,
+         round(
+           sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) / 100.0
+             / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+           - sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) / 100.0
+             / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 6) AS d_b
+  FROM draws GROUP BY b
+)
+SELECT (SELECT d_obs FROM obs) AS obs_diff,
+       CAST(count(*) AS BIGINT) AS n_draws,
+       CAST(sum(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       round((1 + sum(CASE WHEN abs(d_b) >= abs((SELECT d_obs FROM obs))
+                           THEN 1 ELSE 0 END)) * 1.0 / (1 + count(*)), 6)
+         AS p_value
+FROM dist
+""",
+    doc="deterministic randomization test for the BUILDING-vs-"
+    "MACHINERY mean acctbal difference: 200 md5-derived random "
+    "relabelings (the bootstrap-family replayable-draw "
+    "discipline, stats_bootstrap_ci_mean's sibling for the "
+    "TWO-sample hypothesis) rebuild the null distribution of the "
+    "mean difference, p = (1 + #extreme)/(1 + B) with the "
+    "add-one correction.  Because the true labels are arbitrary "
+    "segment tags, the invariant test pins p well away from 0.  "
+    "Exact integer cents feed every mean; per-draw diffs are "
+    "rounded 6dp before the |d_b| >= |d_obs| comparison so both "
+    "engines decide identical booleans.  Plan: the B-fold "
+    "expansion is a map-side explode of a 200-row broadcast "
+    "range — B x N rows stream through one partial aggregate, "
+    "no shuffle grows with B beyond the 200-row dist table; at "
+    "100 TB you'd bucket the draw sums per partition first "
+    "(two-level), same as the salted-count pattern",
+)
+def stats_randomization_test_det(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pool = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    obs = pool.agg(
+        F.round(
+            F.sum(F.when(F.col("seg") == "BUILDING", F.col("cents")).otherwise(0))
+            / 100.0
+            / F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+            - F.sum(
+                F.when(F.col("seg") == "MACHINERY", F.col("cents")).otherwise(0)
+            )
+            / 100.0
+            / F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)),
+            6,
+        ).alias("d_obs")
+    )
+    bs = spark.range(1, 201).select(F.col("id").alias("b"))
+    draws = pool.crossJoin(F.broadcast(bs)).select(
+        "b",
+        "cents",
+        _md5_mod(
+            "perm:",
+            F.concat(F.col("c_custkey"), F.lit(":"), F.col("b")),
+            2,
+        ).alias("arm"),
+    )
+    dist = draws.groupBy("b").agg(
+        F.round(
+            F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+            / 100.0
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            - F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+            / 100.0
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)),
+            6,
+        ).alias("d_b")
+    )
+    extreme = F.when(
+        F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1
+    ).otherwise(0)
+    return (
+        dist.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("d_obs").alias("obs_diff"),
+            F.count(F.lit(1)).cast("long").alias("n_draws"),
+            F.sum(extreme).cast("long").alias("n_extreme"),
+            F.round(
+                (1 + F.sum(extreme)) / (1 + F.count(F.lit(1))), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+@register(
+    "stats_meta_fixed_effect",
+    oracle="""
+WITH base AS (
+  SELECT r.r_name AS region, c.c_mktsegment AS seg,
+         c.c_acctbal AS x,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+g AS (
+  SELECT region, seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sc, sum(x * x) AS s2
+  FROM base GROUP BY 1, 2
+),
+eff AS (
+  SELECT a.region,
+         a.sc / 100.0 / a.n - b.sc / 100.0 / b.n AS d,
+         (a.s2 - a.n * pow(a.sc / 100.0 / a.n, 2)) / (a.n - 1) / a.n
+         + (b.s2 - b.n * pow(b.sc / 100.0 / b.n, 2)) / (b.n - 1) / b.n
+           AS v
+  FROM g a JOIN g b ON a.region = b.region
+  WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+    AND a.n >= 2 AND b.n >= 2
+),
+pool AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(d / v) AS swd, sum(1 / v) AS sw,
+         sum(d * d / v) AS swdd
+  FROM eff
+)
+SELECT k AS k_studies,
+       round(swd / sw, 4) AS theta_fixed,
+       round(1 / sqrt(sw), 4) AS se_fixed,
+       round(swdd - swd * swd / sw, 4) AS cochran_q,
+       round(greatest(0, ((swdd - swd * swd / sw) - (k - 1))
+                         / (swdd - swd * swd / sw)), 4) AS i2
+FROM pool
+""",
+    doc="fixed-effect meta-analysis pooling the per-region "
+    "BUILDING-minus-MACHINERY mean acctbal difference: "
+    "inverse-variance weights give theta = sum(d/v)/sum(1/v), "
+    "SE = 1/sqrt(sum w), plus Cochran's Q = sum w(d-theta)^2 "
+    "(computed convention-free as swdd - swd^2/sw) and the "
+    "I^2 = (Q-(k-1))/Q heterogeneity share — the multi-site "
+    "experiment readout (each region is a 'study'), and the "
+    "aggregation layer stats_simpsons_paradox warns about when "
+    "heterogeneity is real.  Regions are 'studies' because every "
+    "(region, segment) cell holds n >= 2 at all scale factors "
+    "(nations don't, at sf0.001); cells below that floor are "
+    "excluded on both engines.  Welch-style per-study variances "
+    "from exact cent sums.  One join-aggregate over customers, "
+    "a 5-row effect table, a single-row pool",
+)
+def stats_meta_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("x"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = base.groupBy("region", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    a = g.filter(F.col("seg") == "BUILDING").select(
+        "region",
+        F.col("n").alias("n_a"),
+        F.col("sc").alias("sc_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.filter(F.col("seg") == "MACHINERY").select(
+        "region",
+        F.col("n").alias("n_b"),
+        F.col("sc").alias("sc_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("sc_a") / 100.0 / na
+    mb = F.col("sc_b") / 100.0 / nb
+    eff = (
+        a.join(b, "region")
+        .filter((na >= 2) & (nb >= 2))
+        .select(
+            (ma - mb).alias("d"),
+            (
+                (F.col("s2_a") - na * F.pow(ma, 2)) / (na - 1) / na
+                + (F.col("s2_b") - nb * F.pow(mb, 2)) / (nb - 1) / nb
+            ).alias("v"),
+        )
+    )
+    pool = eff.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("d") / F.col("v")).alias("swd"),
+        F.sum(1 / F.col("v")).alias("sw"),
+        F.sum(F.col("d") * F.col("d") / F.col("v")).alias("swdd"),
+    )
+    q = F.col("swdd") - F.col("swd") * F.col("swd") / F.col("sw")
+    return pool.select(
+        F.col("k").alias("k_studies"),
+        F.round(F.col("swd") / F.col("sw"), 4).alias("theta_fixed"),
+        F.round(1 / F.sqrt(F.col("sw")), 4).alias("se_fixed"),
+        F.round(q, 4).alias("cochran_q"),
+        F.round(
+            F.greatest(F.lit(0.0), (q - (F.col("k") - 1)) / q), 4
+        ).alias("i2"),
+    )
+
+
+@register(
+    "stats_icc_oneway",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sc,
+         sum(o_totalprice * o_totalprice) AS s2
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(sc) AS BIGINT) AS sct,
+         sum(s2) AS s2t,
+         sum(pow(sc / 100.0, 2) / n) AS ssb_raw,
+         sum(n * n) AS sn2
+  FROM g
+),
+ms AS (
+  SELECT k, nn,
+         (ssb_raw - pow(sct / 100.0, 2) / nn) / (k - 1) AS msb,
+         (s2t - ssb_raw) / (nn - k) AS msw,
+         (nn - sn2 * 1.0 / nn) / (k - 1) AS k0
+  FROM tot
+)
+SELECT k AS k_groups, nn AS n_obs,
+       round(k0, 4) AS k0,
+       round(msb, 2) AS ms_between,
+       round(msw, 2) AS ms_within,
+       round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+FROM ms
+""",
+    doc="one-way intraclass correlation ICC(1) treating each "
+    "customer as a 'rater group' and their order totals as "
+    "repeated measurements: MS_between / MS_within from the "
+    "standard ANOVA decomposition (SSB computed as "
+    "sum(groupsum^2/n) - grand^2/N on exact cent sums) with the "
+    "unbalanced-design correction k0 = (N - sum n_i^2/N)/(k-1), "
+    "ICC = (MSB - MSW)/(MSB + (k0-1) MSW) — the reliability "
+    "coefficient answering 'how much of order-value variance is "
+    "BETWEEN customers', i.e. whether customer identity is worth "
+    "a random effect.  On this fixture order values are "
+    "customer-independent so ICC ~ 0 — the well-defined null "
+    "the invariant test pins (NOT a degenerate 0/0; every MS is "
+    "strictly positive).  One groupBy(custkey) + single-row "
+    "algebra; the same sums stats_anova_oneway uses, repriced "
+    "as a variance-components estimate",
+)
+def stats_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sc"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sc").cast("long").alias("sct"),
+        F.sum("s2").alias("s2t"),
+        F.sum(F.pow(F.col("sc") / 100.0, 2) / F.col("n")).alias("ssb_raw"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    k, nn = F.col("k"), F.col("nn")
+    msb = (F.col("ssb_raw") - F.pow(F.col("sct") / 100.0, 2) / nn) / (k - 1)
+    msw = (F.col("s2t") - F.col("ssb_raw")) / (nn - k)
+    k0 = (nn - F.col("sn2") / nn) / (k - 1)
+    return tot.select(
+        k.alias("k_groups"),
+        nn.alias("n_obs"),
+        F.round(k0, 4).alias("k0"),
+        F.round(msb, 2).alias("ms_between"),
+        F.round(msw, 2).alias("ms_within"),
+        F.round((msb - msw) / (msb + (k0 - 1) * msw), 6).alias("icc1"),
+    )
+
+
+@register(
+    "stats_cronbach_alpha",
+    oracle="""
+WITH items AS (
+  SELECT l_orderkey,
+         round(sum(l_quantity), 6) AS i1,
+         round(sum(100 * l_discount), 6) AS i2,
+         round(sum(100 * l_tax), 6) AS i3,
+         CAST(count(*) AS DOUBLE) AS i4
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(i1) AS s1, sum(i1 * i1) AS q1,
+         sum(i2) AS s2, sum(i2 * i2) AS q2,
+         sum(i3) AS s3, sum(i3 * i3) AS q3,
+         sum(i4) AS s4, sum(i4 * i4) AS q4,
+         sum(i1 + i2 + i3 + i4) AS st,
+         sum(pow(i1 + i2 + i3 + i4, 2)) AS qt
+  FROM items
+),
+v AS (
+  SELECT n,
+         (q1 - s1 * s1 / n) / (n - 1) + (q2 - s2 * s2 / n) / (n - 1)
+         + (q3 - s3 * s3 / n) / (n - 1) + (q4 - s4 * s4 / n) / (n - 1)
+           AS sum_item_vars,
+         (qt - st * st / n) / (n - 1) AS var_total
+  FROM m
+)
+SELECT n AS n_orders,
+       round(sum_item_vars, 4) AS sum_item_vars,
+       round(var_total, 4) AS var_total,
+       round(4.0 / 3.0 * (1 - sum_item_vars / var_total), 6)
+         AS cronbach_alpha
+FROM v
+""",
+    doc="Cronbach's alpha over a 4-item 'scale' built per order from "
+    "its line items (total quantity, 100x summed discount, 100x "
+    "summed tax, line count): alpha = k/(k-1) * (1 - sum "
+    "var_items / var_total), the internal-consistency "
+    "reliability every survey/composite-metric pipeline reports "
+    "before averaging items into a score.  On this fixture the "
+    "items are nearly independent so alpha sits near its "
+    "independence value — well-defined and pinned by the "
+    "invariant test (alpha <= 1 always; var_total > 0 "
+    "structurally since line counts vary).  Per-order item sums "
+    "rounded 6dp before the moment pass (the two-level float "
+    "discipline); variances from convention-free power sums.  "
+    "One groupBy(orderkey) + a single-row reduce",
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 6).alias("i1"),
+        F.round(F.sum(100 * F.col("l_discount")), 6).alias("i2"),
+        F.round(F.sum(100 * F.col("l_tax")), 6).alias("i3"),
+        F.count(F.lit(1)).cast("double").alias("i4"),
+    )
+    tot = F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    m = items.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i1").alias("s1"),
+        F.sum(F.col("i1") * F.col("i1")).alias("q1"),
+        F.sum("i2").alias("s2"),
+        F.sum(F.col("i2") * F.col("i2")).alias("q2"),
+        F.sum("i3").alias("s3"),
+        F.sum(F.col("i3") * F.col("i3")).alias("q3"),
+        F.sum("i4").alias("s4"),
+        F.sum(F.col("i4") * F.col("i4")).alias("q4"),
+        F.sum(tot).alias("st"),
+        F.sum(F.pow(tot, 2)).alias("qt"),
+    )
+    n = F.col("n")
+
+    def var(s, q):
+        return (F.col(q) - F.col(s) * F.col(s) / n) / (n - 1)
+
+    siv = var("s1", "q1") + var("s2", "q2") + var("s3", "q3") + var(
+        "s4", "q4"
+    )
+    vt = (F.col("qt") - F.col("st") * F.col("st") / n) / (n - 1)
+    return m.select(
+        n.alias("n_orders"),
+        F.round(siv, 4).alias("sum_item_vars"),
+        F.round(vt, 4).alias("var_total"),
+        F.round(4.0 / 3.0 * (1 - siv / vt), 6).alias("cronbach_alpha"),
+    )
