@@ -3098,3 +3098,622 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vt, 4).alias("var_total"),
         F.round(4.0 / 3.0 * (1 - siv / vt), 6).alias("cronbach_alpha"),
     )
+
+
+# ------------------------------------------------ window: decayed sums
+
+
+@register(
+    "win_time_decay_sum",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+base AS (
+  SELECT user_id, event_id, value, t,
+         min(t) OVER (PARTITION BY user_id) AS t0
+  FROM e
+),
+run AS (
+  SELECT user_id, event_id, t,
+         sum(value * exp(ln(2) / 86400 * (t - t0)))
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING)
+           * exp(-ln(2) / 86400 * (t - t0)) AS s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t DESC, event_id DESC) AS rk
+  FROM base
+),
+per_user AS (
+  SELECT user_id,
+         round(max(s), 4) AS peak_decayed,
+         round(max(CASE WHEN rk = 1 THEN s END), 4) AS final_decayed
+  FROM run GROUP BY 1
+)
+SELECT user_id, final_decayed, peak_decayed
+FROM per_user
+ORDER BY final_decayed DESC, user_id
+LIMIT 20
+""",
+    doc="exponentially time-decayed engagement score per user "
+    "(half-life 1 day) evaluated at EVERY event in O(N) via the "
+    "log-space prefix trick: S_j = sum_{i<=j} v_i exp(-lam(t_j - "
+    "t_i)) factors as exp(-lam(t_j-t0)) * cumsum(v_i exp(lam(t_i"
+    "-t0))) — one running sum per user instead of the naive "
+    "O(N^2) per-event rescan, and unlike ts_ewma_smooth's "
+    "per-STEP recursion this decays by WALL-CLOCK gap, the form "
+    "recommendation/fraud scoring actually uses.  Centering at "
+    "the per-user min keeps the exponent <= ~30*ln2, far from "
+    "overflow.  Both engines fold the identical doubles in the "
+    "identical (t, event_id) window order, so the running values "
+    "are bit-deterministic before the 4dp rounding; the final "
+    "score is the rk=1 row, the peak is the running max.  Top-20 "
+    "users with total tiebreak.  Plan: one user-partitioned "
+    "window pass — no shuffle beyond the user hash partition, "
+    "state per user is O(1)",
+)
+def win_time_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lam = F.log(F.lit(2.0)) / 86400
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    wu = Window.partitionBy("user_id")
+    base = e.withColumn("t0", F.min("t").over(wu))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    run = base.select(
+        "user_id",
+        (
+            F.sum(
+                F.col("value") * F.exp(lam * (F.col("t") - F.col("t0")))
+            ).over(wrun)
+            * F.exp(-lam * (F.col("t") - F.col("t0")))
+        ).alias("s"),
+        F.row_number().over(wlast).alias("rk"),
+    )
+    per_user = run.groupBy("user_id").agg(
+        F.round(F.max("s"), 4).alias("peak_decayed"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("s"))), 4
+        ).alias("final_decayed"),
+    )
+    return (
+        per_user.select("user_id", "final_decayed", "peak_decayed")
+        .orderBy(F.desc("final_decayed"), "user_id")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ agg: robust means
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+WITH cuts AS (
+  SELECT o_orderpriority AS prio,
+         quantile_cont(o_totalprice, 0.1) AS p10,
+         quantile_cont(o_totalprice, 0.9) AS p90
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority AS prio, o.o_totalprice AS v,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         c.p10, c.p90
+  FROM orders o JOIN cuts c ON o.o_orderpriority = c.prio
+)
+SELECT prio,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(cents) / 100.0 / count(*), 4) AS mean_raw,
+       round(sum(CASE WHEN v >= p10 AND v <= p90 THEN cents ELSE 0 END)
+             / 100.0
+             / sum(CASE WHEN v >= p10 AND v <= p90 THEN 1 ELSE 0 END), 4)
+         AS mean_trimmed,
+       round(avg(CASE WHEN v < p10 THEN p10
+                      WHEN v > p90 THEN p90 ELSE v END), 4)
+         AS mean_winsorized
+FROM j GROUP BY 1 ORDER BY 1
+""",
+    doc="10% trimmed and winsorized means of order value per "
+    "priority next to the raw mean — the robust-location trio "
+    "every metrics platform offers when heavy tails make the "
+    "mean jumpy (prep_winsorize_values transforms ROWS for "
+    "downstream use; this is the AGGREGATE version reported "
+    "directly, and the trimmed/winsorized split shows whether "
+    "tail mass is discarded or clamped).  Cut points are exact "
+    "interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont, identical order statistics), membership "
+    "decided on bit-identical doubles, and the raw/trimmed means "
+    "come from EXACT integer cent sums — only the winsorized "
+    "mean (clamped to float cut values) rounds float drift away "
+    "at 4dp.  Plan: one percentile aggregate (5 groups), "
+    "broadcast back over one scan",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.expr("percentile(o_totalprice, 0.1)").alias("p10"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+    j = orders.join(
+        F.broadcast(cuts), orders.o_orderpriority == cuts.prio
+    ).select(
+        "prio",
+        F.col("o_totalprice").alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "p10",
+        "p90",
+    )
+    inside = (F.col("v") >= F.col("p10")) & (F.col("v") <= F.col("p90"))
+    return (
+        j.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 4).alias(
+                "mean_raw"
+            ),
+            F.round(
+                F.sum(F.when(inside, F.col("cents")).otherwise(0))
+                / 100.0
+                / F.sum(F.when(inside, 1).otherwise(0)),
+                4,
+            ).alias("mean_trimmed"),
+            F.round(
+                F.avg(
+                    F.when(F.col("v") < F.col("p10"), F.col("p10"))
+                    .when(F.col("v") > F.col("p90"), F.col("p90"))
+                    .otherwise(F.col("v"))
+                ),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("prio")
+    )
+
+
+# ------------------------------------------------ dash: retention money
+
+
+@register(
+    "dash_nrr_monthly",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT cur.m,
+         CAST(sum(cur.rev_cents) AS BIGINT) AS retained_cents,
+         CAST(sum(prev.rev_cents) AS BIGINT) AS base_cents
+  FROM cm cur JOIN cm prev
+    ON cur.o_custkey = prev.o_custkey AND prev.m = cur.m - 1
+  GROUP BY 1
+)
+SELECT CAST(m AS BIGINT) AS month_idx,
+       round(retained_cents / 100.0, 2) AS retained_rev,
+       round(base_cents / 100.0, 2) AS base_rev,
+       round(retained_cents * 1.0 / base_cents, 6) AS nrr
+FROM pairs ORDER BY month_idx
+""",
+    doc="net revenue retention by month: for customers active in "
+    "month m-1, the ratio of their month-m revenue to their "
+    "month-m-1 revenue — the SaaS board metric that separates "
+    "expansion/contraction of the EXISTING base from new logos "
+    "(dash_mom_revenue_waterfall splits total growth; NRR "
+    "isolates the cohort-retained slice; cohort_weekly_retention "
+    "counts heads, this weighs dollars).  Months key on the "
+    "integer index year*12+month so both engines group and "
+    "self-join on exact BIGINTs, and revenue stays in integer "
+    "cents until the final division.  The month-pair self-join "
+    "reuses the (custkey)-hash partitioning of the month "
+    "aggregate; base_cents > 0 structurally (an active-in-m-1 "
+    "customer has revenue there)",
+)
+def dash_nrr_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.groupBy(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    cur = cm.select("o_custkey", "m", F.col("rev_cents").alias("cur_c"))
+    prev = cm.select(
+        "o_custkey", (F.col("m") + 1).alias("m"), F.col("rev_cents").alias("prev_c")
+    )
+    pairs = cur.join(prev, ["o_custkey", "m"]).groupBy("m").agg(
+        F.sum("cur_c").cast("long").alias("retained_cents"),
+        F.sum("prev_c").cast("long").alias("base_cents"),
+    )
+    return pairs.select(
+        F.col("m").cast("long").alias("month_idx"),
+        F.round(F.col("retained_cents") / 100.0, 2).alias("retained_rev"),
+        F.round(F.col("base_cents") / 100.0, 2).alias("base_rev"),
+        F.round(F.col("retained_cents") / F.col("base_cents"), 6).alias(
+            "nrr"
+        ),
+    ).orderBy("month_idx")
+
+
+@register(
+    "dash_repeat_rate_cohort",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS cohort,
+         o_orderdate AS d1
+  FROM seq WHERE rn = 1
+),
+seconds AS (
+  SELECT o_custkey, o_orderdate AS d2 FROM seq WHERE rn = 2
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_month,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN d2 IS NOT NULL
+                      AND date_diff('day', CAST(d1 AS DATE),
+                                    CAST(d2 AS DATE)) <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_90d,
+       round(sum(CASE WHEN d2 IS NOT NULL
+                      AND date_diff('day', CAST(d1 AS DATE),
+                                    CAST(d2 AS DATE)) <= 90
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS repeat_rate_90d
+FROM firsts LEFT JOIN seconds ON firsts.o_custkey = seconds.o_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    doc="90-day repeat-purchase rate by first-order cohort month: "
+    "the share of each acquisition cohort that places a second "
+    "order within 90 days — the single most-watched early "
+    "retention KPI, the RATE summary that "
+    "dash_days_to_nth_order's full latency distribution rolls "
+    "up to.  First/second orders via one row_number window "
+    "with the (date, orderkey) total tiebreak; the day gap is "
+    "exact integer date arithmetic (Spark datediff == DuckDB "
+    "date_diff on DATE), cohorts key on the integer month "
+    "index.  One window + one self-join on custkey reusing its "
+    "hash partitioning; late cohorts with no 90-day horizon "
+    "yet simply report what is observable, like any live "
+    "dashboard",
+)
+def dash_repeat_rate_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("cohort"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    seconds = seq.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    rep = F.when(
+        F.col("d2").isNotNull()
+        & (
+            F.datediff(F.col("d2").cast("date"), F.col("d1").cast("date"))
+            <= 90
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        firsts.join(seconds, "o_custkey", "left")
+        .groupBy(F.col("cohort").cast("long").alias("cohort_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(rep).cast("long").alias("n_repeat_90d"),
+            F.round(F.sum(rep) / F.count(F.lit(1)), 6).alias(
+                "repeat_rate_90d"
+            ),
+        )
+        .orderBy("cohort_month")
+    )
+
+
+@register(
+    "dash_activity_days_histogram",
+    oracle="""
+WITH act AS (
+  SELECT user_id,
+         CAST(count(DISTINCT CAST(floor(epoch(date_trunc('day', ts)))
+                                  AS BIGINT) // 86400) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM act)
+SELECT active_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(count(*) * 1.0 / (SELECT n_users FROM tot), 6) AS share,
+       round(sum(count(*)) OVER (ORDER BY active_days DESC) * 1.0
+             / (SELECT n_users FROM tot), 6) AS share_at_least
+FROM act GROUP BY 1 ORDER BY 1
+""",
+    doc="activity-days distribution over the events month: users "
+    "bucketed by their count of distinct active days, with the "
+    "complementary cumulative share_at_least curve (what "
+    "fraction of users were active on >= k days) — the "
+    "power-user curve (Lenny/a16z 'L30') that "
+    "dash_dau_mau_stickiness compresses into one ratio and "
+    "dash_rolling_7d_active_users tracks over time; this is the "
+    "full engagement-depth histogram product teams segment on.  "
+    "Distinct-day counting is exact integer day indexes; the "
+    "cumulative share is a window over the ~30-row histogram.  "
+    "One groupBy(user) + one tiny ordered window",
+)
+def dash_activity_days_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        F.countDistinct(
+            F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        )
+        .cast("long")
+        .alias("active_days")
+    )
+    tot = act.agg(F.count(F.lit(1)).cast("long").alias("n_users_tot"))
+    hist = act.groupBy("active_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = Window.orderBy(F.desc("active_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "active_days",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_users_tot"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("n_users").over(w) / F.col("n_users_tot"), 6
+            ).alias("share_at_least"),
+        )
+        .orderBy("active_days")
+    )
+
+
+# ------------------------------------------------ sketches
+
+
+@register(
+    "sketch_count_sketch_probe",
+    oracle="""
+WITH hashed AS (
+  SELECT user_id, d,
+         CAST(concat('0x', substr(md5('cs' || d || ':' || user_id), 1, 15))
+              AS BIGINT) % 256 AS col,
+         CAST(concat('0x', substr(md5('css' || d || ':' || user_id), 1, 15))
+              AS BIGINT) % 2 * 2 - 1 AS sgn
+  FROM events, (SELECT unnest(generate_series(0, 2)) AS d)
+),
+counters AS MATERIALIZED (
+  SELECT d, col, CAST(sum(sgn) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY 1
+  ORDER BY exact_count DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT e.user_id, e.exact_count, h.d,
+         (CAST(concat('0x', substr(md5('css' || h.d || ':' || e.user_id),
+               1, 15)) AS BIGINT) % 2 * 2 - 1) * c.c AS est_d
+  FROM exact e
+  JOIN (SELECT DISTINCT user_id, d, col FROM hashed) h
+    ON h.user_id = e.user_id
+  JOIN counters c ON c.d = h.d AND c.col = h.col
+),
+med AS (
+  SELECT user_id, exact_count,
+         CAST(sum(est_d) - max(est_d) - min(est_d) AS BIGINT) AS est
+  FROM probes GROUP BY 1, 2
+)
+SELECT user_id, exact_count, est AS cs_estimate,
+       CAST(abs(est - exact_count) AS BIGINT) AS abs_err
+FROM med ORDER BY exact_count DESC, user_id
+""",
+    doc="Count-Sketch (AMS-style signed counters, depth 3 x width "
+    "256, md5-derived hash and sign rows) probed for the 10 "
+    "most active users: each estimate is sign_d(u) * "
+    "C[d][col_d(u)] and the depth-3 median is the sum-max-min "
+    "identity — the UNBIASED heavy-hitter sketch that "
+    "complements agg_count_min_probe (count-min biases UP, "
+    "count-sketch's signed collisions cancel in expectation; "
+    "the pair is the standard frequency-sketch comparison) and "
+    "sketch_ams_f2 (same signed machinery aggregated to the "
+    "second moment).  Everything is exact integer arithmetic "
+    "on deterministic hashes, so the sketch replays exactly: "
+    "768 counters, mergeable across partitions/streams by "
+    "addition.  One 3x map-side fan-out + groupBy; probes join "
+    "a 30-row table against the counter table",
+)
+def sketch_count_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ds = spark.range(0, 3).select(F.col("id").alias("d"))
+    hashed = ev.select("user_id").crossJoin(F.broadcast(ds)).select(
+        "user_id",
+        "d",
+        _md5_mod(
+            "cs", F.concat(F.col("d"), F.lit(":"), F.col("user_id")), 256
+        ).alias("col"),
+        (
+            _md5_mod(
+                "css",
+                F.concat(F.col("d"), F.lit(":"), F.col("user_id")),
+                2,
+            )
+            * 2
+            - 1
+        ).alias("sgn"),
+    )
+    counters = hashed.groupBy("d", "col").agg(
+        F.sum("sgn").cast("long").alias("c")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    hkeys = hashed.select("user_id", "d", "col", "sgn").distinct()
+    probes = (
+        F.broadcast(exact)
+        .join(hkeys, "user_id")
+        .join(counters, ["d", "col"])
+        .select(
+            "user_id",
+            "exact_count",
+            (F.col("sgn") * F.col("c")).alias("est_d"),
+        )
+    )
+    med = probes.groupBy("user_id", "exact_count").agg(
+        (F.sum("est_d") - F.max("est_d") - F.min("est_d"))
+        .cast("long")
+        .alias("cs_estimate")
+    )
+    return med.select(
+        "user_id",
+        "exact_count",
+        "cs_estimate",
+        F.abs(F.col("cs_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("abs_err"),
+    ).orderBy(F.desc("exact_count"), "user_id")
+
+
+@register(
+    "sketch_bloom_fpr",
+    oracle="""
+WITH keys AS (SELECT c_custkey AS k FROM customer),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+bits AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5('bf' || h || ':' || k), 1, 15))
+              AS BIGINT) % 65536 AS bit
+  FROM keys, (SELECT unnest(generate_series(0, 2)) AS h)
+),
+probes AS (
+  SELECT c_custkey + 10000000 AS pk FROM customer
+),
+probe_bits AS (
+  SELECT pk, h,
+         CAST(concat('0x', substr(md5('bf' || h || ':' || pk), 1, 15))
+              AS BIGINT) % 65536 AS bit
+  FROM probes, (SELECT unnest(generate_series(0, 2)) AS h)
+),
+hits AS (
+  SELECT pb.pk,
+         CAST(count(*) AS BIGINT) AS n_set
+  FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
+  GROUP BY 1
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+  FROM hits WHERE n_set = 3
+)
+SELECT n.n_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       (SELECT n_false_pos FROM fp) AS n_false_pos,
+       round((SELECT n_false_pos FROM fp) * 1.0
+             / (SELECT count(*) FROM probes), 6) AS fpr_measured,
+       round(pow(1 - exp(-3.0 * n.n_keys / 65536), 3), 6)
+         AS fpr_theoretical
+FROM n
+""",
+    doc="Bloom-filter false-positive-rate audit: the customer key "
+    "set enters an m=65536, k=3 filter (md5-derived bit "
+    "positions — the filter join_bloom_prefilter builds; "
+    "SCALING.md's sizing lesson says >= 10 bits/key or the "
+    "filter saturates), then a disjoint-by-construction probe "
+    "set (keys + 10^7) measures the realized FPR against the "
+    "textbook (1 - e^{-kn/m})^k — the calibration check that "
+    "justifies the prefilter's pruning claims, and the query "
+    "that would have caught the saturation bug the 8192-bit "
+    "sizing measured (+118% FPs).  Membership = all 3 bits "
+    "present, tested via an equi-join of probe bit positions "
+    "against the DISTINCT set-bit table (the filter itself, "
+    "~n*k rows bounded by m) — no per-probe loop.  All exact "
+    "integers except the closed-form theoretical rate",
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    hs = spark.range(0, 3).select(F.col("id").alias("h"))
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    n = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    bits = (
+        keys.crossJoin(F.broadcast(hs))
+        .select(
+            _md5_mod(
+                "bf", F.concat(F.col("h"), F.lit(":"), F.col("k")), 65536
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = cust.select((F.col("c_custkey") + 10000000).alias("pk"))
+    n_probes = probes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    probe_bits = probes.crossJoin(F.broadcast(hs)).select(
+        "pk",
+        _md5_mod(
+            "bf", F.concat(F.col("h"), F.lit(":"), F.col("pk")), 65536
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    )
+    fp = hits.filter(F.col("n_set") == 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_false_pos")
+    )
+    return (
+        n.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_keys",
+            "n_probes",
+            "n_bits_set",
+            "n_false_pos",
+            F.round(F.col("n_false_pos") / F.col("n_probes"), 6).alias(
+                "fpr_measured"
+            ),
+            F.round(
+                F.pow(1 - F.exp(-3.0 * F.col("n_keys") / 65536), 3), 6
+            ).alias("fpr_theoretical"),
+        )
+    )
