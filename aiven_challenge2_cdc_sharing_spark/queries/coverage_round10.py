@@ -3717,3 +3717,320 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_theoretical"),
         )
     )
+
+
+# ------------------------------------------------ emb: diverse retrieval
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy MMR: candidates are scored once (integer
+    millionths), then 4 argmax rounds each pick the best remaining
+    candidate by the EXACT-integer score 7*relm - 3*maxsimm."""
+    head = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+dims AS (
+  SELECT i.i AS pos, round(avg(e[i.i]), 6) AS m
+  FROM v, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+  WHERE label = 0
+  GROUP BY 1
+),
+q AS (SELECT list(m ORDER BY pos) AS qv FROM dims),
+cand AS MATERIALIZED (
+  SELECT vec_id, e,
+         CAST(round(list_dot_product(e, qv)
+              / (sqrt(list_dot_product(e, e))
+                 * sqrt(list_dot_product(qv, qv))) * 1000000) AS BIGINT)
+           AS relm
+  FROM v, q
+  ORDER BY relm DESC, vec_id LIMIT 12
+),
+sel1 AS (
+  SELECT vec_id, e, relm, CAST(0 AS BIGINT) AS maxsimm, 1 AS rk
+  FROM cand ORDER BY relm DESC, vec_id LIMIT 1
+)"""
+    blocks = []
+    for k in range(2, 6):
+        prev_sels = " UNION ALL ".join(
+            f"SELECT vec_id, e, relm, maxsimm, rk FROM sel{j}"
+            for j in range(1, k)
+        )
+        blocks.append(
+            f"""
+pool{k} AS (
+  SELECT c.vec_id, c.e, c.relm,
+         max(CAST(round(list_dot_product(c.e, s.e)
+             / (sqrt(list_dot_product(c.e, c.e))
+                * sqrt(list_dot_product(s.e, s.e))) * 1000000) AS BIGINT))
+           AS maxsimm
+  FROM cand c, ({prev_sels}) s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev_sels}))
+  GROUP BY 1, 2, 3
+),
+sel{k} AS (
+  SELECT vec_id, e, relm, maxsimm, {k} AS rk
+  FROM pool{k}
+  ORDER BY 7 * relm - 3 * maxsimm DESC, vec_id LIMIT 1
+)"""
+        )
+    tail = """
+SELECT rk AS rank, vec_id,
+       round(relm / 1000000.0, 6) AS relevance,
+       round((7 * relm - 3 * maxsimm) / 10000000.0, 6) AS mmr_score
+FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+      UNION ALL SELECT * FROM sel5)
+ORDER BY rank
+"""
+    return head + "," + ",".join(blocks) + tail
+
+
+@register(
+    "emb_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    doc="maximal-marginal-relevance diverse top-5 (lambda=0.7) "
+    "against the label-0 centroid query: greedy selection where "
+    "each round's score is lambda*relevance - (1-lambda)*max "
+    "cosine to the already-selected set — the de-duplicating "
+    "re-ranker RAG retrieval stacks run after sim_cosine_topk's "
+    "pure-relevance ranking (which happily returns 5 near-"
+    "duplicates; MMR is why it shouldn't).  Every cosine is "
+    "rounded to INTEGER MILLIONTHS before any comparison and "
+    "the greedy argmax uses the exact-integer score 7*relm - "
+    "3*maxsimm (x10 scale), so the selection sequence is "
+    "bit-replayable on both engines (the exact-integer-"
+    "cross-multiplication discipline, lesson 13).  Plan: one "
+    "scored scan -> 12-row candidate set (the relevance top-k "
+    "prunes BEFORE the quadratic part), then 4 greedy rounds "
+    "each a 12x5 broadcast pair scan — the O(k^2 * shortlist) "
+    "cost every production MMR pays, never O(N^2); at 100 TB "
+    "the shortlist comes from the ANN index "
+    "(sim_cosine_topk_lsh) and this re-ranker is unchanged",
+)
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    q = (
+        v.filter(F.col("label") == 0)
+        .select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("qv"))
+    )
+
+    def cosm(a, b):
+        return F.round(
+            _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))) * 1000000
+        ).cast("long")
+
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .select("vec_id", "e", cosm(F.col("e"), F.col("qv")).alias("relm"))
+        .orderBy(F.desc("relm"), "vec_id")
+        .limit(12)
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.orderBy(F.desc("relm"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "e",
+            "relm",
+            F.lit(0).cast("long").alias("maxsimm"),
+            F.lit(1).alias("rk"),
+        )
+    )
+    for k in range(2, 6):
+        sel_ids = sel.select("vec_id")
+        pool = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .crossJoin(
+                F.broadcast(
+                    sel.select(F.col("e").alias("se"))
+                )
+            )
+            .groupBy("vec_id", "e", "relm")
+            .agg(F.max(cosm(F.col("e"), F.col("se"))).alias("maxsimm"))
+        )
+        pick = (
+            pool.orderBy(
+                F.desc(7 * F.col("relm") - 3 * F.col("maxsimm")), "vec_id"
+            )
+            .limit(1)
+            .select("vec_id", "e", "relm", "maxsimm", F.lit(k).alias("rk"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("rk").alias("rank"),
+        "vec_id",
+        F.round(F.col("relm") / 1000000.0, 6).alias("relevance"),
+        F.round(
+            (7 * F.col("relm") - 3 * F.col("maxsimm")) / 10000000.0, 6
+        ).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+# ------------------------------------------------ stats: distribution fit
+
+
+@register(
+    "stats_qq_deciles",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(c_acctbal,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+m AS (
+  SELECT quantile_cont(c_acctbal,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qm
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+),
+g AS (SELECT unnest(generate_series(1, 9)) AS q)
+SELECT CAST(q * 10 AS BIGINT) AS pctile,
+       round(qb[q], 4) AS q_building,
+       round(qm[q], 4) AS q_machinery,
+       round(qb[q] - qm[q], 4) AS qq_gap
+FROM g, b, m ORDER BY pctile
+""",
+    doc="quantile-quantile decile table for BUILDING vs MACHINERY "
+    "account balances: the nine matched deciles side by side with "
+    "their gap — the distribution-shape comparison that a single "
+    "stats_welch_t_test mean or stats_ks_two_sample max-gap "
+    "statistic summarizes away (a location shift moves all "
+    "deciles equally; a scale/tail difference fans them out).  "
+    "Exact interpolated quantiles (Spark percentile == DuckDB "
+    "quantile_cont) on identical value sets make every cell "
+    "bit-comparable before 4dp rounding.  One grouped "
+    "percentile aggregate over a 9-point broadcast grid",
+)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qb = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    qm = cust.filter(F.col("c_mktsegment") == "MACHINERY")
+    # the nine deciles come back as one percentile(array) aggregate
+    # per segment (two rows total), then unpivot to the grid
+    pcts = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+    b = qb.agg(F.expr(f"percentile(c_acctbal, {pcts})").alias("qs_b"))
+    m = qm.agg(F.expr(f"percentile(c_acctbal, {pcts})").alias("qs_m"))
+    grid = spark.range(1, 10).select(F.col("id").alias("q"))
+    return (
+        grid.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(m))
+        .select(
+            (F.col("q") * 10).alias("pctile"),
+            F.round(
+                F.element_at(F.col("qs_b"), F.col("q").cast("int")), 4
+            ).alias("q_building"),
+            F.round(
+                F.element_at(F.col("qs_m"), F.col("q").cast("int")), 4
+            ).alias("q_machinery"),
+            F.round(
+                F.element_at(F.col("qs_b"), F.col("q").cast("int"))
+                - F.element_at(F.col("qs_m"), F.col("q").cast("int")),
+                4,
+            ).alias("qq_gap"),
+        )
+        .orderBy("pctile")
+    )
+
+
+@register(
+    "stats_poisson_dispersion",
+    oracle="""
+WITH spine AS (
+  SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                  // 86400 AS d
+  FROM events
+),
+cnt AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, s.d, coalesce(cnt.c, 0) AS c
+  FROM spine s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = s.d
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS total,
+         sum(c * c) AS s2
+  FROM grid GROUP BY 1
+)
+SELECT event_type, n_days, total,
+       round(total * 1.0 / n_days, 4) AS mean_per_day,
+       round((s2 - total * 1.0 * total / n_days) / (n_days - 1)
+             / (total * 1.0 / n_days), 4) AS dispersion_index,
+       round((n_days - 1)
+             * ((s2 - total * 1.0 * total / n_days) / (n_days - 1))
+             / (total * 1.0 / n_days), 4) AS chi2_stat,
+       CASE WHEN (n_days - 1)
+                 * ((s2 - total * 1.0 * total / n_days) / (n_days - 1))
+                 / (total * 1.0 / n_days)
+                 > n_days - 1 + 2 * sqrt(2.0 * (n_days - 1))
+            THEN 1 ELSE 0 END AS overdispersed_flag
+FROM m ORDER BY event_type
+""",
+    doc="Poisson dispersion test on daily event counts per type: "
+    "the variance/mean dispersion index and the chi-square "
+    "statistic (n-1)*s^2/mean against its ~N(df, 2df) upper "
+    "bound — the FIRST question before modeling arrivals as "
+    "Poisson (burstiness inflates variance; text_burstiness_fano "
+    "is the same physics on token gaps, "
+    "stats_poisson_rate_test ASSUMES what this test checks).  "
+    "The day spine left-join keeps zero-count days in the "
+    "variance (dropping them biases the index down, the classic "
+    "mistake).  Counts are exact integers; one day-grain "
+    "aggregate + 5-row algebra",
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+    spine = ev.select(day.alias("d")).distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n_days")
+    mean = F.col("total") / nd
+    var = (F.col("s2") - F.col("total") * mean) / (nd - 1)
+    chi2 = (nd - 1) * var / mean
+    return m.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.round(mean, 4).alias("mean_per_day"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        F.when(chi2 > nd - 1 + 2 * F.sqrt(2.0 * (nd - 1)), 1)
+        .otherwise(0)
+        .alias("overdispersed_flag"),
+    ).orderBy("event_type")
