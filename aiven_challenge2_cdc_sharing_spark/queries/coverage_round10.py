@@ -4034,3 +4034,497 @@ def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("overdispersed_flag"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------ survival: log-rank
+
+
+@register(
+    "surv_logrank_segments",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY 1
+),
+lab AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         p.last_m - p.first_m AS dur_m,
+         CASE WHEN p.last_m < 2000 * 12 + 8 THEN 1 ELSE 0 END AS ev
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+bd AS (
+  SELECT dur_m,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0
+  FROM lab GROUP BY 1
+),
+risk AS (
+  SELECT dur_m, d1, d0,
+         sum(t1) OVER (ORDER BY dur_m DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+         sum(t0) OVER (ORDER BY dur_m DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+  FROM bd
+),
+terms AS (
+  SELECT d1,
+         round((d1 + d0) * 1.0 * n1 / (n1 + n0), 6) AS e1,
+         CASE WHEN n1 + n0 > 1 THEN
+           round((d1 + d0) * 1.0 * n1 * n0 * (n1 + n0 - d1 - d0)
+                 / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0)), 6)
+         ELSE 0.0 END AS v
+  FROM risk WHERE d1 + d0 > 0
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1) AS e1s, sum(v) AS vs,
+         CAST(count(*) AS BIGINT) AS n_event_times
+  FROM terms
+)
+SELECT o1 AS observed_g1, round(e1s, 4) AS expected_g1, n_event_times,
+       round(pow(o1 - e1s, 2) / vs, 4) AS chi2_stat,
+       CASE WHEN pow(o1 - e1s, 2) / vs > 3.841 THEN 1 ELSE 0 END
+         AS reject_flag
+FROM agg
+""",
+    doc="two-group log-rank test: does churn timing differ between "
+    "BUILDING and MACHINERY customers?  Duration/event definitions "
+    "shared with surv_kaplan_meier_monthly (integer months between "
+    "first and last order; churned if the last order predates "
+    "2000-08); at each event time the observed group-1 deaths are "
+    "compared to the hypergeometric expectation d*n1/n with "
+    "variance d*n1*n0*(n-d)/(n^2*(n-1)), and chi2 = (O-E)^2/V.  "
+    "THE standard comparison of survival curves (a naive "
+    "mean-lifetime t-test is biased by right-censoring, which the "
+    "at-risk denominators handle correctly).  The whole test runs "
+    "on the <=80-row month-domain histogram after one "
+    "groupBy(custkey) + a broadcastable dim join: per-time terms "
+    "are rounded 6dp before the final sum per the partial-sum "
+    "discipline.  No per-customer window, no pair enumeration — "
+    "the plan at 100 TB is the plan at sf0.01",
+)
+def surv_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per = orders.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    lab = (
+        per.join(
+            cust.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment"),
+            per.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g"),
+            (F.col("last_m") - F.col("first_m")).alias("dur_m"),
+            F.when(F.col("last_m") < 2000 * 12 + 8, 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    bd = lab.groupBy("dur_m").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+    )
+    w_desc = Window.orderBy(F.desc("dur_m")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = bd.select(
+        "d1",
+        "d0",
+        F.sum("t1").over(w_desc).alias("n1"),
+        F.sum("t0").over(w_desc).alias("n0"),
+    )
+    n = F.col("n1") + F.col("n0")
+    d = F.col("d1") + F.col("d0")
+    terms = risk.filter(d > 0).select(
+        "d1",
+        F.round(d * 1.0 * F.col("n1") / n, 6).alias("e1"),
+        F.when(
+            n > 1,
+            F.round(
+                d * 1.0 * F.col("n1") * F.col("n0") * (n - d)
+                / (n * n * (n - 1.0)),
+                6,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1").alias("e1s"),
+        F.sum("v").alias("vs"),
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+    )
+    chi2 = F.pow(F.col("o1") - F.col("e1s"), 2) / F.col("vs")
+    return agg.select(
+        F.col("o1").alias("observed_g1"),
+        F.round(F.col("e1s"), 4).alias("expected_g1"),
+        "n_event_times",
+        F.round(chi2, 4).alias("chi2_stat"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("reject_flag"),
+    )
+
+
+# ------------------------------------------------ partition-skew planner
+
+
+@register(
+    "ops_partition_skew_planner",
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM per
+),
+hist AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS k FROM per GROUP BY 1
+),
+asc_cum AS (
+  SELECT c, k,
+         sum(k) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+pct AS (
+  SELECT
+    min(CASE WHEN cum >= (SELECT (n_keys + 1) // 2 FROM tot)
+             THEN c END) AS p50,
+    min(CASE WHEN cum >= (SELECT (99 * n_keys + 99) // 100 FROM tot)
+             THEN c END) AS p99
+  FROM asc_cum
+),
+desc_cum AS (
+  SELECT c, k,
+         sum(k) OVER (ORDER BY c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+  FROM hist
+),
+topshare AS (
+  SELECT CAST(sum(
+    CASE WHEN cumk <= (SELECT (n_keys + 99) // 100 FROM tot) THEN k * c
+         WHEN cumk - k < (SELECT (n_keys + 99) // 100 FROM tot)
+           THEN ((SELECT (n_keys + 99) // 100 FROM tot) - (cumk - k)) * c
+         ELSE 0 END) AS BIGINT) AS top_events
+  FROM desc_cum
+)
+SELECT tot.n_keys, tot.total,
+       round(tot.total * 1.0 / tot.n_keys, 4) AS mean_per_key,
+       CAST(pct.p50 AS BIGINT) AS p50_per_key,
+       CAST(pct.p99 AS BIGINT) AS p99_per_key,
+       tot.max_c AS max_per_key,
+       round(tot.max_c * tot.n_keys * 1.0 / tot.total, 4) AS hot_ratio,
+       round(topshare.top_events * 1.0 / tot.total, 6) AS top1pct_share,
+       CAST((tot.max_c * tot.n_keys + tot.total - 1) // tot.total
+            AS BIGINT) AS suggested_salt
+FROM tot, pct, topshare
+""",
+    doc="shuffle-partition skew planner over the keyed change-log "
+    "transport (SURVEY S2: events keyed by user_id are exactly the "
+    "shape the CDC topic ships): per-key message counts reduced to "
+    "a count-of-counts histogram, then p50/p99/max, the "
+    "max-to-mean hot ratio, the share of traffic owned by the top "
+    "1% of keys (exact partial-bucket arithmetic on the descending "
+    "cumulative histogram), and the salting factor "
+    "ceil(max/mean) a skew-join mitigation would need.  This is "
+    "the number you must know BEFORE choosing repartition(key) at "
+    "100 TB — a p99/p50 ratio near 1 says hash partitioning is "
+    "safe, a fat hot_ratio says salt or AQE-skew-split.  Everything "
+    "is exact integer arithmetic on two tiny aggregates; the "
+    "histogram is at most max_per_key rows no matter how many "
+    "events arrive",
+)
+def ops_partition_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("total"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    hist = per.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w_asc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_desc = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("k").over(w_asc))
+        .withColumn("cumk", F.sum("k").over(w_desc))
+        .crossJoin(F.broadcast(tot))
+    )
+    th50 = F.floor((F.col("n_keys") + 1) / 2).cast("long")
+    th99 = F.floor((99 * F.col("n_keys") + 99) / 100).cast("long")
+    ktop = F.floor((F.col("n_keys") + 99) / 100).cast("long")
+    stats = cum.agg(
+        F.min(F.when(F.col("cum") >= th50, F.col("c"))).alias("p50"),
+        F.min(F.when(F.col("cum") >= th99, F.col("c"))).alias("p99"),
+        F.sum(
+            F.when(F.col("cumk") <= ktop, F.col("k") * F.col("c"))
+            .when(
+                F.col("cumk") - F.col("k") < ktop,
+                (ktop - (F.col("cumk") - F.col("k"))) * F.col("c"),
+            )
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("top_events"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(stats))
+        .select(
+            "n_keys",
+            "total",
+            F.round(F.col("total") * 1.0 / F.col("n_keys"), 4).alias(
+                "mean_per_key"
+            ),
+            F.col("p50").cast("long").alias("p50_per_key"),
+            F.col("p99").cast("long").alias("p99_per_key"),
+            F.col("max_c").alias("max_per_key"),
+            F.round(
+                F.col("max_c") * F.col("n_keys") * 1.0 / F.col("total"), 4
+            ).alias("hot_ratio"),
+            F.round(F.col("top_events") * 1.0 / F.col("total"), 6).alias(
+                "top1pct_share"
+            ),
+            F.floor(
+                (F.col("max_c") * F.col("n_keys") + F.col("total") - 1)
+                / F.col("total")
+            )
+            .cast("long")
+            .alias("suggested_salt"),
+        )
+    )
+
+
+# ------------------------------------------------ Kadane max-subarray
+
+
+@register(
+    "win_max_subarray_kadane",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS t
+  FROM daily
+),
+pref AS (
+  SELECT day,
+         sum(cents * (SELECT n_days FROM tot) - (SELECT t FROM tot))
+           OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM daily
+),
+best AS (
+  SELECT day,
+         p - least(coalesce(min(p) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+               0) AS run
+  FROM pref
+)
+SELECT tot.n_days,
+       best.day AS best_end_day,
+       round(best.run / (100.0 * tot.n_days), 2) AS best_run_sum
+FROM best, tot
+ORDER BY best.run DESC, best.day ASC
+LIMIT 1
+""",
+    doc="maximum-sum contiguous subarray (Kadane) over mean-centered "
+    "daily order revenue: the single hottest sales streak relative "
+    "to trend — burst detection's exact form (surveillance, revenue "
+    "anomaly windows, CUSUM's max-likelihood twin).  Formulated as "
+    "prefix-sum minus running-minimum-prefix, which turns the "
+    "textbook sequential scan into two ordered-window passes over "
+    "the bounded DAY domain (~2,400 rows regardless of order "
+    "volume).  ZERO float hazard: daily revenue is exact integer "
+    "cents, and mean-centering multiplies through by n_days "
+    "(dev = cents*n - T) so the deviations stay integers; the one "
+    "division back to dollars happens at the final row.  Ties "
+    "break to the earliest end day.  The day-domain window is the "
+    "same bounded-window class as the score-histogram AUC — at "
+    "100 TB the orders scan is the only big stage and it is a "
+    "pure map-side groupBy(day) partial-agg",
+)
+def win_max_subarray_kadane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_days",
+            F.sum(
+                F.col("cents") * F.col("n_days") - F.col("t")
+            ).over(w_cum).alias("p"),
+        )
+    )
+    best = pref.select(
+        "day",
+        "n_days",
+        (
+            F.col("p")
+            - F.least(
+                F.coalesce(F.min("p").over(w_prev), F.lit(0)), F.lit(0)
+            )
+        ).alias("run"),
+    )
+    return (
+        best.orderBy(F.desc("run"), F.asc("day"))
+        .limit(1)
+        .select(
+            "n_days",
+            F.col("day").alias("best_end_day"),
+            F.round(F.col("run") / (100.0 * F.col("n_days")), 2).alias(
+                "best_run_sum"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------ md5-assignment audit
+
+_KS_BUCKETS = 4096
+
+
+@register(
+    "dq_md5_uniformity_ks",
+    oracle=f"""
+WITH u AS (
+  SELECT CAST(concat('0x', substr(md5('ksu:' || c_custkey), 1, 15))
+              AS BIGINT) % {_KS_BUCKETS} AS b
+  FROM customer
+),
+hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT b, cnt,
+         sum(cnt) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM hist
+),
+d AS (
+  SELECT max(greatest(
+           abs(c * 1.0 / (SELECT n FROM tot)
+               - (b + 1.0) / {_KS_BUCKETS}),
+           abs((c - cnt) * 1.0 / (SELECT n FROM tot)
+               - b * 1.0 / {_KS_BUCKETS})
+         )) AS d_stat,
+         CAST(count(*) AS BIGINT) AS buckets_hit
+  FROM cum
+)
+SELECT tot.n, d.buckets_hit,
+       round(d.d_stat, 6) AS d_stat,
+       round(1.358 / sqrt(tot.n), 6) AS critical_05,
+       CASE WHEN d.d_stat <= 1.358 / sqrt(tot.n) THEN 1 ELSE 0 END
+         AS uniform_flag
+FROM d, tot
+""",
+    doc="one-sample Kolmogorov-Smirnov audit of the registry's own "
+    "md5-assignment discipline: the md5-derived bucket draw (the "
+    "primitive behind every deterministic sample, arm assignment "
+    "and synthetic coordinate in this registry) is tested against "
+    "U(0,1) at {b}-bucket resolution.  D is the exact sup over the "
+    "binned ECDF's jump points — both the post-jump gap |F_n - F| "
+    "and the pre-jump gap |F_n^- - F| per bucket, which also "
+    "covers empty-bucket gaps (the ECDF is flat there, so the sup "
+    "lands on the next present bucket's pre-jump term); the "
+    "resolution error is bounded by 1/{b}.  Compared against the "
+    "1.358/sqrt(n) large-sample 5% critical value.  If this flag "
+    "ever goes red the ENTIRE sampling family's guarantees are "
+    "void — it is the meta-test the other tests stand on.  Exact "
+    "integer counts through a bounded {b}-row cumulative scan".format(
+        b=_KS_BUCKETS
+    ),
+)
+def dq_md5_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    b = _md5_mod("ksu:", F.col("c_custkey"), _KS_BUCKETS)
+    hist = (
+        cust.select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("c", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    gap = F.greatest(
+        F.abs(
+            F.col("c") * 1.0 / F.col("n")
+            - (F.col("b") + 1.0) / _KS_BUCKETS
+        ),
+        F.abs(
+            (F.col("c") - F.col("cnt")) * 1.0 / F.col("n")
+            - F.col("b") * 1.0 / _KS_BUCKETS
+        ),
+    )
+    d = cum.agg(
+        F.max(gap).alias("d_stat"),
+        F.count(F.lit(1)).cast("long").alias("buckets_hit"),
+        F.max("n").alias("n"),
+    )
+    crit = 1.358 / F.sqrt(F.col("n"))
+    return d.select(
+        "n",
+        "buckets_hit",
+        F.round(F.col("d_stat"), 6).alias("d_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        F.when(F.col("d_stat") <= crit, 1).otherwise(0).alias(
+            "uniform_flag"
+        ),
+    )
