@@ -4528,3 +4528,559 @@ def dq_md5_uniformity_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_flag"
         ),
     )
+
+
+# ------------------------------------------------ Wilcoxon signed-rank
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   < (SELECT cut FROM bounds)
+              THEN 0 ELSE 1 END AS half,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT b.m - a.m AS d
+  FROM per a JOIN per b
+    ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+),
+nz AS (
+  SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM paired WHERE d <> 0
+),
+hist AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS np
+  FROM nz GROUP BY 1
+),
+rk AS (
+  SELECT cnt, np,
+         sum(cnt) OVER (ORDER BY ad
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cb
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         sum(np * (cb + (cnt + 1) / 2.0)) AS wp,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+  FROM rk
+)
+SELECT n AS n_pairs, round(wp, 2) AS w_plus,
+       round((wp - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0), 4)
+         AS z_stat,
+       CASE WHEN abs((wp - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0))
+            > 1.96 THEN 1 ELSE 0 END AS reject_flag
+FROM agg
+""",
+    doc="Wilcoxon signed-rank test on the same per-user before/after "
+    "pairs as stats_paired_t_user_halves — the nonparametric twin "
+    "that drops the normality assumption the t-test needs (heavy-"
+    "tailed per-user means are the norm, not the exception).  "
+    "Zero differences are dropped (Wilcoxon convention), midranks "
+    "of |d| come from the |d|-value HISTOGRAM (cum-before + "
+    "(cnt+1)/2 — never an N-row global rank window), W+ sums the "
+    "positive pairs' midranks, and the normal approximation "
+    "carries the exact tie correction sum(t^3-t)/48 from the same "
+    "histogram.  Differences are 6dp-rounded before grouping so "
+    "both engines bucket identical doubles.  The ordered scan "
+    "touches distinct |d| values only — the same bounded-histogram "
+    "class as the score-histogram AUC",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts").cast("long")
+    bounds = ev.agg(((F.min(e) + F.max(e)) / 2).cast("long").alias("cut"))
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(e < F.col("cut"), 0).otherwise(1).alias("half"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    a = per.filter(F.col("half") == 0).select(
+        "user_id", F.col("m").alias("m0")
+    )
+    b = per.filter(F.col("half") == 1).select(
+        "user_id", F.col("m").alias("m1")
+    )
+    nz = (
+        a.join(b, "user_id")
+        .select((F.col("m1") - F.col("m0")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(
+            F.abs("d").alias("ad"),
+            F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+        )
+    )
+    hist = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = hist.select(
+        "cnt", "np", (F.sum("cnt").over(w) - F.col("cnt")).alias("cb")
+    )
+    agg = rk.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("np") * (F.col("cb") + (F.col("cnt") + 1) / 2.0)
+        ).alias("wp"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    n = F.col("n")
+    z = (F.col("wp") - n * (n + 1) / 4.0) / F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie3") / 48.0
+    )
+    return agg.select(
+        n.alias("n_pairs"),
+        F.round(F.col("wp"), 2).alias("w_plus"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("reject_flag"),
+    )
+
+
+# ------------------------------------------------ Ansari-Bradley
+
+
+@register(
+    "stats_ansari_bradley",
+    oracle="""
+WITH samp AS (
+  SELECT c_acctbal AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+hist AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS nx
+  FROM samp GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(sum(nx) AS BIGINT) AS m
+  FROM hist
+),
+rk AS (
+  SELECT nx,
+         sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt + (cnt + 1) / 2.0 AS r
+  FROM hist
+),
+w AS (
+  SELECT sum(nx * least(r, (SELECT nn FROM tot) + 1 - r)) AS ab_w
+  FROM rk
+)
+SELECT tot.m AS n_building, tot.nn - tot.m AS n_machinery,
+       round(w.ab_w, 2) AS ab_score_sum,
+       round((w.ab_w - CASE WHEN tot.nn % 2 = 0
+              THEN tot.m * (tot.nn + 2) / 4.0
+              ELSE tot.m * (tot.nn + 1.0) * (tot.nn + 1.0)
+                   / (4.0 * tot.nn) END)
+             / sqrt(CASE WHEN tot.nn % 2 = 0
+              THEN tot.m * 1.0 * (tot.nn - tot.m) * (tot.nn + 2)
+                   * (tot.nn - 2) / (48.0 * (tot.nn - 1))
+              ELSE tot.m * 1.0 * (tot.nn - tot.m) * (tot.nn + 1)
+                   * (3 + tot.nn * tot.nn)
+                   / (48.0 * tot.nn * tot.nn) END), 4) AS z_stat,
+       CASE WHEN abs((w.ab_w - CASE WHEN tot.nn % 2 = 0
+              THEN tot.m * (tot.nn + 2) / 4.0
+              ELSE tot.m * (tot.nn + 1.0) * (tot.nn + 1.0)
+                   / (4.0 * tot.nn) END)
+             / sqrt(CASE WHEN tot.nn % 2 = 0
+              THEN tot.m * 1.0 * (tot.nn - tot.m) * (tot.nn + 2)
+                   * (tot.nn - 2) / (48.0 * (tot.nn - 1))
+              ELSE tot.m * 1.0 * (tot.nn - tot.m) * (tot.nn + 1)
+                   * (3 + tot.nn * tot.nn)
+                   / (48.0 * tot.nn * tot.nn) END)) > 1.96
+            THEN 1 ELSE 0 END AS scale_diff_flag
+FROM w, tot
+""",
+    doc="Ansari-Bradley two-sample scale test: do BUILDING and "
+    "MACHINERY account balances differ in DISPERSION (not "
+    "location)?  Ranks are folded from both ends — score = "
+    "min(r, N+1-r) — so extreme values in either tail get small "
+    "scores and a sample concentrated in the middle scores high; "
+    "complements stats_levene_test (moment-based) and "
+    "stats_mann_whitney_u (location).  Midranks come from the "
+    "shared value histogram (cum-before + (cnt+1)/2, the "
+    "score-at-midrank tie convention, documented approximation "
+    "under heavy ties), and the exact-moments normal "
+    "approximation switches on N's parity per the textbook "
+    "formulas.  Account balances are fixture-exact 2dp doubles, "
+    "so the histogram keys match bit-for-bit across engines.  "
+    "Distinct-value-bounded ordered scan; everything else is one "
+    "aggregate",
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    samp = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_acctbal").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    hist = samp.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("nx"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+        F.sum("nx").cast("long").alias("m"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = hist.select(
+        "nx",
+        (
+            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+        ).alias("r"),
+    ).crossJoin(F.broadcast(tot))
+    wsum = rk.agg(
+        F.sum(
+            F.col("nx")
+            * F.least(F.col("r"), F.col("nn") + 1 - F.col("r"))
+        ).alias("ab_w"),
+        F.max("nn").alias("nn"),
+        F.max("m").alias("m"),
+    )
+    nn, m, ab = F.col("nn"), F.col("m"), F.col("ab_w")
+    even = nn % 2 == 0
+    e_w = F.when(even, m * (nn + 2) / 4.0).otherwise(
+        m * (nn + 1.0) * (nn + 1.0) / (4.0 * nn)
+    )
+    v_w = F.when(
+        even,
+        m * 1.0 * (nn - m) * (nn + 2) * (nn - 2) / (48.0 * (nn - 1)),
+    ).otherwise(
+        m * 1.0 * (nn - m) * (nn + 1) * (3 + nn * nn) / (48.0 * nn * nn)
+    )
+    z = (ab - e_w) / F.sqrt(v_w)
+    return wsum.select(
+        m.alias("n_building"),
+        (nn - m).alias("n_machinery"),
+        F.round(ab, 2).alias("ab_score_sum"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("scale_diff_flag"),
+    )
+
+
+# ------------------------------------------------ DeLong AUC variance
+
+# same deterministic scorer as ml_eval_auc_prf (coverage_round3):
+# score = sigmoid(4 * first embedding dim), positive class = label 0
+_DELONG_SCORE_SQL = (
+    "round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)"
+)
+
+
+@register(
+    "ml_auc_delong_variance",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         {_DELONG_SCORE_SQL} AS score
+  FROM embeddings
+),
+hist AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT pos, cnt - pos AS neg,
+         sum(cnt - pos) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (cnt - pos) AS nb,
+         sum(pos) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - pos AS pb
+  FROM hist
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS m,
+         CAST(sum(neg) AS BIGINT) AS n
+  FROM cum
+),
+ints AS (
+  -- exact integer numerators: v10 = (2*nb + neg)/(2n) per positive,
+  -- v01 = (2*pa + pos)/(2m) per negative with pa = m - pb - pos
+  SELECT CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS a1,
+         sum(pos * (2.0 * nb + neg) * (2.0 * nb + neg)) AS b2,
+         CAST(sum(neg * (2 * ((SELECT m FROM tot) - pb - pos) + pos))
+              AS BIGINT) AS c1,
+         sum(neg * (2.0 * ((SELECT m FROM tot) - pb - pos) + pos)
+                 * (2.0 * ((SELECT m FROM tot) - pb - pos) + pos)) AS d2
+  FROM cum
+)
+SELECT tot.m AS n_pos, tot.n AS n_neg,
+       round(ints.a1 / (2.0 * tot.m * tot.n), 6) AS auc,
+       round(sqrt(
+         (ints.b2 / (4.0 * tot.n * tot.n)
+          - tot.m * pow(ints.a1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.m - 1) / tot.m
+         + (ints.d2 / (4.0 * tot.m * tot.m)
+            - tot.n * pow(ints.c1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.n - 1) / tot.n), 6) AS se_delong,
+       round(ints.a1 / (2.0 * tot.m * tot.n) - 1.96 * sqrt(
+         (ints.b2 / (4.0 * tot.n * tot.n)
+          - tot.m * pow(ints.a1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.m - 1) / tot.m
+         + (ints.d2 / (4.0 * tot.m * tot.m)
+            - tot.n * pow(ints.c1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.n - 1) / tot.n), 6) AS ci_lo,
+       round(ints.a1 / (2.0 * tot.m * tot.n) + 1.96 * sqrt(
+         (ints.b2 / (4.0 * tot.n * tot.n)
+          - tot.m * pow(ints.a1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.m - 1) / tot.m
+         + (ints.d2 / (4.0 * tot.m * tot.m)
+            - tot.n * pow(ints.c1 / (2.0 * tot.m * tot.n), 2))
+           / (tot.n - 1) / tot.n), 6) AS ci_hi
+FROM ints, tot
+""",
+    doc="DeLong standard error and 95% CI for the ROC-AUC of the "
+    "registry's deterministic scorer (same sigmoid scorer and "
+    "midrank AUC as ml_eval_auc_prf — this query adds the "
+    "UNCERTAINTY every AUC point estimate should ship with; "
+    "comparing two models without it is reading noise).  The "
+    "structural components are computed on the score histogram: "
+    "each positive's V10 = (#negs below + half the tied negs)/n "
+    "and each negative's V01 symmetric — their first and second "
+    "moments reduce to EXACT INTEGER sums over bins (numerators "
+    "2*cum_below + in_bin, denominators pulled out), so both "
+    "engines agree bit-for-bit before the single final float "
+    "expression; var = (E[V^2] - AUC^2) * k/(k-1) per component "
+    "and SE^2 = var10/m + var01/n.  Same bounded-histogram scan "
+    "as the AUC itself — no pair enumeration at any scale",
+)
+def ml_auc_delong_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -F.element_at(F.col("embedding"), 1).cast("double") * 4
+            )
+        ),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    neg = F.col("cnt") - F.col("pos")
+    cum = hist.select(
+        "pos",
+        neg.alias("neg"),
+        (F.sum(neg).over(w) - neg).alias("nb"),
+        (F.sum("pos").over(w) - F.col("pos")).alias("pb"),
+    )
+    tot = cum.agg(
+        F.sum("pos").cast("long").alias("m"),
+        F.sum("neg").cast("long").alias("n"),
+    )
+    c = cum.crossJoin(F.broadcast(tot))
+    v10n = 2 * F.col("nb") + F.col("neg")
+    pa = F.col("m") - F.col("pb") - F.col("pos")
+    v01n = 2 * pa + F.col("pos")
+    ints = c.agg(
+        F.sum(F.col("pos") * v10n).cast("long").alias("a1"),
+        F.sum(F.col("pos") * v10n.cast("double") * v10n).alias("b2"),
+        F.sum(F.col("neg") * v01n).cast("long").alias("c1"),
+        F.sum(F.col("neg") * v01n.cast("double") * v01n).alias("d2"),
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+    )
+    m, n = F.col("m"), F.col("n")
+    auc = F.col("a1") / (2.0 * m * n)
+    var10 = (
+        (F.col("b2") / (4.0 * n * n) - m * F.pow(auc, 2)) / (m - 1) / m
+    )
+    var01 = (
+        (F.col("d2") / (4.0 * m * m) - n * F.pow(auc, 2)) / (n - 1) / n
+    )
+    se = F.sqrt(var10 + var01)
+    return ints.select(
+        m.alias("n_pos"),
+        n.alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se_delong"),
+        F.round(auc - 1.96 * se, 6).alias("ci_lo"),
+        F.round(auc + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------------ 1-D Wasserstein drift
+
+_W1_BINS = 64
+
+
+@register(
+    "ml_drift_wasserstein_1d",
+    oracle=f"""
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+binned AS (
+  SELECT least({_W1_BINS - 1}, CAST(floor(
+           (value - (SELECT vmin FROM bounds))
+           / ((SELECT vmax FROM bounds) - (SELECT vmin FROM bounds))
+           * {_W1_BINS}) AS BIGINT)) AS b,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   < (SELECT cut FROM bounds)
+              THEN 1 ELSE 0 END AS early
+  FROM events
+),
+hist AS (
+  SELECT b, CAST(sum(early) AS BIGINT) AS ne,
+         CAST(count(*) - sum(early) AS BIGINT) AS nl
+  FROM binned GROUP BY 1
+),
+spine AS (
+  SELECT range AS b FROM range({_W1_BINS})
+),
+grid AS (
+  SELECT s.b, coalesce(h.ne, 0) AS ne, coalesce(h.nl, 0) AS nl
+  FROM spine s LEFT JOIN hist h ON h.b = s.b
+),
+cums AS (
+  SELECT sum(ne) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+         sum(nl) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+  FROM grid
+),
+tot AS (
+  SELECT CAST(sum(ne) AS BIGINT) AS te, CAST(sum(nl) AS BIGINT) AS tl
+  FROM grid
+),
+gap AS (
+  SELECT CAST(sum(abs(ce * (SELECT tl FROM tot)
+                      - cl * (SELECT te FROM tot))) AS BIGINT) AS g
+  FROM cums
+)
+SELECT tot.te AS n_early, tot.tl AS n_late,
+       round(((SELECT vmax FROM bounds) - (SELECT vmin FROM bounds))
+             / {_W1_BINS}.0 * gap.g / (tot.te * 1.0 * tot.tl), 6)
+         AS w1_distance,
+       round(gap.g / ({_W1_BINS}.0 * tot.te * tot.tl), 6)
+         AS w1_normalized,
+       CASE WHEN gap.g / ({_W1_BINS}.0 * tot.te * tot.tl) > 0.05
+            THEN 1 ELSE 0 END AS drift_flag
+FROM gap, tot
+""",
+    doc="1-D Wasserstein (earth-mover) distance between the early-"
+    "half and late-half event-value distributions: W1 = integral "
+    "of |CDF_early - CDF_late|, the drift metric that (unlike "
+    "ml_psi_score_drift's bin-ratio KL or the KS sup) weights HOW "
+    "FAR mass moved, not just whether it moved — the standard "
+    "metric for monitoring feature drift magnitude.  Binned to a "
+    "fixed {n}-bin grid over the DERIVED [min, max] value range; "
+    "the 0..{n} spine left-join keeps empty bins in the integral "
+    "(the CDF gap persists across them — dropping them "
+    "understates W1).  The integrand is the exact integer "
+    "|ce*TL - cl*TE| so the cross-engine sum is drift-free, and "
+    "the single float division happens on the final row.  Also "
+    "reported normalized to the value range (mean |dCDF|).  "
+    "Everything after the map-side bin histogram is a {n}-row "
+    "scan".format(n=_W1_BINS),
+)
+def ml_drift_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts").cast("long")
+    bounds = ev.agg(
+        ((F.min(e) + F.max(e)) / 2).cast("long").alias("cut"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_W1_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * _W1_BINS
+            ).cast("long"),
+        ).alias("b"),
+        F.when(e < F.col("cut"), 1).otherwise(0).alias("early"),
+    )
+    hist = binned.groupBy("b").agg(
+        F.sum("early").cast("long").alias("ne"),
+        (F.count(F.lit(1)) - F.sum("early")).cast("long").alias("nl"),
+    )
+    spine = spark.range(_W1_BINS).select(F.col("id").alias("b"))
+    grid = (
+        spine.join(hist, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = grid.agg(
+        F.sum("ne").cast("long").alias("te"),
+        F.sum("nl").cast("long").alias("tl"),
+    )
+    cums = grid.select(
+        F.sum("ne").over(w).alias("ce"), F.sum("nl").over(w).alias("cl")
+    ).crossJoin(F.broadcast(tot))
+    gap = cums.agg(
+        F.sum(
+            F.abs(F.col("ce") * F.col("tl") - F.col("cl") * F.col("te"))
+        )
+        .cast("long")
+        .alias("g"),
+        F.max("te").alias("te"),
+        F.max("tl").alias("tl"),
+    ).crossJoin(F.broadcast(bounds.select("vmin", "vmax")))
+    norm = F.col("g") / (
+        float(_W1_BINS) * F.col("te") * F.col("tl")
+    )
+    return gap.select(
+        F.col("te").alias("n_early"),
+        F.col("tl").alias("n_late"),
+        F.round(
+            (F.col("vmax") - F.col("vmin"))
+            / float(_W1_BINS)
+            * F.col("g")
+            / (F.col("te") * 1.0 * F.col("tl")),
+            6,
+        ).alias("w1_distance"),
+        F.round(norm, 6).alias("w1_normalized"),
+        F.when(norm > 0.05, 1).otherwise(0).alias("drift_flag"),
+    )
