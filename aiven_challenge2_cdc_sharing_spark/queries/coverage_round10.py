@@ -5084,3 +5084,973 @@ def ml_drift_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("w1_normalized"),
         F.when(norm > 0.05, 1).otherwise(0).alias("drift_flag"),
     )
+
+
+# ------------------------------------------------ spatial containment join
+
+# rect centers derive from md5 of the nationkey, scaled into a margin
+# that keeps rect +/- half-extent inside [-90,90]x[-180,180] (no wrap)
+_RLAT_SPARK = (
+    "cast((cast(conv(substr(md5(concat(cast({k} as string), '#rlat')), 1, 15),"
+    " 16, 10) as bigint) % 15000) / 100.0 - 75 as double)"
+)
+_RLON_SPARK = (
+    "cast((cast(conv(substr(md5(concat(cast({k} as string), '#rlon')), 1, 15),"
+    " 16, 10) as bigint) % 32000) / 100.0 - 160 as double)"
+)
+_RLAT_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#rlat'), 1, 15))"
+    " AS BIGINT) % 15000) / 100.0 - 75"
+)
+_RLON_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#rlon'), 1, 15))"
+    " AS BIGINT) % 32000) / 100.0 - 160"
+)
+_PLAT_SPARK = (
+    "cast((cast(conv(substr(md5(concat(cast({k} as string), '#lat')), 1, 15),"
+    " 16, 10) as bigint) % 18000) / 100.0 - 90 as double)"
+)
+_PLON_SPARK = (
+    "cast((cast(conv(substr(md5(concat(cast({k} as string), '#lon')), 1, 15),"
+    " 16, 10) as bigint) % 36000) / 100.0 - 180 as double)"
+)
+_PLAT_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#lat'), 1, 15))"
+    " AS BIGINT) % 18000) / 100.0 - 90"
+)
+_PLON_DUCK = (
+    "(CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR) || '#lon'), 1, 15))"
+    " AS BIGINT) % 36000) / 100.0 - 180"
+)
+
+
+@register(
+    "geo_point_in_rect_join",
+    oracle=f"""
+WITH rc AS (
+  SELECT n_nationkey AS k,
+         {_RLAT_DUCK.format(k='n_nationkey')} AS lat0,
+         {_RLON_DUCK.format(k='n_nationkey')} AS lon0,
+         5 + n_nationkey % 7 AS hh,
+         5 + n_nationkey % 11 AS hw
+  FROM nation
+),
+cy AS (
+  SELECT rc.*, unnest(range(
+           CAST(floor((lat0 - hh + 90) / 15) AS BIGINT),
+           CAST(floor((lat0 + hh + 90) / 15) AS BIGINT) + 1)) AS cy
+  FROM rc
+),
+cells AS (
+  SELECT cy.*, unnest(range(
+           CAST(floor((lon0 - hw + 180) / 15) AS BIGINT),
+           CAST(floor((lon0 + hw + 180) / 15) AS BIGINT) + 1)) AS cx
+  FROM cy
+),
+pts AS (
+  SELECT {_PLAT_DUCK.format(k='c_custkey')} AS plat,
+         {_PLON_DUCK.format(k='c_custkey')} AS plon
+  FROM customer
+),
+pcell AS (
+  SELECT plat, plon,
+         CAST(floor((plat + 90) / 15) AS BIGINT) AS cy,
+         CAST(floor((plon + 180) / 15) AS BIGINT) AS cx
+  FROM pts
+),
+hits AS (
+  SELECT cells.k, CAST(count(*) AS BIGINT) AS n_inside
+  FROM cells JOIN pcell
+    ON pcell.cy = cells.cy AND pcell.cx = cells.cx
+  WHERE abs(pcell.plat - cells.lat0) <= cells.hh
+    AND abs(pcell.plon - cells.lon0) <= cells.hw
+  GROUP BY 1
+)
+SELECT rc.k AS rect_key,
+       round(rc.lat0, 2) AS lat0, round(rc.lon0, 2) AS lon0,
+       CAST(rc.hh AS BIGINT) AS half_h, CAST(rc.hw AS BIGINT) AS half_w,
+       coalesce(hits.n_inside, 0) AS n_inside
+FROM rc LEFT JOIN hits ON hits.k = rc.k
+ORDER BY rect_key
+""",
+    doc="spatial containment join (point-in-rectangle): 25 "
+    "deterministic query rectangles (md5-derived centers scaled "
+    "into a no-wrap margin, data-derived half-extents 5-15 deg) "
+    "against the customer point cloud, counting points inside "
+    "each.  The join is GRID-BLOCKED: each rectangle explodes "
+    "into the <=9 15-degree cells it overlaps (bounded by the "
+    "extent cap, not the data), points hash into their one cell, "
+    "and the equi-join on (cell_y, cell_x) carries the exact "
+    "containment predicate as a post-filter — the standard "
+    "spatial-join shape that replaces the quadratic "
+    "every-point-vs-every-rect BNLJ with a shuffle bounded by "
+    "points + 9x rects.  Same cell discipline as "
+    "geo_cell_nearest; zero-hit rectangles are kept by the final "
+    "left join.  All coordinates are exact IEEE doubles from "
+    "integer md5 draws, so cell assignment and containment agree "
+    "bit-for-bit across engines",
+)
+def geo_point_in_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    rc = nation.selectExpr(
+        "n_nationkey as k",
+        f"{_RLAT_SPARK.format(k='n_nationkey')} as lat0",
+        f"{_RLON_SPARK.format(k='n_nationkey')} as lon0",
+        "5 + n_nationkey % 7 as hh",
+        "5 + n_nationkey % 11 as hw",
+    )
+    cells = rc.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("lat0") - F.col("hh") + 90) / 15).cast("int"),
+                F.floor((F.col("lat0") + F.col("hh") + 90) / 15).cast("int"),
+            )
+        ).alias("cy"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("lon0") - F.col("hw") + 180) / 15).cast("int"),
+                F.floor((F.col("lon0") + F.col("hw") + 180) / 15).cast("int"),
+            )
+        ).alias("cx"),
+    )
+    pcell = cust.selectExpr(
+        f"{_PLAT_SPARK.format(k='c_custkey')} as plat",
+        f"{_PLON_SPARK.format(k='c_custkey')} as plon",
+    ).select(
+        "plat",
+        "plon",
+        F.floor((F.col("plat") + 90) / 15).alias("cy"),
+        F.floor((F.col("plon") + 180) / 15).alias("cx"),
+    )
+    hits = (
+        pcell.join(F.broadcast(cells), ["cy", "cx"])
+        .filter(
+            (F.abs(F.col("plat") - F.col("lat0")) <= F.col("hh"))
+            & (F.abs(F.col("plon") - F.col("lon0")) <= F.col("hw"))
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inside"))
+    )
+    return (
+        rc.join(hits, "k", "left")
+        .select(
+            F.col("k").alias("rect_key"),
+            F.round("lat0", 2).alias("lat0"),
+            F.round("lon0", 2).alias("lon0"),
+            F.col("hh").cast("long").alias("half_h"),
+            F.col("hw").cast("long").alias("half_w"),
+            F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
+        )
+        .orderBy("rect_key")
+    )
+
+
+# ------------------------------------------------ ERR cascade metric
+
+_ERR_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "search_err_cascade",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_ERR_TOKS}) AS tok FROM documents)
+  WHERE tok IN ('join', 'scan')
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score,
+         sum(t.tf) AS rel
+  FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+  GROUP BY t.doc_id
+),
+sys_top AS (
+  SELECT least(rel, 4) AS g,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+  FROM scored
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+),
+probs AS (
+  SELECT pos, (pow(2, g) - 1) / 16.0 AS r FROM sys_top
+),
+terms AS (
+  SELECT pos, r,
+         coalesce(sum(ln(1 - r)) OVER (ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lnprev
+  FROM probs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+       round(sum(r / pos * exp(lnprev)), 6) AS err_at_10,
+       round(sum(CASE WHEN pos <= 3 THEN r / pos * exp(lnprev)
+                      ELSE 0 END), 6) AS err_at_3,
+       CAST(max(CASE WHEN pos = 1 THEN CAST(round(r * 16, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS top_grade_num
+FROM terms
+""",
+    doc="Expected Reciprocal Rank over the registry's TF-IDF top-10 "
+    "(same ranker, query terms and tiebreaks as search_ndcg_at_10): "
+    "the CASCADE user model — the user scans down, stops at the "
+    "first satisfying result with probability R_i = (2^g - 1)/2^4 "
+    "(grades capped at 4), and ERR = sum 1/pos * R_pos * "
+    "prod_(i<pos)(1 - R_i).  Unlike NDCG's position-discount "
+    "(users always see rank 10), ERR makes a good result at rank "
+    "1 SUPPRESS the value of everything below it — the metric of "
+    "record when one answer satisfies (question answering, "
+    "navigational queries).  The stopping product is an ordered "
+    "prefix ln-sum over <=10 rows (R < 1 always since gmax gives "
+    "15/16, so ln is total); ERR@3 reported from the same scan.  "
+    "Cost is the ranker's — the metric itself touches 10 rows",
+)
+def search_err_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok").isin("join", "scan"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("score"),
+            F.sum("tf").alias("rel"),
+        )
+    )
+    w_sys = Window.orderBy(F.desc("score"), "doc_id")
+    sys_top = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .withColumn("pos", F.row_number().over(w_sys))
+        .select(F.least(F.col("rel"), F.lit(4)).alias("g"), "pos")
+    )
+    probs = sys_top.select(
+        "pos", ((F.pow(2, F.col("g")) - 1) / 16.0).alias("r")
+    )
+    w_prev = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = probs.select(
+        "pos",
+        "r",
+        F.coalesce(
+            F.sum(F.log(1 - F.col("r"))).over(w_prev), F.lit(0.0)
+        ).alias("lnprev"),
+    )
+    contrib = F.col("r") / F.col("pos") * F.exp(F.col("lnprev"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.round(F.sum(contrib), 6).alias("err_at_10"),
+        F.round(
+            F.sum(F.when(F.col("pos") <= 3, contrib).otherwise(0.0)), 6
+        ).alias("err_at_3"),
+        F.max(
+            F.when(
+                F.col("pos") == 1,
+                F.round(F.col("r") * 16, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top_grade_num"),
+    )
+
+
+# ------------------------------------------------ 2-D Procrustes alignment
+
+
+@register(
+    "emb_procrustes_2d",
+    oracle="""
+WITH v AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS u1,
+         CAST(embedding[2] AS DOUBLE) AS u2,
+         CAST(embedding[3] AS DOUBLE) AS v1,
+         CAST(embedding[4] AS DOUBLE) AS v2
+  FROM embeddings
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(sum(u1), 6) AS su1, round(sum(u2), 6) AS su2,
+         round(sum(v1), 6) AS sv1, round(sum(v2), 6) AS sv2,
+         round(sum(u1 * v1), 6) AS s11, round(sum(u1 * v2), 6) AS s12,
+         round(sum(u2 * v1), 6) AS s21, round(sum(u2 * v2), 6) AS s22,
+         round(sum(u1 * u1 + u2 * u2), 6) AS ssu,
+         round(sum(v1 * v1 + v2 * v2), 6) AS ssv
+  FROM v
+),
+m AS (
+  SELECT n,
+         s11 - su1 * sv1 / n AS a, s12 - su1 * sv2 / n AS b,
+         s21 - su2 * sv1 / n AS c, s22 - su2 * sv2 / n AS d,
+         ssu - (su1 * su1 + su2 * su2) / n AS ssa,
+         ssv - (sv1 * sv1 + sv2 * sv2) / n AS ssb
+  FROM s
+)
+SELECT n,
+       round(degrees(atan2(c - b, a + d)), 4) AS theta_deg,
+       round(sqrt(pow(a + d, 2) + pow(c - b, 2))
+             / sqrt(ssa * ssb), 6) AS congruence,
+       round(1 - pow(a + d, 2) / (ssa * ssb)
+               - pow(c - b, 2) / (ssa * ssb), 6) AS disparity
+FROM m
+""",
+    doc="orthogonal Procrustes alignment between two 2-D embedding "
+    "subspaces (dims 1-2 vs dims 3-4 of each vector): the rotation "
+    "angle theta* = atan2(c-b, a+d) that best maps space A onto "
+    "space B, in closed form from the centered 2x2 cross-"
+    "covariance [[a,b],[c,d]] (maximize trace(R'M) over rotations "
+    "=> max trace = sqrt((a+d)^2 + (c-b)^2) — no iterative SVD "
+    "needed in 2-D).  Congruence = trace_max/sqrt(SSA*SSB) is the "
+    "scale-free alignment strength (1 = perfectly rotatable onto "
+    "each other) and disparity its squared complement — the "
+    "embedding-space DRIFT measure used to decide whether two "
+    "encoder versions are a rotation apart (re-indexable by "
+    "linear map) or structurally different (re-embed everything). "
+    "One map-side aggregate of 10 power sums, each 6dp-rounded "
+    "per the partial-sum discipline; the trig happens on the "
+    "final single row",
+)
+def emb_procrustes_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u1 = F.element_at("embedding", 1).cast("double")
+    u2 = F.element_at("embedding", 2).cast("double")
+    v1 = F.element_at("embedding", 3).cast("double")
+    v2 = F.element_at("embedding", 4).cast("double")
+    s = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(u1), 6).alias("su1"),
+        F.round(F.sum(u2), 6).alias("su2"),
+        F.round(F.sum(v1), 6).alias("sv1"),
+        F.round(F.sum(v2), 6).alias("sv2"),
+        F.round(F.sum(u1 * v1), 6).alias("s11"),
+        F.round(F.sum(u1 * v2), 6).alias("s12"),
+        F.round(F.sum(u2 * v1), 6).alias("s21"),
+        F.round(F.sum(u2 * v2), 6).alias("s22"),
+        F.round(F.sum(u1 * u1 + u2 * u2), 6).alias("ssu"),
+        F.round(F.sum(v1 * v1 + v2 * v2), 6).alias("ssv"),
+    )
+    n = F.col("n")
+    a = F.col("s11") - F.col("su1") * F.col("sv1") / n
+    b = F.col("s12") - F.col("su1") * F.col("sv2") / n
+    c = F.col("s21") - F.col("su2") * F.col("sv1") / n
+    d = F.col("s22") - F.col("su2") * F.col("sv2") / n
+    ssa = F.col("ssu") - (
+        F.col("su1") * F.col("su1") + F.col("su2") * F.col("su2")
+    ) / n
+    ssb = F.col("ssv") - (
+        F.col("sv1") * F.col("sv1") + F.col("sv2") * F.col("sv2")
+    ) / n
+    tmax2 = F.pow(a + d, 2) + F.pow(c - b, 2)
+    return s.select(
+        n.alias("n"),
+        F.round(F.degrees(F.atan2(c - b, a + d)), 4).alias("theta_deg"),
+        F.round(F.sqrt(tmax2) / F.sqrt(ssa * ssb), 6).alias("congruence"),
+        F.round(
+            1 - F.pow(a + d, 2) / (ssa * ssb)
+            - F.pow(c - b, 2) / (ssa * ssb),
+            6,
+        ).alias("disparity"),
+    )
+
+
+# ------------------------------------------------ ARCH effect test
+
+
+@register(
+    "ts_arch_lm_lag1",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1
+),
+gm AS (SELECT round(avg(v), 6) AS mu FROM daily),
+sq AS (
+  SELECT day,
+         pow(v - (SELECT mu FROM gm), 2) AS e2,
+         lag(pow(v - (SELECT mu FROM gm), 2))
+           OVER (ORDER BY day) AS e2l
+  FROM daily
+),
+reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(e2l) AS sx, sum(e2) AS sy,
+         sum(e2l * e2l) AS sxx, sum(e2 * e2) AS syy,
+         sum(e2l * e2) AS sxy
+  FROM sq WHERE e2l IS NOT NULL
+)
+SELECT n AS n_lag_pairs,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS corr_sq_resid,
+       round(n * pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS lm_stat,
+       CASE WHEN n * pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) > 3.841
+            THEN 1 ELSE 0 END AS arch_flag
+FROM reg
+""",
+    doc="Engle's ARCH LM test (lag 1) on the daily mean event value: "
+    "regress today's squared deviation from the series mean on "
+    "yesterday's; LM = n*R^2 ~ chi2(1) under homoskedasticity.  "
+    "Volatility CLUSTERING — quiet days following quiet days, "
+    "bursts following bursts — is invisible to level-based "
+    "diagnostics (ts_autocorr_lags sees the mean process, this "
+    "sees the VARIANCE process) and decides whether a constant-"
+    "variance anomaly threshold (ts_anomaly_daily_values) is even "
+    "valid.  Day-domain only: one groupBy(day) partial-agg, a "
+    "30-row lag window, closed-form OLS from power sums (daily "
+    "means 6dp-rounded before squaring per the partial-sum "
+    "discipline)",
+)
+def ts_arch_lm_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    gm = daily.agg(F.round(F.avg("v"), 6).alias("mu"))
+    w = Window.orderBy("day")
+    sq = (
+        daily.crossJoin(F.broadcast(gm))
+        .select(
+            "day", F.pow(F.col("v") - F.col("mu"), 2).alias("e2")
+        )
+        .select("day", "e2", F.lag("e2").over(w).alias("e2l"))
+    )
+    reg = sq.filter(F.col("e2l").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e2l").alias("sx"),
+        F.sum("e2").alias("sy"),
+        F.sum(F.col("e2l") * F.col("e2l")).alias("sxx"),
+        F.sum(F.col("e2") * F.col("e2")).alias("syy"),
+        F.sum(F.col("e2l") * F.col("e2")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n * F.col("syy") - F.col("sy") * F.col("sy")
+    lm = n * F.pow(num, 2) / (denx * deny)
+    return reg.select(
+        n.alias("n_lag_pairs"),
+        F.round(num / F.sqrt(denx * deny), 4).alias("corr_sq_resid"),
+        F.round(lm, 4).alias("lm_stat"),
+        F.when(lm > 3.841, 1).otherwise(0).alias("arch_flag"),
+    )
+
+
+# ------------------------------------------------ SPC XmR chart
+
+
+@register(
+    "dq_spc_xmr_individuals",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(avg(value), 6) AS x
+  FROM events GROUP BY 1
+),
+mr AS (
+  SELECT day, x,
+         abs(x - lag(x) OVER (ORDER BY day)) AS mrv
+  FROM daily
+),
+lim AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         round(avg(x), 6) AS xbar,
+         round(avg(mrv), 6) AS mrbar
+  FROM mr
+)
+SELECT lim.n_days, round(lim.xbar, 4) AS xbar,
+       round(lim.mrbar, 4) AS mrbar,
+       round(lim.xbar + 2.66 * lim.mrbar, 4) AS ucl_x,
+       round(lim.xbar - 2.66 * lim.mrbar, 4) AS lcl_x,
+       round(3.267 * lim.mrbar, 4) AS ucl_mr,
+       CAST((SELECT count(*) FROM mr, lim
+             WHERE mr.x > round(lim.xbar + 2.66 * lim.mrbar, 6)
+                OR mr.x < round(lim.xbar - 2.66 * lim.mrbar, 6))
+            AS BIGINT) AS n_x_breaches,
+       CAST((SELECT count(*) FROM mr, lim
+             WHERE mr.mrv > round(3.267 * lim.mrbar, 6))
+            AS BIGINT) AS n_mr_breaches
+FROM lim
+""",
+    doc="XmR (individuals + moving-range) control chart on the daily "
+    "mean event value: the SPC chart for CONTINUOUS one-at-a-time "
+    "observations, completing the control-chart family next to "
+    "dq_spc_c_chart (counts) and dq_spc_p_chart (proportions).  "
+    "Limits are the Shewhart constants — X: xbar +/- 2.66*MRbar, "
+    "MR: 3.267*MRbar — derived from the mean moving range, NOT "
+    "the global sd (that is the whole point: MR-based limits "
+    "resist the between-day drift that inflates a naive 3-sigma "
+    "band and masks shifts).  Breach counts compare 6dp-rounded "
+    "values against 6dp-rounded limits on both engines so a "
+    "boundary graze cannot split them.  Day-domain only: one "
+    "groupBy(day) partial-agg, a 30-row lag window, two "
+    "scalar-limit scans",
+)
+def dq_spc_xmr_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    w = Window.orderBy("day")
+    mr = daily.select(
+        "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mrv")
+    )
+    lim = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("x"), 6).alias("xbar"),
+        F.round(F.avg("mrv"), 6).alias("mrbar"),
+    )
+    j = mr.crossJoin(F.broadcast(lim))
+    ucl6 = F.round(F.col("xbar") + 2.66 * F.col("mrbar"), 6)
+    lcl6 = F.round(F.col("xbar") - 2.66 * F.col("mrbar"), 6)
+    umr6 = F.round(3.267 * F.col("mrbar"), 6)
+    breaches = j.agg(
+        F.sum(
+            ((F.col("x") > ucl6) | (F.col("x") < lcl6)).cast("int")
+        )
+        .cast("long")
+        .alias("n_x_breaches"),
+        F.sum((F.col("mrv") > umr6).cast("int"))
+        .cast("long")
+        .alias("n_mr_breaches"),
+    )
+    return (
+        lim.crossJoin(F.broadcast(breaches))
+        .select(
+            "n_days",
+            F.round(F.col("xbar"), 4).alias("xbar"),
+            F.round(F.col("mrbar"), 4).alias("mrbar"),
+            F.round(F.col("xbar") + 2.66 * F.col("mrbar"), 4).alias(
+                "ucl_x"
+            ),
+            F.round(F.col("xbar") - 2.66 * F.col("mrbar"), 4).alias(
+                "lcl_x"
+            ),
+            F.round(3.267 * F.col("mrbar"), 4).alias("ucl_mr"),
+            "n_x_breaches",
+            "n_mr_breaches",
+        )
+    )
+
+
+# ------------------------------------------------ lexical richness
+
+
+@register(
+    "text_honore_sichel_richness",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+           AS t
+  FROM documents
+),
+tc AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM tc GROUP BY 1
+)
+SELECT source, n AS n_tokens, v AS n_types, v1 AS hapax, v2 AS dis,
+       round(100.0 * ln(n) / nullif(1.0 - v1 * 1.0 / v, 0), 4)
+         AS honore_r,
+       round(v2 * 1.0 / v, 6) AS sichel_s,
+       round(v1 * 1.0 / n, 6) AS hapax_share
+FROM per ORDER BY source
+""",
+    doc="Honore's R and Sichel's S lexical-richness statistics per "
+    "corpus source: R = 100*ln(N)/(1 - V1/V) diverges as the "
+    "hapax share of the vocabulary grows (an author/source that "
+    "keeps introducing one-off words), S = V2/V is the dis-"
+    "legomena share that Sichel showed stays near-constant for "
+    "homogeneous authorship — together with text_yule_k "
+    "(repeat-concentration) and text_heaps_law_fit (vocab growth "
+    "curve) they complete the classical lexical-richness panel "
+    "used for stylometry and corpus-mix QA (a source whose R/S "
+    "drifts between crawls changed its generator).  All exact "
+    "integer counts off the per-source frequency-of-frequencies "
+    "— one token explode + two groupBys, the text_good_turing_"
+    "mass shape",
+)
+def text_honore_sichel_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    return per.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis"),
+        F.round(
+            100.0
+            * F.log(F.col("n"))
+            / F.nullif(
+                1.0 - F.col("v1") * 1.0 / F.col("v"), F.lit(0.0)
+            ),
+            4,
+        ).alias("honore_r"),
+        F.round(F.col("v2") * 1.0 / F.col("v"), 6).alias("sichel_s"),
+        F.round(F.col("v1") * 1.0 / F.col("n"), 6).alias("hapax_share"),
+    ).orderBy("source")
+
+
+# ------------------------------------------------ Hill tail index
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle="""
+WITH thr AS (
+  SELECT round(quantile_cont(o_totalprice, 0.90), 2) AS xmin,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM orders
+),
+tail AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         sum(ln(o_totalprice / (SELECT xmin FROM thr))) AS slog
+  FROM orders WHERE o_totalprice > (SELECT xmin FROM thr)
+)
+SELECT thr.xmin, tail.n_tail,
+       round(tail.n_tail * 1.0 / thr.n_all, 6) AS tail_share,
+       round(tail.n_tail / tail.slog, 4) AS alpha_hill,
+       round((tail.n_tail / tail.slog) / sqrt(tail.n_tail), 4)
+         AS se_alpha,
+       CASE WHEN tail.n_tail / tail.slog < 2 THEN 1 ELSE 0 END
+         AS infinite_variance_flag
+FROM thr, tail
+""",
+    doc="Hill maximum-likelihood tail-index estimate on order values "
+    "above the DERIVED p90 threshold: alpha = n / sum(ln(x/xmin)), "
+    "with its asymptotic standard error alpha/sqrt(n) and the "
+    "alpha<2 infinite-variance flag.  THE question about any "
+    "revenue/size distribution before trusting means and "
+    "variances on it — a Pareto tail with alpha<2 makes every "
+    "sample-mean dashboard number unstable, and alpha<1 means "
+    "even the mean diverges (whale-driven revenue).  Complements "
+    "agg_gini_revenue_concentration (a point inequality summary) "
+    "and stats_gumbel_block_maxima (max-domain) with the actual "
+    "tail-law exponent.  xmin is the exact interpolated p90 "
+    "(Spark percentile == DuckDB quantile_cont, the "
+    "agg_median_quantile identity) rounded 2dp so both engines "
+    "cut the identical tail; two aggregates total, no window, no "
+    "sort — at 100 TB it is two scans (or one with a cached "
+    "percentile sketch)",
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 2).alias(
+            "xmin"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    tail = (
+        orders.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("xmin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum(
+                F.log(F.col("o_totalprice") / F.col("xmin"))
+            ).alias("slog"),
+            F.max("xmin").alias("xmin"),
+            F.max("n_all").alias("n_all"),
+        )
+    )
+    alpha = F.col("n_tail") / F.col("slog")
+    return tail.select(
+        "xmin",
+        "n_tail",
+        F.round(F.col("n_tail") * 1.0 / F.col("n_all"), 6).alias(
+            "tail_share"
+        ),
+        F.round(alpha, 4).alias("alpha_hill"),
+        F.round(alpha / F.sqrt(F.col("n_tail")), 4).alias("se_alpha"),
+        F.when(alpha < 2, 1).otherwise(0).alias(
+            "infinite_variance_flag"
+        ),
+    )
+
+
+# ------------------------------------------------ Tukey HSD post-hoc
+
+
+@register(
+    "stats_tukey_hsd",
+    oracle="""
+WITH per AS (
+  SELECT c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS n,
+         round(avg(c_acctbal), 6) AS m,
+         round(var_samp(c_acctbal), 6) AS s2
+  FROM customer GROUP BY 1
+),
+mse AS (
+  SELECT sum((n - 1) * s2) / sum(n - 1) AS pooled
+  FROM per
+),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         a.m - b.m AS diff, a.n AS na, b.n AS nb
+  FROM per a JOIN per b ON a.seg < b.seg
+)
+SELECT seg_a, seg_b, round(diff, 4) AS mean_diff,
+       round(abs(diff) / sqrt((SELECT pooled FROM mse) / 2
+             * (1.0 / na + 1.0 / nb)), 4) AS q_stat,
+       CASE WHEN abs(diff) / sqrt((SELECT pooled FROM mse) / 2
+                 * (1.0 / na + 1.0 / nb)) > 3.858
+            THEN 1 ELSE 0 END AS significant_flag
+FROM pairs ORDER BY seg_a, seg_b
+""",
+    doc="Tukey HSD post-hoc pairwise comparison of mean account "
+    "balance across the 5 market segments: the studentized-range "
+    "q statistic |mi-mj|/sqrt(MSE/2*(1/ni+1/nj)) for each of the "
+    "10 segment pairs against the q(0.05, k=5, df=inf) critical "
+    "value 3.858.  The mandatory companion to stats_anova_oneway: "
+    "ANOVA's F only says SOME means differ — running 10 naive "
+    "t-tests instead inflates the family-wise error to ~40%, "
+    "which is exactly what the studentized-range correction "
+    "controls.  Pooled MSE comes from the per-segment power "
+    "sums ((ni-1)*si^2 weighted), per-segment moments 6dp-rounded "
+    "per the partial-sum discipline.  One groupBy(segment) + a "
+    "5x5 broadcast self-join — the pair space is the segment "
+    "domain, never the rows",
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("c_acctbal"), 6).alias("m"),
+        F.round(F.var_samp("c_acctbal"), 6).alias("s2"),
+    )
+    mse = per.agg(
+        (
+            F.sum((F.col("n") - 1) * F.col("s2"))
+            / F.sum(F.col("n") - 1)
+        ).alias("pooled")
+    )
+    a = per.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+    )
+    b = per.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "seg_a",
+            "seg_b",
+            (F.col("ma") - F.col("mb")).alias("diff"),
+            "na",
+            "nb",
+            "pooled",
+        )
+    )
+    q = F.abs(F.col("diff")) / F.sqrt(
+        F.col("pooled") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.round(F.col("diff"), 4).alias("mean_diff"),
+        F.round(q, 4).alias("q_stat"),
+        F.when(q > 3.858, 1).otherwise(0).alias("significant_flag"),
+    ).orderBy("seg_a", "seg_b")
+
+
+# ------------------------------------------------ Burrows' delta
+
+
+@register(
+    "text_burrows_delta",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+           AS t
+  FROM documents
+),
+tc AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+top AS (
+  SELECT t FROM (
+    SELECT t, sum(c) AS tot FROM tc GROUP BY 1
+    ORDER BY tot DESC, t LIMIT 20
+  )
+),
+stot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1
+),
+grid AS (
+  SELECT s.source, top.t,
+         coalesce(tc.c, 0) * 1.0 / s.n AS f
+  FROM stot s CROSS JOIN top
+  LEFT JOIN tc ON tc.source = s.source AND tc.t = top.t
+),
+ms AS (
+  SELECT t, round(avg(f), 6) AS mu, round(stddev_samp(f), 6) AS sd
+  FROM grid GROUP BY 1
+),
+z AS (
+  SELECT g.source, g.t, (g.f - ms.mu) / ms.sd AS zv
+  FROM grid g JOIN ms ON ms.t = g.t
+  WHERE ms.sd > 0
+),
+delta AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         round(avg(abs(a.zv - b.zv)), 4) AS delta,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_terms, delta
+FROM delta ORDER BY source_a, source_b
+""",
+    doc="Burrows' Delta stylometric distance between every pair of "
+    "corpus sources: relative frequencies of the top-20 corpus-"
+    "wide tokens (total tiebreak on the token), z-scored across "
+    "sources per token (zero-variance tokens dropped — they "
+    "carry no authorship signal), and Delta(a,b) = mean |z_a - "
+    "z_b|.  THE standard authorship/stylometry distance since "
+    "Burrows 2002: function-word frequency profiles survive "
+    "topic shift, so a source pair with low Delta likely shares "
+    "a generator/template — the corpus-provenance complement to "
+    "text_js_divergence_sources (distributional) and "
+    "text_char_entropy_per_source (character-level).  The z-"
+    "score grid is sources x 20 tokens (zero counts kept by the "
+    "spine left-join — dropping them inflates similarity), so "
+    "every stage after the token count is domain-bounded; pair "
+    "enumeration is over the SOURCE domain",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    top = (
+        tc.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), "t")
+        .limit(20)
+        .select("t")
+    )
+    stot = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(top))
+        .join(tc, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (
+                F.coalesce("c", F.lit(0)) * 1.0 / F.col("n")
+            ).alias("f"),
+        )
+    )
+    ms = grid.groupBy("t").agg(
+        F.round(F.avg("f"), 6).alias("mu"),
+        F.round(F.stddev_samp("f"), 6).alias("sd"),
+    )
+    z = (
+        grid.join(F.broadcast(ms), "t")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source",
+            "t",
+            ((F.col("f") - F.col("mu")) / F.col("sd")).alias("zv"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("zv").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb"),
+        F.col("zv").alias("zb"),
+    )
+    delta = (
+        a.join(
+            F.broadcast(b),
+            (F.col("t") == F.col("tb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 4).alias(
+                "delta"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    return delta.select(
+        "source_a", "source_b", "n_terms", "delta"
+    ).orderBy("source_a", "source_b")

@@ -133,6 +133,32 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "windows over the <=80-row month-duration aggregate",
     "ts_sax_motifs": "lead windows over the calendar-bounded daily "
     "series",
+    # --- round-9/10 batches (built in round 7) ---
+    "dash_activity_days_histogram": "cumulative share over the "
+    "<=31-row activity-day-count histogram (month-bounded)",
+    "ts_df_unit_root": "lag over the calendar-bounded daily aggregate",
+    "ts_granger_views_purchases": "lag windows over the calendar-"
+    "bounded daily aggregate",
+    "ts_kpss_level_stat": "cumulative partial sums over the calendar-"
+    "bounded daily aggregate",
+    "dq_md5_uniformity_ks": "cumulative ECDF over the fixed 4096-"
+    "bucket histogram (bounded by construction)",
+    "ml_auc_delong_variance": "score-histogram input (<=1e6 distinct "
+    "6dp scores, the ml_eval_auc_prf class)",
+    "ml_drift_wasserstein_1d": "cumulative CDFs over the fixed 64-bin "
+    "spine (bounded by construction)",
+    "ops_partition_skew_planner": "cumulative scans over the count-of-"
+    "counts histogram (distinct per-key counts — sqrt-class "
+    "cardinality, not row count)",
+    "stats_ansari_bradley": "midrank cumulative over the 2dp acctbal "
+    "value histogram (<=1.1e6 domain values, the kruskal class)",
+    "stats_wilcoxon_signed_rank": "midrank cumulative over the 6dp "
+    "|diff| histogram (score-histogram class: bounded by value-"
+    "domain granularity)",
+    "surv_logrank_segments": "ascending + descending cumulative "
+    "windows over the <=80-row month-duration aggregate (KM class)",
+    "win_max_subarray_kadane": "prefix-sum + running-min windows over "
+    "the <=2400-day aggregate (calendar-bounded)",
 }
 
 
@@ -550,6 +576,55 @@ ALLOWED_EXCHANGES = {
     # table by construction of the degree sum), membership broadcasts
     # and the total-weight broadcast all move <=625-row tables.
     "graph_modularity_regions": 10,
+    # --- round-9/10 batches (built in round 7): all are closed-form
+    # statistics/attribution pipelines whose exchanges move tiny
+    # aggregate tables (bounded domains or checkpointed N-row passes
+    # that run once), audited per-family below.
+    # funnel_markov_removal_effect: one exchange per channel-removal
+    # leg (9 channels x survive-count aggregate + broadcast combine)
+    # over the per-user touch-set aggregate, which is checkpointed
+    # and computed once; every removal leg moves 1-row counts.
+    "funnel_markov_removal_effect": 32,
+    # graph_rich_club: the degree table (25 nations max) is the only
+    # N-touching pass; each derived threshold k adds a subgraph
+    # density aggregate over the <=300-edge nation trade graph.
+    "graph_rich_club": 18,
+    # ml_confident_joint: per-(true,pred) cell aggregate + per-class
+    # threshold aggregates + calibration join-backs, each over the
+    # <=25-cell joint table.
+    "ml_confident_joint": 9,
+    # sketch_count_sketch_probe: depth-3 sketch build = 3 signed-
+    # counter aggregates (768 cells total) + the top-10 probe joins;
+    # every exchange moves sketch cells, never events.
+    "sketch_count_sketch_probe": 10,
+    # stats_meta_fixed_effect / stats_moods_median_test /
+    # stats_page_trend_test / stats_paired_t_user_halves /
+    # stats_wilcoxon_signed_rank: per-group partial aggregates
+    # (users/segments/weeks) + broadcast single-row combines; the
+    # only N-sized pass is the first groupBy.
+    "stats_meta_fixed_effect": 10,
+    "stats_moods_median_test": 10,
+    "stats_page_trend_test": 11,
+    "stats_paired_t_user_halves": 9,
+    "stats_wilcoxon_signed_rank": 10,
+    # text n-gram statistics: the bigram/unigram count tables are
+    # built once (token-domain-bounded); the remaining exchanges are
+    # marginalizations and smoothing join-backs over those tables.
+    "text_bigram_loglik_g2": 11,
+    "text_good_turing_mass": 14,
+    "text_kneser_ney_bigram": 11,
+    # ts_shape_features_daily: one exchange per feature family
+    # (diff, peaks, runs, moments) over the <=31-row daily series
+    # per event type.
+    "ts_shape_features_daily": 12,
+    # ml_drift_wasserstein_1d: bounds agg, bin histogram, 64-row
+    # spine join, cumulative scan, totals — each exchange carries
+    # <=64 rows after the single map-side histogram pass.
+    "ml_drift_wasserstein_1d": 14,
+    # ops_partition_skew_planner: per-key counts (one N-pass), then
+    # count-of-counts histogram, two cumulative scans and three
+    # single-row combines.
+    "ops_partition_skew_planner": 10,
 }
 
 
