@@ -6054,3 +6054,159 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select(
         "source_a", "source_b", "n_terms", "delta"
     ).orderBy("source_a", "source_b")
+
+
+# ------------------------------------------------ perceptual-hash dedup
+
+
+@register(
+    "mm_phash_hamming_pairs",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS bv
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, n, bv, (n % 16 + 1) * (n % 8 + 1) AS need
+  FROM src
+),
+samp AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE bv[((i % need) % n) + 1] END) AS s
+  FROM dims
+),
+meaned AS (
+  SELECT doc_id, s, list_sum(s) / 64.0 AS mu FROM samp
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN s[j + 1] > mu
+                     THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END))
+           AS BIGINT) AS b0,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN s[j + 17] > mu
+                     THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END))
+           AS BIGINT) AS b1,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN s[j + 33] > mu
+                     THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END))
+           AS BIGINT) AS b2,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN s[j + 49] > mu
+                     THEN (CAST(1 AS BIGINT) << (15 - j)) ELSE 0 END))
+           AS BIGINT) AS b3
+  FROM meaned
+),
+banded AS (
+  SELECT doc_id, b0, b1, b2, b3, unnest([0, 1, 2, 3]) AS bi
+  FROM hashes
+),
+keyed AS (
+  SELECT *, CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS bval
+  FROM banded
+),
+capped AS (
+  SELECT * FROM (
+    SELECT keyed.*, count(*) OVER (PARTITION BY bi, bval) AS bsz
+    FROM keyed
+  ) WHERE bsz <= 256
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hd
+  FROM capped a JOIN capped b
+    ON a.bi = b.bi AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT hd AS hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE hd <= 3
+GROUP BY 1 ORDER BY hamming
+""",
+    doc="perceptual-hash (aHash) image near-dup over the REAL PNG "
+    "path: each document's deterministic PNG payload is decoded "
+    "by the engine's own stdlib chunk-parse + inflate + unfilter "
+    "decoder (mapInPandas, one Python touch per payload — "
+    "sources/multimodal.py decode_png_pixels), the 64-pixel "
+    "cyclic sample is thresholded at its mean into a 64-bit "
+    "average-hash ENTIRELY JVM-side (transform/aggregate HOFs, "
+    "shiftleft — no per-bit Python), and pairs within Hamming "
+    "distance <= 3 are found by 4x16-bit BANDED self-join: by "
+    "pigeonhole any pair with hd <= 3 leaves at least one band "
+    "untouched, so the banding is EXACT (full recall) for this "
+    "threshold, not approximate — while join volume stays "
+    "sum(bucket^2) with cap_hot_buckets(256) bounding every "
+    "bucket exactly as the dedup_simhash/dedup_embedding_cosine "
+    "family does.  The oracle replays pixels, hash bits, cap and "
+    "pairing from the source text.  This is the image twin of "
+    "the text near-dup stack: same banded-LSH algebra, "
+    "modality-specific fingerprint",
+)
+def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cap_hot_buckets
+    from ..sources.multimodal import attach_png_media, decode_png_pixels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pixels = decode_png_pixels(attach_png_media(docs))
+    hashed = (
+        pixels.selectExpr(
+            "doc_id",
+            "transform(sequence(0, 63), i -> element_at(pix, "
+            "CAST(i % size(pix) AS INT) + 1)) AS s",
+        )
+        .selectExpr(
+            "doc_id", "s", "aggregate(s, 0, (a, x) -> a + x) / 64.0 AS mu"
+        )
+        .selectExpr(
+            "doc_id",
+            *[
+                f"CAST(aggregate(transform(slice(s, {16 * k + 1}, 16), "
+                f"(x, j) -> IF(x > mu, shiftleft(1, 15 - j), 0)), 0, "
+                f"(a, x) -> a + x) AS BIGINT) AS b{k}"
+                for k in range(4)
+            ],
+        )
+    )
+    banded = hashed.select(
+        "*",
+        F.explode(
+            F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))
+        ).alias("bi"),
+    ).withColumn(
+        "bval",
+        F.expr(
+            "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 "
+            "WHEN 2 THEN b2 ELSE b3 END"
+        ),
+    )
+    capped = cap_hot_buckets(banded, ["bi", "bval"], 256)
+    a = capped.selectExpr(
+        "doc_id AS da", "bi", "bval",
+        "b0 AS a0", "b1 AS a1", "b2 AS a2", "b3 AS a3",
+    )
+    b = capped.selectExpr(
+        "doc_id AS db", "bi", "bval",
+        "b0 AS c0", "b1 AS c1", "b2 AS c2", "b3 AS c3",
+    )
+    pairs = (
+        a.join(b, ["bi", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .selectExpr(
+            "da",
+            "db",
+            "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) "
+            "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS hd",
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("hd") <= 3)
+        .groupBy(F.col("hd").alias("hamming"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )

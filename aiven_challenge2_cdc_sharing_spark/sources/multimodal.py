@@ -96,6 +96,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int]:
     inflate -> scanline unfilter (all five filter types) -> raw pixels.
     Returns (width, height, pixel_sum).  8-bit depth; grayscale/RGB/
     alpha color types."""
+    width, height, out = decode_png_raw(payload)
+    return width, height, sum(out)
+
+
+def decode_png_raw(payload: bytes) -> tuple[int, int, bytes]:
+    """As :func:`decode_png` but returns the raw unfiltered pixel
+    bytes themselves — the input a perceptual hash or feature
+    extractor needs (``mm_phash_hamming_pairs``)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, idat = 8, b""
@@ -147,7 +155,43 @@ def decode_png(payload: bytes) -> tuple[int, int, int]:
             raise ValueError(f"unknown filter type {ftype}")
         out += line
         prev = line
-    return width, height, sum(out)
+    return width, height, bytes(out)
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_png_pixels(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode that surfaces the unfiltered pixel
+    array (``array<int>``) per document — the raw-material contract
+    for image fingerprinting: downstream hashing stays JVM-side over
+    the array column, Python touches each payload exactly once."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, out = decode_png_raw(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "pix": list(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_SCHEMA]
+            )
+
+    return media.mapInPandas(extract, PIXEL_SCHEMA)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, float]:

@@ -85,6 +85,18 @@ def test_png_encode_decode_roundtrip():
     assert decode_png(png) == (4, 3, sum(pixels))
 
 
+def test_png_raw_pixels_roundtrip():
+    from aiven_challenge2_cdc_sharing_spark.sources.multimodal import (
+        decode_png_raw,
+    )
+
+    pixels = bytes((i * 37) % 256 for i in range(40))
+    png = encode_png_gray(pixels, 8, 5)
+    w, h, out = decode_png_raw(png)
+    assert (w, h) == (8, 5)
+    assert out == pixels  # exact byte-level recovery, not just the sum
+
+
 def test_png_decoder_handles_all_filter_types():
     """Hand-filter scanlines with Sub/Up/Average/Paeth and check the
     decoder recovers the exact target pixels (our encoder only emits

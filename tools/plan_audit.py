@@ -159,6 +159,11 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "windows over the <=80-row month-duration aggregate (KM class)",
     "win_max_subarray_kadane": "prefix-sum + running-min windows over "
     "the <=2400-day aggregate (calendar-bounded)",
+    "search_err_cascade": "rank + prefix-ln windows over LIMIT-10 "
+    "inputs (TakeOrdered upstream, the search_ndcg_at_10 class)",
+    "ts_arch_lm_lag1": "lag over the calendar-bounded daily aggregate",
+    "dq_spc_xmr_individuals": "lag over the calendar-bounded daily "
+    "aggregate",
 }
 
 
@@ -625,6 +630,14 @@ ALLOWED_EXCHANGES = {
     # count-of-counts histogram, two cumulative scans and three
     # single-row combines.
     "ops_partition_skew_planner": 10,
+    # search_err_cascade: the TF-IDF ranker build (tf/df/scored)
+    # is the search_ndcg_at_10 pipeline; every exchange after the
+    # posting aggregate moves <=10-row top-k or 1-row stats.
+    "search_err_cascade": 11,
+    # sketch_bloom_fpr: bit-array build = per-hash-row aggregates
+    # over the 65536-bit domain + the probe joins; every exchange
+    # carries bit positions or single-row counters.
+    "sketch_bloom_fpr": 15,
 }
 
 
