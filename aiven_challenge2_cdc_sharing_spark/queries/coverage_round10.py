@@ -23,6 +23,8 @@ identically on both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6209,4 +6211,444 @@ def mm_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("hd").alias("hamming"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("hamming")
+    )
+
+
+# ------------------------------------------------ circular statistics
+
+
+@register(
+    "stats_rayleigh_hour_uniformity",
+    oracle="""
+WITH ang AS (
+  SELECT event_type,
+         2 * pi() * (CAST(floor(epoch(ts)) AS BIGINT) % 86400)
+           / 86400.0 AS a
+  FROM events
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         round(sum(cos(a)), 6) AS c, round(sum(sin(a)), 6) AS s
+  FROM ang GROUP BY 1
+)
+SELECT event_type, n,
+       round(sqrt(c * c + s * s) / n, 6) AS resultant_r,
+       round(((CASE WHEN atan2(s, c) < 0
+                    THEN atan2(s, c) + 2 * pi()
+                    ELSE atan2(s, c) END) / (2 * pi())) * 24, 4)
+         AS mean_hour,
+       round(n * (c * c + s * s) / (n * 1.0 * n), 4) AS rayleigh_z,
+       CASE WHEN n * (c * c + s * s) / (n * 1.0 * n) > 2.9957
+            THEN 1 ELSE 0 END AS nonuniform_flag
+FROM agg ORDER BY event_type
+""",
+    doc="Rayleigh test of circular uniformity on the time-of-day of "
+    "each event type: seconds-of-day mapped to angles on the 24h "
+    "circle, the resultant vector length R = |sum e^(i*theta)|/n "
+    "and mean direction converted back to an hour, with Rayleigh "
+    "z = n*R^2 against the 5% critical value -ln(0.05).  "
+    "CIRCULAR statistics are the correct tool here — a linear "
+    "mean of hours thinks 23:00 and 01:00 average to noon, which "
+    "is why dash_hour_dow_heatmap can show you the shape but "
+    "cannot test it.  Tells you whether an event type has a "
+    "daily rhythm at all (z large, mean_hour = the peak) or is "
+    "uniform machine noise.  One map-side trig pass into a "
+    "per-type aggregate, cos/sin sums 6dp-rounded before the "
+    "final algebra",
+)
+def stats_rayleigh_hour_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        2
+        * math.pi
+        * (F.unix_timestamp("ts").cast("long") % 86400)
+        / 86400.0
+    )
+    agg = ev.select("event_type", a.alias("a")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.cos("a")), 6).alias("c"),
+        F.round(F.sum(F.sin("a")), 6).alias("s"),
+    )
+    n, c, s = F.col("n"), F.col("c"), F.col("s")
+    theta = F.atan2(s, c)
+    theta_pos = F.when(theta < 0, theta + 2 * math.pi).otherwise(theta)
+    z = n * (c * c + s * s) / (n * 1.0 * n)
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(c * c + s * s) / n, 6).alias("resultant_r"),
+        F.round(theta_pos / (2 * math.pi) * 24, 4).alias("mean_hour"),
+        F.round(z, 4).alias("rayleigh_z"),
+        F.when(z > 2.9957, 1).otherwise(0).alias("nonuniform_flag"),
+    ).orderBy("event_type")
+
+
+# ------------------------------------------------ off-policy evaluation
+
+
+@register(
+    "ml_counterfactual_ips_eval",
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(n_ev, 0.5) AS thr FROM per),
+pol AS (
+  SELECT r,
+         CAST(concat('0x', substr(md5('ips:' || user_id), 1, 15))
+              AS BIGINT) % 2 AS logged_a,
+         CASE WHEN n_ev >= (SELECT thr FROM med) THEN 1 ELSE 0 END
+           AS target_a
+  FROM per
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN logged_a = target_a THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match,
+         CAST(sum(r) AS BIGINT) AS n_reward,
+         CAST(sum(CASE WHEN logged_a = target_a THEN r ELSE 0 END)
+              AS BIGINT) AS n_match_reward
+  FROM pol
+)
+SELECT n AS n_users,
+       round(n_match * 1.0 / n, 6) AS match_rate,
+       round(n_reward * 1.0 / n, 6) AS logged_value,
+       round(n_match_reward * 2.0 / n, 6) AS ips_value,
+       round(n_match_reward * 1.0 / nullif(n_match, 0), 6)
+         AS snips_value,
+       round(n_match_reward * 2.0 / n
+             - n_reward * 1.0 / n, 6) AS ips_lift
+FROM agg
+""",
+    doc="off-policy (counterfactual) evaluation via inverse "
+    "propensity scoring: the logged policy assigned each user an "
+    "arm by fair md5 coin (propensity exactly 0.5 — the "
+    "registry's deterministic-assignment discipline makes the "
+    "propensities KNOWN, the precondition IPS needs), reward = "
+    "did the user ever purchase, and the TARGET policy to "
+    "evaluate is 'treat the heavy half' (activity >= the derived "
+    "median).  IPS value = mean(match * r / 0.5) estimates what "
+    "the target policy WOULD have earned without deploying it; "
+    "SNIPS (self-normalized, dividing by the matched mass "
+    "instead of n) trades a little bias for much lower variance "
+    "— both reported, plus the lift over the logged value.  The "
+    "recsys/bandit answer to 'is this rule better?' when an A/B "
+    "test is too slow or too costly.  Exact integer counts; one "
+    "groupBy(user) + one median + one aggregate",
+)
+def ml_counterfactual_ips_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("r"),
+    )
+    med = per.agg(F.expr("percentile(n_ev, 0.5)").alias("thr"))
+    pol = per.crossJoin(F.broadcast(med)).select(
+        "r",
+        _md5_mod("ips:", F.col("user_id"), 2).alias("logged_a"),
+        F.when(F.col("n_ev") >= F.col("thr"), 1)
+        .otherwise(0)
+        .alias("target_a"),
+    )
+    match = (F.col("logged_a") == F.col("target_a")).cast("int")
+    agg = pol.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(match).cast("long").alias("n_match"),
+        F.sum("r").cast("long").alias("n_reward"),
+        F.sum(match * F.col("r")).cast("long").alias("n_match_reward"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_users"),
+        F.round(F.col("n_match") * 1.0 / n, 6).alias("match_rate"),
+        F.round(F.col("n_reward") * 1.0 / n, 6).alias("logged_value"),
+        F.round(F.col("n_match_reward") * 2.0 / n, 6).alias("ips_value"),
+        F.round(
+            F.col("n_match_reward")
+            * 1.0
+            / F.nullif(F.col("n_match"), F.lit(0)),
+            6,
+        ).alias("snips_value"),
+        F.round(
+            F.col("n_match_reward") * 2.0 / n
+            - F.col("n_reward") * 1.0 / n,
+            6,
+        ).alias("ips_lift"),
+    )
+
+
+# ------------------------------------------------ error-slice audit
+
+
+@register(
+    "ml_error_slice_audit",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CASE WHEN round(1.0 / (1.0 + exp(
+                -CAST(embedding[1] AS DOUBLE) * 4)), 6) >= 0.5
+              THEN 1 ELSE 0 END AS pred,
+         CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+           AS s2,
+         CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+           AS s3
+  FROM embeddings
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS e_all
+  FROM scored
+),
+slices AS (
+  SELECT s2 * 2 + s3 AS slice_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS e
+  FROM scored GROUP BY 1
+)
+SELECT slice_id, n AS support, e AS n_errors,
+       round(e * 1.0 / n, 6) AS slice_error,
+       round((SELECT e_all * 1.0 / n_all FROM tot), 6)
+         AS overall_error,
+       round((e * 1.0 / n - (SELECT e_all * 1.0 / n_all FROM tot))
+             / sqrt((SELECT e_all * 1.0 / n_all
+                      * (1 - e_all * 1.0 / n_all) FROM tot) / n), 4)
+         AS z_stat,
+       CASE WHEN n >= 50 AND abs(
+              (e * 1.0 / n - (SELECT e_all * 1.0 / n_all FROM tot))
+              / sqrt((SELECT e_all * 1.0 / n_all
+                       * (1 - e_all * 1.0 / n_all) FROM tot) / n))
+            > 2 THEN 1 ELSE 0 END AS problem_slice_flag
+FROM slices ORDER BY slice_id
+""",
+    doc="error-slice audit (SliceFinder-style) of the registry's "
+    "deterministic classifier: data sliced by the sign quadrant "
+    "of embedding dims 2-3 (4 interpretable feature slices), and "
+    "each slice's error rate z-tested against the overall error "
+    "under the binomial null, with a 50-row support floor so "
+    "micro-slices can't fire the flag.  The aggregate AUC "
+    "(ml_eval_auc_prf) can look fine while one region of feature "
+    "space silently fails — THE model-QA question for fairness "
+    "and robustness reviews; slices that flag here are what you "
+    "retrain or route around.  One pass over the scored rows "
+    "into a 4-row slice table, all counts exact integers",
+)
+def ml_error_slice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -F.element_at(F.col("embedding"), 1).cast("double") * 4
+            )
+        ),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("pred"),
+        F.when(
+            F.element_at(F.col("embedding"), 2).cast("double") >= 0, 1
+        )
+        .otherwise(0)
+        .alias("s2"),
+        F.when(
+            F.element_at(F.col("embedding"), 3).cast("double") >= 0, 1
+        )
+        .otherwise(0)
+        .alias("s3"),
+    )
+    err = (F.col("pred") != F.col("y")).cast("int")
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(err).cast("long").alias("e_all"),
+    )
+    slices = scored.groupBy(
+        (F.col("s2") * 2 + F.col("s3")).alias("slice_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(err).cast("long").alias("e"),
+    )
+    j = slices.crossJoin(F.broadcast(tot))
+    p_all = F.col("e_all") * 1.0 / F.col("n_all")
+    p_s = F.col("e") * 1.0 / F.col("n")
+    z = (p_s - p_all) / F.sqrt(p_all * (1 - p_all) / F.col("n"))
+    return j.select(
+        "slice_id",
+        F.col("n").alias("support"),
+        F.col("e").alias("n_errors"),
+        F.round(p_s, 6).alias("slice_error"),
+        F.round(p_all, 6).alias("overall_error"),
+        F.round(z, 4).alias("z_stat"),
+        F.when((F.col("n") >= 50) & (F.abs(z) > 2), 1)
+        .otherwise(0)
+        .alias("problem_slice_flag"),
+    ).orderBy("slice_id")
+
+
+# ------------------------------------------------ Harrell's C-index
+
+
+@register(
+    "stats_concordance_cindex",
+    oracle="""
+WITH per AS (
+  SELECT o.o_custkey,
+         min(year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS fm,
+         max(year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS lm
+  FROM orders o GROUP BY 1
+),
+subj AS (
+  SELECT p.lm - p.fm AS dur,
+         CASE WHEN p.lm < 2000 * 12 + 8 THEN 1 ELSE 0 END AS ev,
+         CAST(floor((c.c_acctbal + 1000) / 110) AS BIGINT) AS band
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+),
+h AS (
+  SELECT dur, band,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(ev) AS BIGINT) AS ecnt
+  FROM subj GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.dur, b.band,
+         coalesce(h.cnt, 0) AS cnt, coalesce(h.ecnt, 0) AS ecnt
+  FROM (SELECT DISTINCT dur FROM h) d
+  CROSS JOIN (SELECT DISTINCT band FROM h) b
+  LEFT JOIN h ON h.dur = d.dur AND h.band = b.band
+),
+later AS (
+  SELECT dur, band, ecnt,
+         sum(cnt) OVER (PARTITION BY band ORDER BY dur DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lat
+  FROM grid
+),
+withsuf AS (
+  SELECT dur, band, ecnt,
+         coalesce(lat, 0) AS lat,
+         sum(coalesce(lat, 0)) OVER (PARTITION BY dur
+           ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) - coalesce(lat, 0) AS lat_below,
+         sum(coalesce(lat, 0)) OVER (PARTITION BY dur) AS lat_all
+  FROM later
+),
+agg AS (
+  SELECT CAST(sum(ecnt * lat_all) AS BIGINT) AS n_comp,
+         CAST(sum(ecnt * (lat_all - lat_below - lat)) AS BIGINT)
+           AS n_conc,
+         CAST(sum(ecnt * lat) AS BIGINT) AS n_tie
+  FROM withsuf
+)
+SELECT n_comp AS n_comparable, n_conc AS n_concordant,
+       n_tie AS n_tied,
+       round((n_conc + 0.5 * n_tie) / n_comp, 6) AS c_index
+FROM agg
+""",
+    doc="Harrell's concordance index for 'account balance predicts "
+    "churn timing': over all comparable pairs (earlier subject "
+    "has the event — the right-censoring rule surv_kaplan_meier_"
+    "monthly established), the fraction where the earlier-"
+    "churning customer also had the LOWER balance band (ties "
+    "count half).  C = 0.5 is a coin flip, C -> 1 a perfect "
+    "risk ranking — THE discrimination metric for survival/churn "
+    "models, and the censoring-aware cousin of the rank-sum AUC "
+    "(ml_eval_auc_prf).  The O(N^2) pair sum collapses onto the "
+    "(duration x balance-band) HISTOGRAM: a per-band descending "
+    "duration suffix-sum gives the later-survivor counts, a "
+    "per-duration band prefix-sum splits them into "
+    "concordant/tied/discordant — <=80 durations x 100 bands = "
+    "8000 grid rows regardless of customer count, the "
+    "score-histogram discipline in two dimensions.  All exact "
+    "integer arithmetic",
+)
+def stats_concordance_cindex(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per = orders.groupBy("o_custkey").agg(
+        F.min(midx).alias("fm"), F.max(midx).alias("lm")
+    )
+    subj = per.join(
+        cust.select("c_custkey", "c_acctbal"),
+        per.o_custkey == F.col("c_custkey"),
+    ).select(
+        (F.col("lm") - F.col("fm")).alias("dur"),
+        F.when(F.col("lm") < 2000 * 12 + 8, 1).otherwise(0).alias("ev"),
+        F.floor((F.col("c_acctbal") + 1000) / 110)
+        .cast("long")
+        .alias("band"),
+    )
+    h = subj.groupBy("dur", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ev").cast("long").alias("ecnt"),
+    )
+    durs = h.select("dur").distinct()
+    bands = h.select("band").distinct()
+    grid = (
+        durs.crossJoin(bands)
+        .join(h, ["dur", "band"], "left")
+        .select(
+            "dur",
+            "band",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("ecnt", F.lit(0)).alias("ecnt"),
+        )
+    )
+    w_lat = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    later = grid.select(
+        "dur",
+        "band",
+        "ecnt",
+        F.coalesce(F.sum("cnt").over(w_lat), F.lit(0)).alias("lat"),
+    )
+    w_band = (
+        Window.partitionBy("dur")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("dur")
+    withsuf = later.select(
+        "ecnt",
+        "lat",
+        (F.sum("lat").over(w_band) - F.col("lat")).alias("lat_below"),
+        F.sum("lat").over(w_all).alias("lat_all"),
+    )
+    agg = withsuf.agg(
+        F.sum(F.col("ecnt") * F.col("lat_all"))
+        .cast("long")
+        .alias("n_comp"),
+        F.sum(
+            F.col("ecnt")
+            * (F.col("lat_all") - F.col("lat_below") - F.col("lat"))
+        )
+        .cast("long")
+        .alias("n_conc"),
+        F.sum(F.col("ecnt") * F.col("lat")).cast("long").alias("n_tie"),
+    )
+    return agg.select(
+        F.col("n_comp").alias("n_comparable"),
+        F.col("n_conc").alias("n_concordant"),
+        F.col("n_tie").alias("n_tied"),
+        F.round(
+            (F.col("n_conc") + 0.5 * F.col("n_tie")) / F.col("n_comp"),
+            6,
+        ).alias("c_index"),
     )
