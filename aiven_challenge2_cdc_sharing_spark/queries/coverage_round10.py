@@ -6652,3 +6652,313 @@ def stats_concordance_cindex(
             6,
         ).alias("c_index"),
     )
+
+
+# ------------------------------------------------ Qini uplift curve
+
+
+@register(
+    "ml_uplift_qini_curve",
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT n_ev, r,
+         CAST(concat('0x', substr(md5('ips:' || user_id), 1, 15))
+              AS BIGINT) % 2 AS t
+  FROM per
+),
+cells AS (
+  SELECT n_ev,
+         CAST(sum(t) AS BIGINT) AS nt,
+         CAST(sum(1 - t) AS BIGINT) AS nc,
+         CAST(sum(t * r) AS BIGINT) AS rt,
+         CAST(sum((1 - t) * r) AS BIGINT) AS rc
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT n_ev,
+         sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+         sum(rt) OVER w AS crt, sum(rc) OVER w AS crc
+  FROM cells
+  WINDOW w AS (ORDER BY n_ev DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_ev AS activity_threshold,
+       CAST(cnt AS BIGINT) AS n_treated,
+       CAST(cnc AS BIGINT) AS n_control,
+       round(crt - crc * cnt * 1.0 / cnc, 4) AS qini_value,
+       round(crt * 1.0 / cnt - crc * 1.0 / cnc, 6) AS cum_uplift
+FROM cum WHERE cnc > 0 AND cnt > 0
+ORDER BY activity_threshold DESC
+""",
+    doc="Qini curve for a targeting score at every natural score "
+    "threshold: users above each activity level form the "
+    "cumulative target set, and the incremental conversions "
+    "Qini(k) = R_t(k) - R_c(k)*N_t(k)/N_c(k) measure how many "
+    "EXTRA conversions targeting that set would buy versus "
+    "proportional control — the uplift-model evaluation standard "
+    "(a score can rank conversion LIKELIHOOD perfectly yet rank "
+    "INCREMENTALITY badly; only the treatment/control contrast "
+    "under the md5-randomized arm reveals it).  Complements "
+    "ml_uplift_by_segment (point estimates) with the ranked "
+    "curve whose area is the Qini coefficient.  Curve points sit "
+    "at DISTINCT activity values, so the cumulative scan runs "
+    "over the count-of-counts histogram (the "
+    "ops_partition_skew_planner domain), never a global ntile "
+    "sort of all users — the formulation that survives a billion "
+    "users.  All counts exact integers",
+)
+def ml_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("r"),
+    )
+    scored = per.select(
+        "n_ev", "r", _md5_mod("ips:", F.col("user_id"), 2).alias("t")
+    )
+    cells = scored.groupBy("n_ev").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.col("t") * F.col("r")).cast("long").alias("rt"),
+        F.sum((1 - F.col("t")) * F.col("r")).cast("long").alias("rc"),
+    )
+    w = Window.orderBy(F.desc("n_ev")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "n_ev",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("rt").over(w).alias("crt"),
+        F.sum("rc").over(w).alias("crc"),
+    )
+    return (
+        cum.filter((F.col("cnc") > 0) & (F.col("cnt") > 0))
+        .select(
+            F.col("n_ev").alias("activity_threshold"),
+            F.col("cnt").cast("long").alias("n_treated"),
+            F.col("cnc").cast("long").alias("n_control"),
+            F.round(
+                F.col("crt")
+                - F.col("crc") * F.col("cnt") * 1.0 / F.col("cnc"),
+                4,
+            ).alias("qini_value"),
+            F.round(
+                F.col("crt") * 1.0 / F.col("cnt")
+                - F.col("crc") * 1.0 / F.col("cnc"),
+                6,
+            ).alias("cum_uplift"),
+        )
+        .orderBy(F.desc("activity_threshold"))
+    )
+
+
+# ------------------------------------------------ VIF / partial corr
+
+
+@register(
+    "stats_vif_multicollinearity",
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(sum(l_quantity), 6) AS sx,
+         round(sum(l_extendedprice), 6) AS sy,
+         round(sum(l_discount), 6) AS sz,
+         round(sum(l_quantity * l_quantity), 6) AS sxx,
+         round(sum(l_extendedprice * l_extendedprice), 6) AS syy,
+         round(sum(l_discount * l_discount), 6) AS szz,
+         round(sum(l_quantity * l_extendedprice), 6) AS sxy,
+         round(sum(l_quantity * l_discount), 6) AS sxz,
+         round(sum(l_extendedprice * l_discount), 6) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+           * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx)
+           * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz) / sqrt((n * syy - sy * sy)
+           * (n * szz - sz * sz)) AS ryz
+  FROM s
+),
+d AS (
+  SELECT n, rxy, rxz, ryz,
+         1 + 2 * rxy * rxz * ryz - rxy * rxy - rxz * rxz - ryz * ryz
+           AS det
+  FROM r
+)
+SELECT n,
+       round(rxy, 6) AS r_qty_price,
+       round(rxz, 6) AS r_qty_disc,
+       round(ryz, 6) AS r_price_disc,
+       round((1 - ryz * ryz) / det, 4) AS vif_quantity,
+       round((1 - rxz * rxz) / det, 4) AS vif_price,
+       round((1 - rxy * rxy) / det, 4) AS vif_discount,
+       round((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+         AS partial_qty_price_given_disc,
+       CASE WHEN (1 - ryz * ryz) / det > 5
+              OR (1 - rxz * rxz) / det > 5
+              OR (1 - rxy * rxy) / det > 5
+            THEN 1 ELSE 0 END AS collinearity_flag
+FROM d
+""",
+    doc="variance-inflation factors for the three lineitem "
+    "regressors (quantity, price, discount) from the closed-form "
+    "inverse of their 3x3 correlation matrix — VIF_i = "
+    "(R^-1)_ii = (1 - r_jk^2)/det(R), det = 1 + 2*rxy*rxz*ryz - "
+    "sum r^2 — plus the partial correlation of quantity and "
+    "price with discount held fixed.  THE pre-flight check "
+    "before any multiple regression (ml_ridge_normal_eq's "
+    "lambda exists precisely because VIF>5 regressors make OLS "
+    "coefficients swing wildly; stats_cooks_distance_top finds "
+    "bad ROWS, this finds bad COLUMNS).  One map-side pass of "
+    "ten 6dp-rounded power sums; all matrix algebra happens on "
+    "the single result row",
+)
+def stats_vif_multicollinearity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col(
+        "l_discount"
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(x), 6).alias("sx"),
+        F.round(F.sum(y), 6).alias("sy"),
+        F.round(F.sum(z), 6).alias("sz"),
+        F.round(F.sum(x * x), 6).alias("sxx"),
+        F.round(F.sum(y * y), 6).alias("syy"),
+        F.round(F.sum(z * z), 6).alias("szz"),
+        F.round(F.sum(x * y), 6).alias("sxy"),
+        F.round(F.sum(x * z), 6).alias("sxz"),
+        F.round(F.sum(y * z), 6).alias("syz"),
+    )
+    n = F.col("n")
+    rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rxz = (n * F.col("sxz") - F.col("sx") * F.col("sz")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    ryz = (n * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    det = 1 + 2 * rxy * rxz * ryz - rxy * rxy - rxz * rxz - ryz * ryz
+    vq = (1 - ryz * ryz) / det
+    vp = (1 - rxz * rxz) / det
+    vd = (1 - rxy * rxy) / det
+    return s.select(
+        "n",
+        F.round(rxy, 6).alias("r_qty_price"),
+        F.round(rxz, 6).alias("r_qty_disc"),
+        F.round(ryz, 6).alias("r_price_disc"),
+        F.round(vq, 4).alias("vif_quantity"),
+        F.round(vp, 4).alias("vif_price"),
+        F.round(vd, 4).alias("vif_discount"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_qty_price_given_disc"),
+        F.when((vq > 5) | (vp > 5) | (vd > 5), 1)
+        .otherwise(0)
+        .alias("collinearity_flag"),
+    )
+
+
+# ------------------------------------------------ Weibull gap fit
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+@register(
+    "stats_weibull_gap_fit",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+gaps AS (
+  SELECT ln((CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             - CAST(floor(epoch(prev)) AS BIGINT)) / 86400.0) AS lg
+  FROM seq
+  WHERE prev IS NOT NULL AND o_orderdate > prev
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(sum(lg), 6) AS s1, round(sum(lg * lg), 6) AS s2
+  FROM gaps
+)
+SELECT n AS n_gaps,
+       round(s1 / n, 4) AS mean_log_gap,
+       round(pi() / sqrt(6 * ((s2 - s1 * s1 / n) / (n - 1))), 4)
+         AS shape_k,
+       round(exp(s1 / n + {_EULER_GAMMA}
+             * sqrt(6 * ((s2 - s1 * s1 / n) / (n - 1))) / pi()), 4)
+         AS scale_days,
+       CASE WHEN pi() / sqrt(6 * ((s2 - s1 * s1 / n) / (n - 1))) < 1
+            THEN 1 ELSE 0 END AS decreasing_hazard_flag
+FROM agg
+""",
+    doc="Weibull fit of customer inter-order gaps by the method of "
+    "log-moments: if X ~ Weibull(k, lambda) then ln X is Gumbel "
+    "with var = pi^2/(6 k^2) and mean = ln lambda - gamma/k, so "
+    "k = pi/sqrt(6 var(ln x)) and lambda = exp(mean + gamma/k) "
+    "in closed form — no iterative MLE.  Shape k is the "
+    "reliability verdict on purchase cadence: k < 1 means "
+    "DECREASING hazard (the longer since the last order, the "
+    "less likely the next — churn-prone, win-back campaigns "
+    "justified), k > 1 increasing hazard (rhythmic repurchase "
+    "— time reminders, not discounts).  Complements "
+    "win_interorder_gap_stats (descriptive moments) with the "
+    "generative model those moments come from.  Per-customer "
+    "lag window on the orders partition key, zero-gaps dropped "
+    "(same-day orders carry no ln), two 6dp-rounded power sums",
+)
+def stats_weibull_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_orderdate", F.lag("o_orderdate").over(w).alias("prev")
+    )
+    e = F.unix_timestamp("o_orderdate").cast("long")
+    ep = F.unix_timestamp("prev").cast("long")
+    gaps = seq.filter(
+        F.col("prev").isNotNull()
+        & (F.col("o_orderdate") > F.col("prev"))
+    ).select(F.log((e - ep) / 86400.0).alias("lg"))
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("lg"), 6).alias("s1"),
+        F.round(F.sum(F.col("lg") * F.col("lg")), 6).alias("s2"),
+    )
+    n = F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    k = math.pi / F.sqrt(6 * var)
+    return agg.select(
+        n.alias("n_gaps"),
+        F.round(F.col("s1") / n, 4).alias("mean_log_gap"),
+        F.round(k, 4).alias("shape_k"),
+        F.round(
+            F.exp(F.col("s1") / n + _EULER_GAMMA * F.sqrt(6 * var) / math.pi),
+            4,
+        ).alias("scale_days"),
+        F.when(k < 1, 1).otherwise(0).alias("decreasing_hazard_flag"),
+    )

@@ -164,6 +164,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "ts_arch_lm_lag1": "lag over the calendar-bounded daily aggregate",
     "dq_spc_xmr_individuals": "lag over the calendar-bounded daily "
     "aggregate",
+    "ml_uplift_qini_curve": "cumulative scan over the count-of-counts "
+    "histogram (ops_partition_skew_planner domain)",
 }
 
 
