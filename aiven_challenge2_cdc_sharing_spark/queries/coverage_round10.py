@@ -6962,3 +6962,369 @@ def stats_weibull_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scale_days"),
         F.when(k < 1, 1).otherwise(0).alias("decreasing_hazard_flag"),
     )
+
+
+# ------------------------------------------------ query-likelihood LM
+
+
+@register(
+    "search_query_likelihood_lm",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+tokc AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tokc
+       GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS csize FROM tokc),
+cf AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cfreq FROM tokc
+  WHERE t IN ('join', 'scan') GROUP BY 1
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tfreq FROM tokc
+  WHERE t IN ('join', 'scan') GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+scored AS (
+  SELECT c.doc_id,
+         round(sum(ln((coalesce(tf.tfreq, 0)
+                       + 2000.0 * cf.cfreq / corpus.csize)
+                      / (dl.len + 2000.0))), 6) AS score
+  FROM cand c
+  CROSS JOIN cf
+  CROSS JOIN corpus
+  JOIN dl ON dl.doc_id = c.doc_id
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.t = cf.t
+  GROUP BY c.doc_id
+)
+SELECT doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+    "Lafferty) for the 2-term query {join, scan}: score(d) = "
+    "sum_t ln((tf + mu*cf_t/|C|)/(dl + mu)) with mu = 2000 — the "
+    "LANGUAGE-MODEL ranking family, completing the IR trio next "
+    "to the vector-space TF-IDF (search_ndcg_at_10's ranker) and "
+    "probabilistic BM25 (search_bm25_ranking): same index "
+    "statistics, different model, genuinely different top-10 "
+    "order (Dirichlet's length normalization is Bayesian "
+    "shrinkage toward the corpus LM, not BM25's saturation "
+    "curve).  Candidates are docs matching >= 1 term (docs with "
+    "zero matches score strictly lower on every term and cannot "
+    "enter the top-10 above a matching doc of similar length).  "
+    "The candidate x query-term grid is df-bounded; TakeOrdered "
+    "top-10 with doc_id tiebreak",
+)
+def search_query_likelihood_lm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tokc = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    dl = tokc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    corpus = tokc.agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    qt = tokc.filter(F.col("t").isin("join", "scan"))
+    cf = qt.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cfreq")
+    )
+    tf = qt.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tfreq")
+    )
+    cand = tf.select("doc_id").distinct()
+    grid = (
+        cand.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(corpus))
+        .join(dl, "doc_id")
+        .join(tf, ["doc_id", "t"], "left")
+    )
+    term = F.log(
+        (
+            F.coalesce("tfreq", F.lit(0))
+            + 2000.0 * F.col("cfreq") / F.col("csize")
+        )
+        / (F.col("len") + 2000.0)
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(F.sum(term), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+# ------------------------------------------------ tail dependence
+
+
+@register(
+    "stats_tail_dependence_lambda",
+    oracle="""
+WITH thr AS (
+  SELECT round(quantile_cont(l_quantity, 0.9), 2) AS qx_hi,
+         round(quantile_cont(l_extendedprice, 0.9), 2) AS qy_hi,
+         round(quantile_cont(l_quantity, 0.1), 2) AS qx_lo,
+         round(quantile_cont(l_extendedprice, 0.1), 2) AS qy_lo
+  FROM lineitem
+),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity > thr.qx_hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS nx_hi,
+         CAST(sum(CASE WHEN l_quantity > thr.qx_hi
+                        AND l_extendedprice > thr.qy_hi
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nboth_hi,
+         CAST(sum(CASE WHEN l_quantity < thr.qx_lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS nx_lo,
+         CAST(sum(CASE WHEN l_quantity < thr.qx_lo
+                        AND l_extendedprice < thr.qy_lo
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nboth_lo
+  FROM lineitem, thr
+)
+SELECT thr.qx_hi, thr.qy_hi, cnt.nx_hi, cnt.nboth_hi,
+       round(cnt.nboth_hi * 1.0 / nullif(cnt.nx_hi, 0), 6)
+         AS lambda_upper,
+       round(cnt.nboth_lo * 1.0 / nullif(cnt.nx_lo, 0), 6)
+         AS lambda_lower,
+       round((cnt.nboth_hi * 1.0 / nullif(cnt.nx_hi, 0)) / 0.1, 4)
+         AS upper_vs_independent
+FROM cnt, thr
+""",
+    doc="empirical tail-dependence coefficients between line-item "
+    "quantity and price: lambda_U = P(Y > q90_Y | X > q90_X) and "
+    "lambda_L at the 10% tails, against the 0.1 independence "
+    "baseline.  Tail dependence is what correlation CANNOT see — "
+    "two variables can be weakly correlated overall yet crash/"
+    "spike together (the copula lesson of risk management), and "
+    "it decides whether extreme-order surcharges or stress "
+    "scenarios can treat dimensions independently.  Complements "
+    "agg_corr_matrix_lineitem (global linear) and "
+    "stats_kendall_tau_binned (global rank) with the joint-"
+    "extremes view.  Thresholds are the exact interpolated "
+    "deciles rounded 2dp (the agg_median_quantile identity), "
+    "counts exact integers in one pass",
+)
+def stats_tail_dependence_lambda(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.agg(
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("qx_hi"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias(
+            "qy_hi"
+        ),
+        F.round(F.expr("percentile(l_quantity, 0.1)"), 2).alias("qx_lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.1)"), 2).alias(
+            "qy_lo"
+        ),
+    )
+    j = li.crossJoin(F.broadcast(thr))
+    cnt = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_quantity") > F.col("qx_hi")).cast("int"))
+        .cast("long")
+        .alias("nx_hi"),
+        F.sum(
+            (
+                (F.col("l_quantity") > F.col("qx_hi"))
+                & (F.col("l_extendedprice") > F.col("qy_hi"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("nboth_hi"),
+        F.sum((F.col("l_quantity") < F.col("qx_lo")).cast("int"))
+        .cast("long")
+        .alias("nx_lo"),
+        F.sum(
+            (
+                (F.col("l_quantity") < F.col("qx_lo"))
+                & (F.col("l_extendedprice") < F.col("qy_lo"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("nboth_lo"),
+        F.max("qx_hi").alias("qx_hi"),
+        F.max("qy_hi").alias("qy_hi"),
+    )
+    return cnt.select(
+        "qx_hi",
+        "qy_hi",
+        "nx_hi",
+        "nboth_hi",
+        F.round(
+            F.col("nboth_hi") * 1.0 / F.nullif(F.col("nx_hi"), F.lit(0)),
+            6,
+        ).alias("lambda_upper"),
+        F.round(
+            F.col("nboth_lo") * 1.0 / F.nullif(F.col("nx_lo"), F.lit(0)),
+            6,
+        ).alias("lambda_lower"),
+        F.round(
+            (
+                F.col("nboth_hi")
+                * 1.0
+                / F.nullif(F.col("nx_hi"), F.lit(0))
+            )
+            / 0.1,
+            4,
+        ).alias("upper_vs_independent"),
+    )
+
+
+# ------------------------------------------------ Burt's constraint
+
+
+@register(
+    "graph_burt_constraint",
+    oracle="""
+WITH w AS MATERIALIZED (
+  SELECT i, j, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+    SELECT c.c_nationkey AS i, s.s_nationkey AS j, count(*) AS cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT s.s_nationkey, c.c_nationkey, count(*)
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+rowsum AS (SELECT i, CAST(sum(wt) AS BIGINT) AS tot FROM w GROUP BY 1),
+p AS (
+  SELECT w.i, w.j, w.wt * 1.0 / r.tot AS pij
+  FROM w JOIN rowsum r ON r.i = w.i
+),
+ind AS (
+  SELECT a.i, b.j, sum(a.pij * b.pij) AS indir
+  FROM p a JOIN p b ON b.i = a.j
+  WHERE b.j <> a.i
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT coalesce(p.i, ind.i) AS i, coalesce(p.j, ind.j) AS j,
+         coalesce(p.pij, 0) + coalesce(ind.indir, 0) AS q
+  FROM p FULL JOIN ind ON ind.i = p.i AND ind.j = p.j
+),
+c AS (
+  SELECT i, round(sum(q * q), 6) AS constraint_c,
+         CAST(count(*) AS BIGINT) AS n_reach
+  FROM grid WHERE q > 0 GROUP BY 1
+),
+deg AS (
+  SELECT p.i, CAST(count(*) AS BIGINT) AS n_contacts,
+         round(max(p.pij), 6) AS max_share
+  FROM p GROUP BY 1
+)
+SELECT c.i AS nation, deg.n_contacts, deg.max_share,
+       c.constraint_c AS burt_constraint
+FROM c JOIN deg ON deg.i = c.i
+ORDER BY nation
+""",
+    doc="Burt's network constraint on the volume-weighted nation "
+    "trade graph: c_i = sum_j (p_ij + sum_q p_iq*p_qj)^2 over "
+    "direct and 2-step normalized dependence shares — LOW "
+    "constraint marks nations brokering structural holes "
+    "(trading partners who do not trade with each other, the "
+    "classic bargaining-power position), HIGH constraint marks "
+    "nations locked inside a dense clique.  The structural-holes "
+    "complement to graph_clustering_coefficient (density around "
+    "a node) and graph_k_core_trade (cohesion shells): "
+    "clustering counts closed triangles, constraint measures how "
+    "much of YOUR trade is mediated by them.  The N-sized "
+    "4-table join runs once into the <=625-cell weighted edge "
+    "matrix; every later stage (row-normalize, 2-path product, "
+    "square-sum) is nation-domain algebra.  Weights doubled "
+    "symmetric, shares exact ratios of integer counts",
+)
+def graph_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("i"),
+            F.col("s_nationkey").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        base.select("i", "j", "cnt")
+        .unionAll(
+            base.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cnt"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").cast("long").alias("wt"))
+    )
+    rowsum = w.groupBy("i").agg(F.sum("wt").cast("long").alias("tot"))
+    p = w.join(rowsum, "i").select(
+        "i", "j", (F.col("wt") * 1.0 / F.col("tot")).alias("pij")
+    )
+    a = p.select(
+        F.col("i").alias("ai"), F.col("j").alias("aj"),
+        F.col("pij").alias("pa"),
+    )
+    b = p.select(
+        F.col("i").alias("bi"), F.col("j").alias("bj"),
+        F.col("pij").alias("pb"),
+    )
+    ind = (
+        a.join(F.broadcast(b), F.col("bi") == F.col("aj"))
+        .filter(F.col("bj") != F.col("ai"))
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("indir"))
+    )
+    grid = (
+        p.join(ind, ["i", "j"], "full")
+        .select(
+            "i",
+            "j",
+            (
+                F.coalesce("pij", F.lit(0.0))
+                + F.coalesce("indir", F.lit(0.0))
+            ).alias("q"),
+        )
+    )
+    c = (
+        grid.filter(F.col("q") > 0)
+        .groupBy("i")
+        .agg(
+            F.round(F.sum(F.col("q") * F.col("q")), 6).alias(
+                "constraint_c"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_reach"),
+        )
+    )
+    deg = p.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contacts"),
+        F.round(F.max("pij"), 6).alias("max_share"),
+    )
+    return (
+        c.join(deg, "i")
+        .select(
+            F.col("i").alias("nation"),
+            "n_contacts",
+            "max_share",
+            F.col("constraint_c").alias("burt_constraint"),
+        )
+        .orderBy("nation")
+    )
