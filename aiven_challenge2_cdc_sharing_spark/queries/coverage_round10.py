@@ -7328,3 +7328,328 @@ def graph_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ------------------------------------------------ partitioned write/prune
+
+
+@register(
+    "src_partitioned_write_prune",
+    oracle="""
+SELECT month(o_orderdate) AS m,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY 1 ORDER BY m
+""",
+    doc="hive-style partitioned parquet round-trip with partition "
+    "PRUNING (SURVEY S9/opt table: the engine-side analogue of "
+    "the reference's source-side table include filter, "
+    "terraform/main.tf:250): orders are written out partitioned "
+    "by order year (DataFrameWriter.partitionBy -> one "
+    "directory per year), read back, and the year=1997 predicate "
+    "is answered by DIRECTORY pruning — the scan's "
+    "PartitionFilters skip 6 of 7 year partitions without "
+    "opening a file, which at 100 TB is the difference between "
+    "reading 14 TB and reading 2 TB.  The oracle recomputes the "
+    "same per-month counts and exact-cents revenue from the "
+    "unpartitioned source, proving the write->read round-trip "
+    "lossless (year column reconstructed from the partition "
+    "directory, not stored in the files).  Writes go to a "
+    "per-scale temp dir with overwrite semantics (idempotent "
+    "re-runs)",
+)
+def src_partitioned_write_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_part_demo_{tag}"
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return (
+        back.groupBy(F.month("o_orderdate").alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("m")
+    )
+
+
+# ------------------------------------------------ randomized response
+
+
+@register(
+    "privacy_randomized_response_debias",
+    oracle="""
+WITH rr AS (
+  SELECT CASE WHEN classification_true = 1 THEN 1 ELSE 0 END AS truth,
+         CASE WHEN coin1 = 1 THEN classification_true ELSE coin2 END
+           AS reported
+  FROM (
+    SELECT CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END
+             AS classification_true,
+           CAST(concat('0x', substr(md5('rr1:' || c_custkey), 1, 15))
+                AS BIGINT) % 2 AS coin1,
+           CAST(concat('0x', substr(md5('rr2:' || c_custkey), 1, 15))
+                AS BIGINT) % 2 AS coin2
+    FROM customer
+  )
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(reported) AS BIGINT) AS n_yes,
+         CAST(sum(truth) AS BIGINT) AS n_true
+  FROM rr
+)
+SELECT n, n_yes,
+       round(n_yes * 1.0 / n, 6) AS reported_rate,
+       round(2.0 * n_yes / n - 0.5, 6) AS debiased_rate,
+       round(n_true * 1.0 / n, 6) AS true_rate,
+       round(abs(2.0 * n_yes / n - 0.5 - n_true * 1.0 / n), 6)
+         AS estimator_error,
+       round(sqrt((0.75 * 0.25 * 4.0) / n), 6) AS se_debiased
+FROM agg
+""",
+    doc="Warner randomized response with the debiased estimator: "
+    "each respondent answers truthfully iff coin1 is heads, "
+    "otherwise reports coin2 — so any individual answer is "
+    "deniable (P(report=1|truth) = 3/4 vs 1/4, ln(3) local DP) — "
+    "and the population rate is recovered as 2*p_reported - 1/2 "
+    "with SE sqrt(4*p(1-p)/n).  The LOCAL-privacy complement to "
+    "privacy_dp_laplace_counts (central noise on aggregates): "
+    "here the MECHANISM runs at the data source, the analyst "
+    "never sees a true bit.  The oracle replays the md5 coins "
+    "(deterministic seed — the same replayability caveat as the "
+    "Laplace demo, stated there: a production deployment draws "
+    "real coins and the estimator algebra is unchanged) and the "
+    "query reports the estimator's actual error against the "
+    "ground truth it is blind to.  Exact integer counts, one "
+    "pass",
+)
+def privacy_randomized_response_debias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+    coin1 = _md5_mod("rr1:", F.col("c_custkey"), 2)
+    coin2 = _md5_mod("rr2:", F.col("c_custkey"), 2)
+    rr = cust.select(
+        truth.alias("truth"),
+        F.when(coin1 == 1, truth).otherwise(coin2).alias("reported"),
+    )
+    agg = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("reported").cast("long").alias("n_yes"),
+        F.sum("truth").cast("long").alias("n_true"),
+    )
+    n = F.col("n")
+    debiased = 2.0 * F.col("n_yes") / n - 0.5
+    true_rate = F.col("n_true") * 1.0 / n
+    return agg.select(
+        "n",
+        "n_yes",
+        F.round(F.col("n_yes") * 1.0 / n, 6).alias("reported_rate"),
+        F.round(debiased, 6).alias("debiased_rate"),
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(F.abs(debiased - true_rate), 6).alias(
+            "estimator_error"
+        ),
+        F.round(F.sqrt(0.75 * 0.25 * 4.0 / n), 6).alias("se_debiased"),
+    )
+
+
+# ------------------------------------------------ hypergeometric enrichment
+
+
+def _lgamma_sql(e: str) -> str:
+    """ln Gamma(e) as a pure-arithmetic SQL expression both engines
+    evaluate identically: Stirling series at y = e+8 (3 correction
+    terms, |err| < 2e-10 for y >= 9) pulled back through the
+    recurrence lgamma(e) = S(e+8) - ln(prod_{j=0..7}(e+j)).  Spark has
+    no lgamma builtin, and generating the SAME formula for DuckDB
+    (instead of its libm lgamma) removes the cross-libm hazard
+    entirely — both sides run identical IEEE ops."""
+    d = f"CAST(({e}) AS DOUBLE)"
+    y = f"({d} + 8.0)"
+    stirling = (
+        f"(({y} - 0.5) * ln({y}) - {y} + 0.9189385332046727"
+        f" + 1.0/(12.0*{y}) - 1.0/(360.0*{y}*{y}*{y})"
+        f" + 1.0/(1260.0*pow({y}, 5.0)))"
+    )
+    prod = "*".join(f"({d} + {j}.0)" for j in range(8))
+    return f"({stirling} - ln({prod}))"
+
+
+def _lnchoose_sql(n: str, k: str) -> str:
+    return (
+        f"({_lgamma_sql(f'({n}) + 1.0')} - {_lgamma_sql(f'({k}) + 1.0')}"
+        f" - {_lgamma_sql(f'({n}) - ({k}) + 1.0')})"
+    )
+
+
+_HYPERGEOM_LT = (
+    f"{_lnchoose_sql('kk', 'k')}"
+    f" + {_lnchoose_sql('nn - kk', 'n_cust - k')}"
+    f" - {_lnchoose_sql('nn', 'n_cust')}"
+)
+
+
+@register(
+    "stats_hypergeom_nation_enrichment",
+    oracle=f"""
+WITH marks AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(CASE WHEN o.has_open = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_open
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey,
+           max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             AS has_open
+    FROM orders GROUP BY 1
+  ) o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_cust) AS BIGINT) AS nn,
+         CAST(sum(n_open) AS BIGINT) AS kk
+  FROM marks
+),
+terms AS (
+  SELECT m.nation, m.n_cust, m.n_open, t.nn, t.kk,
+         unnest(range(m.n_open,
+                      least(m.n_cust, t.kk) + 1)) AS k
+  FROM marks m, tot t
+),
+logp AS (
+  SELECT nation, n_cust, n_open, nn, kk, k,
+         {_HYPERGEOM_LT} AS lt
+  FROM terms
+),
+mx AS (
+  SELECT nation, n_cust, n_open, nn, kk, max(lt) AS m
+  FROM logp GROUP BY 1, 2, 3, 4, 5
+),
+p AS (
+  SELECT l.nation, l.n_cust, l.n_open, l.nn, l.kk,
+         mx.m + ln(sum(exp(l.lt - mx.m))) AS lnp
+  FROM logp l JOIN mx ON mx.nation = l.nation
+  GROUP BY 1, 2, 3, 4, 5, mx.m
+)
+SELECT nation, n_cust, n_open,
+       round(n_cust * kk * 1.0 / nn, 4) AS expected_open,
+       round(n_open / (n_cust * kk * 1.0 / nn), 4) AS fold_enrichment,
+       round(-lnp / ln(10), 2) + 0.0 AS neg_log10_p_upper
+FROM p ORDER BY nation
+""",
+    doc="exact hypergeometric enrichment test per nation: is the "
+    "count of customers with open orders in a nation higher than "
+    "drawing the same number of customers at random from the "
+    "population would give?  The upper-tail p-value P(X >= obs) "
+    "is computed exactly — every hypergeometric term as a "
+    "log-binomial, summed with the max-factored log-sum-exp so "
+    "thousand-term tails stay in double range — the same "
+    "machinery as a GO-term/feature enrichment pipeline, "
+    "reported as -log10 p.  ln-Gamma is a GENERATED Stirling-"
+    "series expression (identical IEEE arithmetic on both "
+    "engines, <2e-10 absolute error — Spark has no lgamma "
+    "builtin and cross-libm lgamma would be a hash hazard "
+    "anyway).  The normal-approximation tests (ab_srm_check, "
+    "stats_two_prop_power) break when cells are small; this is "
+    "the exact answer at any cell size.  Term explosion is "
+    "bounded by the nation-domain aggregate (range-explode on "
+    "25 rows, never the fact table)",
+)
+def stats_hypergeom_nation_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    has_open = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+        ).alias("has_open")
+    )
+    marks = (
+        cust.join(has_open, cust.c_custkey == F.col("o_custkey"), "left")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(
+                F.when(F.col("has_open") == 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_open"),
+        )
+    )
+    tot = marks.agg(
+        F.sum("n_cust").cast("long").alias("nn"),
+        F.sum("n_open").cast("long").alias("kk"),
+    )
+    terms = (
+        marks.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "n_cust",
+            "n_open",
+            "nn",
+            "kk",
+            F.explode(
+                F.sequence(
+                    F.col("n_open").cast("int"),
+                    F.least(F.col("n_cust"), F.col("kk")).cast("int"),
+                )
+            ).alias("k"),
+        )
+    )
+    logp = terms.select(
+        "nation",
+        "n_cust",
+        "n_open",
+        "nn",
+        "kk",
+        F.expr(_HYPERGEOM_LT).alias("lt"),
+    )
+    mx = logp.groupBy("nation", "n_cust", "n_open", "nn", "kk").agg(
+        F.max("lt").alias("m")
+    )
+    p = (
+        logp.join(
+            F.broadcast(mx),
+            ["nation", "n_cust", "n_open", "nn", "kk"],
+        )
+        .groupBy("nation", "n_cust", "n_open", "nn", "kk", "m")
+        .agg(
+            (
+                F.col("m")
+                + F.log(F.sum(F.exp(F.col("lt") - F.col("m"))))
+            ).alias("lnp")
+        )
+    )
+    expected = F.col("n_cust") * F.col("kk") * 1.0 / F.col("nn")
+    return p.select(
+        "nation",
+        "n_cust",
+        "n_open",
+        F.round(expected, 4).alias("expected_open"),
+        F.round(F.col("n_open") / expected, 4).alias("fold_enrichment"),
+        (F.round(-F.col("lnp") / math.log(10), 2) + 0.0).alias(
+            "neg_log10_p_upper"
+        ),
+    ).orderBy("nation")
