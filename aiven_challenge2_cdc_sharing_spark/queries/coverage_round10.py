@@ -7653,3 +7653,294 @@ def stats_hypergeom_nation_enrichment(
             "neg_log10_p_upper"
         ),
     ).orderBy("nation")
+
+
+# ------------------------------------------------ k-means elbow
+
+
+def _elbow_block(k: int) -> str:
+    """One deterministic k-means replay (init = first k ids, 2 Lloyd
+    iterations — the sim_cosine_topk_ivf recipe verbatim) ending in a
+    per-k inertia row."""
+    return f"""
+c0_{k} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS cvec
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {k})
+),
+a1_{k} AS (
+  SELECT vec_id, e, cid AS cluster FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.cvec) DESC, c.cid)
+             AS rn
+    FROM vecs v CROSS JOIN c0_{k} c) WHERE rn = 1
+),
+c1_{k} AS (
+  SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cluster, t.i AS pos, avg(e[t.i]) AS m
+    FROM a1_{k}, range(1, 65) t(i)
+    GROUP BY cluster, t.i) GROUP BY cluster
+),
+a2_{k} AS (
+  SELECT vec_id, e, cid AS cluster FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.cvec) DESC, c.cid)
+             AS rn
+    FROM vecs v CROSS JOIN c1_{k} c) WHERE rn = 1
+),
+c2_{k} AS (
+  SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cluster, t.i AS pos, avg(e[t.i]) AS m
+    FROM a2_{k}, range(1, 65) t(i)
+    GROUP BY cluster, t.i) GROUP BY cluster
+),
+a3_{k} AS (
+  SELECT vec_id, e, cid AS cluster FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.cvec) DESC, c.cid)
+             AS rn
+    FROM vecs v CROSS JOIN c2_{k} c) WHERE rn = 1
+),
+row_{k} AS (
+  SELECT {k} AS k,
+         CAST(count(DISTINCT a.cluster) AS BIGINT) AS n_nonempty,
+         round(sum(pow(list_distance(a.e, c.cvec), 2)), 2) AS inertia
+  FROM a3_{k} a JOIN c2_{k} c ON c.cid = a.cluster
+)"""
+
+
+@register(
+    "ml_kmeans_elbow_inertia",
+    oracle=(
+        """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),"""
+        + ",".join(_elbow_block(k) for k in (4, 8, 16))
+        + """
+SELECT k, n_nonempty,
+       inertia,
+       round(inertia / (SELECT count(*) FROM vecs), 4)
+         AS inertia_per_vec
+FROM (SELECT * FROM row_4 UNION ALL SELECT * FROM row_8
+      UNION ALL SELECT * FROM row_16)
+ORDER BY k
+"""
+    ),
+    doc="k-means elbow diagnostic: within-cluster inertia (sum of "
+    "squared L2 distances to the final centroids) for k = 4, 8, "
+    "16 under the registry's deterministic k-means (init = first "
+    "k ids, 2 Lloyd iterations, cosine assignment — byte-for-"
+    "byte the sim_cosine_topk_ivf trainer, so the oracle replays "
+    "each build as unrolled assign/update CTEs).  The elbow "
+    "curve is how you CHOOSE n_lists for the IVF index and k for "
+    "SemDeDup — the marginal-inertia drop per doubling tells you "
+    "when extra centroids stop buying structure.  Each build "
+    "shuffles only (cluster, dim, partial-sum) triples, never "
+    "vectors; the three builds share one cached vector scan.  "
+    "Inertia rounded 2dp (sum order) — assignment near-ties are "
+    "the fixture-proven IVF parity class",
+)
+def ml_kmeans_elbow_inertia(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.similarity import _assign, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    parts = []
+    for k in (4, 8, 16):
+        cents = train_ivf_centroids(emb, n_lists=k, iters=2)
+        assigned = _assign(
+            emb.select(
+                F.col("embedding").cast("array<double>").alias("e")
+            ),
+            cents,
+            "e",
+            "__cluster",
+            n_lists=k,
+        )
+        d2 = F.expr(
+            "aggregate(zip_with(e, __cvec, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+        parts.append(
+            assigned.join(
+                F.broadcast(cents),
+                F.col("__cluster") == F.col("__cid"),
+            )
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.countDistinct("__cluster")
+                .cast("long")
+                .alias("n_nonempty"),
+                F.round(F.sum(d2), 2).alias("inertia"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionAll(b), parts)
+    return out.select(
+        "k",
+        "n_nonempty",
+        "inertia",
+        F.round(F.col("inertia") / n, 4).alias("inertia_per_vec"),
+    ).orderBy("k")
+
+
+# ------------------------------------------------ exactly-once effect
+
+
+@register(
+    "cdc_dedup_exactly_once_effect",
+    oracle="""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE c_custkey % 11 = 0) AS BIGINT)
+           AS n11,
+         CAST(count(*) FILTER (WHERE c_custkey % 3 = 0) AS BIGINT)
+           AS n3,
+         CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT)
+           AS n7
+  FROM customer
+)
+SELECT n + n11 + n3 + n7 AS n_delivered,
+       n + n3 + n7 AS n_unique_ops,
+       n11 AS n_replays,
+       round(n11 * 1.0 / (n + n11 + n3 + n7), 6) AS replay_share,
+       n - n7 AS snapshot_rows_idempotent,
+       n + n11 + n3 AS version_rows_naive_append,
+       n11 AS keys_double_applied
+FROM base
+""",
+    doc="at-least-once replay damage quantified (SURVEY T2): the "
+    "envelope log carries the generator's deterministic replay "
+    "duplicates (the consumer-rebalance double-delivery the "
+    "reference's auto-commit consumer produces, "
+    "consumer_to_opensearch.py:61), and this query contrasts the "
+    "three consumption disciplines — delivered messages, unique "
+    "operations after seq-dedup, and the final snapshot row "
+    "counts under idempotent MERGE vs naive append.  "
+    "keys_double_applied is the damage a NON-idempotent sink "
+    "(increment counters, append-only facts) silently absorbs — "
+    "the number that justifies cdc_merge_incremental's MERGE-by-"
+    "key design over the reference's per-event index calls.  "
+    "The engine side counts the real envelope log; the oracle "
+    "derives every number in closed form from the generator "
+    "rules — both must agree exactly",
+)
+def cdc_dedup_exactly_once_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..cdc import generate_envelope_log
+
+    log = generate_envelope_log(spark, sf_dir)
+    agg = log.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delivered"),
+        F.countDistinct("seq").cast("long").alias("n_unique_ops"),
+        (F.count(F.lit(1)) - F.countDistinct("seq"))
+        .cast("long")
+        .alias("n_replays"),
+        F.countDistinct(
+            F.when(F.col("op") != "d", F.col("after.id"))
+        )
+        .cast("long")
+        .alias("n_keys_upserted"),
+        F.countDistinct(
+            F.when(F.col("op") == "d", F.col("before.id"))
+        )
+        .cast("long")
+        .alias("n_keys_deleted"),
+    )
+    dup_keys = (
+        log.groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("keys_double_applied"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(dup_keys))
+        .select(
+            "n_delivered",
+            "n_unique_ops",
+            "n_replays",
+            F.round(
+                F.col("n_replays") * 1.0 / F.col("n_delivered"), 6
+            ).alias("replay_share"),
+            (F.col("n_keys_upserted") - F.col("n_keys_deleted"))
+            .cast("long")
+            .alias("snapshot_rows_idempotent"),
+            (F.col("n_delivered") - F.col("n_keys_deleted"))
+            .cast("long")
+            .alias("version_rows_naive_append"),
+            "keys_double_applied",
+        )
+    )
+
+
+# ------------------------------------------------ catalog profile
+
+_CATALOG_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "dq_catalog_profile",
+    oracle="UNION ALL".join(
+        f"""
+SELECT '{t}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {k}) AS BIGINT) AS n_distinct_key,
+       CASE WHEN count(DISTINCT {k}) = count(*) THEN 1 ELSE 0 END
+         AS key_unique_flag
+FROM {t}
+"""
+        for t, k in _CATALOG_TABLES
+    )
+    + "ORDER BY table_name",
+    doc="one-shot catalog profile across all 10 fixture tables "
+    "(SURVEY S8's DDL/catalog surface exercised as a query): row "
+    "count, declared-key distinct count and a key-uniqueness "
+    "flag per table — the first page of any data-quality "
+    "dashboard and the precondition audit for every MERGE/join "
+    "in the registry (a non-unique 'key' silently fans out "
+    "joins; lineitem's l_orderkey is EXPECTED non-unique, which "
+    "the flag shows as designed).  Each table contributes one "
+    "map-side aggregate; the ten scans are independent and "
+    "column-pruned to the key column only",
+)
+def dq_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    parts = []
+    for t, k in _CATALOG_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(k).cast("long").alias("n_distinct_key"),
+                F.when(
+                    F.countDistinct(k) == F.count(F.lit(1)), 1
+                )
+                .otherwise(0)
+                .alias("key_unique_flag"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
+        "table_name"
+    )
