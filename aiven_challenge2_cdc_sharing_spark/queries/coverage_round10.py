@@ -7030,8 +7030,10 @@ def search_query_likelihood_lm(
     ).filter(F.col("t") != "")
     dl = tokc.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("len")
-    )
-    corpus = tokc.agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    ).localCheckpoint(eager=False)
+    # corpus size from the per-doc lengths — never re-explode the
+    # token stream for a second full pass
+    corpus = dl.agg(F.sum("len").cast("long").alias("csize"))
     qt = tokc.filter(F.col("t").isin("join", "scan"))
     cf = qt.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("cfreq")
@@ -7944,3 +7946,291 @@ def dq_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts).orderBy(
         "table_name"
     )
+
+
+# ------------------------------------------------ SLO burn-rate alert
+
+
+@register(
+    "ops_slo_burn_rate_alert",
+    oracle="""
+WITH spine AS (
+  SELECT unnest(range(
+    (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) FROM events),
+    (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) FROM events)
+      + 1)) AS h
+),
+hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS e
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT s.h, coalesce(hourly.n, 0) AS n, coalesce(hourly.e, 0) AS e
+  FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+),
+burn AS (
+  SELECT h, n, e,
+         e * 100.0 / nullif(n, 0) AS burn_1h,
+         sum(e) OVER w6 * 100.0 / nullif(sum(n) OVER w6, 0) AS burn_6h
+  FROM grid
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hours,
+       round(max(burn_1h), 4) AS max_burn_1h,
+       round(max(burn_6h), 4) AS max_burn_6h,
+       CAST(count(*) FILTER (WHERE burn_1h > 14.4 AND burn_6h > 6)
+            AS BIGINT) AS n_fast_alerts,
+       CAST(count(*) FILTER (WHERE burn_6h > 6) AS BIGINT)
+         AS n_slow_breaches
+FROM burn
+""",
+    doc="SRE error-budget burn-rate alerting (the Google SRE "
+    "multiwindow-multiburn rule) over the events stream: with a "
+    "1% error SLO, the hourly burn rate is err%/1% and the "
+    "6-hour window smooths it; a FAST alert fires only when the "
+    "1h burn exceeds 14.4x AND the 6h burn exceeds 6x — the "
+    "two-window conjunction is the entire point (the 1h window "
+    "alone pages on blips, the 6h alone pages hours late).  The "
+    "hour spine keeps silent hours in the windows (an hour with "
+    "zero traffic must not break the 6h denominator).  This is "
+    "the operational-telemetry twin of dq_spc_p_chart: SPC "
+    "watches a process mean, burn rate watches budget "
+    "EXHAUSTION VELOCITY.  Hour-domain aggregate (<=720 rows at "
+    "any scale) + one bounded window",
+)
+def ops_slo_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = ev.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("e"),
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h_lo"), F.col("h_hi"))
+        ).alias("h")
+    )
+    grid = spine.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    burn = grid.select(
+        "h",
+        (F.col("e") * 100.0 / F.nullif(F.col("n"), F.lit(0))).alias(
+            "burn_1h"
+        ),
+        (
+            F.sum("e").over(w6)
+            * 100.0
+            / F.nullif(F.sum("n").over(w6), F.lit(0))
+        ).alias("burn_6h"),
+    )
+    return burn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.max("burn_1h"), 4).alias("max_burn_1h"),
+        F.round(F.max("burn_6h"), 4).alias("max_burn_6h"),
+        F.sum(
+            ((F.col("burn_1h") > 14.4) & (F.col("burn_6h") > 6)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_fast_alerts"),
+        F.sum((F.col("burn_6h") > 6).cast("int"))
+        .cast("long")
+        .alias("n_slow_breaches"),
+    )
+
+
+# ------------------------------------------------ backfill cutover
+
+
+@register(
+    "cdc_backfill_cutover_check",
+    oracle="""
+WITH mx AS (SELECT CAST(max(c_custkey) AS BIGINT) AS m FROM customer),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT)
+           AS n7,
+         CAST(count(*) FILTER (WHERE c_custkey % 7 = 0
+                AND c_custkey <= (SELECT m FROM mx) - 300)
+              AS BIGINT) AS n7_early
+  FROM customer
+)
+SELECT n - n7_early AS n_backfill,
+       n7 - n7_early AS n_tail_events,
+       n - n7 AS n_full,
+       n - n7 AS n_resumed,
+       CAST(0 AS BIGINT) AS n_diff,
+       1 AS cutover_ok
+FROM base
+""",
+    doc="backfill-then-stream cutover audit (the bootstrap pattern "
+    "every production CDC pipeline runs: initial snapshot load, "
+    "then the change stream applied from the cutover offset — "
+    "Debezium's snapshot.mode=initial + streaming phase): the "
+    "engine materializes the snapshot AS OF the derived cutover "
+    "(between the update wave and the late deletes), applies "
+    "only the post-cutover tail with apply_changes (the MERGE "
+    "from cdc_merge_incremental), and verifies the resumed state "
+    "is ROW-FOR-ROW identical to a full-log replay — n_diff is a "
+    "real symmetric-difference count, not an assumption.  "
+    "Catches the classic cutover bugs: events lost in the "
+    "boundary gap, double-applied overlap, deletes before the "
+    "snapshot leaking back in.  The oracle derives every count "
+    "in closed form from the generator rules.  Two snapshot "
+    "builds + one MERGE + one anti-join — all keyed shuffles",
+)
+def cdc_backfill_cutover_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..cdc import generate_envelope_log
+    from ..cdc.algebra import unwrap
+    from ..cdc.materialize import apply_changes, latest_snapshot
+
+    base_ms = 1_704_067_200_000
+    events = unwrap(generate_envelope_log(spark, sf_dir))
+    thr = events.agg(
+        (F.max("id").cast("long") * 1000 + base_ms + 600_000).alias(
+            "__thr"
+        )
+    )
+    ev = events.crossJoin(F.broadcast(thr)).localCheckpoint(eager=False)
+    backfill = latest_snapshot(
+        ev.filter(F.col("ts_ms") <= F.col("__thr")).drop("__thr")
+    )
+    tail = ev.filter(F.col("ts_ms") > F.col("__thr")).drop("__thr")
+    resumed = apply_changes(backfill, tail).select(
+        "id", "phone", "classification"
+    )
+    full = latest_snapshot(ev.drop("__thr")).select(
+        "id", "phone", "classification"
+    )
+    n_backfill = backfill.count()
+    n_tail = tail.count()
+    n_full = full.count()
+    n_resumed = resumed.count()
+    n_diff = (
+        full.exceptAll(resumed).count()
+        + resumed.exceptAll(full).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_backfill,
+                n_tail,
+                n_full,
+                n_resumed,
+                n_diff,
+                1 if n_diff == 0 else 0,
+            )
+        ],
+        "n_backfill long, n_tail_events long, n_full long, "
+        "n_resumed long, n_diff long, cutover_ok int",
+    )
+
+
+# ------------------------------------------------ negative binomial fit
+
+
+@register(
+    "stats_negbin_fit_daily",
+    oracle="""
+WITH spine AS (
+  SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                  // 86400 AS d
+  FROM events
+),
+cnt AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+           AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, s.d, coalesce(cnt.c, 0) AS c
+  FROM spine s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = s.d
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS total, sum(c * c) AS s2
+  FROM grid GROUP BY 1
+),
+mv AS (
+  SELECT event_type, n_days, total,
+         total * 1.0 / n_days AS mu,
+         (s2 - total * 1.0 * total / n_days) / (n_days - 1) AS v
+  FROM m
+)
+SELECT event_type, n_days,
+       round(mu, 4) AS mean_per_day,
+       round(v, 4) AS var_per_day,
+       CASE WHEN v > mu
+            THEN round(mu * mu / (v - mu), 4) ELSE NULL END AS nb_r,
+       CASE WHEN v > mu
+            THEN round(mu / v, 6) ELSE NULL END AS nb_p,
+       CASE WHEN v > mu THEN 0 ELSE 1 END AS poisson_adequate_flag
+FROM mv ORDER BY event_type
+""",
+    doc="negative-binomial fit of daily event counts by the method "
+    "of moments: r = mu^2/(v - mu), p = mu/v — the distribution "
+    "you move to when stats_poisson_dispersion rejects (this "
+    "query is its constructive sequel: the dispersion test says "
+    "'not Poisson', this says what IS a defensible arrival "
+    "model, which feeds capacity planning and anomaly "
+    "thresholds that don't over-page on bursty types).  Types "
+    "whose variance does not exceed the mean keep NULL NB "
+    "parameters and flag Poisson-adequate — the moment estimator "
+    "is undefined there by construction, stated rather than "
+    "silently clamped.  Same zero-kept day spine as the "
+    "dispersion test; exact integer sums, 5-row algebra",
+)
+def stats_negbin_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+    spine = ev.select(day.alias("d")).distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n_days")
+    mu = F.col("total") * 1.0 / nd
+    v = (F.col("s2") - F.col("total") * 1.0 * F.col("total") / nd) / (
+        nd - 1
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mu, 4).alias("mean_per_day"),
+        F.round(v, 4).alias("var_per_day"),
+        F.when(v > mu, F.round(mu * mu / (v - mu), 4)).alias("nb_r"),
+        F.when(v > mu, F.round(mu / v, 6)).alias("nb_p"),
+        F.when(v > mu, 0).otherwise(1).alias("poisson_adequate_flag"),
+    ).orderBy("event_type")

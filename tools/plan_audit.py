@@ -166,6 +166,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "aggregate",
     "ml_uplift_qini_curve": "cumulative scan over the count-of-counts "
     "histogram (ops_partition_skew_planner domain)",
+    "ops_slo_burn_rate_alert": "rolling 6h window over the <=720-row "
+    "hour spine (calendar-bounded)",
 }
 
 
@@ -640,6 +642,63 @@ ALLOWED_EXCHANGES = {
     # over the 65536-bit domain + the probe joins; every exchange
     # carries bit positions or single-row counters.
     "sketch_bloom_fpr": 15,
+    # round-10 late batches: closed-form pipelines whose exchanges
+    # all move bounded-domain aggregate tables (reasons per query):
+    # dq_spc_xmr_individuals: daily aggregate + limits + two breach
+    # scans, each over <=31 rows.
+    "dq_spc_xmr_individuals": 9,
+    # graph_burt_constraint: the 4-table N-join runs once
+    # (localCheckpoint); row-normalize / 2-path / square-sum stages
+    # all shuffle <=625-cell nation-matrix tables.
+    "graph_burt_constraint": 22,
+    # text_burrows_delta: token counts checkpointed; grid/z/pair
+    # stages move sources x 20-token tables.
+    "text_burrows_delta": 23,
+    # stats_hypergeom_nation_enrichment: one customer groupBy, then
+    # nation-domain range-explode and log-sum-exp joins (25-row keys).
+    "stats_hypergeom_nation_enrichment": 19,
+    # search_query_likelihood_lm: posting build (dl checkpointed,
+    # corpus derived from it), candidate grid bounded by query-term
+    # document frequency.
+    "search_query_likelihood_lm": 15,
+    # stats_concordance_cindex: one subject groupBy; suffix/prefix
+    # windows and aggregates over the <=8000-cell duration x band
+    # grid.
+    "stats_concordance_cindex": 14,
+    # ml_kmeans_elbow_inertia: three deterministic k-means builds
+    # (k=4/8/16, 2 Lloyd passes each) — exchanges carry
+    # (cluster, dim, partial-sum) triples and k-row centroid tables.
+    "ml_kmeans_elbow_inertia": 40,
+    # mm_phash_hamming_pairs: decode pass + banded self-join +
+    # distinct + histogram, each exchange carries 4x16-bit hashes.
+    "mm_phash_hamming_pairs": 12,
+    # dq_catalog_profile: ten independent per-table aggregates
+    # unioned — one 2-phase aggregate exchange pair per table.
+    "dq_catalog_profile": 22,
+    # ml_counterfactual_ips_eval / ml_uplift_qini_curve: per-user
+    # aggregate + median/histogram + single-row combines.
+    "ml_counterfactual_ips_eval": 9,
+    "ml_uplift_qini_curve": 9,
+    # surv_logrank_segments / stats_wilcoxon_signed_rank already
+    # covered; ts_arch_lm_lag1 / win_max_subarray_kadane: day-domain
+    # aggregate then scalar combines.
+    "ts_arch_lm_lag1": 9,
+    "win_max_subarray_kadane": 9,
+    # cdc_dedup_exactly_once_effect: envelope-log aggregates (seq
+    # histogram + distinct counters) and single-row combines.
+    "cdc_dedup_exactly_once_effect": 10,
+    # stats_rayleigh_hour_uniformity / privacy / tail-dependence /
+    # procrustes / ERR: single-aggregate or broadcast-combine shapes
+    # that can exceed 7 only via AQE reads.
+    "stats_rayleigh_hour_uniformity": 8,
+    # ops_slo_burn_rate_alert / stats_negbin_fit_daily: hour/day
+    # spine + aggregate + bounded window; cdc_backfill_cutover_check:
+    # two snapshot builds + MERGE + symmetric-difference anti-joins,
+    # each over the checkpointed unwrapped log.
+    "ops_slo_burn_rate_alert": 9,
+    "stats_negbin_fit_daily": 9,
+    "cdc_backfill_cutover_check": 25,
+    "search_err_cascade": 12,
 }
 
 
