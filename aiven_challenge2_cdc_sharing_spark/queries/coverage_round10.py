@@ -8234,3 +8234,336 @@ def stats_negbin_fit_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v > mu, F.round(mu / v, 6)).alias("nb_p"),
         F.when(v > mu, 0).otherwise(1).alias("poisson_adequate_flag"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------ interrupted time series
+
+
+@register(
+    "ts_interrupted_series_effect",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(CAST(o_orderdate AS DATE))) AS BIGINT)
+           // 86400 AS d,
+         round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               / 100.0, 2) AS y
+  FROM orders GROUP BY 1
+),
+bp AS (
+  SELECT (min(d) + max(d)) // 2 AS tb, min(d) AS d0 FROM daily
+),
+seg AS (
+  SELECT CAST(d - (SELECT d0 FROM bp) AS DOUBLE) AS t, y,
+         CASE WHEN d >= (SELECT tb FROM bp) THEN 1 ELSE 0 END AS post
+  FROM daily
+),
+fits AS (
+  SELECT post, CAST(count(*) AS BIGINT) AS n,
+         round(sum(t), 6) AS st, round(sum(y), 6) AS sy,
+         round(sum(t * t), 6) AS stt, round(sum(y * y), 6) AS syy,
+         round(sum(t * y), 6) AS sty
+  FROM seg GROUP BY 1
+),
+coefs AS (
+  SELECT post, n,
+         (n * sty - st * sy) / (n * stt - st * st) AS b,
+         (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+           AS a,
+         pow(n * sty - st * sy, 2)
+           / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2
+  FROM fits
+),
+wide AS (
+  SELECT
+    (SELECT tb - d0 FROM bp) AS tb,
+    max(CASE WHEN post = 0 THEN a END) AS a0,
+    max(CASE WHEN post = 0 THEN b END) AS b0,
+    max(CASE WHEN post = 0 THEN r2 END) AS r20,
+    max(CASE WHEN post = 1 THEN a END) AS a1,
+    max(CASE WHEN post = 1 THEN b END) AS b1,
+    max(CASE WHEN post = 1 THEN r2 END) AS r21
+  FROM coefs
+)
+SELECT CAST(tb AS BIGINT) AS break_day_index,
+       round(b0, 4) AS slope_pre,
+       round(b1, 4) AS slope_post,
+       round(b1 - b0, 4) AS slope_change,
+       round((a1 + b1 * tb) - (a0 + b0 * tb), 2) AS level_jump,
+       round(r20, 4) AS r2_pre,
+       round(r21, 4) AS r2_post
+FROM wide
+""",
+    doc="interrupted time-series (segmented regression) effect "
+    "estimate on daily order revenue around the derived midpoint "
+    "break: separate OLS lines fit to the pre and post segments "
+    "in closed form, reporting the slope change and the level "
+    "jump evaluated AT the breakpoint — the quasi-experimental "
+    "workhorse for 'did the launch/policy change the trajectory' "
+    "when no control group exists (ts_changepoint_binary_seg "
+    "FINDS a break; this quantifies its effect with a "
+    "counterfactual trend).  Daily revenue is exact integer "
+    "cents before the single 2dp division; per-segment power "
+    "sums 6dp-rounded per the partial-sum discipline; everything "
+    "after the day-grain aggregate is a 2-row closed form",
+)
+def ts_interrupted_series_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.floor(
+        F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp"))
+        / 86400
+    ).cast("long")
+    daily = orders.groupBy(d.alias("d")).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("y")
+    )
+    bp = daily.agg(
+        F.floor((F.min("d") + F.max("d")) / 2).cast("long").alias("tb"),
+        F.min("d").alias("d0"),
+    )
+    seg = daily.crossJoin(F.broadcast(bp)).select(
+        (F.col("d") - F.col("d0")).cast("double").alias("t"),
+        "y",
+        F.when(F.col("d") >= F.col("tb"), 1).otherwise(0).alias("post"),
+        (F.col("tb") - F.col("d0")).alias("tbr"),
+    )
+    fits = seg.groupBy("post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("t"), 6).alias("st"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("t") * F.col("t")), 6).alias("stt"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+        F.round(F.sum(F.col("t") * F.col("y")), 6).alias("sty"),
+        F.max("tbr").alias("tbr"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sty") - F.col("st") * F.col("sy")) / (
+        n * F.col("stt") - F.col("st") * F.col("st")
+    )
+    a = (F.col("sy") - b * F.col("st")) / n
+    r2 = F.pow(n * F.col("sty") - F.col("st") * F.col("sy"), 2) / (
+        (n * F.col("stt") - F.col("st") * F.col("st"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    coefs = fits.select(
+        "post", "tbr", b.alias("b"), a.alias("a"), r2.alias("r2")
+    )
+    wide = coefs.agg(
+        F.max("tbr").alias("tb"),
+        F.max(F.when(F.col("post") == 0, F.col("a"))).alias("a0"),
+        F.max(F.when(F.col("post") == 0, F.col("b"))).alias("b0"),
+        F.max(F.when(F.col("post") == 0, F.col("r2"))).alias("r20"),
+        F.max(F.when(F.col("post") == 1, F.col("a"))).alias("a1"),
+        F.max(F.when(F.col("post") == 1, F.col("b"))).alias("b1"),
+        F.max(F.when(F.col("post") == 1, F.col("r2"))).alias("r21"),
+    )
+    return wide.select(
+        F.col("tb").cast("long").alias("break_day_index"),
+        F.round(F.col("b0"), 4).alias("slope_pre"),
+        F.round(F.col("b1"), 4).alias("slope_post"),
+        F.round(F.col("b1") - F.col("b0"), 4).alias("slope_change"),
+        F.round(
+            (F.col("a1") + F.col("b1") * F.col("tb"))
+            - (F.col("a0") + F.col("b0") * F.col("tb")),
+            2,
+        ).alias("level_jump"),
+        F.round(F.col("r20"), 4).alias("r2_pre"),
+        F.round(F.col("r21"), 4).alias("r2_post"),
+    )
+
+
+# ------------------------------------------------ Markov stationary mix
+
+_MARKOV_ITERS = 8
+
+
+def _markov_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return (
+        f"v{k} AS (SELECT p.nxt AS s, sum(v.pm * p.pr) AS pm "
+        f"FROM {prev} v JOIN pmat p ON p.prv = v.s GROUP BY 1)"
+    )
+
+
+@register(
+    "dash_markov_stationary_mix",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT event_type AS prv, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+pmat AS (
+  SELECT prv, nxt, c * 1.0 / sum(c) OVER (PARTITION BY prv) AS pr
+  FROM trans
+),
+types AS (SELECT DISTINCT event_type AS s FROM events),
+v0 AS (
+  SELECT s, 1.0 / (SELECT count(*) FROM types) AS pm FROM types
+),
+{",".join(_markov_iter_sql(k) for k in range(1, _MARKOV_ITERS + 1))},
+vsum AS (SELECT sum(pm) AS z FROM v{_MARKOV_ITERS}),
+emp AS (
+  SELECT event_type AS s, count(*) * 1.0
+           / (SELECT count(*) FROM events) AS share
+  FROM events GROUP BY 1
+)
+SELECT v.s AS event_type,
+       round(v.pm / (SELECT z FROM vsum), 6) AS stationary_share,
+       round(emp.share, 6) AS empirical_share,
+       round(v.pm / (SELECT z FROM vsum) - emp.share, 6) AS delta
+FROM v{_MARKOV_ITERS} v JOIN emp ON emp.s = v.s
+ORDER BY event_type
+""",
+    doc="stationary distribution of the user-journey Markov chain by "
+    "{it} unrolled power-iteration steps from the uniform start: "
+    "where user sessions SETTLE if the observed transition "
+    "dynamics run forever, versus the raw empirical event mix — "
+    "a gap between the two (delta) means the current traffic "
+    "mix is transient (e.g. acquisition-driven signups that the "
+    "chain says decay into views/purchases).  The generative "
+    "sequel to dash_event_transitions (the raw matrix) and "
+    "dash_top_event_paths (sampled trajectories); "
+    "funnel_markov_removal_effect uses the same chain for "
+    "attribution.  Everything after the per-user lead window is "
+    "5x5 matrix algebra unrolled into {it} tiny joins — the "
+    "iteration count is fixed, so both engines run the identical "
+    "computation graph.  Final vector re-normalized to absorb "
+    "drift".format(it=_MARKOV_ITERS),
+)
+def dash_markov_stationary_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    trans = (
+        ordered.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("prv"), "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wp = Window.partitionBy("prv")
+    pmat = trans.select(
+        "prv",
+        "nxt",
+        (F.col("c") * 1.0 / F.sum("c").over(wp)).alias("pr"),
+    )
+    # the 5x5 transition matrix is a driver-scale model artifact
+    # (bounded by the event-type domain, the k-centroid collect
+    # class) — power-iterate it in plain Python, matching the
+    # oracle's unrolled joins term for term
+    rows = pmat.collect()
+    states = sorted({r["prv"] for r in rows} | {r["nxt"] for r in rows})
+    pr = {(r["prv"], r["nxt"]): r["pr"] for r in rows}
+    v = {st: 1.0 / len(states) for st in states}
+    for _ in range(_MARKOV_ITERS):
+        nv = {st: 0.0 for st in states}
+        for i in states:
+            for j in states:
+                nv[j] += v[i] * pr.get((i, j), 0.0)
+        v = nv
+    z = sum(v.values())
+    station = spark.createDataFrame(
+        [(st, v[st] / z) for st in states], "s string, pm double"
+    )
+    tot = ev.count()
+    emp = ev.groupBy(F.col("event_type").alias("s")).agg(
+        (F.count(F.lit(1)) * 1.0 / tot).alias("share")
+    )
+    return (
+        station.join(emp, "s")
+        .select(
+            F.col("s").alias("event_type"),
+            F.round(F.col("pm"), 6).alias("stationary_share"),
+            F.round(F.col("share"), 6).alias("empirical_share"),
+            F.round(F.col("pm") - F.col("share"), 6).alias("delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------ schema-merge evolution
+
+
+@register(
+    "src_schema_merge_evolution",
+    oracle="""
+WITH half AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+           AS n_even
+  FROM orders
+)
+SELECT n AS n_rows_merged,
+       n_even AS n_with_priority,
+       n - n_even AS n_null_priority,
+       round((n - n_even) * 1.0 / n, 6) AS null_share_evolved_col
+FROM half
+""",
+    doc="schema evolution at the SOURCE level (SURVEY S9 + the "
+    "schema-on-read stance of 1.5): two parquet generations are "
+    "written side by side — generation 1 (odd orderkeys) without "
+    "the o_orderpriority column, generation 2 (even) with it — "
+    "and a single mergeSchema read unifies them, null-filling "
+    "the evolved column for old files.  This is the file-level "
+    "complement to cdc_schema_evolution_merge (which evolves the "
+    "CHANGE STREAM): real lakes accrete columns over years of "
+    "writers, and the reader must reconcile without rewriting "
+    "history.  The oracle recomputes the expected merged counts "
+    "and null share from the source.  Each generation write is "
+    "a column-pruned pass; the merged read unions file groups "
+    "with per-file schema adaptation",
+)
+def src_schema_merge_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_evo_demo_{tag}"
+    (
+        orders.filter(F.col("o_orderkey") % 2 != 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{path}/gen=1")
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_merged"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_priority"),
+        F.sum(F.col("o_orderpriority").isNull().cast("int"))
+        .cast("long")
+        .alias("n_null_priority"),
+        F.round(
+            F.sum(F.col("o_orderpriority").isNull().cast("int"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_share_evolved_col"),
+    )
