@@ -8567,3 +8567,347 @@ def src_schema_merge_evolution(
             6,
         ).alias("null_share_evolved_col"),
     )
+
+
+# ------------------------------------------------ propensity stratification
+
+
+@register(
+    "ml_propensity_strat_att",
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+  FROM events GROUP BY 1
+),
+strat AS (
+  SELECT least(4, CAST(n_ev // 10 AS BIGINT)) AS stratum, r,
+         CAST(concat('0x', substr(md5('ips:' || user_id), 1, 15))
+              AS BIGINT) % 2 AS t
+  FROM per
+),
+cells AS (
+  SELECT stratum,
+         CAST(sum(t) AS BIGINT) AS nt,
+         CAST(sum(1 - t) AS BIGINT) AS nc,
+         CAST(sum(t * r) AS BIGINT) AS rt,
+         CAST(sum((1 - t) * r) AS BIGINT) AS rc
+  FROM strat GROUP BY 1
+),
+valid AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t_all FROM valid)
+SELECT CAST((SELECT count(*) FROM valid) AS BIGINT) AS n_strata,
+       (SELECT t_all FROM tot) AS n_treated_matched,
+       round(sum((rt * 1.0 / nt - rc * 1.0 / nc)
+                 * nt / (SELECT t_all FROM tot)), 6) AS att_stratified,
+       round(sum(rt) * 1.0 / sum(nt)
+             - sum(rc) * 1.0 / sum(nc), 6) AS naive_diff,
+       round(sum((rt * 1.0 / nt - rc * 1.0 / nc)
+                 * nt / (SELECT t_all FROM tot))
+             - (sum(rt) * 1.0 / sum(nt)
+                - sum(rc) * 1.0 / sum(nc)), 6) AS confounding_bias
+FROM valid
+""",
+    doc="propensity-score stratification estimate of the average "
+    "treatment effect on the treated (ATT): users stratified by "
+    "the confounder proxy (activity deciles of 10 events, capped "
+    "at stratum 4), within-stratum treated-minus-control "
+    "conversion differences weighted by the stratum's treated "
+    "mass — the classic Cochran/Rosenbaum-Rubin design that "
+    "removes confounding a naive treated-vs-control difference "
+    "absorbs (reported side by side as confounding_bias; under "
+    "the md5-randomized arm the two converge, and the gap is "
+    "the finite-sample imbalance a REAL observational study "
+    "would mistake for effect).  Completes the causal panel: "
+    "ab_cuped_adjustment (variance reduction), "
+    "ml_counterfactual_ips_eval (weighting), this "
+    "(stratification), ml_uplift_qini_curve (heterogeneity).  "
+    "Strata with an empty arm are dropped per the estimator's "
+    "common-support requirement.  One groupBy(user), 5-row "
+    "algebra, exact counts",
+)
+def ml_propensity_strat_att(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("r"),
+    )
+    strat = per.select(
+        F.least(
+            F.lit(4), F.floor(F.col("n_ev") / 10).cast("long")
+        ).alias("stratum"),
+        "r",
+        _md5_mod("ips:", F.col("user_id"), 2).alias("t"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.col("t") * F.col("r")).cast("long").alias("rt"),
+        F.sum((1 - F.col("t")) * F.col("r")).cast("long").alias("rc"),
+    )
+    valid = cells.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    tot = valid.agg(F.sum("nt").cast("long").alias("t_all"))
+    j = valid.crossJoin(F.broadcast(tot))
+    strat_term = (
+        F.col("rt") * 1.0 / F.col("nt")
+        - F.col("rc") * 1.0 / F.col("nc")
+    ) * F.col("nt") / F.col("t_all")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.max("t_all").alias("n_treated_matched"),
+        F.round(F.sum(strat_term), 6).alias("att_stratified"),
+        F.round(
+            F.sum("rt") * 1.0 / F.sum("nt")
+            - F.sum("rc") * 1.0 / F.sum("nc"),
+            6,
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(strat_term)
+            - (
+                F.sum("rt") * 1.0 / F.sum("nt")
+                - F.sum("rc") * 1.0 / F.sum("nc")
+            ),
+            6,
+        ).alias("confounding_bias"),
+    )
+    return agg
+
+
+# ------------------------------------------------ leaderboard churn
+
+
+@register(
+    "dash_topk_rank_churn",
+    oracle="""
+WITH months AS (
+  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+),
+last2 AS (
+  SELECT max(m) AS m1, max(m) - 1 AS m0 FROM months
+),
+rev AS (
+  SELECT l.l_partkey AS pk,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) * 12 + month(o.o_orderdate)
+        IN (SELECT m0 FROM last2 UNION ALL SELECT m1 FROM last2)
+  GROUP BY 1, 2
+),
+top0 AS (
+  SELECT pk, row_number() OVER (ORDER BY cents DESC, pk) AS rk
+  FROM rev WHERE m = (SELECT m0 FROM last2)
+  QUALIFY row_number() OVER (ORDER BY cents DESC, pk) <= 20
+),
+top1 AS (
+  SELECT pk, row_number() OVER (ORDER BY cents DESC, pk) AS rk
+  FROM rev WHERE m = (SELECT m1 FROM last2)
+  QUALIFY row_number() OVER (ORDER BY cents DESC, pk) <= 20
+),
+ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(abs(top0.rk - top1.rk)) AS BIGINT) AS footrule
+  FROM top0 JOIN top1 ON top1.pk = top0.pk
+)
+SELECT n_common,
+       round(n_common / (40.0 - n_common), 6) AS jaccard_top20,
+       footrule AS footrule_common,
+       CAST(20 - n_common AS BIGINT) AS n_new_entrants
+FROM ov
+""",
+    doc="leaderboard rank churn between the two most recent order "
+    "months: overlap (Jaccard), Spearman-footrule displacement "
+    "among survivors, and new-entrant count for the top-20 "
+    "revenue parts — the ranking-STABILITY telemetry behind any "
+    "'top products' dashboard (a leaderboard that churns 50% "
+    "per month is noise being presented as signal; one that "
+    "never churns is stale).  Complements "
+    "dash_week_over_week_movers (value deltas) with ranked-list "
+    "set/order metrics, the same instruments search_ndcg_at_10 "
+    "applies to retrieval.  Month revenue is exact integer "
+    "cents; both top-20s are TakeOrdered with (cents desc, "
+    "partkey) total tiebreaks; everything after is a 20x20 "
+    "join.  The month filter prunes the fact scan before the "
+    "join at any scale",
+)
+def dash_topk_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    last2 = orders.agg(
+        F.max(m).alias("m1"), (F.max(m) - 1).alias("m0")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(last2))
+        .filter((m == F.col("m0")) | (m == F.col("m1")))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            m.alias("m"),
+            "m0",
+            "m1",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(mcol, rk_name):
+        w = Window.orderBy(F.desc("cents"), "pk")
+        return (
+            rev.filter(F.col("m") == F.col(mcol))
+            .orderBy(F.desc("cents"), "pk")
+            .limit(20)
+            .withColumn(rk_name, F.row_number().over(w))
+            .select(F.col("pk").alias(f"pk_{rk_name}"), rk_name)
+        )
+
+    top0 = topk("m0", "rk0")
+    top1 = topk("m1", "rk1")
+    ov = top0.join(
+        F.broadcast(top1), F.col("pk_rk0") == F.col("pk_rk1")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.abs(F.col("rk0") - F.col("rk1")))
+        .cast("long")
+        .alias("footrule"),
+    )
+    return ov.select(
+        "n_common",
+        F.round(
+            F.col("n_common") / (40.0 - F.col("n_common")), 6
+        ).alias("jaccard_top20"),
+        F.col("footrule").alias("footrule_common"),
+        (20 - F.col("n_common")).cast("long").alias("n_new_entrants"),
+    )
+
+
+# ------------------------------------------------ friendship paradox
+
+
+@register(
+    "graph_friendship_paradox",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+nbr AS (
+  SELECT e.node, deg.d AS nd FROM (
+    SELECT u AS node, v AS other FROM pairs
+    UNION ALL SELECT v, u FROM pairs) e
+  JOIN deg ON deg.node = e.other
+),
+pernode AS (
+  SELECT nbr.node, avg(nbr.nd) AS mean_nbr_deg
+  FROM nbr GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         round(avg(deg.d), 6) AS mean_deg,
+         round(avg(p.mean_nbr_deg), 6) AS mean_mean_nbr_deg,
+         CAST(sum(CASE WHEN p.mean_nbr_deg > deg.d THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_paradox
+  FROM deg JOIN pernode p ON p.node = deg.node
+)
+SELECT n_nodes, mean_deg, mean_mean_nbr_deg,
+       round(mean_mean_nbr_deg / mean_deg, 4) AS paradox_ratio,
+       n_paradox,
+       round(n_paradox * 1.0 / n_nodes, 4) AS paradox_share
+FROM agg
+""",
+    doc="the friendship paradox on the nation trade graph: the mean "
+    "over nodes of their neighbors' average degree versus the "
+    "plain mean degree, and the share of nodes whose trading "
+    "partners are better-connected than themselves (Feld's "
+    "result guarantees ratio >= 1 with equality only for "
+    "degree-regular graphs).  Not a curiosity: the ratio is "
+    "exactly the bias a NEIGHBOR-sampled survey/crawl inherits "
+    "(sampling via edges over-represents hubs — the "
+    "degree-weighted sampling correction every network crawler "
+    "needs), and var(deg)/mean(deg) = mean_deg*(ratio-1) "
+    "recovers the degree variance.  Edge construction shared "
+    "with graph_clustering_coefficient; one edge->degree join "
+    "plus two nation-domain aggregates",
+)
+def graph_friendship_paradox(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("u").alias("node"), F.col("v").alias("other")
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("node"), F.col("u").alias("other")
+        )
+    )
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    nbr = sym.join(
+        deg.select(
+            F.col("node").alias("other"), F.col("d").alias("nd")
+        ),
+        "other",
+    )
+    pernode = nbr.groupBy("node").agg(
+        F.avg("nd").alias("mean_nbr_deg")
+    )
+    agg = deg.join(pernode, "node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.round(F.avg("d"), 6).alias("mean_deg"),
+        F.round(F.avg("mean_nbr_deg"), 6).alias("mean_mean_nbr_deg"),
+        F.sum(
+            (F.col("mean_nbr_deg") > F.col("d")).cast("int")
+        )
+        .cast("long")
+        .alias("n_paradox"),
+    )
+    return agg.select(
+        "n_nodes",
+        "mean_deg",
+        "mean_mean_nbr_deg",
+        F.round(
+            F.col("mean_mean_nbr_deg") / F.col("mean_deg"), 4
+        ).alias("paradox_ratio"),
+        "n_paradox",
+        F.round(F.col("n_paradox") * 1.0 / F.col("n_nodes"), 4).alias(
+            "paradox_share"
+        ),
+    )
