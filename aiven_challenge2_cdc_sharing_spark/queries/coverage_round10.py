@@ -8911,3 +8911,447 @@ def graph_friendship_paradox(
             "paradox_share"
         ),
     )
+
+
+# ------------------------------------------------ price-volume-mix
+
+
+@register(
+    "dash_price_volume_mix_decomp",
+    oracle="""
+WITH last2 AS (
+  SELECT max(year(o_orderdate) * 12 + month(o_orderdate)) AS m1,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) - 1 AS m0
+  FROM orders
+),
+pq AS (
+  SELECT l.l_partkey AS pk,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS q,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) * 12 + month(o.o_orderdate)
+        IN (SELECT m0 FROM last2 UNION ALL SELECT m1 FROM last2)
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT pk,
+         max(CASE WHEN m = (SELECT m0 FROM last2) THEN q END) AS q0,
+         max(CASE WHEN m = (SELECT m0 FROM last2) THEN cents END)
+           AS c0,
+         max(CASE WHEN m = (SELECT m1 FROM last2) THEN q END) AS q1,
+         max(CASE WHEN m = (SELECT m1 FROM last2) THEN cents END)
+           AS c1
+  FROM pq GROUP BY 1
+),
+effects AS (
+  SELECT
+    sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+         THEN (c1 * 1.0 / q1 - c0 * 1.0 / q0) * q0 ELSE 0 END)
+      AS price_eff,
+    sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+         THEN (c0 * 1.0 / q0) * (q1 - q0) ELSE 0 END) AS volume_eff,
+    sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+         THEN (c1 * 1.0 / q1 - c0 * 1.0 / q0) * (q1 - q0)
+         ELSE 0 END) AS mix_eff,
+    CAST(sum(CASE WHEN q0 IS NULL THEN c1 ELSE 0 END) AS BIGINT)
+      AS new_cents,
+    CAST(sum(CASE WHEN q1 IS NULL THEN c0 ELSE 0 END) AS BIGINT)
+      AS lost_cents,
+    CAST(sum(coalesce(c1, 0)) - sum(coalesce(c0, 0)) AS BIGINT)
+      AS total_delta_cents
+  FROM wide
+)
+SELECT round(total_delta_cents / 100.0, 2) + 0.0 AS total_delta,
+       round(price_eff / 100.0, 2) + 0.0 AS price_effect,
+       round(volume_eff / 100.0, 2) + 0.0 AS volume_effect,
+       round(mix_eff / 100.0, 2) + 0.0 AS mix_effect,
+       round(new_cents / 100.0, 2) + 0.0 AS new_items_effect,
+       round(-lost_cents / 100.0, 2) + 0.0 AS lost_items_effect,
+       round((price_eff + volume_eff + mix_eff + new_cents
+              - lost_cents - total_delta_cents) / 100.0, 2) + 0.0
+         AS reconciliation_residual
+FROM effects
+""",
+    doc="price-volume-mix decomposition of month-over-month revenue "
+    "change at part granularity (the FP&A bridge behind every "
+    "'why did revenue move' review): for continuing parts the "
+    "delta splits EXACTLY into price effect (dP*Q0), volume "
+    "effect (P0*dQ) and mix/cross term (dP*dQ), plus new-item "
+    "and discontinued-item contributions — reconciliation_"
+    "residual is computed, not assumed, and must be 0.00, which "
+    "makes the query self-auditing (dash_mom_revenue_waterfall "
+    "shows THAT revenue moved; this shows WHY).  Unit price is "
+    "derived as exact-cents revenue over integer quantity per "
+    "(part, month); the month IN-filter prunes the fact scan "
+    "and the pivot is one groupBy(part) wide aggregate",
+)
+def dash_price_volume_mix_decomp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    last2 = orders.agg(
+        F.max(m).alias("m1"), (F.max(m) - 1).alias("m0")
+    )
+    pq = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(last2))
+        .filter((m == F.col("m0")) | (m == F.col("m1")))
+        .groupBy(F.col("l_partkey").alias("pk"), "m0", "m1")
+        .agg(
+            F.sum(
+                F.when(
+                    m == F.col("m0"),
+                    F.round("l_quantity", 0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("q0"),
+            F.sum(
+                F.when(
+                    m == F.col("m0"),
+                    F.round(F.col("l_extendedprice") * 100, 0).cast(
+                        "long"
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("c0"),
+            F.sum(
+                F.when(
+                    m == F.col("m1"),
+                    F.round("l_quantity", 0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("q1"),
+            F.sum(
+                F.when(
+                    m == F.col("m1"),
+                    F.round(F.col("l_extendedprice") * 100, 0).cast(
+                        "long"
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    cont = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    p0 = F.col("c0") * 1.0 / F.col("q0")
+    p1 = F.col("c1") * 1.0 / F.col("q1")
+    eff = pq.agg(
+        F.sum(F.when(cont, (p1 - p0) * F.col("q0")).otherwise(0)).alias(
+            "price_eff"
+        ),
+        F.sum(
+            F.when(cont, p0 * (F.col("q1") - F.col("q0"))).otherwise(0)
+        ).alias("volume_eff"),
+        F.sum(
+            F.when(
+                cont, (p1 - p0) * (F.col("q1") - F.col("q0"))
+            ).otherwise(0)
+        ).alias("mix_eff"),
+        F.sum(
+            F.when(F.col("q0").isNull(), F.col("c1")).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(
+            F.when(F.col("q1").isNull(), F.col("c0")).otherwise(0)
+        )
+        .cast("long")
+        .alias("lost_cents"),
+        (
+            F.sum(F.coalesce("c1", F.lit(0)))
+            - F.sum(F.coalesce("c0", F.lit(0)))
+        )
+        .cast("long")
+        .alias("total_delta_cents"),
+    )
+    return eff.select(
+        (F.round(F.col("total_delta_cents") / 100.0, 2) + 0.0).alias(
+            "total_delta"
+        ),
+        (F.round(F.col("price_eff") / 100.0, 2) + 0.0).alias(
+            "price_effect"
+        ),
+        (F.round(F.col("volume_eff") / 100.0, 2) + 0.0).alias(
+            "volume_effect"
+        ),
+        (F.round(F.col("mix_eff") / 100.0, 2) + 0.0).alias(
+            "mix_effect"
+        ),
+        (F.round(F.col("new_cents") / 100.0, 2) + 0.0).alias(
+            "new_items_effect"
+        ),
+        (F.round(-F.col("lost_cents") / 100.0, 2) + 0.0).alias(
+            "lost_items_effect"
+        ),
+        (
+            F.round(
+                (
+                    F.col("price_eff")
+                    + F.col("volume_eff")
+                    + F.col("mix_eff")
+                    + F.col("new_cents")
+                    - F.col("lost_cents")
+                    - F.col("total_delta_cents")
+                )
+                / 100.0,
+                2,
+            )
+            + 0.0
+        ).alias("reconciliation_residual"),
+    )
+
+
+# ------------------------------------------------ label-shift BBSE
+
+
+@register(
+    "ml_label_shift_bbse",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         CASE WHEN round(1.0 / (1.0 + exp(
+                -CAST(embedding[1] AS DOUBLE) * 4)), 6) >= 0.5
+              THEN 1 ELSE 0 END AS p,
+         vec_id % 2 AS tgt
+  FROM embeddings
+),
+src AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS c00,
+         sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS c01,
+         sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS c10,
+         sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS c11,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+           AS q1
+  FROM scored WHERE tgt = 0
+),
+tgt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(p) * 1.0 / count(*) AS mu1
+  FROM scored WHERE tgt = 1
+)
+SELECT src.n AS n_source, tgt.n AS n_target,
+       round(src.q1, 6) AS source_pos_prior,
+       round(tgt.mu1, 6) AS target_pred_pos_rate,
+       round((src.c00 * tgt.mu1 - src.c10 * (1 - tgt.mu1))
+             / (src.c00 * src.c11 - src.c01 * src.c10), 6) AS w_pos,
+       round((src.c11 * (1 - tgt.mu1) - src.c01 * tgt.mu1)
+             / (src.c00 * src.c11 - src.c01 * src.c10), 6) AS w_neg,
+       round(src.q1 * (src.c00 * tgt.mu1 - src.c10 * (1 - tgt.mu1))
+             / (src.c00 * src.c11 - src.c01 * src.c10)
+             / (src.q1 * (src.c00 * tgt.mu1 - src.c10 * (1 - tgt.mu1))
+                / (src.c00 * src.c11 - src.c01 * src.c10)
+                + (1 - src.q1)
+                  * (src.c11 * (1 - tgt.mu1) - src.c01 * tgt.mu1)
+                  / (src.c00 * src.c11 - src.c01 * src.c10)), 6)
+         AS target_pos_prior_est
+FROM src, tgt
+""",
+    doc="black-box shift estimation (BBSE, Lipton et al.) of label "
+    "shift between the source half and target half of the "
+    "embedding corpus: the classifier's source joint-confusion "
+    "matrix C = P(pred, y) and the target's predicted-positive "
+    "rate mu give importance weights w = C^-1 mu in 2x2 closed "
+    "form, and the re-weighted source prior estimates the "
+    "TARGET label prior without a single target label — the "
+    "deployment question ('did the class balance move under my "
+    "model?') that per-feature drift screens "
+    "(ml_feature_drift_ks_per_dim) cannot answer because label "
+    "shift can occur with identical marginals.  Determinant "
+    "guard is structural (the scorer is better than random on "
+    "the fixture, so C is invertible).  Two single-pass "
+    "aggregates and one row of matrix algebra",
+)
+def ml_label_shift_bbse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -F.element_at(F.col("embedding"), 1).cast("double") * 4
+            )
+        ),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("p"),
+        (F.col("vec_id") % 2).alias("tgt"),
+    )
+    src = scored.filter(F.col("tgt") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_source"),
+        F.avg(((F.col("p") == 0) & (F.col("y") == 0)).cast("int")).alias(
+            "c00"
+        ),
+        F.avg(((F.col("p") == 0) & (F.col("y") == 1)).cast("int")).alias(
+            "c01"
+        ),
+        F.avg(((F.col("p") == 1) & (F.col("y") == 0)).cast("int")).alias(
+            "c10"
+        ),
+        F.avg(((F.col("p") == 1) & (F.col("y") == 1)).cast("int")).alias(
+            "c11"
+        ),
+        F.avg(F.col("y").cast("int")).alias("q1"),
+    )
+    tgt = scored.filter(F.col("tgt") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_target"),
+        F.avg(F.col("p").cast("int")).alias("mu1"),
+    )
+    j = src.crossJoin(F.broadcast(tgt))
+    det = F.col("c00") * F.col("c11") - F.col("c01") * F.col("c10")
+    w_pos = (
+        F.col("c00") * F.col("mu1")
+        - F.col("c10") * (1 - F.col("mu1"))
+    ) / det
+    w_neg = (
+        F.col("c11") * (1 - F.col("mu1"))
+        - F.col("c01") * F.col("mu1")
+    ) / det
+    est = (
+        F.col("q1")
+        * w_pos
+        / (F.col("q1") * w_pos + (1 - F.col("q1")) * w_neg)
+    )
+    return j.select(
+        "n_source",
+        "n_target",
+        F.round(F.col("q1"), 6).alias("source_pos_prior"),
+        F.round(F.col("mu1"), 6).alias("target_pred_pos_rate"),
+        F.round(w_pos, 6).alias("w_pos"),
+        F.round(w_neg, 6).alias("w_neg"),
+        F.round(est, 6).alias("target_pos_prior_est"),
+    )
+
+
+# ------------------------------------------------ membership inference
+
+
+@register(
+    "privacy_membership_inference_auc",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('mi:' || vec_id), 1, 15))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS member,
+         round(-(CASE WHEN label = 0 THEN
+                   ln(round(1.0 / (1.0 + exp(
+                      -CAST(embedding[1] AS DOUBLE) * 4)), 6))
+                 ELSE
+                   ln(1 - round(1.0 / (1.0 + exp(
+                      -CAST(embedding[1] AS DOUBLE) * 4)), 6))
+                 END), 6) AS loss
+  FROM embeddings
+),
+hist AS (
+  SELECT -loss AS s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(member) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+rk AS (
+  SELECT pos, cnt,
+         sum(cnt) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+           AS cb
+  FROM hist
+),
+stats AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS m,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS nn,
+         sum(pos * (cb + (cnt + 1) / 2.0)) AS rsum
+  FROM rk
+)
+SELECT m AS n_members, nn AS n_nonmembers,
+       round((rsum - m * (m + 1) / 2.0) / (m * 1.0 * nn), 6)
+         AS attack_auc,
+       round(abs(2.0 * (rsum - m * (m + 1) / 2.0) / (m * 1.0 * nn)
+                 - 1), 6) AS attack_advantage,
+       CASE WHEN abs(2.0 * (rsum - m * (m + 1) / 2.0)
+                     / (m * 1.0 * nn) - 1) < 0.05
+            THEN 1 ELSE 0 END AS leakage_acceptable_flag
+FROM stats
+""",
+    doc="membership-inference attack evaluation harness (loss-"
+    "threshold attack, Yeom et al.): members get the md5 coin, "
+    "the attack score is the negated per-example cross-entropy "
+    "of the registry's fixed scorer, and attack AUC comes off "
+    "the score histogram by the midrank identity (the "
+    "ml_eval_auc_prf machinery pointed at a privacy question).  "
+    "Because the scorer is a FIXED function never fit to the "
+    "member split, the ground-truth leakage is zero and the "
+    "measured AUC must sit at ~0.5 — making this the CALIBRATED "
+    "NULL every real membership audit needs before trusting a "
+    "positive finding (an 'attack' pipeline that reports 0.6 on "
+    "a model that saw no training data is broken).  "
+    "attack_advantage = |2*AUC-1| is the standard leakage "
+    "statistic with its 5% acceptance gate.  Histogram-bounded "
+    "scan, exact integer rank sums",
+)
+def privacy_membership_inference_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -F.element_at(F.col("embedding"), 1).cast("double") * 4
+            )
+        ),
+        6,
+    )
+    loss = F.round(
+        -F.when(F.col("label") == 0, F.log(p)).otherwise(
+            F.log(1 - p)
+        ),
+        6,
+    )
+    scored = emb.select(
+        F.when(_md5_mod("mi:", F.col("vec_id"), 2) == 0, 1)
+        .otherwise(0)
+        .alias("member"),
+        loss.alias("loss"),
+    )
+    hist = scored.groupBy((-F.col("loss")).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("member").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = hist.select(
+        "pos", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("cb")
+    )
+    stats = rk.agg(
+        F.sum("pos").cast("long").alias("m"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nn"),
+        F.sum(
+            F.col("pos") * (F.col("cb") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rsum"),
+    )
+    m, nn = F.col("m"), F.col("nn")
+    auc = (F.col("rsum") - m * (m + 1) / 2.0) / (m * 1.0 * nn)
+    adv = F.abs(2.0 * auc - 1)
+    return stats.select(
+        m.alias("n_members"),
+        nn.alias("n_nonmembers"),
+        F.round(auc, 6).alias("attack_auc"),
+        F.round(adv, 6).alias("attack_advantage"),
+        F.when(adv < 0.05, 1).otherwise(0).alias(
+            "leakage_acceptable_flag"
+        ),
+    )
