@@ -9355,3 +9355,199 @@ def privacy_membership_inference_auc(
             "leakage_acceptable_flag"
         ),
     )
+
+
+# ------------------------------------------------ sorted-neighborhood ER
+
+
+@register(
+    "er_sorted_neighborhood_pairs",
+    oracle="""
+WITH ranked AS (
+  SELECT c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS pos
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_name AS na, b.c_name AS nb,
+         levenshtein(a.c_name, b.c_name) AS lev
+  FROM ranked a JOIN ranked b
+    ON b.pos > a.pos AND b.pos <= a.pos + 3
+)
+SELECT lev AS edit_distance, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE lev <= 2
+GROUP BY 1 ORDER BY edit_distance
+""",
+    doc="sorted-neighborhood entity resolution (Hernandez-Stolfo "
+    "SNM): records sorted by the blocking key, and only the "
+    "sliding window of w=3 successors per record is compared "
+    "(levenshtein <= 2 kept, histogrammed by distance) — the "
+    "SECOND classic ER blocking family, complementing "
+    "er_levenshtein_blocked_pairs' hash blocking: hash blocking "
+    "misses near-matches that hash apart, SNM catches anything "
+    "the sort brings adjacent, and real ER systems run both and "
+    "union candidates.  The Spark side gets the global sort "
+    "position from the repo's global_ordinal operator "
+    "(range-partition + per-partition rank + broadcast offsets "
+    "— NO single-partition window, the sort_global_ordinal_"
+    "scalable machinery), and the window join is a band join on "
+    "integer positions: candidate volume is exactly w*N by "
+    "construction, the linear-cost guarantee that makes SNM "
+    "attractive at 100 TB.  Exact integer edit distances",
+)
+def er_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.topk import global_ordinal
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_name", "c_custkey"
+    )
+    ranked, _n = global_ordinal(
+        cust, [F.col("c_name"), F.col("c_custkey")], out_col="pos"
+    )
+    a = ranked.select(
+        F.col("c_name").alias("na"), F.col("pos").alias("pa")
+    )
+    b = ranked.select(
+        F.col("c_name").alias("nb"), F.col("pos").alias("pb")
+    )
+    # band join on integer positions: bucket by pos//4 so each pair
+    # (pa, pa+1..pa+3) co-locates in the same or adjacent bucket
+    a2 = a.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("side")
+    ).select(
+        "na", "pa", (F.floor(F.col("pa") / 4) + F.col("side")).alias("bk")
+    )
+    b2 = b.select("nb", "pb", F.floor(F.col("pb") / 4).alias("bk"))
+    pairs = (
+        a2.join(b2, "bk")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 3)
+        )
+        .select(
+            F.levenshtein(F.col("na"), F.col("nb")).alias("lev")
+        )
+    )
+    return (
+        pairs.filter(F.col("lev") <= 2)
+        .groupBy(F.col("lev").alias("edit_distance"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("edit_distance")
+    )
+
+
+# ------------------------------------------------ capture-recapture
+
+
+@register(
+    "stats_capture_recapture_users",
+    oracle="""
+WITH d0 AS (
+  SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS start_d
+  FROM events
+),
+marked AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       < (SELECT start_d FROM d0) + 7
+                  THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       >= (SELECT start_d FROM d0) + 7
+                   AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       < (SELECT start_d FROM d0) + 14
+                  THEN 1 ELSE 0 END) AS w2
+  FROM events
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        < (SELECT start_d FROM d0) + 14
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(w1) AS BIGINT) AS n1,
+         CAST(sum(w2) AS BIGINT) AS n2,
+         CAST(sum(w1 * w2) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM marked
+)
+SELECT n1 AS n_capture1, n2 AS n_capture2, m AS n_recaptured,
+       n_true AS n_true_distinct,
+       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 2)
+         AS chapman_estimate,
+       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2)
+         AS se_estimate,
+       CASE WHEN abs((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1 - n_true)
+                 <= 1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m)
+                    * (n2 - m)
+                    / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+            THEN 1 ELSE 0 END AS ci_covers_truth_flag
+FROM agg
+""",
+    doc="Lincoln-Petersen capture-recapture estimate of the true "
+    "distinct-user population from two incomplete observation "
+    "windows (week 1 and week 2 as the two 'captures', overlap "
+    "as the recapture): Chapman's bias-corrected estimator "
+    "(n1+1)(n2+1)/(m+1)-1 with its standard error, checked "
+    "against the directly-counted truth the estimator is blind "
+    "to — the ecology-bred answer to 'how many users do we "
+    "REALLY have' when any single log window undercounts "
+    "(sampling loss, partial instrumentation, bot filtering), "
+    "and the statistical cousin of sketch_linear_counting "
+    "(which extrapolates from hash occupancy instead of "
+    "overlap).  Assumes marks are independent between windows — "
+    "return-rate correlation biases it down, which the coverage "
+    "flag surfaces on real data.  One groupBy(user) with two "
+    "window marks; closed-form single row",
+)
+def stats_capture_recapture_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    d0 = ev.agg(F.min(d).alias("start_d"))
+    marked = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(d < F.col("start_d") + 14)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(d < F.col("start_d") + 7, 1).otherwise(0)
+            ).alias("w1"),
+            F.max(
+                F.when(
+                    (d >= F.col("start_d") + 7)
+                    & (d < F.col("start_d") + 14),
+                    1,
+                ).otherwise(0)
+            ).alias("w2"),
+        )
+    )
+    agg = marked.agg(
+        F.sum("w1").cast("long").alias("n1"),
+        F.sum("w2").cast("long").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return agg.select(
+        n1.alias("n_capture1"),
+        n2.alias("n_capture2"),
+        m.alias("n_recaptured"),
+        F.col("n_true").alias("n_true_distinct"),
+        F.round(est, 2).alias("chapman_estimate"),
+        F.round(se, 2).alias("se_estimate"),
+        F.when(
+            F.abs(est - F.col("n_true")) <= 1.96 * se, 1
+        )
+        .otherwise(0)
+        .alias("ci_covers_truth_flag"),
+    )
