@@ -9551,3 +9551,210 @@ def stats_capture_recapture_users(
         .otherwise(0)
         .alias("ci_covers_truth_flag"),
     )
+
+
+# ------------------------------------------------ spell correction
+
+
+def _del_variants_sql(c: str) -> str:
+    """SymSpell <=2-deletion neighborhood of column ``c`` as one
+    JVM-side HOF expression (the dedup_edit_distance_pairs chain)."""
+    d1 = (
+        f"transform(sequence(1, length({c})), "
+        f"i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1)))"
+    )
+    return (
+        f"array_union(array({c}), array_union({d1}, "
+        f"flatten(transform({d1}, "
+        f"v -> transform(sequence(1, length(v)), "
+        f"j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))))"
+    )
+
+
+@register(
+    "search_spell_correct_topk",
+    oracle="""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 3 GROUP BY 1
+),
+qt AS (
+  SELECT w AS src FROM vocab WHERE length(w) >= 5
+  ORDER BY freq DESC, w LIMIT 1
+),
+typo AS (
+  SELECT substr(src, 1, 1) || substr(src, 3) AS q FROM qt
+),
+scored AS (
+  SELECT v.w, v.freq,
+         CAST(levenshtein((SELECT q FROM typo), v.w) AS BIGINT) AS lev
+  FROM vocab v
+  WHERE levenshtein((SELECT q FROM typo), v.w) <= 2
+)
+SELECT (SELECT q FROM typo) AS query_typo, w AS suggestion, freq,
+       lev AS edit_distance
+FROM scored
+ORDER BY lev, freq DESC, w LIMIT 5
+""",
+    doc="SymSpell query-time spell correction: the deterministic "
+    "'typo' (2nd char dropped from the most frequent long token) "
+    "is corrected against the corpus vocabulary by symmetric-"
+    "delete candidate generation — both the query and every vocab "
+    "token emit their <=2-deletion variants, candidates collide "
+    "on ONE variant equi-join (sound and complete for "
+    "levenshtein <= 2, the dedup_edit_distance_pairs guarantee), "
+    "survivors pay the exact edit distance, and ranking is "
+    "(distance, corpus frequency desc) — the classic "
+    "did-you-mean.  Turns the dedup family's typo machinery into "
+    "the SEARCH feature it powers: same variant algebra, "
+    "query-vs-corpus instead of corpus-vs-self, so the per-query "
+    "cost is one ~200-row broadcast against the variant index "
+    "instead of any scan.  The oracle brute-forces the bounded "
+    "vocabulary with the same ranking — identical by the "
+    "completeness guarantee",
+)
+def search_spell_correct_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 3)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    qt = (
+        vocab.filter(F.length("w") >= 5)
+        .orderBy(F.desc("freq"), "w")
+        .limit(1)
+        .select(
+            F.concat(
+                F.substring("w", 1, 1), F.expr("substring(w, 3)")
+            ).alias("q")
+        )
+    )
+    qvars = qt.select(
+        "q", F.explode(F.expr(_del_variants_sql("q"))).alias("v")
+    )
+    wvars = vocab.select(
+        "w",
+        "freq",
+        F.explode(F.expr(_del_variants_sql("w"))).alias("v"),
+    )
+    cand = (
+        wvars.join(F.broadcast(qvars), "v")
+        .select("q", "w", "freq")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("q").alias("query_typo"),
+        F.col("w").alias("suggestion"),
+        "freq",
+        F.levenshtein("q", "w").cast("long").alias("edit_distance"),
+    ).filter(F.col("edit_distance") <= 2)
+    return scored.orderBy(
+        "edit_distance", F.desc("freq"), "suggestion"
+    ).limit(5)
+
+
+# ------------------------------------------------ interval union coverage
+
+_IVL_SECS = 1800
+
+
+@register(
+    "win_interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_IVL_SECS} AS e
+  FROM events
+),
+sweep AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM iv
+),
+contrib AS (
+  SELECT user_id,
+         greatest(0, e - greatest(s, coalesce(prev_end, s))) AS covered
+  FROM sweep
+),
+per AS (
+  SELECT user_id, CAST(sum(covered) AS BIGINT) AS total_s
+  FROM contrib GROUP BY 1
+),
+hist AS (
+  SELECT total_s // {_IVL_SECS} AS half_hours,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1
+)
+SELECT CAST(half_hours AS BIGINT) AS coverage_half_hours, n_users
+FROM hist ORDER BY coverage_half_hours
+""",
+    doc="interval-UNION coverage per user: each event opens a "
+    "30-minute activity interval, overlaps are merged by the "
+    "running-max-end sweep (contribution = interval end minus "
+    "max(own start, furthest end so far), clamped at zero — the "
+    "O(n log n) union-of-intervals algorithm as a partitioned "
+    "window), and users histogram by total covered half-hours.  "
+    "Interval union is the algebra dash_peak_concurrency "
+    "(overlap DEPTH) and win_session_windows (gap-based "
+    "grouping) both skirt: billing engines (metered minutes), "
+    "SLA uptime and screen-time analytics all need the union "
+    "length, where double-counting overlaps is the classic "
+    "inflation bug.  The sweep window is partitioned by user "
+    "(never global), seconds are exact integers, and the output "
+    "is domain-bounded by the month",
+)
+def win_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("long")
+    iv = ev.select(
+        "user_id", s.alias("s"), (s + _IVL_SECS).alias("e")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e").over(w).alias("prev_end"),
+    )
+    contrib = sweep.select(
+        "user_id",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(
+                F.col("s"), F.coalesce("prev_end", F.col("s"))
+            ),
+        ).alias("covered"),
+    )
+    per = contrib.groupBy("user_id").agg(
+        F.sum("covered").cast("long").alias("total_s")
+    )
+    return (
+        per.groupBy(
+            F.floor(F.col("total_s") / _IVL_SECS)
+            .cast("long")
+            .alias("coverage_half_hours")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("coverage_half_hours")
+    )
