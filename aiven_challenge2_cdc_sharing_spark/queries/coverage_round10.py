@@ -9758,3 +9758,191 @@ def win_interval_union_coverage(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("coverage_half_hours")
     )
+
+
+# ------------------------------------------------ forecast combination
+
+
+@register(
+    "ts_forecast_combination_eval",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(CAST(o_orderdate AS DATE))) AS BIGINT)
+           // 86400 AS d,
+         round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               / 100.0, 2) AS y
+  FROM orders GROUP BY 1
+),
+cut AS (SELECT max(d) - 7 AS c FROM daily),
+train AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(y), 6) AS mu,
+         arg_max(y, d) AS last_y,
+         arg_min(y, d) AS first_y,
+         max(d) AS last_d
+  FROM daily WHERE d <= (SELECT c FROM cut)
+),
+hold AS (
+  SELECT y, d - (SELECT last_d FROM train) AS h FROM daily
+  WHERE d > (SELECT c FROM cut)
+),
+errs AS (
+  SELECT
+    round(avg(abs(y - t.last_y)), 6) AS mae_naive,
+    round(avg(abs(y - t.mu)), 6) AS mae_mean,
+    round(avg(abs(y - (t.last_y
+          + (t.last_y - t.first_y) / (t.n - 1.0) * h))), 6)
+      AS mae_drift
+  FROM hold, train t
+),
+combo AS (
+  SELECT round(avg(abs(y - (
+      ((1.0 / e.mae_naive) * t.last_y
+       + (1.0 / e.mae_mean) * t.mu
+       + (1.0 / e.mae_drift) * (t.last_y + (t.last_y - t.first_y)
+                                / (t.n - 1.0) * h))
+      / (1.0 / e.mae_naive + 1.0 / e.mae_mean + 1.0 / e.mae_drift)
+    ))), 6) AS mae_combo
+  FROM hold, train t, errs e
+)
+SELECT e.mae_naive, e.mae_mean, e.mae_drift, combo.mae_combo,
+       round((1.0 / e.mae_naive)
+             / (1.0 / e.mae_naive + 1.0 / e.mae_mean
+                + 1.0 / e.mae_drift), 6) AS w_naive,
+       round((1.0 / e.mae_mean)
+             / (1.0 / e.mae_naive + 1.0 / e.mae_mean
+                + 1.0 / e.mae_drift), 6) AS w_mean,
+       round((1.0 / e.mae_drift)
+             / (1.0 / e.mae_naive + 1.0 / e.mae_mean
+                + 1.0 / e.mae_drift), 6) AS w_drift,
+       CASE WHEN combo.mae_combo
+                 <= least(e.mae_naive, e.mae_mean, e.mae_drift)
+            THEN 1 ELSE 0 END AS combo_wins_flag
+FROM errs e, combo
+""",
+    doc="forecast combination (Bates-Granger inverse-error "
+    "weighting) evaluated on a 7-day holdout of daily revenue: "
+    "three closed-form base forecasters — naive (last train "
+    "value), train mean, and drift (linear extrapolation) — are "
+    "combined with weights proportional to 1/MAE, and the "
+    "combination's own holdout MAE is reported against the best "
+    "single model.  Fifty years of M-competition evidence says "
+    "the combination beats its average member and often the "
+    "best one — the cheapest accuracy win in forecasting, and "
+    "the principled sequel to ts_ses_alpha_grid / ts_holt_linear "
+    "/ ts_seasonal_naive_mase which each ship ONE model.  NOTE "
+    "the honest caveat: weights here are fit on the same "
+    "holdout they are scored on (1-split demo); a production "
+    "run fits weights on a validation fold — the algebra is "
+    "identical.  Day-domain aggregate, exact cents before the "
+    "single division, one-row closed form",
+)
+def ts_forecast_combination_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.floor(
+        F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp"))
+        / 86400
+    ).cast("long")
+    daily = orders.groupBy(d.alias("d")).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("y")
+    )
+    cut = daily.agg((F.max("d") - 7).alias("c"))
+    dj = daily.crossJoin(F.broadcast(cut))
+    train = dj.filter(F.col("d") <= F.col("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("y"), 6).alias("mu"),
+        F.expr("max_by(y, d)").alias("last_y"),
+        F.expr("min_by(y, d)").alias("first_y"),
+        F.max("d").alias("last_d"),
+    )
+    hold = (
+        dj.filter(F.col("d") > F.col("c"))
+        .crossJoin(F.broadcast(train))
+        .select(
+            "y",
+            (F.col("d") - F.col("last_d")).alias("h"),
+            "n",
+            "mu",
+            "last_y",
+            "first_y",
+        )
+    )
+    drift = F.col("last_y") + (
+        F.col("last_y") - F.col("first_y")
+    ) / (F.col("n") - 1.0) * F.col("h")
+    errs = hold.agg(
+        F.round(F.avg(F.abs(F.col("y") - F.col("last_y"))), 6).alias(
+            "mae_naive"
+        ),
+        F.round(F.avg(F.abs(F.col("y") - F.col("mu"))), 6).alias(
+            "mae_mean"
+        ),
+        F.round(F.avg(F.abs(F.col("y") - drift)), 6).alias(
+            "mae_drift"
+        ),
+        F.max("last_y").alias("last_y"),
+        F.max("first_y").alias("first_y"),
+        F.max("mu").alias("mu"),
+        F.max("n").alias("n"),
+    )
+    combo_hold = (
+        hold.crossJoin(
+            F.broadcast(
+                errs.select("mae_naive", "mae_mean", "mae_drift")
+            )
+        )
+        .select(
+            "y",
+            (
+                (
+                    (1.0 / F.col("mae_naive")) * F.col("last_y")
+                    + (1.0 / F.col("mae_mean")) * F.col("mu")
+                    + (1.0 / F.col("mae_drift")) * drift
+                )
+                / (
+                    1.0 / F.col("mae_naive")
+                    + 1.0 / F.col("mae_mean")
+                    + 1.0 / F.col("mae_drift")
+                )
+            ).alias("f_combo"),
+        )
+    )
+    combo = combo_hold.agg(
+        F.round(F.avg(F.abs(F.col("y") - F.col("f_combo"))), 6).alias(
+            "mae_combo"
+        )
+    )
+    j = errs.crossJoin(F.broadcast(combo))
+    inv_sum = (
+        1.0 / F.col("mae_naive")
+        + 1.0 / F.col("mae_mean")
+        + 1.0 / F.col("mae_drift")
+    )
+    return j.select(
+        "mae_naive",
+        "mae_mean",
+        "mae_drift",
+        "mae_combo",
+        F.round((1.0 / F.col("mae_naive")) / inv_sum, 6).alias(
+            "w_naive"
+        ),
+        F.round((1.0 / F.col("mae_mean")) / inv_sum, 6).alias("w_mean"),
+        F.round((1.0 / F.col("mae_drift")) / inv_sum, 6).alias(
+            "w_drift"
+        ),
+        F.when(
+            F.col("mae_combo")
+            <= F.least("mae_naive", "mae_mean", "mae_drift"),
+            1,
+        )
+        .otherwise(0)
+        .alias("combo_wins_flag"),
+    )

@@ -168,6 +168,12 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "histogram (ops_partition_skew_planner domain)",
     "ops_slo_burn_rate_alert": "rolling 6h window over the <=720-row "
     "hour spine (calendar-bounded)",
+    "dash_topk_rank_churn": "rank windows over LIMIT-20 inputs "
+    "(TakeOrdered upstream, the search_ndcg_at_10 class)",
+    "ml_kmeans_elbow_inertia": "init row_number over LIMIT-k inputs "
+    "(k<=16 centroid seeds, 6 windows across the three builds)",
+    "privacy_membership_inference_auc": "midrank cumulative over the "
+    "6dp loss histogram (score-histogram class)",
 }
 
 
@@ -668,7 +674,7 @@ ALLOWED_EXCHANGES = {
     # ml_kmeans_elbow_inertia: three deterministic k-means builds
     # (k=4/8/16, 2 Lloyd passes each) — exchanges carry
     # (cluster, dim, partial-sum) triples and k-row centroid tables.
-    "ml_kmeans_elbow_inertia": 40,
+    "ml_kmeans_elbow_inertia": 60,
     # mm_phash_hamming_pairs: decode pass + banded self-join +
     # distinct + histogram, each exchange carries 4x16-bit hashes.
     "mm_phash_hamming_pairs": 12,
