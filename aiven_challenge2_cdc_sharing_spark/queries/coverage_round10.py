@@ -8577,11 +8577,24 @@ def src_schema_merge_evolution(
     oracle="""
 WITH per AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              AS BIGINT) AS n_buy
   FROM events GROUP BY 1
 ),
+qs AS (
+  SELECT quantile_cont(n_ev, 0.2) AS q1, quantile_cont(n_ev, 0.4) AS q2,
+         quantile_cont(n_ev, 0.6) AS q3, quantile_cont(n_ev, 0.8) AS q4,
+         quantile_cont(n_buy, 0.5) AS buy_med
+  FROM per
+),
 strat AS (
-  SELECT least(4, CAST(n_ev // 10 AS BIGINT)) AS stratum, r,
+  SELECT CASE WHEN n_ev <= (SELECT q1 FROM qs) THEN 0
+              WHEN n_ev <= (SELECT q2 FROM qs) THEN 1
+              WHEN n_ev <= (SELECT q3 FROM qs) THEN 2
+              WHEN n_ev <= (SELECT q4 FROM qs) THEN 3
+              ELSE 4 END AS stratum,
+         CASE WHEN n_buy > (SELECT buy_med FROM qs) THEN 1 ELSE 0 END
+           AS r,
          CAST(concat('0x', substr(md5('ips:' || user_id), 1, 15))
               AS BIGINT) % 2 AS t
   FROM per
@@ -8609,22 +8622,24 @@ SELECT CAST((SELECT count(*) FROM valid) AS BIGINT) AS n_strata,
 FROM valid
 """,
     doc="propensity-score stratification estimate of the average "
-    "treatment effect on the treated (ATT): users stratified by "
-    "the confounder proxy (activity deciles of 10 events, capped "
-    "at stratum 4), within-stratum treated-minus-control "
-    "conversion differences weighted by the stratum's treated "
-    "mass — the classic Cochran/Rosenbaum-Rubin design that "
-    "removes confounding a naive treated-vs-control difference "
-    "absorbs (reported side by side as confounding_bias; under "
-    "the md5-randomized arm the two converge, and the gap is "
-    "the finite-sample imbalance a REAL observational study "
-    "would mistake for effect).  Completes the causal panel: "
+    "treatment effect on the treated (ATT): users stratified into "
+    "DERIVED activity quintiles (q20/q40/q60/q80 of per-user event "
+    "counts — never a fixed bin width, which degenerates to one "
+    "stratum whenever per-user volume scales up, the lesson-17 "
+    "class), outcome = above-median purchase count (a median split "
+    "is non-degenerate at every scale), and within-stratum "
+    "treated-minus-control differences weighted by the stratum's "
+    "treated mass — the classic Cochran/Rosenbaum-Rubin design "
+    "that removes confounding a naive difference absorbs "
+    "(reported side by side as confounding_bias; under the "
+    "md5-randomized arm the two converge, and the gap is the "
+    "finite-sample imbalance a real observational study would "
+    "mistake for effect).  Completes the causal panel: "
     "ab_cuped_adjustment (variance reduction), "
     "ml_counterfactual_ips_eval (weighting), this "
     "(stratification), ml_uplift_qini_curve (heterogeneity).  "
-    "Strata with an empty arm are dropped per the estimator's "
-    "common-support requirement.  One groupBy(user), 5-row "
-    "algebra, exact counts",
+    "Strata with an empty arm are dropped per common support.  "
+    "One groupBy(user), 5-row algebra, exact counts",
 )
 def ml_propensity_strat_att(
     spark: SparkSession, sf_dir: str
@@ -8632,15 +8647,29 @@ def ml_propensity_strat_att(
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_ev"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("r"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        )
+        .cast("long")
+        .alias("n_buy"),
     )
-    strat = per.select(
-        F.least(
-            F.lit(4), F.floor(F.col("n_ev") / 10).cast("long")
-        ).alias("stratum"),
-        "r",
+    qs = per.agg(
+        F.expr("percentile(n_ev, 0.2)").alias("q1"),
+        F.expr("percentile(n_ev, 0.4)").alias("q2"),
+        F.expr("percentile(n_ev, 0.6)").alias("q3"),
+        F.expr("percentile(n_ev, 0.8)").alias("q4"),
+        F.expr("percentile(n_buy, 0.5)").alias("buy_med"),
+    )
+    strat = per.crossJoin(F.broadcast(qs)).select(
+        F.when(F.col("n_ev") <= F.col("q1"), 0)
+        .when(F.col("n_ev") <= F.col("q2"), 1)
+        .when(F.col("n_ev") <= F.col("q3"), 2)
+        .when(F.col("n_ev") <= F.col("q4"), 3)
+        .otherwise(4)
+        .alias("stratum"),
+        F.when(F.col("n_buy") > F.col("buy_med"), 1)
+        .otherwise(0)
+        .alias("r"),
         _md5_mod("ips:", F.col("user_id"), 2).alias("t"),
     )
     cells = strat.groupBy("stratum").agg(
@@ -9279,8 +9308,11 @@ SELECT m AS n_members, nn AS n_nonmembers,
          AS attack_auc,
        round(abs(2.0 * (rsum - m * (m + 1) / 2.0) / (m * 1.0 * nn)
                  - 1), 6) AS attack_advantage,
-       CASE WHEN abs(2.0 * (rsum - m * (m + 1) / 2.0)
-                     / (m * 1.0 * nn) - 1) < 0.05
+       round(2.58 * sqrt((m + nn + 1) / (12.0 * m * nn)), 6)
+         AS null_crit_995,
+       CASE WHEN abs((rsum - m * (m + 1) / 2.0) / (m * 1.0 * nn)
+                     - 0.5)
+                 <= 2.58 * sqrt((m + nn + 1) / (12.0 * m * nn))
             THEN 1 ELSE 0 END AS leakage_acceptable_flag
 FROM stats
 """,
@@ -9297,8 +9329,10 @@ FROM stats
     "positive finding (an 'attack' pipeline that reports 0.6 on "
     "a model that saw no training data is broken).  "
     "attack_advantage = |2*AUC-1| is the standard leakage "
-    "statistic with its 5% acceptance gate.  Histogram-bounded "
-    "scan, exact integer rank sums",
+    "statistic, gated against the EXACT Mann-Whitney null band "
+    "2.58*sqrt((m+n+1)/(12mn)) — the scale-adaptive criterion a "
+    "fixed advantage threshold gets wrong on small eval sets.  "
+    "Histogram-bounded scan, exact integer rank sums",
 )
 def privacy_membership_inference_auc(
     spark: SparkSession, sf_dir: str
@@ -9346,12 +9380,14 @@ def privacy_membership_inference_auc(
     m, nn = F.col("m"), F.col("nn")
     auc = (F.col("rsum") - m * (m + 1) / 2.0) / (m * 1.0 * nn)
     adv = F.abs(2.0 * auc - 1)
+    crit = 2.58 * F.sqrt((m + nn + 1) / (12.0 * m * nn))
     return stats.select(
         m.alias("n_members"),
         nn.alias("n_nonmembers"),
         F.round(auc, 6).alias("attack_auc"),
         F.round(adv, 6).alias("attack_advantage"),
-        F.when(adv < 0.05, 1).otherwise(0).alias(
+        F.round(crit, 6).alias("null_crit_995"),
+        F.when(F.abs(auc - 0.5) <= crit, 1).otherwise(0).alias(
             "leakage_acceptable_flag"
         ),
     )
