@@ -70,6 +70,17 @@ HEADLINERS = [
     "ml_isotonic_calibration_pav",
     "search_rocchio_prf",
     "ml_permutation_importance_det",
+    # continuation-session headliners: the new scale-defining shapes
+    "stats_concordance_cindex",
+    "mm_phash_hamming_pairs",
+    "geo_point_in_rect_join",
+    "er_sorted_neighborhood_pairs",
+    "ml_uplift_qini_curve",
+    "win_max_subarray_kadane",
+    "win_interval_union_coverage",
+    "ops_partition_skew_planner",
+    "stats_hypergeom_nation_enrichment",
+    "cdc_backfill_cutover_check",
 ]
 
 # Hand-maintained notes that must survive regeneration.
