@@ -364,3 +364,58 @@ def test_forecast_combo_weights_sum(spark):
     (r,) = _run(spark, "ts_forecast_combination_eval")
     assert abs(r.w_naive + r.w_mean + r.w_drift - 1.0) < 1e-3
     assert r.mae_combo >= 0
+
+
+def test_hilbert_formulation_matches_canonical():
+    """Exhaustive check of the mod-s Hilbert reformulation against
+    the canonical xy2d algorithm over every cell of the 64x64 grid
+    (pure Python, no Spark) — the guarantee the SQL unrolling rests
+    on — plus the unit-step locality property."""
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round10 import (
+        _HILBERT_LEVELS,
+    )
+
+    def canon(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def mine(x, y):
+        d = 0
+        for s in _HILBERT_LEVELS:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - (y % s), s - 1 - (x % s)
+                else:
+                    x, y = y % s, x % s
+            else:
+                x, y = x % s, y % s
+        return d
+
+    pts = {}
+    for x in range(64):
+        for y in range(64):
+            assert canon(64, x, y) == mine(x, y), (x, y)
+            pts[mine(x, y)] = (x, y)
+    assert len(pts) == 4096  # bijection
+    ordered = [pts[d] for d in sorted(pts)]
+    for (x0, y0), (x1, y1) in zip(ordered, ordered[1:]):
+        assert abs(x1 - x0) + abs(y1 - y0) == 1  # unit steps
+
+
+def test_hilbert_layout_query_locality(spark):
+    (r,) = _run(spark, "layout_hilbert_vs_zorder_locality")
+    assert r.locality_advantage > 1.0  # Hilbert strictly wins
+    assert r.hilbert_max_jump < r.zorder_max_jump
+    assert r.n_steps == r.n_occupied_cells - 1
