@@ -10159,3 +10159,321 @@ def layout_hilbert_vs_zorder_locality(
             ),
         )
     )
+
+
+# ------------------------------------------------ histogram CART depth-2
+
+_CART_BINS = 16
+
+
+@register(
+    "ml_cart_depth2_gini",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS f1,
+         CAST(embedding[2] AS DOUBLE) AS f2,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+rng AS (
+  SELECT min(f1) AS mn1, max(f1) AS mx1,
+         min(f2) AS mn2, max(f2) AS mx2
+  FROM v
+),
+joint AS (
+  SELECT least({_CART_BINS - 1}, CAST(floor((f1 - (SELECT mn1 FROM rng))
+           / ((SELECT mx1 FROM rng) - (SELECT mn1 FROM rng))
+           * {_CART_BINS}) AS BIGINT)) AS b1,
+         least({_CART_BINS - 1}, CAST(floor((f2 - (SELECT mn2 FROM rng))
+           / ((SELECT mx2 FROM rng) - (SELECT mn2 FROM rng))
+           * {_CART_BINS}) AS BIGINT)) AS b2,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM v GROUP BY 1, 2
+),
+marg AS (
+  SELECT 1 AS f, b1 AS b, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS p
+  FROM joint GROUP BY 2
+  UNION ALL
+  SELECT 2, b2, CAST(sum(n) AS BIGINT), CAST(sum(p) AS BIGINT)
+  FROM joint GROUP BY 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(p) AS BIGINT) AS pp FROM joint),
+rc AS (
+  SELECT f, b AS t,
+         sum(n) OVER w AS nl, sum(p) OVER w AS pl
+  FROM marg
+  WINDOW w AS (PARTITION BY f ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT f, t, nl, pl,
+         (SELECT nn FROM tot) - nl AS nr,
+         (SELECT pp FROM tot) - pl AS pr,
+         round((nl * (1 - pow(pl * 1.0 / nl, 2)
+                      - pow((nl - pl) * 1.0 / nl, 2))
+               + ((SELECT nn FROM tot) - nl)
+                 * (1 - pow(((SELECT pp FROM tot) - pl) * 1.0
+                            / ((SELECT nn FROM tot) - nl), 2)
+                      - pow((((SELECT nn FROM tot) - nl)
+                             - ((SELECT pp FROM tot) - pl)) * 1.0
+                            / ((SELECT nn FROM tot) - nl), 2)))
+               / (SELECT nn FROM tot), 6) AS score
+  FROM rc
+  WHERE t < {_CART_BINS - 1} AND nl > 0
+    AND (SELECT nn FROM tot) - nl > 0
+),
+root AS (
+  SELECT f, t, nl, score FROM scored
+  ORDER BY score, f, t LIMIT 1
+),
+sided AS (
+  SELECT CASE WHEN (r.f = 1 AND j.b1 <= r.t)
+                OR (r.f = 2 AND j.b2 <= r.t)
+              THEN 'left' ELSE 'right' END AS side,
+         j.b1, j.b2, j.n, j.p
+  FROM joint j, root r
+),
+smarg AS (
+  SELECT side, 1 AS f, b1 AS b, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS p
+  FROM sided GROUP BY 1, 3
+  UNION ALL
+  SELECT side, 2, b2, CAST(sum(n) AS BIGINT), CAST(sum(p) AS BIGINT)
+  FROM sided GROUP BY 1, 3
+),
+stot AS (
+  SELECT side, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(p) AS BIGINT) AS pp
+  FROM sided GROUP BY 1
+),
+crc AS (
+  SELECT side, f, b AS t,
+         sum(n) OVER w AS nl, sum(p) OVER w AS pl
+  FROM smarg
+  WINDOW w AS (PARTITION BY side, f ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cscored AS (
+  SELECT c.side, c.f, c.t, c.nl,
+         round((c.nl * (1 - pow(c.pl * 1.0 / c.nl, 2)
+                        - pow((c.nl - c.pl) * 1.0 / c.nl, 2))
+               + (s.nn - c.nl)
+                 * (1 - pow((s.pp - c.pl) * 1.0 / (s.nn - c.nl), 2)
+                      - pow(((s.nn - c.nl) - (s.pp - c.pl)) * 1.0
+                            / (s.nn - c.nl), 2)))
+               / s.nn, 6) AS score
+  FROM crc c JOIN stot s ON s.side = c.side
+  WHERE c.t < {_CART_BINS - 1} AND c.nl > 0 AND s.nn - c.nl > 0
+),
+children AS (
+  SELECT side, f, t, nl, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY side
+               ORDER BY score, f, t) AS rk
+    FROM cscored) WHERE rk = 1
+)
+SELECT node, feature, threshold_bin,
+       CAST(n_left AS BIGINT) AS n_left, split_gini FROM (
+  SELECT 'root' AS node, r.f AS feature, r.t AS threshold_bin,
+         r.nl AS n_left, r.score AS split_gini, 0 AS ord
+  FROM root r
+  UNION ALL
+  SELECT side, f, t, nl, score,
+         CASE WHEN side = 'left' THEN 1 ELSE 2 END
+  FROM children
+) ORDER BY ord
+""",
+    doc="depth-2 CART decision tree trained ENTIRELY by histogram "
+    "algebra: features (embedding dims 1-2) bin into a derived "
+    "16x16 grid, the 256-cell JOINT histogram is the only thing "
+    "that ever shuffles, and every split — root plus both "
+    "children — is chosen by exact weighted Gini over bin-"
+    "threshold candidates via cumulative scans (ties broken "
+    "(score, feature, bin) for full determinism).  This is "
+    "precisely how LightGBM/XGBoost histogram mode scales tree "
+    "learning to data that cannot be sorted per node: N rows "
+    "collapse to a fixed grid once, and each node's candidate "
+    "evaluation is O(features x bins) on the aggregate, never a "
+    "pass over rows — the depth-2 extension of ml_decision_"
+    "stump's single split, with the child conditioning done by "
+    "side-restricting the SAME joint histogram.  The oracle "
+    "replays the identical greedy choices; both engines must "
+    "agree on all three (feature, threshold) decisions, not "
+    "just a final number",
+)
+def ml_cart_depth2_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    f1 = F.element_at("embedding", 1).cast("double")
+    f2 = F.element_at("embedding", 2).cast("double")
+    v = emb.select(
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    rng = v.agg(
+        F.min("f1").alias("mn1"),
+        F.max("f1").alias("mx1"),
+        F.min("f2").alias("mn2"),
+        F.max("f2").alias("mx2"),
+    )
+    def binc(c, mn, mx):
+        return F.least(
+            F.lit(_CART_BINS - 1),
+            F.floor(
+                (F.col(c) - F.col(mn))
+                / (F.col(mx) - F.col(mn))
+                * _CART_BINS
+            ).cast("long"),
+        )
+    joint = (
+        v.crossJoin(F.broadcast(rng))
+        .groupBy(
+            binc("f1", "mn1", "mx1").alias("b1"),
+            binc("f2", "mn2", "mx2").alias("b2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m1 = joint.groupBy(F.col("b1").alias("b")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("p"),
+    ).select(F.lit(1).alias("f"), "b", "n", "p")
+    m2 = joint.groupBy(F.col("b2").alias("b")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("p"),
+    ).select(F.lit(2).alias("f"), "b", "n", "p")
+    marg = m1.unionAll(m2)
+    tot = joint.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("p").cast("long").alias("pp"),
+    )
+    w = (
+        Window.partitionBy("f")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rc = marg.select(
+        "f",
+        F.col("b").alias("t"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+
+    def gini_score(nl, pl, nn, pp):
+        nr = nn - nl
+        pr = pp - pl
+        gl = (
+            1
+            - F.pow(pl * 1.0 / nl, 2)
+            - F.pow((nl - pl) * 1.0 / nl, 2)
+        )
+        gr = (
+            1
+            - F.pow(pr * 1.0 / nr, 2)
+            - F.pow((nr - pr) * 1.0 / nr, 2)
+        )
+        return F.round((nl * gl + nr * gr) / nn, 6)
+
+    scored = rc.filter(
+        (F.col("t") < _CART_BINS - 1)
+        & (F.col("nl") > 0)
+        & (F.col("nn") - F.col("nl") > 0)
+    ).select(
+        "f",
+        "t",
+        "nl",
+        gini_score(
+            F.col("nl"), F.col("pl"), F.col("nn"), F.col("pp")
+        ).alias("score"),
+    )
+    root = scored.orderBy("score", "f", "t").limit(1)
+    sided = joint.crossJoin(
+        F.broadcast(
+            root.select(
+                F.col("f").alias("rf"), F.col("t").alias("rt")
+            )
+        )
+    ).select(
+        F.when(
+            ((F.col("rf") == 1) & (F.col("b1") <= F.col("rt")))
+            | ((F.col("rf") == 2) & (F.col("b2") <= F.col("rt"))),
+            "left",
+        )
+        .otherwise("right")
+        .alias("side"),
+        "b1",
+        "b2",
+        "n",
+        "p",
+    )
+    s1 = sided.groupBy("side", F.col("b1").alias("b")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("p"),
+    ).select("side", F.lit(1).alias("f"), "b", "n", "p")
+    s2 = sided.groupBy("side", F.col("b2").alias("b")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("p"),
+    ).select("side", F.lit(2).alias("f"), "b", "n", "p")
+    smarg = s1.unionAll(s2)
+    stot = sided.groupBy("side").agg(
+        F.sum("n").cast("long").alias("snn"),
+        F.sum("p").cast("long").alias("spp"),
+    )
+    wc = (
+        Window.partitionBy("side", "f")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crc = smarg.select(
+        "side",
+        "f",
+        F.col("b").alias("t"),
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("p").over(wc).alias("pl"),
+    ).join(F.broadcast(stot), "side")
+    cscored = crc.filter(
+        (F.col("t") < _CART_BINS - 1)
+        & (F.col("nl") > 0)
+        & (F.col("snn") - F.col("nl") > 0)
+    ).select(
+        "side",
+        "f",
+        "t",
+        "nl",
+        gini_score(
+            F.col("nl"), F.col("pl"), F.col("snn"), F.col("spp")
+        ).alias("score"),
+    )
+    wrk = Window.partitionBy("side").orderBy("score", "f", "t")
+    children = (
+        cscored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("side", "f", "t", "nl", "score")
+    )
+    out = (
+        root.select(
+            F.lit("root").alias("node"),
+            F.col("f").alias("feature"),
+            F.col("t").alias("threshold_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("score").alias("split_gini"),
+            F.lit(0).alias("ord"),
+        )
+        .unionAll(
+            children.select(
+                F.col("side").alias("node"),
+                F.col("f").alias("feature"),
+                F.col("t").alias("threshold_bin"),
+                F.col("nl").alias("n_left"),
+                F.col("score").alias("split_gini"),
+                F.when(F.col("side") == "left", 1)
+                .otherwise(2)
+                .alias("ord"),
+            )
+        )
+    )
+    return out.orderBy("ord").drop("ord")

@@ -419,3 +419,15 @@ def test_hilbert_layout_query_locality(spark):
     assert r.locality_advantage > 1.0  # Hilbert strictly wins
     assert r.hilbert_max_jump < r.zorder_max_jump
     assert r.n_steps == r.n_occupied_cells - 1
+
+
+def test_cart_depth2_structure(spark):
+    rows = _run(spark, "ml_cart_depth2_gini")
+    assert [r.node for r in rows] == ["root", "left", "right"]
+    for r in rows:
+        assert r.feature in (1, 2)
+        assert 0 <= r.threshold_bin <= 14
+        assert 0 <= r.split_gini <= 0.5 + 1e-9  # binary Gini bound
+    # children can only purify: each child split's weighted Gini is
+    # bounded by the parent's 0.5 worst case, and n_left < node size
+    assert rows[0].n_left > 0
