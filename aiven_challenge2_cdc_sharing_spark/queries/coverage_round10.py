@@ -10477,3 +10477,300 @@ def ml_cart_depth2_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("ord").drop("ord")
+
+
+# ------------------------------------------------ Bass diffusion
+
+
+@register(
+    "dash_bass_diffusion_fit",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey,
+         min(CAST(floor(epoch(CAST(o_orderdate AS DATE))) AS BIGINT)
+             // 86400) AS d
+  FROM orders GROUP BY 1
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM customer),
+daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_t FROM first_order
+  GROUP BY 1
+),
+cum AS (
+  SELECT d, n_t,
+         coalesce(sum(n_t) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           * 1.0 / (SELECT mm FROM m) AS x
+  FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(sum(x), 6) AS sx, round(sum(x * x), 6) AS sxx,
+         round(sum(x * x * x), 6) AS sx3,
+         round(sum(x * x * x * x), 6) AS sx4,
+         round(sum(n_t), 6) AS sy, round(sum(n_t * x), 6) AS sxy,
+         round(sum(n_t * x * x), 6) AS sx2y
+  FROM cum
+),
+solve AS (
+  SELECT n,
+         (n * (sxx * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sxx)
+          + sxx * (sx * sx3 - sxx * sxx)) AS det,
+         (sy * (sxx * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx2y * sx3)
+          + sxx * (sxy * sx3 - sx2y * sxx)) AS det_a,
+         (n * (sxy * sx4 - sx2y * sx3) - sy * (sx * sx4 - sx3 * sxx)
+          + sxx * (sx * sx2y - sxx * sxy)) AS det_b,
+         (n * (sxx * sx2y - sx3 * sxy) - sx * (sx * sx2y - sx3 * sy)
+          + sy * (sx * sx3 - sxx * sxx)) AS det_c
+  FROM s
+)
+SELECT (SELECT mm FROM m) AS market_size,
+       round(det_a / det / (SELECT mm FROM m), 6) AS p_innovation,
+       round(-det_c / det / (SELECT mm FROM m), 6) AS q_imitation,
+       CASE WHEN det_a / det > 0 AND -det_c / det > 0
+            THEN round(ln((-det_c / det) / (det_a / det))
+                 / ((det_a / det + -det_c / det)
+                    / (SELECT mm FROM m)), 1)
+            ELSE NULL END AS peak_day_estimate,
+       CASE WHEN -det_c / det > det_a / det THEN 1 ELSE 0 END
+         AS imitation_dominates_flag,
+       CASE WHEN det_a / det > 0 AND -det_c / det > 0
+            THEN 1 ELSE 0 END AS bass_shape_valid_flag
+FROM solve
+""",
+    doc="Bass diffusion model fit to customer adoption (first-order "
+    "dates): n_t = (p + q*N/M)(M - N) linearized as the quadratic "
+    "regression n_t = a + b*x + c*x^2 on the CUMULATIVE-ADOPTION "
+    "SHARE x = N_(t-1)/M (normalizing by the known market size "
+    "keeps every power sum in [0, n_days] — the raw-N formulation "
+    "needs x^4 sums near 1e20 where doubles shed integer "
+    "precision), solved by Cramer's rule; p = a/M is the "
+    "innovation (external-influence) coefficient, q = -c*M the "
+    "imitation (word-of-mouth) coefficient, and the adoption "
+    "peak lands at t* = ln(q/p)/(p+q) — the 1969 model that "
+    "still underwrites product-launch forecasting, fit here as "
+    "pure aggregate algebra (dash_cohort_ltv_curve shows what "
+    "adopters are worth; this shows when they arrive).  "
+    "Day-domain cumulative scan + one-row 3x3 solve",
+)
+def dash_bass_diffusion_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d = F.floor(
+        F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp"))
+        / 86400
+    ).cast("long")
+    first_order = orders.groupBy("o_custkey").agg(F.min(d).alias("d"))
+    m = cust.agg(F.count(F.lit(1)).cast("long").alias("mm"))
+    daily = first_order.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    cum = daily.crossJoin(F.broadcast(m)).select(
+        "n_t",
+        (
+            F.coalesce(F.sum("n_t").over(w), F.lit(0))
+            * 1.0
+            / F.col("mm")
+        ).alias("x"),
+        "mm",
+    )
+    x, y = F.col("x"), F.col("n_t")
+    s = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(x), 6).alias("sx"),
+        F.round(F.sum(x * x), 6).alias("sxx"),
+        F.round(F.sum(x * x * x), 6).alias("sx3"),
+        F.round(F.sum(x * x * x * x), 6).alias("sx4"),
+        F.round(F.sum(y), 6).alias("sy"),
+        F.round(F.sum(y * x), 6).alias("sxy"),
+        F.round(F.sum(y * x * x), 6).alias("sx2y"),
+        F.max("mm").alias("mm"),
+    )
+    n = F.col("n")
+    sx, sxx, sx3, sx4 = (
+        F.col("sx"),
+        F.col("sxx"),
+        F.col("sx3"),
+        F.col("sx4"),
+    )
+    sy, sxy, sx2y = F.col("sy"), F.col("sxy"), F.col("sx2y")
+    det = (
+        n * (sxx * sx4 - sx3 * sx3)
+        - sx * (sx * sx4 - sx3 * sxx)
+        + sxx * (sx * sx3 - sxx * sxx)
+    )
+    det_a = (
+        sy * (sxx * sx4 - sx3 * sx3)
+        - sx * (sxy * sx4 - sx2y * sx3)
+        + sxx * (sxy * sx3 - sx2y * sxx)
+    )
+    det_c = (
+        n * (sxx * sx2y - sx3 * sxy)
+        - sx * (sx * sx2y - sx3 * sy)
+        + sy * (sx * sx3 - sxx * sxx)
+    )
+    a = det_a / det
+    c = det_c / det
+    p = a / F.col("mm")
+    q = -c / F.col("mm")
+    return s.select(
+        F.col("mm").alias("market_size"),
+        F.round(p, 6).alias("p_innovation"),
+        F.round(q, 6).alias("q_imitation"),
+        F.when(
+            (a > 0) & (-c > 0),
+            F.round(F.log((-c) / a) / ((a + -c) / F.col("mm")), 1),
+        ).alias("peak_day_estimate"),
+        F.when(-c > a, 1).otherwise(0).alias(
+            "imitation_dominates_flag"
+        ),
+        F.when((a > 0) & (-c > 0), 1).otherwise(0).alias(
+            "bass_shape_valid_flag"
+        ),
+    )
+
+
+# ------------------------------------------------ Engle-Granger
+
+
+@register(
+    "ts_cointegration_eg_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+           AS d,
+         round(ln(1 + count(*) FILTER (WHERE event_type = 'view')), 6)
+           AS xv,
+         round(ln(1 + count(*) FILTER (WHERE event_type = 'purchase')),
+               6) AS yv
+  FROM events GROUP BY 1
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(sum(xv), 6) AS sx, round(sum(yv), 6) AS sy,
+         round(sum(xv * xv), 6) AS sxx, round(sum(xv * yv), 6) AS sxy
+  FROM daily
+),
+coef AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS a
+  FROM ols
+),
+resid AS (
+  SELECT d, round(yv - (SELECT a FROM coef)
+                  - (SELECT b FROM coef) * xv, 6) AS e
+  FROM daily
+),
+lagged AS (
+  SELECT e, lag(e) OVER (ORDER BY d) AS el FROM resid
+),
+adf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(el * (e - el)) AS num, sum(el * el) AS den,
+         sum((e - el) * (e - el)) AS sdd
+  FROM lagged WHERE el IS NOT NULL
+)
+SELECT (SELECT round(b, 6) FROM coef) AS hedge_ratio,
+       n AS n_diffs,
+       round(num / den, 6) AS rho,
+       round((num / den) / sqrt(((sdd - num * num / den) / (n - 2))
+             / den), 4) AS adf_t_stat,
+       CASE WHEN (num / den) / sqrt(((sdd - num * num / den)
+                 / (n - 2)) / den) < -3.34
+            THEN 1 ELSE 0 END AS cointegrated_flag
+FROM adf
+""",
+    doc="Engle-Granger two-step cointegration test between daily "
+    "log view volume and log purchase volume: step 1 fits the "
+    "long-run equilibrium y = a + b*x by OLS (b = the hedge "
+    "ratio), step 2 runs a Dickey-Fuller regression on the "
+    "residual (delta-e on lagged e, no drift) against the "
+    "Engle-Granger 5% critical value -3.34 — if the residual "
+    "mean-reverts, the two series share a common stochastic "
+    "trend and their SPREAD is the stationary thing to monitor "
+    "(the pairs-trading / demand-coupling primitive; regressing "
+    "nonstationary levels without this test is the spurious-"
+    "regression trap).  Builds on ts_df_unit_root's DF machinery "
+    "but applies it to a FITTED residual, which is why the "
+    "critical value differs.  Day-domain only: one aggregate, "
+    "one broadcast coefficient join, one lag window, 6dp "
+    "partial-sum discipline throughout",
+)
+def ts_cointegration_eg_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(
+                    (F.col("event_type") == "view").cast("int")
+                )
+            ),
+            6,
+        ).alias("xv"),
+        F.round(
+            F.log(
+                1
+                + F.sum(
+                    (F.col("event_type") == "purchase").cast("int")
+                )
+            ),
+            6,
+        ).alias("yv"),
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("xv"), 6).alias("sx"),
+        F.round(F.sum("yv"), 6).alias("sy"),
+        F.round(F.sum(F.col("xv") * F.col("xv")), 6).alias("sxx"),
+        F.round(F.sum(F.col("xv") * F.col("yv")), 6).alias("sxy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = (F.col("sy") - b * F.col("sx")) / n
+    coef = ols.select(b.alias("b"), a.alias("a"))
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "d",
+        F.round(
+            F.col("yv") - F.col("a") - F.col("b") * F.col("xv"), 6
+        ).alias("e"),
+        "b",
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select(
+        "e", F.lag("e").over(w).alias("el"), "b"
+    ).filter(F.col("el").isNotNull())
+    adf = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("el") * (F.col("e") - F.col("el"))).alias("num"),
+        F.sum(F.col("el") * F.col("el")).alias("den"),
+        F.sum(
+            (F.col("e") - F.col("el")) * (F.col("e") - F.col("el"))
+        ).alias("sdd"),
+        F.max("b").alias("b"),
+    )
+    rho = F.col("num") / F.col("den")
+    se = F.sqrt(
+        (
+            (F.col("sdd") - F.col("num") * F.col("num") / F.col("den"))
+            / (F.col("n") - 2)
+        )
+        / F.col("den")
+    )
+    t = rho / se
+    return adf.select(
+        F.round(F.col("b"), 6).alias("hedge_ratio"),
+        F.col("n").alias("n_diffs"),
+        F.round(rho, 6).alias("rho"),
+        F.round(t, 4).alias("adf_t_stat"),
+        F.when(t < -3.34, 1).otherwise(0).alias("cointegrated_flag"),
+    )
