@@ -93,3 +93,68 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- coverage
+
+COVERAGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("covered_s", T.LongType()),
+        T.StructField("max_end_s", T.LongType()),
+    ]
+)
+
+# running interval-union state: furthest covered end + accumulated
+# union length, both in epoch seconds
+COVERAGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_end_s", T.LongType()),
+        T.StructField("covered_s", T.LongType()),
+    ]
+)
+
+IVL_SECONDS = 1800
+
+
+def _fold_coverage(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of ``win_interval_union_coverage``'s per-user
+    union sweep: each event opens [ts, ts+1800) and the state folds
+    the union length incrementally — contribution = interval end
+    minus max(own start, furthest end so far), clamped at zero; the
+    same O(1)-per-key trade as the gap sessionizer, exact under the
+    transport's per-key in-order delivery.  Emits the latest
+    (covered_s, max_end_s) per user per batch (emit-latest
+    semantics); parity with the batch sweep is pinned in
+    tests/test_streaming_sessions.py."""
+    max_end, covered = state.get if state.exists else (-1, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.dropna(subset=["ts"])
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    uid = key[0]
+    for ts in rows["ts"].astype("int64"):
+        s_sec = ts // 1_000_000_000  # pandas ns -> SECOND truncation
+        e_sec = s_sec + IVL_SECONDS
+        start = s_sec if s_sec > max_end else max_end
+        if e_sec > start:
+            covered += e_sec - start
+        if e_sec > max_end:
+            max_end = e_sec
+    state.update((max_end, covered))
+    yield pd.DataFrame(
+        [(uid, covered, max_end)],
+        columns=["user_id", "covered_s", "max_end_s"],
+    )
+
+
+def streaming_interval_coverage(events: DataFrame) -> DataFrame:
+    """Per-user streaming interval-union coverage; see _fold_coverage."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fold_coverage,
+        outputStructType=COVERAGE_OUTPUT_SCHEMA,
+        stateStructType=COVERAGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

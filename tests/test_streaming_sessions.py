@@ -147,3 +147,90 @@ def test_streaming_sessions_match_batch(spark, tmpdir):
         .collect()[0]["peak_concurrency"]
     )
     assert peak == batch_peak
+
+
+def test_streaming_interval_coverage_matches_batch(spark, tmpdir):
+    """Streaming interval-union coverage (emit-latest per user) must
+    equal the batch sweep's per-user union totals after all
+    micro-batches drain."""
+    from aiven_challenge2_cdc_sharing_spark.streaming import (
+        streaming_interval_coverage,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    t1, t2 = (
+        events.selectExpr(
+            "percentile_approx(ts, 0.33) p1",
+            "percentile_approx(ts, 0.66) p2",
+        ).collect()[0]
+    )
+    parts = [
+        events.filter(F.col("ts") <= F.lit(t1)),
+        events.filter(
+            (F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))
+        ),
+        events.filter(F.col("ts") > F.lit(t2)),
+    ]
+    os.makedirs(f"{tmpdir}/cov_in")
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").json(
+            f"{tmpdir}/cov_src_{i}"
+        )
+        f = glob.glob(f"{tmpdir}/cov_src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/cov_in/{i:02d}.json")
+        os.utime(
+            f"{tmpdir}/cov_in/{i:02d}.json", (time.time() + i * 10,) * 2
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/cov_in")
+    )
+    latest: dict[int, int] = {}
+    n_batches = []
+
+    def capture(batch_df, batch_id):
+        n_batches.append(batch_id)
+        for r in batch_df.collect():
+            latest[r["user_id"]] = r["covered_s"]
+
+    q = (
+        streaming_interval_coverage(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/cov_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(n_batches) >= 3  # multi-batch state actually exercised
+
+    # batch twin: the win_interval_union_coverage per-user sweep
+    s = F.unix_timestamp("ts").cast("long")
+    iv = events.select("user_id", s.alias("s"), (s + 1800).alias("e"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = (
+        iv.select(
+            "user_id",
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(
+                    F.col("s"),
+                    F.coalesce(F.max("e").over(w), F.col("s")),
+                ),
+            ).alias("covered"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("covered").cast("long").alias("total_s"))
+    )
+    expected = {
+        r["user_id"]: r["total_s"] for r in per.collect()
+    }
+    assert latest == expected
+    assert len(expected) > 0
