@@ -10774,3 +10774,283 @@ def ts_cointegration_eg_test(
         F.round(t, 4).alias("adf_t_stat"),
         F.when(t < -3.34, 1).otherwise(0).alias("cointegrated_flag"),
     )
+
+
+# ------------------------------------------------ group-sequential OBF
+
+_OBF_C4 = 2.024  # O'Brien-Fleming K=4 two-sided 5% constant
+
+
+@register(
+    "ab_group_sequential_obf",
+    oracle=f"""
+WITH d0 AS (
+  SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS start_d
+  FROM events
+),
+per0 AS (
+  SELECT user_id,
+         CAST(concat('0x', substr(md5('srm:' || user_id), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         least(3, (min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   - (SELECT start_d FROM d0)) // 7) AS entry_week,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              AS BIGINT) AS n_buy
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(n_buy, 0.5) AS m FROM per0),
+per AS (
+  SELECT user_id, arm, entry_week,
+         CASE WHEN n_buy > (SELECT m FROM med) THEN 1 ELSE 0 END AS r
+  FROM per0
+),
+weeks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+cum AS (
+  SELECT w.k,
+         CAST(sum(CASE WHEN p.entry_week <= w.k AND p.arm = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN p.entry_week <= w.k AND p.arm = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN p.entry_week <= w.k AND p.arm = 1
+                       THEN p.r ELSE 0 END) AS BIGINT) AS rt,
+         CAST(sum(CASE WHEN p.entry_week <= w.k AND p.arm = 0
+                       THEN p.r ELSE 0 END) AS BIGINT) AS rc
+  FROM weeks w, per p
+  GROUP BY 1
+),
+z AS (
+  SELECT k, nt, nc,
+         round((rt * 1.0 / nt - rc * 1.0 / nc)
+               / sqrt((rt + rc) * 1.0 / (nt + nc)
+                      * (1 - (rt + rc) * 1.0 / (nt + nc))
+                      * (1.0 / nt + 1.0 / nc)), 4) AS z_stat,
+         round({_OBF_C4} / sqrt((k + 1) / 4.0), 4) AS obf_boundary
+  FROM cum
+)
+SELECT k + 1 AS interim, nt AS n_treatment, nc AS n_control,
+       z_stat, obf_boundary,
+       CASE WHEN abs(z_stat) > obf_boundary THEN 1 ELSE 0 END
+         AS stop_flag
+FROM z ORDER BY interim
+""",
+    doc="O'Brien-Fleming group-sequential monitoring of the md5-"
+    "randomized conversion experiment: four weekly interim "
+    "analyses on the users ENROLLED so far (entry = first-seen "
+    "week; outcome = above-median purchase count, the median "
+    "split that stays non-degenerate when per-user volume makes "
+    "any-purchase saturate), each two-proportion z compared against the OBF "
+    "boundary c/sqrt(t_k) with c = 2.024 for K = 4 at overall "
+    "two-sided 5% — early looks need near-4-sigma evidence, the "
+    "final look pays almost no penalty.  The group-sequential "
+    "complement to ab_sprt_sequential (fully-sequential SPRT): "
+    "real experiment platforms run THIS design because analyses "
+    "happen on a schedule, not per observation, and an unadjusted "
+    "weekly peek at z > 1.96 (ab_test_conversion's fixed-horizon "
+    "test) inflates false positives ~3x over four looks.  One "
+    "groupBy(user) + a 4-row cumulative grid, exact counts",
+)
+def ab_group_sequential_obf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    d0 = ev.agg(F.min(d).alias("start_d"))
+    per0 = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.lit(3),
+                F.floor((F.min(d) - F.min("start_d")) / 7).cast(
+                    "long"
+                ),
+            ).alias("entry_week"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_buy"),
+        )
+        .select(
+            "entry_week",
+            "n_buy",
+            _md5_mod("srm:", F.col("user_id"), 2).alias("arm"),
+        )
+    )
+    med = per0.agg(F.expr("percentile(n_buy, 0.5)").alias("m"))
+    per = per0.crossJoin(F.broadcast(med)).select(
+        "entry_week",
+        "arm",
+        F.when(F.col("n_buy") > F.col("m"), 1).otherwise(0).alias("r"),
+    )
+    weeks = spark.range(4).select(F.col("id").alias("k"))
+    grid = weeks.crossJoin(per).filter(
+        F.col("entry_week") <= F.col("k")
+    )
+    cum = grid.groupBy("k").agg(
+        F.sum((F.col("arm") == 1).cast("int"))
+        .cast("long")
+        .alias("nt"),
+        F.sum((F.col("arm") == 0).cast("int"))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("arm") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rt"),
+        F.sum(F.when(F.col("arm") == 0, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rc"),
+    )
+    pt = F.col("rt") * 1.0 / F.col("nt")
+    pc = F.col("rc") * 1.0 / F.col("nc")
+    pool = (F.col("rt") + F.col("rc")) * 1.0 / (
+        F.col("nt") + F.col("nc")
+    )
+    z = F.round(
+        (pt - pc)
+        / F.sqrt(
+            pool
+            * (1 - pool)
+            * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+        ),
+        4,
+    )
+    bound = F.round(_OBF_C4 / F.sqrt((F.col("k") + 1) / 4.0), 4)
+    out = cum.select(
+        (F.col("k") + 1).alias("interim"),
+        F.col("nt").alias("n_treatment"),
+        F.col("nc").alias("n_control"),
+        z.alias("z_stat"),
+        bound.alias("obf_boundary"),
+        F.when(F.abs(z) > bound, 1).otherwise(0).alias("stop_flag"),
+    )
+    return out.orderBy("interim")
+
+
+# ------------------------------------------------ ABC-XYZ matrix
+
+
+@register(
+    "dash_abc_xyz_matrix",
+    oracle="""
+WITH rev AS MATERIALIZED (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+abc AS (
+  SELECT l_partkey, cents,
+         CASE WHEN CAST(sum(cents) OVER (ORDER BY cents DESC,
+                    l_partkey) AS BIGINT) * 5 <= (SELECT t FROM tot)
+                    * 4 THEN 'A'
+              WHEN CAST(sum(cents) OVER (ORDER BY cents DESC,
+                    l_partkey) AS BIGINT) * 20
+                   <= (SELECT t FROM tot) * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev
+),
+weekly AS (
+  SELECT l.l_partkey,
+         CAST(floor(epoch(CAST(o.o_orderdate AS DATE))) AS BIGINT)
+           // 604800 AS wk,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+cv AS (
+  SELECT l_partkey,
+         CASE WHEN count(*) < 2 OR avg(q) = 0 THEN 'Z'
+              WHEN round(stddev_samp(q) / avg(q), 6) <= 0.5 THEN 'X'
+              WHEN round(stddev_samp(q) / avg(q), 6) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM weekly GROUP BY 1
+)
+SELECT a.abc_class, c.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(a.cents) * 1.0 / (SELECT t FROM tot), 6)
+         AS revenue_share
+FROM abc a JOIN cv c ON c.l_partkey = a.l_partkey
+GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+""",
+    doc="ABC-XYZ inventory matrix: parts cross-classified by revenue "
+    "concentration (ABC via cumulative-share cross-multiplication, "
+    "the agg_abc_classification integer discipline) and demand "
+    "VARIABILITY (XYZ via the coefficient of variation of weekly "
+    "order quantity: <=0.5 steady X, <=1.0 variable Y, else "
+    "erratic Z; parts without 2 weeks of history are Z by "
+    "convention).  The 9-cell matrix is the standard stocking-"
+    "policy map — A-X items get automated replenishment, C-Z get "
+    "make-to-order — and the XYZ axis is exactly what a pure "
+    "revenue ranking misses (a high-revenue erratic item needs "
+    "different safety stock than a high-revenue steady one).  "
+    "Week-grain demand aggregate + part-level CV + one part-"
+    "domain cumulative scan; counts exact, CV from 6dp power "
+    "sums",
+)
+def dash_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    w_abc = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    abc = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "t",
+        F.when(
+            F.sum("cents").over(w_abc).cast("long") * 5
+            <= F.col("t") * 4,
+            "A",
+        )
+        .when(
+            F.sum("cents").over(w_abc).cast("long") * 20
+            <= F.col("t") * 19,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    wk = F.floor(
+        F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp"))
+        / 604800
+    ).cast("long")
+    weekly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey", wk.alias("wk"))
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("long"))
+            .cast("long")
+            .alias("q")
+        )
+    )
+    cv = weekly.groupBy("l_partkey").agg(
+        F.when(
+            (F.count(F.lit(1)) < 2) | (F.avg("q") == 0), "Z"
+        )
+        .when(
+            F.round(F.stddev_samp("q") / F.avg("q"), 6) <= 0.5, "X"
+        )
+        .when(
+            F.round(F.stddev_samp("q") / F.avg("q"), 6) <= 1.0, "Y"
+        )
+        .otherwise("Z")
+        .alias("xyz_class")
+    )
+    return (
+        abc.join(cv, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                F.sum("cents") * 1.0 / F.max("t"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
