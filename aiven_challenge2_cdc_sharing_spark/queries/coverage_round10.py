@@ -11489,3 +11489,185 @@ def stats_fdr_storey_qvalues(
         .otherwise(0)
         .alias("significant_q10"),
     ).orderBy("nation")
+
+
+# ------------------------------------------------ OHLC candles
+
+
+@register(
+    "ts_ohlc_daily",
+    oracle="""
+WITH candles AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(arg_min(value, ts), 4) AS open_v,
+         round(max(value), 4) AS high_v,
+         round(min(value), 4) AS low_v,
+         round(arg_max(value, ts), 4) AS close_v,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+gaps AS (
+  SELECT day, open_v, high_v, low_v, close_v, n_events,
+         lag(close_v) OVER (ORDER BY day) AS prev_close
+  FROM candles
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(high_v - low_v), 4) AS avg_range,
+       round(avg(abs(close_v - open_v)), 4) AS avg_body,
+       CAST(sum(CASE WHEN close_v > open_v THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_up_days,
+       CAST(sum(CASE WHEN prev_close IS NOT NULL
+                      AND open_v > prev_close THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gap_ups,
+       round(max(high_v), 4) AS month_high,
+       round(min(low_v), 4) AS month_low
+FROM gaps
+""",
+    doc="OHLC candlestick aggregation of the event value stream: "
+    "open/close via arg_min/arg_max on the timestamp (the "
+    "time-ordered first/last as ONE aggregate — no window, no "
+    "self-join; Spark min_by/max_by == DuckDB arg_min/arg_max, "
+    "the idiom every tick-to-bar pipeline runs), high/low, body "
+    "and range widths, up-day and gap-up counts vs the prior "
+    "close.  The bar-building primitive under every financial "
+    "chart and the compaction step that turns tick-scale streams "
+    "into day-scale state (at 100 TB of ticks the candle "
+    "aggregate IS the storage story — a 2000x reduction before "
+    "anything else touches the data).  Ties on the extreme "
+    "timestamp resolve identically on both engines (single "
+    "micro-timestamped fixture rows); one map-side combine per "
+    "day",
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(F.expr("min_by(value, ts)"), 4).alias("open_v"),
+        F.round(F.max("value"), 4).alias("high_v"),
+        F.round(F.min("value"), 4).alias("low_v"),
+        F.round(F.expr("max_by(value, ts)"), 4).alias("close_v"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("day")
+    gaps = candles.select(
+        "*", F.lag("close_v").over(w).alias("prev_close")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(F.col("high_v") - F.col("low_v")), 4).alias(
+            "avg_range"
+        ),
+        F.round(
+            F.avg(F.abs(F.col("close_v") - F.col("open_v"))), 4
+        ).alias("avg_body"),
+        F.sum(
+            (F.col("close_v") > F.col("open_v")).cast("int")
+        )
+        .cast("long")
+        .alias("n_up_days"),
+        F.sum(
+            (
+                F.col("prev_close").isNotNull()
+                & (F.col("open_v") > F.col("prev_close"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_gap_ups"),
+        F.round(F.max("high_v"), 4).alias("month_high"),
+        F.round(F.min("low_v"), 4).alias("month_low"),
+    )
+
+
+# ------------------------------------------------ corrupt CSV recovery
+
+
+@register(
+    "src_csv_corrupt_recovery",
+    oracle="""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nation
+)
+SELECT n + 0 AS n_good_rows,
+       CAST(3 AS BIGINT) AS n_corrupt_rows,
+       round(3.0 / (n + 3), 6) AS corrupt_share,
+       CAST(n + 3 AS BIGINT) AS n_total_lines
+FROM base
+""",
+    doc="malformed-record recovery at the CSV source (SURVEY S9's "
+    "ingestion surface under REAL dirt): the nation table is "
+    "written to CSV and three deterministic corruptions are "
+    "appended — a short row, a row with an unparseable integer, "
+    "and a bare garbage line — then read back in PERMISSIVE mode "
+    "with columnNameOfCorruptRecord, which lands every bad line "
+    "in the quarantine column instead of failing the job or "
+    "(worse) silently dropping them.  The query returns the "
+    "good/corrupt split the DLQ dashboard would show; the oracle "
+    "derives it in closed form from the corruption recipe.  The "
+    "production stance for 100 TB feeds: schema-on-read with an "
+    "explicit dead-letter channel (cdc_dlq_replay is the same "
+    "doctrine on the change stream), never FAILFAST in bulk "
+    "ingest and never DROPMALFORMED without counting what "
+    "dropped",
+)
+def src_csv_corrupt_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    nation = load_table(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_csv_dirty_{tag}"
+    nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").option(
+        "header", "false"
+    ).csv(path)
+    import glob as _glob
+
+    part = _glob.glob(f"{path}/part-*.csv")[0]
+    with open(part, "a") as f:
+        f.write("99\n")  # short row
+        f.write("notanint,BADLAND,7\n")  # unparseable key
+        f.write("garbage line with no commas at all\n")
+    # the writer left Hadoop .crc sidecars that no longer match the
+    # dirtied file — drop them so the read exercises the CSV parser,
+    # not the checksum layer
+    for crc in _glob.glob(f"{path}/.*.crc"):
+        os.remove(crc)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "false")
+        .csv(path)
+        .cache()
+    )
+    agg = back.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("int"))
+        .cast("long")
+        .alias("n_good_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_corrupt_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_total_lines"),
+    )
+    return agg.select(
+        "n_good_rows",
+        "n_corrupt_rows",
+        F.round(
+            F.col("n_corrupt_rows") * 1.0 / F.col("n_total_lines"), 6
+        ).alias("corrupt_share"),
+        "n_total_lines",
+    )
