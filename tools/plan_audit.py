@@ -174,6 +174,15 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "(k<=16 centroid seeds, 6 windows across the three builds)",
     "privacy_membership_inference_auc": "midrank cumulative over the "
     "6dp loss histogram (score-histogram class)",
+    "dash_abc_xyz_matrix": "cumulative-share scan over the part-level "
+    "revenue aggregate (dimension-domain, the "
+    "agg_abc_classification class)",
+    "dash_bass_diffusion_fit": "cumulative adoption over the "
+    "calendar-bounded daily aggregate",
+    "layout_hilbert_vs_zorder_locality": "curve-order lag windows "
+    "over the <=4096-cell grid (bounded by construction)",
+    "ts_cointegration_eg_test": "residual lag over the calendar-"
+    "bounded daily aggregate",
 }
 
 
@@ -705,6 +714,24 @@ ALLOWED_EXCHANGES = {
     "stats_negbin_fit_daily": 9,
     "cdc_backfill_cutover_check": 25,
     "search_err_cascade": 12,
+    # late continuation batches — bounded-domain closed-form stages:
+    # ab_group_sequential_obf: per-user aggregate + median + 4-row
+    # cumulative grid + single-row combines.
+    "ab_group_sequential_obf": 12,
+    # dash_abc_xyz_matrix: part-level revenue + weekly-demand
+    # aggregates, CV classes, 9-cell matrix combine.
+    "dash_abc_xyz_matrix": 12,
+    # ml_cart_depth2_gini: joint histogram checkpointed once; root +
+    # two child candidate evaluations each add marginal/cumulative
+    # aggregates over <=256-cell tables.
+    "ml_cart_depth2_gini": 31,
+    # ml_propensity_strat_att: per-user aggregate + five derived
+    # quantiles + stratum cells + single-row combines.
+    "ml_propensity_strat_att": 14,
+    # ts_forecast_combination_eval: day aggregate + train/holdout
+    # stats + per-model error rows + combo pass — every exchange
+    # carries <=7-row holdout or 1-row stats.
+    "ts_forecast_combination_eval": 30,
 }
 
 
