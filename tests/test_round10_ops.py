@@ -431,3 +431,80 @@ def test_cart_depth2_structure(spark):
     # children can only purify: each child split's weighted Gini is
     # bounded by the parent's 0.5 worst case, and n_left < node size
     assert rows[0].n_left > 0
+
+
+def test_bass_fit_flags_consistent(spark):
+    (r,) = _run(spark, "dash_bass_diffusion_fit")
+    if r.bass_shape_valid_flag == 1:
+        assert r.peak_day_estimate is not None
+        assert r.p_innovation > 0 and r.q_imitation > 0
+    else:
+        assert r.peak_day_estimate is None
+
+
+def test_cointegration_outputs(spark):
+    (r,) = _run(spark, "ts_cointegration_eg_test")
+    assert r.n_diffs > 10
+    assert r.cointegrated_flag == (1 if r.adf_t_stat < -3.34 else 0)
+
+
+def test_obf_boundary_monotone(spark):
+    rows = _run(spark, "ab_group_sequential_obf")
+    assert [r.interim for r in rows] == [1, 2, 3, 4]
+    bounds = [r.obf_boundary for r in rows]
+    # OBF spends alpha late: boundaries strictly fall toward the end
+    assert bounds == sorted(bounds, reverse=True)
+    ns = [r.n_treatment + r.n_control for r in rows]
+    assert ns == sorted(ns)  # enrollment only grows
+
+
+def test_abc_xyz_shares_sum(spark):
+    rows = _run(spark, "dash_abc_xyz_matrix")
+    assert 1 <= len(rows) <= 9
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z"}
+
+
+def test_did_identity(spark):
+    (r,) = _run(spark, "stats_diff_in_diff_revenue")
+    assert (
+        abs(
+            r.did_estimate
+            - (r.treated_delta - r.control_delta)
+        )
+        < 0.02
+    )
+    assert r.pre_trend_gap >= 0
+
+
+def test_pu_prior_bounds(spark):
+    (r,) = _run(spark, "ml_pu_prior_elkan_noto")
+    assert 0 < r.c_label_propensity <= 1
+    assert r.n_labeled < r.n
+    assert 0 <= r.true_prior <= 1
+
+
+def test_storey_qvalues_dominated_by_p(spark):
+    rows = _run(spark, "stats_fdr_storey_qvalues")
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 <= r.p_value <= 1
+        assert r.q_value >= 0
+    pi0 = {r.pi0_estimate for r in rows}
+    assert len(pi0) == 1
+    assert 0.05 <= pi0.pop() <= 1.0
+
+
+def test_ohlc_bounds(spark):
+    (r,) = _run(spark, "ts_ohlc_daily")
+    assert r.month_low <= r.month_high
+    assert r.avg_body <= r.avg_range + 1e-9  # body is inside range
+    assert 0 <= r.n_up_days <= r.n_days
+
+
+def test_csv_recovery_exact_counts(spark):
+    (r,) = _run(spark, "src_csv_corrupt_recovery")
+    assert r.n_corrupt_rows == 3
+    assert r.n_good_rows == 25
+    assert r.n_total_lines == 28
