@@ -11671,3 +11671,336 @@ def src_csv_corrupt_recovery(
         ).alias("corrupt_share"),
         "n_total_lines",
     )
+
+
+# ------------------------------------------------ threshold cascade
+
+
+@register(
+    "graph_threshold_cascade",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+sym AS (
+  SELECT u AS a, v AS b FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+),
+deg AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+),
+seeds AS (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT 2
+),
+a1 AS (SELECT node FROM seeds),
+a2 AS (
+  SELECT node FROM a1
+  UNION
+  SELECT s.a FROM sym s JOIN a1 ON a1.node = s.b
+  GROUP BY s.a HAVING count(*) >= 2
+),
+a3 AS (
+  SELECT node FROM a2
+  UNION
+  SELECT s.a FROM sym s JOIN a2 ON a2.node = s.b
+  GROUP BY s.a HAVING count(*) >= 2
+),
+a4 AS (
+  SELECT node FROM a3
+  UNION
+  SELECT s.a FROM sym s JOIN a3 ON a3.node = s.b
+  GROUP BY s.a HAVING count(*) >= 2
+)
+SELECT 1 AS round, CAST((SELECT count(*) FROM a1) AS BIGINT)
+         AS n_active
+UNION ALL SELECT 2, CAST((SELECT count(*) FROM a2) AS BIGINT)
+UNION ALL SELECT 3, CAST((SELECT count(*) FROM a3) AS BIGINT)
+UNION ALL SELECT 4, CAST((SELECT count(*) FROM a4) AS BIGINT)
+ORDER BY round
+""",
+    doc="bootstrap-percolation (threshold-2 cascade) on the nation "
+    "trade graph: the two highest-degree nations seed, and each "
+    "round activates every node with >= 2 already-active "
+    "neighbors — the Granovetter/Watts complex-contagion model "
+    "where adoption needs REINFORCEMENT (two independent "
+    "sources), unlike simple epidemic spread where one contact "
+    "suffices (graph_bfs_levels is exactly that threshold-1 "
+    "counterpart).  The activation curve's shape tells you "
+    "whether the network can carry a complex contagion at all "
+    "(standards adoption, trade-policy diffusion) or whether it "
+    "stalls outside the dense core that graph_k_core_trade "
+    "identifies.  Three unrolled rounds of join + HAVING over "
+    "the 25-node domain; at 100 TB the N-sized work is the one "
+    "edge-derivation join, shared with the rest of the graph "
+    "family",
+)
+def graph_threshold_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    active = (
+        deg.orderBy(F.desc("d"), "node").limit(2).select("node")
+    )
+    counts = [active.count()]
+    for _ in range(3):
+        newly = (
+            sym.join(
+                active.select(F.col("node").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select(F.col("a").alias("node"))
+        )
+        active = active.unionAll(newly).distinct().localCheckpoint()
+        counts.append(active.count())
+    return spark.createDataFrame(
+        [(i + 1, int(c)) for i, c in enumerate(counts)],
+        "round int, n_active long",
+    ).orderBy("round")
+
+
+# ------------------------------------------------ mRMR selection
+
+_MRMR_BINS = 8
+
+
+def _mrmr_bin_duck(dim: int) -> str:
+    return (
+        f"least({_MRMR_BINS - 1}, CAST(floor("
+        f"(CAST(embedding[{dim}] AS DOUBLE) + 1.0) / 2.0 "
+        f"* {_MRMR_BINS}) AS BIGINT))"
+    )
+
+
+@register(
+    "ml_mrmr_feature_select",
+    oracle=f"""
+WITH b AS (
+  SELECT {_mrmr_bin_duck(1)} AS f1, {_mrmr_bin_duck(2)} AS f2,
+         {_mrmr_bin_duck(3)} AS f3, {_mrmr_bin_duck(4)} AS f4,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+pairs AS (
+  SELECT 1 AS fi, 0 AS fj, f1 AS bi, y AS bj FROM b
+  UNION ALL SELECT 2, 0, f2, y FROM b
+  UNION ALL SELECT 3, 0, f3, y FROM b
+  UNION ALL SELECT 4, 0, f4, y FROM b
+  UNION ALL SELECT 1, 2, f1, f2 FROM b
+  UNION ALL SELECT 1, 3, f1, f3 FROM b
+  UNION ALL SELECT 1, 4, f1, f4 FROM b
+  UNION ALL SELECT 2, 3, f2, f3 FROM b
+  UNION ALL SELECT 2, 4, f2, f4 FROM b
+  UNION ALL SELECT 3, 4, f3, f4 FROM b
+),
+joint AS (
+  SELECT fi, fj, bi, bj, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3, 4
+),
+mi AS (
+  SELECT j.fi, j.fj,
+         round(sum((j.c * 1.0 / (SELECT nn FROM n))
+               * ln(j.c * 1.0 * (SELECT nn FROM n)
+                    / (mi2.ci * 1.0 * mj.cj))), 6) AS mi_nats
+  FROM joint j
+  JOIN (SELECT fi, fj, bi, CAST(sum(c) AS BIGINT) AS ci
+        FROM joint GROUP BY 1, 2, 3) mi2
+    ON mi2.fi = j.fi AND mi2.fj = j.fj AND mi2.bi = j.bi
+  JOIN (SELECT fi, fj, bj, CAST(sum(c) AS BIGINT) AS cj
+        FROM joint GROUP BY 1, 2, 3) mj
+    ON mj.fi = j.fi AND mj.fj = j.fj AND mj.bj = j.bj
+  GROUP BY 1, 2
+),
+rel AS (SELECT fi AS f, mi_nats AS relevance FROM mi WHERE fj = 0),
+first AS (
+  SELECT f, relevance FROM rel ORDER BY relevance DESC, f LIMIT 1
+),
+second AS (
+  SELECT r.f, r.relevance,
+         m.mi_nats AS redundancy,
+         round(r.relevance - m.mi_nats, 6) AS mrmr_score
+  FROM rel r
+  JOIN mi m ON ((m.fi = r.f AND m.fj = (SELECT f FROM first))
+             OR (m.fj = r.f AND m.fi = (SELECT f FROM first)))
+  WHERE r.f <> (SELECT f FROM first)
+  ORDER BY round(r.relevance - m.mi_nats, 6) DESC, r.f LIMIT 1
+)
+SELECT 1 AS rank, (SELECT f FROM first) AS feature,
+       (SELECT round(relevance, 6) FROM first) AS relevance_mi,
+       0.0 AS redundancy_mi,
+       (SELECT round(relevance, 6) FROM first) AS mrmr_score
+UNION ALL
+SELECT 2, f, round(relevance, 6), round(redundancy, 6), mrmr_score
+FROM second
+ORDER BY rank
+""",
+    doc="mRMR (max-relevance min-redundancy) greedy feature "
+    "selection over embedding dims 1-4, binned to a fixed 8-bin "
+    "grid on the [-1,1] domain: all 4 feature-label and 6 "
+    "feature-feature mutual informations come from ONE unioned "
+    "joint-histogram pass (the agg_mutual_information estimator "
+    "applied ten times), the first pick maximizes I(f;y), the "
+    "second maximizes I(f;y) - I(f;selected) — the Peng-Ding "
+    "criterion that beats pure relevance ranking exactly when "
+    "top features are correlated with each other "
+    "(ml_feature_target_corr ranks by relevance alone and "
+    "cannot see that its #2 duplicates its #1).  Every "
+    "selection is a deterministic argmax over 6dp-rounded MI "
+    "values with feature-id tiebreaks; the shuffled state is "
+    "ten <=64-cell joint tables, never rows",
+)
+def ml_mrmr_feature_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def binc(dim):
+        return F.least(
+            F.lit(_MRMR_BINS - 1),
+            F.floor(
+                (F.element_at("embedding", dim).cast("double") + 1.0)
+                / 2.0
+                * _MRMR_BINS
+            ).cast("long"),
+        )
+
+    b = emb.select(
+        binc(1).alias("f1"),
+        binc(2).alias("f2"),
+        binc(3).alias("f3"),
+        binc(4).alias("f4"),
+        F.when(F.col("label") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    pair_specs = [
+        (1, 0, "f1", "y"),
+        (2, 0, "f2", "y"),
+        (3, 0, "f3", "y"),
+        (4, 0, "f4", "y"),
+        (1, 2, "f1", "f2"),
+        (1, 3, "f1", "f3"),
+        (1, 4, "f1", "f4"),
+        (2, 3, "f2", "f3"),
+        (2, 4, "f2", "f4"),
+        (3, 4, "f3", "f4"),
+    ]
+    from functools import reduce
+
+    parts = [
+        b.select(
+            F.lit(fi).alias("fi"),
+            F.lit(fj).alias("fj"),
+            F.col(ci).alias("bi"),
+            F.col(cj).alias("bj"),
+        )
+        for fi, fj, ci, cj in pair_specs
+    ]
+    pairs = reduce(lambda x, y: x.unionAll(y), parts)
+    joint = pairs.groupBy("fi", "fj", "bi", "bj").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = b.count()
+    mi_i = joint.groupBy("fi", "fj", "bi").agg(
+        F.sum("c").cast("long").alias("ci")
+    )
+    mi_j = joint.groupBy("fi", "fj", "bj").agg(
+        F.sum("c").cast("long").alias("cj")
+    )
+    mi = (
+        joint.join(mi_i, ["fi", "fj", "bi"])
+        .join(mi_j, ["fi", "fj", "bj"])
+        .groupBy("fi", "fj")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") * 1.0 / n)
+                    * F.log(
+                        F.col("c")
+                        * 1.0
+                        * n
+                        / (F.col("ci") * 1.0 * F.col("cj"))
+                    )
+                ),
+                6,
+            ).alias("mi_nats")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rel = mi.filter(F.col("fj") == 0).select(
+        F.col("fi").alias("f"), F.col("mi_nats").alias("relevance")
+    )
+    first = rel.orderBy(F.desc("relevance"), "f").limit(1)
+    fsel = first.select(
+        F.col("f").alias("fsel"), F.col("relevance").alias("rel1")
+    )
+    second = (
+        rel.crossJoin(F.broadcast(fsel))
+        .filter(F.col("f") != F.col("fsel"))
+        .join(
+            mi.select("fi", "fj", F.col("mi_nats").alias("redundancy")),
+            (
+                (F.col("fi") == F.col("f"))
+                & (F.col("fj") == F.col("fsel"))
+            )
+            | (
+                (F.col("fj") == F.col("f"))
+                & (F.col("fi") == F.col("fsel"))
+            ),
+        )
+        .select(
+            "f",
+            "relevance",
+            "redundancy",
+            F.round(
+                F.col("relevance") - F.col("redundancy"), 6
+            ).alias("mrmr_score"),
+        )
+        .orderBy(F.desc("mrmr_score"), "f")
+        .limit(1)
+    )
+    out1 = first.select(
+        F.lit(1).alias("rank"),
+        F.col("f").alias("feature"),
+        F.round(F.col("relevance"), 6).alias("relevance_mi"),
+        F.lit(0.0).alias("redundancy_mi"),
+        F.round(F.col("relevance"), 6).alias("mrmr_score"),
+    )
+    out2 = second.select(
+        F.lit(2).alias("rank"),
+        F.col("f").alias("feature"),
+        F.round(F.col("relevance"), 6).alias("relevance_mi"),
+        F.round(F.col("redundancy"), 6).alias("redundancy_mi"),
+        F.col("mrmr_score"),
+    )
+    return out1.unionAll(out2).orderBy("rank")

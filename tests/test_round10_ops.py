@@ -508,3 +508,19 @@ def test_csv_recovery_exact_counts(spark):
     assert r.n_corrupt_rows == 3
     assert r.n_good_rows == 25
     assert r.n_total_lines == 28
+
+
+def test_cascade_monotone(spark):
+    rows = _run(spark, "graph_threshold_cascade")
+    counts = [r.n_active for r in rows]
+    assert counts[0] == 2  # two seeds
+    assert counts == sorted(counts)  # activation never shrinks
+    assert counts[-1] <= 25
+
+
+def test_mrmr_two_distinct_features(spark):
+    rows = _run(spark, "ml_mrmr_feature_select")
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].feature != rows[1].feature
+    assert rows[0].redundancy_mi == 0.0
+    assert rows[1].relevance_mi <= rows[0].relevance_mi + 1e-9
