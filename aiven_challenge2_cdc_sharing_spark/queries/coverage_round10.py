@@ -12004,3 +12004,236 @@ def ml_mrmr_feature_select(
         F.col("mrmr_score"),
     )
     return out1.unionAll(out2).orderBy("rank")
+
+
+# ------------------------------------------------ Fleiss kappa
+
+
+@register(
+    "stats_fleiss_kappa_raters",
+    oracle="""
+WITH rated AS (
+  SELECT vec_id,
+         CASE WHEN round(1.0 / (1.0 + exp(
+                -CAST(embedding[1] AS DOUBLE) * 4)), 6) >= 0.5
+              THEN 1 ELSE 0 END
+         + CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(embedding[3] AS DOUBLE)
+                     + CAST(embedding[4] AS DOUBLE) >= 0
+                THEN 1 ELSE 0 END AS n_pos
+  FROM embeddings
+),
+item AS (
+  SELECT n_pos, 3 - n_pos AS n_neg,
+         (n_pos * (n_pos - 1) + (3 - n_pos) * (2 - n_pos)) / 6.0
+           AS p_i
+  FROM rated
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(p_i), 6) AS p_bar,
+         round(sum(n_pos) / (3.0 * count(*)), 6) AS p_pos
+  FROM item
+)
+SELECT n AS n_items,
+       p_bar AS observed_agreement,
+       round(p_pos * p_pos + (1 - p_pos) * (1 - p_pos), 6)
+         AS expected_agreement,
+       round((p_bar - (p_pos * p_pos + (1 - p_pos) * (1 - p_pos)))
+             / (1 - (p_pos * p_pos + (1 - p_pos) * (1 - p_pos))), 6)
+         AS fleiss_kappa
+FROM agg
+""",
+    doc="Fleiss' kappa across THREE deterministic raters (the "
+    "sigmoid scorer, the dim-2 sign rule, and the dim-3+4 sum "
+    "rule) labeling every embedding: per-item agreement P_i = "
+    "sum_k n_k(n_k-1)/(r(r-1)), chance agreement from the pooled "
+    "category marginals, kappa = (P - Pe)/(1 - Pe) — the "
+    "MULTI-rater generalization of stats_cohens_kappa (which "
+    "stops at two raters) and the standard label-quality gate "
+    "before training on crowd or ensemble annotations: kappa "
+    "near zero says the 'labels' are noise regardless of how "
+    "confident each rater feels, and ml_confident_joint's "
+    "noise-rate machinery assumes this gate was checked.  One "
+    "map-side pass, closed-form single row",
+)
+def stats_fleiss_kappa_raters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    r1 = (
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -F.element_at("embedding", 1).cast("double") * 4
+                )
+            ),
+            6,
+        )
+        >= 0.5
+    ).cast("int")
+    r2 = (F.element_at("embedding", 2).cast("double") >= 0).cast("int")
+    r3 = (
+        F.element_at("embedding", 3).cast("double")
+        + F.element_at("embedding", 4).cast("double")
+        >= 0
+    ).cast("int")
+    rated = emb.select((r1 + r2 + r3).alias("n_pos"))
+    p_i = (
+        F.col("n_pos") * (F.col("n_pos") - 1)
+        + (3 - F.col("n_pos")) * (2 - F.col("n_pos"))
+    ) / 6.0
+    item = rated.select("n_pos", p_i.alias("p_i"))
+    agg = item.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("p_i"), 6).alias("p_bar"),
+        F.round(
+            F.sum("n_pos") / (3.0 * F.count(F.lit(1))), 6
+        ).alias("p_pos"),
+    )
+    pe = F.col("p_pos") * F.col("p_pos") + (1 - F.col("p_pos")) * (
+        1 - F.col("p_pos")
+    )
+    return agg.select(
+        F.col("n").alias("n_items"),
+        F.col("p_bar").alias("observed_agreement"),
+        # round via multiply-first: pe lands EXACTLY on .5 ulp
+        # boundaries (p_pos is an exact rational), where F.round's
+        # BigDecimal path and DuckDB's multiply-first disagree
+        (F.round(pe * 1e6, 0) / 1e6).alias("expected_agreement"),
+        F.round((F.col("p_bar") - pe) / (1 - pe), 6).alias(
+            "fleiss_kappa"
+        ),
+    )
+
+
+# ------------------------------------------------ Welford merge check
+
+
+@register(
+    "agg_welford_merge_check",
+    oracle="""
+WITH halves AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS h,
+         o_totalprice AS v
+  FROM orders
+),
+parts AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n,
+         round(avg(v), 6) AS m,
+         round(sum(v * v) - sum(v) * sum(v) / count(*), 4) AS m2
+  FROM halves GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN h = 0 THEN n END) AS na,
+    max(CASE WHEN h = 0 THEN m END) AS ma,
+    max(CASE WHEN h = 0 THEN m2 END) AS m2a,
+    max(CASE WHEN h = 1 THEN n END) AS nb,
+    max(CASE WHEN h = 1 THEN m END) AS mb,
+    max(CASE WHEN h = 1 THEN m2 END) AS m2b
+  FROM parts
+),
+merged AS (
+  SELECT na + nb AS n,
+         (na * ma + nb * mb) / (na + nb) AS m,
+         m2a + m2b + (mb - ma) * (mb - ma) * na * nb / (na + nb)
+           AS m2
+  FROM wide
+),
+direct AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg(v) AS m,
+         sum(v * v) - sum(v) * sum(v) / count(*) AS m2
+  FROM halves
+)
+SELECT merged.n AS n_total,
+       round(merged.m, 4) AS mean_merged,
+       round(direct.m, 4) AS mean_direct,
+       round(sqrt(merged.m2 / (merged.n - 1)), 4) AS sd_merged,
+       round(sqrt(direct.m2 / (direct.n - 1)), 4) AS sd_direct,
+       CASE WHEN abs(merged.m - direct.m) < 1e-4
+             AND abs(sqrt(merged.m2 / (merged.n - 1))
+                     - sqrt(direct.m2 / (direct.n - 1))) < 1e-3
+            THEN 1 ELSE 0 END AS merge_exact_flag
+FROM merged, direct
+""",
+    doc="Chan parallel-variance merge, proven as a query: the order-"
+    "value moments are computed independently on two disjoint "
+    "halves as (n, mean, M2) summaries, merged with the "
+    "pairwise-update identity M2 = M2a + M2b + delta^2*na*nb/n, "
+    "and compared against the direct single-pass answer — the "
+    "ALGEBRA that makes every distributed aggregate in this "
+    "engine correct (Spark's partial/final AVG and STDDEV are "
+    "exactly this merge), surfaced and checked rather than "
+    "trusted.  The merge identity is what lets 100 TB of "
+    "partials combine across 1,000 executors, lets "
+    "agg_hll_sketch_partial_merge's philosophy extend to exact "
+    "moments, and is the associativity proof any custom "
+    "aggregator must pass before production.  Two groupBys and "
+    "one row of algebra; the equality flag is the test",
+)
+def agg_welford_merge_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    halves = orders.select(
+        (F.col("o_orderkey") % 2).alias("h"),
+        F.col("o_totalprice").alias("v"),
+    )
+    parts = halves.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(
+            F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v") / F.count(F.lit(1)),
+            4,
+        ).alias("m2"),
+    )
+    wide = parts.agg(
+        F.max(F.when(F.col("h") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("h") == 0, F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("h") == 0, F.col("m2"))).alias("m2a"),
+        F.max(F.when(F.col("h") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("h") == 1, F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("h") == 1, F.col("m2"))).alias("m2b"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    m_merged = (na * F.col("ma") + nb * F.col("mb")) / (na + nb)
+    m2_merged = (
+        F.col("m2a")
+        + F.col("m2b")
+        + (F.col("mb") - F.col("ma"))
+        * (F.col("mb") - F.col("ma"))
+        * na
+        * nb
+        / (na + nb)
+    )
+    direct = halves.agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.avg("v").alias("dm"),
+        (
+            F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v") / F.count(F.lit(1))
+        ).alias("dm2"),
+    )
+    j = wide.crossJoin(F.broadcast(direct))
+    sd_m = F.sqrt(m2_merged / (na + nb - 1))
+    sd_d = F.sqrt(F.col("dm2") / (F.col("dn") - 1))
+    return j.select(
+        (na + nb).cast("long").alias("n_total"),
+        F.round(m_merged, 4).alias("mean_merged"),
+        F.round(F.col("dm"), 4).alias("mean_direct"),
+        F.round(sd_m, 4).alias("sd_merged"),
+        F.round(sd_d, 4).alias("sd_direct"),
+        F.when(
+            (F.abs(m_merged - F.col("dm")) < 1e-4)
+            & (F.abs(sd_m - sd_d) < 1e-3),
+            1,
+        )
+        .otherwise(0)
+        .alias("merge_exact_flag"),
+    )

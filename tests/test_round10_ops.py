@@ -524,3 +524,17 @@ def test_mrmr_two_distinct_features(spark):
     assert rows[0].feature != rows[1].feature
     assert rows[0].redundancy_mi == 0.0
     assert rows[1].relevance_mi <= rows[0].relevance_mi + 1e-9
+
+
+def test_fleiss_kappa_bounds(spark):
+    (r,) = _run(spark, "stats_fleiss_kappa_raters")
+    assert -1 <= r.fleiss_kappa <= 1
+    assert 0 <= r.observed_agreement <= 1
+    assert 0.5 <= r.expected_agreement <= 1  # 2-category floor
+
+
+def test_welford_merge_exact(spark):
+    (r,) = _run(spark, "agg_welford_merge_check")
+    assert r.merge_exact_flag == 1
+    assert r.mean_merged == r.mean_direct
+    assert r.sd_merged == r.sd_direct
