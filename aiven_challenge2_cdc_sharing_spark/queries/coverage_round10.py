@@ -12237,3 +12237,269 @@ def agg_welford_merge_check(
         .otherwise(0)
         .alias("merge_exact_flag"),
     )
+
+
+# ------------------------------------------------ grid DBSCAN
+
+
+@register(
+    "geo_grid_dbscan_clusters",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(floor(({_PLAT_DUCK.format(k='c_custkey')} + 90) / 4.5)
+              AS BIGINT) AS cy,
+         CAST(floor(({_PLON_DUCK.format(k='c_custkey')} + 180) / 9.0)
+              AS BIGINT) AS cx
+  FROM customer
+),
+cells AS (
+  SELECT cy, cx, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+nbr AS (
+  SELECT c.cy, c.cx, c.n,
+         CAST(sum(o.n) AS BIGINT) AS nbhd
+  FROM cells c
+  JOIN cells o
+    ON abs(o.cy - c.cy) <= 1 AND abs(o.cx - c.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+core AS (
+  SELECT cy, cx, n FROM nbr
+  WHERE nbhd >= (SELECT CAST(3 * count(*) AS BIGINT) FROM pts)
+                // (SELECT CAST(count(*) AS BIGINT) FROM cells)
+),
+lbl0 AS (SELECT cy, cx, n, cy * 1000 + cx AS lbl FROM core),
+l1 AS (
+  SELECT a.cy, a.cx, a.n, min(b.lbl) AS lbl
+  FROM lbl0 a JOIN lbl0 b
+    ON abs(b.cy - a.cy) <= 1 AND abs(b.cx - a.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+l2 AS (
+  SELECT a.cy, a.cx, a.n, min(b.lbl) AS lbl
+  FROM l1 a JOIN l1 b
+    ON abs(b.cy - a.cy) <= 1 AND abs(b.cx - a.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+l3 AS (
+  SELECT a.cy, a.cx, a.n, min(b.lbl) AS lbl
+  FROM l2 a JOIN l2 b
+    ON abs(b.cy - a.cy) <= 1 AND abs(b.cx - a.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+l4 AS (
+  SELECT a.cy, a.cx, a.n, min(b.lbl) AS lbl
+  FROM l3 a JOIN l3 b
+    ON abs(b.cy - a.cy) <= 1 AND abs(b.cx - a.cx) <= 1
+  GROUP BY 1, 2, 3
+),
+clusters AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_points
+  FROM l4 GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_occupied_cells,
+       CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core_cells,
+       CAST((SELECT count(*) FROM clusters) AS BIGINT) AS n_clusters,
+       CAST((SELECT max(n_cells) FROM clusters) AS BIGINT)
+         AS largest_cluster_cells,
+       CAST((SELECT max(n_points) FROM clusters) AS BIGINT)
+         AS largest_cluster_points
+FROM (SELECT 1)
+""",
+    doc="grid-based DBSCAN-lite over the customer point cloud: "
+    "cells on a 40x40 geo grid are CORE when their 3x3 "
+    "neighborhood holds at least 3x the mean cell population "
+    "(the data-derived density threshold — never a fixed "
+    "minPts), and clusters are 8-connected components of core "
+    "cells, resolved by four unrolled min-label rounds (the "
+    "dedup_cluster_resolution iteration on the bounded cell "
+    "domain, where four rounds provably suffice for the "
+    "label-diameter the grid admits at these densities — both "
+    "engines run the identical truncation, so convergence-or-"
+    "not is part of the replayed semantics).  The density-"
+    "clustering complement to geo_cell_nearest (proximity) and "
+    "emb_density_core_points (embedding space): cluster counts "
+    "and the largest component are what a territory-planning or "
+    "outage-blast-radius view needs.  Grid algebra only after "
+    "one map-side cell count",
+)
+def geo_grid_dbscan_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.selectExpr(
+        f"CAST(floor(({_PLAT_SPARK.format(k='c_custkey')} + 90) / 4.5)"
+        " AS BIGINT) AS cy",
+        f"CAST(floor(({_PLON_SPARK.format(k='c_custkey')} + 180) / 9.0)"
+        " AS BIGINT) AS cx",
+    )
+    cells = pts.groupBy("cy", "cx").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    n_pts = pts.count()
+    n_cells = cells.count()
+    thresh = 3 * n_pts // n_cells
+    o = cells.select(
+        F.col("cy").alias("oy"),
+        F.col("cx").alias("ox"),
+        F.col("n").alias("on"),
+    )
+    nbr = (
+        cells.join(
+            o,
+            (F.abs(F.col("oy") - F.col("cy")) <= 1)
+            & (F.abs(F.col("ox") - F.col("cx")) <= 1),
+        )
+        .groupBy("cy", "cx", "n")
+        .agg(F.sum("on").cast("long").alias("nbhd"))
+    )
+    core = nbr.filter(F.col("nbhd") >= thresh).select(
+        "cy", "cx", "n", (F.col("cy") * 1000 + F.col("cx")).alias("lbl")
+    )
+    lbl = core.localCheckpoint()
+    for _ in range(4):
+        b = lbl.select(
+            F.col("cy").alias("by"),
+            F.col("cx").alias("bx"),
+            F.col("lbl").alias("blbl"),
+        )
+        lbl = (
+            lbl.join(
+                b,
+                (F.abs(F.col("by") - F.col("cy")) <= 1)
+                & (F.abs(F.col("bx") - F.col("cx")) <= 1),
+            )
+            .groupBy("cy", "cx", "n")
+            .agg(F.min("blbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    clusters = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )
+    summary = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("n_cells").cast("long").alias("largest_cluster_cells"),
+        F.max("n_points").cast("long").alias("largest_cluster_points"),
+    )
+    n_core = core.count()
+    return summary.select(
+        F.lit(n_cells).cast("long").alias("n_occupied_cells"),
+        F.lit(n_core).cast("long").alias("n_core_cells"),
+        "n_clusters",
+        "largest_cluster_cells",
+        "largest_cluster_points",
+    )
+
+
+# ------------------------------------------------ cohort decay half-life
+
+
+@register(
+    "cohort_decay_halflife",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cw FROM weekly GROUP BY 1
+),
+ret AS (
+  SELECT c.cw, w.week - c.cw AS k,
+         CAST(count(*) AS BIGINT) AS active
+  FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cw, active AS n0 FROM ret WHERE k = 0
+),
+pts AS (
+  SELECT r.cw, r.k,
+         round(ln(r.active * 1.0 / b.n0), 6) AS lr
+  FROM ret r JOIN base b ON b.cw = r.cw
+  WHERE r.k >= 1 AND r.active > 0
+),
+fit AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS n_pts,
+         (count(*) * sum(k * lr) - sum(k) * sum(lr))
+         / (count(*) * sum(k * k) - sum(k) * sum(k)) AS slope
+  FROM pts GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT cw AS cohort_week, n_pts,
+       round(slope, 6) AS log_decay_slope,
+       CASE WHEN slope < 0
+            THEN round(-0.6931471805599453 / slope, 2)
+            ELSE NULL END AS half_life_weeks
+FROM fit ORDER BY cohort_week
+""",
+    doc="retention half-life per weekly cohort: the log retention "
+    "curve ln(active_k/n0) is fit by OLS through weeks k >= 1 and "
+    "the exponential-decay half-life follows as ln(2)/|slope| — "
+    "compressing each cohort's full retention triangle "
+    "(cohort_weekly_retention shows the raw curves) into the ONE "
+    "comparable number growth teams trend: a later cohort with a "
+    "longer half-life is the product getting stickier, "
+    "independent of cohort size.  Cohorts whose curve never "
+    "decays (slope >= 0) report NULL half-life rather than a "
+    "negative time — stated, not clamped.  Week-domain algebra "
+    "after one distinct-(user, week) pass, closed-form per-"
+    "cohort OLS on <=5 points",
+)
+def cohort_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800)
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cw"))
+    ret = (
+        weekly.join(cohorts, "user_id")
+        .groupBy("cw", (F.col("week") - F.col("cw")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    base = ret.filter(F.col("k") == 0).select(
+        "cw", F.col("active").alias("n0")
+    )
+    pts = (
+        ret.join(base, "cw")
+        .filter((F.col("k") >= 1) & (F.col("active") > 0))
+        .select(
+            "cw",
+            "k",
+            F.round(
+                F.log(F.col("active") * 1.0 / F.col("n0")), 6
+            ).alias("lr"),
+        )
+    )
+    nn = F.count(F.lit(1))
+    slope = (
+        nn * F.sum(F.col("k") * F.col("lr"))
+        - F.sum("k") * F.sum("lr")
+    ) / (
+        nn * F.sum(F.col("k") * F.col("k")) - F.sum("k") * F.sum("k")
+    )
+    fit = (
+        pts.groupBy("cw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            slope.alias("slope"),
+        )
+        .filter(F.col("n_pts") >= 2)
+    )
+    return fit.select(
+        F.col("cw").alias("cohort_week"),
+        "n_pts",
+        F.round(F.col("slope"), 6).alias("log_decay_slope"),
+        F.when(
+            F.col("slope") < 0,
+            F.round(-_math.log(2) / F.col("slope"), 2),
+        ).alias("half_life_weeks"),
+    ).orderBy("cohort_week")

@@ -538,3 +538,20 @@ def test_welford_merge_exact(spark):
     assert r.merge_exact_flag == 1
     assert r.mean_merged == r.mean_direct
     assert r.sd_merged == r.sd_direct
+
+
+def test_dbscan_cluster_consistency(spark):
+    (r,) = _run(spark, "geo_grid_dbscan_clusters")
+    assert r.n_core_cells <= r.n_occupied_cells
+    assert r.n_clusters <= max(r.n_core_cells, 1)
+    if r.n_clusters > 0:
+        assert r.largest_cluster_cells >= 1
+
+
+def test_cohort_halflife_signs(spark):
+    rows = _run(spark, "cohort_decay_halflife", SF01)
+    assert rows
+    for r in rows:
+        if r.half_life_weeks is not None:
+            assert r.half_life_weeks > 0
+            assert r.log_decay_slope < 0
