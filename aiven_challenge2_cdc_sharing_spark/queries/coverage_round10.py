@@ -12503,3 +12503,180 @@ def cohort_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-_math.log(2) / F.col("slope"), 2),
         ).alias("half_life_weeks"),
     ).orderBy("cohort_week")
+
+
+# ------------------------------------------------ EB beta shrinkage
+
+
+@register(
+    "stats_eb_beta_shrinkage",
+    oracle="""
+WITH per AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+mom AS (
+  SELECT round(avg(x * 1.0 / n), 6) AS mu,
+         round(var_samp(x * 1.0 / n), 6) AS v
+  FROM per
+),
+ab AS (
+  SELECT mu, v,
+         mu * (mu * (1 - mu) / v - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / v - 1) AS beta
+  FROM mom
+)
+SELECT p.nation, p.n,
+       round(p.x * 1.0 / p.n, 6) AS raw_rate,
+       round((p.x + ab.alpha) / (p.n + ab.alpha + ab.beta), 6)
+         AS shrunk_rate,
+       round(abs(p.x * 1.0 / p.n
+                 - (p.x + ab.alpha) / (p.n + ab.alpha + ab.beta)), 6)
+         AS shrinkage_amount,
+       round(ab.alpha, 4) AS prior_alpha,
+       round(ab.beta, 4) AS prior_beta
+FROM per p, ab ORDER BY p.nation
+""",
+    doc="empirical-Bayes beta-binomial shrinkage of per-nation "
+    "fulfilled-order rates: the beta prior is fit by method of "
+    "moments from the observed rate distribution (alpha+beta = "
+    "mu(1-mu)/v - 1) and every nation's raw rate is pulled "
+    "toward the grand mean in proportion to its sample size — "
+    "small nations shrink hard, big ones barely move.  The "
+    "baseball-batting-average estimator (Efron-Morris) that "
+    "fixes the universal leaderboard bug where tiny-sample "
+    "units top every ranking (dash_top_event_paths and any "
+    "per-segment rate table have this failure mode raw); "
+    "ml_target_encoding applies the same shrinkage idea "
+    "supervised-learning-side.  One fact aggregate + a 25-row "
+    "prior fit; shrinkage weights are exact closed form",
+)
+def stats_eb_beta_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("int")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    rate = F.col("x") * 1.0 / F.col("n")
+    mom = per.agg(
+        F.round(F.avg(rate), 6).alias("mu"),
+        F.round(F.var_samp(rate), 6).alias("v"),
+    )
+    k = F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1
+    ab = mom.select(
+        (F.col("mu") * k).alias("alpha"),
+        ((1 - F.col("mu")) * k).alias("beta"),
+    )
+    j = per.crossJoin(F.broadcast(ab))
+    shrunk = (F.col("x") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return j.select(
+        "nation",
+        "n",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(F.abs(rate - shrunk), 6).alias("shrinkage_amount"),
+        F.round(F.col("alpha"), 4).alias("prior_alpha"),
+        F.round(F.col("beta"), 4).alias("prior_beta"),
+    ).orderBy("nation")
+
+
+# ------------------------------------------------ delta-method ratio SE
+
+
+@register(
+    "stats_ratio_delta_method_se",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         round(sum(value), 6) AS xv,
+         CAST(count(*) AS BIGINT) AS yv
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(xv), 6) AS mx, round(avg(yv * 1.0), 6) AS my,
+         round(var_samp(xv), 4) AS vx,
+         round(var_samp(yv * 1.0), 4) AS vy,
+         round(covar_samp(xv, yv * 1.0), 4) AS cxy
+  FROM per
+)
+SELECT n AS n_users,
+       round(mx / my, 6) AS ratio_value_per_event,
+       round(sqrt((vx - 2 * (mx / my) * cxy
+                   + (mx / my) * (mx / my) * vy)
+                  / (my * my * n)), 6) AS se_delta,
+       round(mx / my - 1.96 * sqrt((vx - 2 * (mx / my) * cxy
+             + (mx / my) * (mx / my) * vy) / (my * my * n)), 6)
+         AS ci_lo,
+       round(mx / my + 1.96 * sqrt((vx - 2 * (mx / my) * cxy
+             + (mx / my) * (mx / my) * vy) / (my * my * n)), 6)
+         AS ci_hi
+FROM s
+""",
+    doc="delta-method standard error for the ratio metric "
+    "value-per-event (sum of per-user value over per-user event "
+    "count): Var(X/Y) ~ (vx - 2R*cov + R^2*vy)/(my^2*n) — the "
+    "experimentation-platform answer to the fact that ratio "
+    "metrics are NOT averages of per-user ratios (that estimator "
+    "is biased toward light users) and their naive SE ignores "
+    "the numerator-denominator covariance entirely; every "
+    "revenue-per-session or CTR comparison needs exactly this "
+    "linearization (or the jackknife twin, "
+    "stats_jackknife_ratio_se, shipped for cross-checking — two "
+    "estimators, one truth).  Per-user aggregate then one "
+    "moment row; covariance from the same power-sum pass",
+)
+def stats_ratio_delta_method_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("xv"),
+        F.count(F.lit(1)).cast("long").alias("yv"),
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("xv"), 6).alias("mx"),
+        F.round(F.avg(F.col("yv") * 1.0), 6).alias("my"),
+        F.round(F.var_samp("xv"), 4).alias("vx"),
+        F.round(F.var_samp(F.col("yv") * 1.0), 4).alias("vy"),
+        F.round(
+            F.covar_samp(F.col("xv"), F.col("yv") * 1.0), 4
+        ).alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    se = F.sqrt(
+        (
+            F.col("vx")
+            - 2 * r * F.col("cxy")
+            + r * r * F.col("vy")
+        )
+        / (F.col("my") * F.col("my") * F.col("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(r, 6).alias("ratio_value_per_event"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -555,3 +555,21 @@ def test_cohort_halflife_signs(spark):
         if r.half_life_weeks is not None:
             assert r.half_life_weeks > 0
             assert r.log_decay_slope < 0
+
+
+def test_eb_shrinkage_direction(spark):
+    rows = _run(spark, "stats_eb_beta_shrinkage")
+    assert len(rows) == 25
+    mu = sum(r.raw_rate * r.n for r in rows) / sum(r.n for r in rows)
+    for r in rows:
+        assert r.prior_alpha > 0 and r.prior_beta > 0
+        # shrinkage always moves toward the prior mean, never past it
+        if r.raw_rate > r.shrunk_rate:
+            assert r.shrunk_rate >= min(mu, r.raw_rate) - 0.05
+        assert 0 <= r.shrunk_rate <= 1
+
+
+def test_delta_method_ci_brackets(spark):
+    (r,) = _run(spark, "stats_ratio_delta_method_se")
+    assert r.ci_lo <= r.ratio_value_per_event <= r.ci_hi
+    assert r.se_delta > 0
