@@ -12680,3 +12680,112 @@ def stats_ratio_delta_method_se(
         F.round(r - 1.96 * se, 6).alias("ci_lo"),
         F.round(r + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+# ------------------------------------------------ average precision
+
+
+@register(
+    "ml_average_precision_ap",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE) * 4)), 6)
+           AS score
+  FROM embeddings
+),
+hist AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT score, cnt, pos,
+         sum(cnt) OVER w AS cn, sum(pos) OVER w AS cp
+  FROM hist
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM hist),
+terms AS (
+  SELECT round(sum((pos * 1.0 / (SELECT p FROM tot))
+               * (cp * 1.0 / cn)), 6) AS ap
+  FROM cum WHERE pos > 0
+)
+SELECT (SELECT p FROM tot) AS n_pos,
+       terms.ap AS average_precision,
+       round((SELECT p * 1.0 FROM tot)
+             / (SELECT sum(cnt) FROM hist), 6) AS prevalence_baseline,
+       round(terms.ap / ((SELECT p * 1.0 FROM tot)
+             / (SELECT sum(cnt) FROM hist)), 4) AS lift_over_random
+FROM terms
+""",
+    doc="average precision (area under the precision-recall curve) "
+    "from the score histogram: AP = sum over descending score "
+    "thresholds of (recall gained) x (precision at that depth), "
+    "with tied scores contributing at their group's cumulative "
+    "precision — the class-imbalance-honest companion to the "
+    "ROC-AUC (ml_eval_auc_prf): ROC-AUC stays flattering when "
+    "positives are rare because false positives barely dent the "
+    "FPR denominator, while AP's baseline IS the prevalence, "
+    "reported alongside with the lift over random.  Same "
+    "bounded-histogram scan as the AUC family — distinct 6dp "
+    "scores only, no per-row ranking at any scale",
+)
+def ml_average_precision_ap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -F.element_at(F.col("embedding"), 1).cast("double") * 4
+            )
+        ),
+        6,
+    )
+    scored = emb.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    tot = hist.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("cnt").cast("long").alias("nall"),
+    )
+    j = cum.filter(F.col("pos") > 0).crossJoin(F.broadcast(tot))
+    ap = F.round(
+        F.sum(
+            (F.col("pos") * 1.0 / F.col("p"))
+            * (F.col("cp") * 1.0 / F.col("cn"))
+        ),
+        6,
+    )
+    agg = j.agg(
+        ap.alias("average_precision"),
+        F.max("p").alias("n_pos"),
+        F.max("nall").alias("nall"),
+    )
+    prev = F.col("n_pos") * 1.0 / F.col("nall")
+    return agg.select(
+        "n_pos",
+        "average_precision",
+        F.round(prev, 6).alias("prevalence_baseline"),
+        F.round(F.col("average_precision") / prev, 4).alias(
+            "lift_over_random"
+        ),
+    )

@@ -573,3 +573,9 @@ def test_delta_method_ci_brackets(spark):
     (r,) = _run(spark, "stats_ratio_delta_method_se")
     assert r.ci_lo <= r.ratio_value_per_event <= r.ci_hi
     assert r.se_delta > 0
+
+
+def test_average_precision_bounds(spark):
+    (r,) = _run(spark, "ml_average_precision_ap")
+    assert r.prevalence_baseline <= r.average_precision <= 1.0
+    assert r.lift_over_random >= 1.0
