@@ -12789,3 +12789,138 @@ def ml_average_precision_ap(
             "lift_over_random"
         ),
     )
+
+
+# ------------------------------------------------ restricted mean survival
+
+
+@register(
+    "surv_rmst_restricted_mean",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY 1
+),
+labeled AS (
+  SELECT last_m - first_m AS dur_m,
+         CASE WHEN last_m < 2000 * 12 + 8 THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+by_dur AS (
+  SELECT dur_m, count(*) AS n_total, sum(churned) AS n_churn
+  FROM labeled GROUP BY 1
+),
+risk AS (
+  SELECT dur_m, n_churn,
+         sum(n_total) OVER (ORDER BY dur_m DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM by_dur
+),
+km AS (
+  SELECT dur_m,
+         exp(sum(CASE WHEN n_churn < n_risk
+                  THEN ln(1.0 - CAST(n_churn AS DOUBLE) / n_risk)
+                  ELSE 0 END)
+           OVER (ORDER BY dur_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s_km
+  FROM risk
+),
+steps AS (
+  SELECT dur_m, s_km,
+         lead(dur_m) OVER (ORDER BY dur_m) AS next_m
+  FROM km WHERE dur_m <= 36
+),
+rmst AS (
+  SELECT round(sum(s_km
+               * (least(coalesce(next_m, 36), 36) - dur_m)), 4)
+           AS rmst_months
+  FROM steps
+)
+SELECT 36 AS tau_months,
+       rmst.rmst_months,
+       round(rmst.rmst_months / 36.0, 6) AS rmst_share_of_horizon
+FROM rmst
+""",
+    doc="restricted mean survival time at tau = 36 months from the "
+    "Kaplan-Meier curve (surv_kaplan_meier_monthly's exact "
+    "estimator, integrated): RMST = area under S(t) up to the "
+    "horizon, computed as the step-function sum S(t_i) * "
+    "(t_(i+1) - t_i) over the month-granular curve (S evaluated "
+    "after the events at each duration, the right-continuous "
+    "convention at this granularity) — "
+    "the EFFECT-SIZE summary that completes the survival panel "
+    "(KM draws the curve, surv_logrank_segments tests a "
+    "difference, Harrell's C ranks risk, RMST says HOW MANY "
+    "MONTHS of customer lifetime the horizon actually delivers, "
+    "in units finance can multiply by monthly margin).  Unlike "
+    "median survival it exists even when the curve never "
+    "crosses 0.5, and unlike the hazard ratio it needs no "
+    "proportional-hazards assumption.  Same <=80-row "
+    "month-domain scan as the KM curve itself",
+)
+def surv_rmst_restricted_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per = orders.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    labeled = per.select(
+        (F.col("last_m") - F.col("first_m")).alias("dur_m"),
+        F.when(F.col("last_m") < 2000 * 12 + 8, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    by_dur = labeled.groupBy("dur_m").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("churned").alias("n_churn"),
+    )
+    w_desc = Window.orderBy(F.desc("dur_m")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_dur.withColumn(
+        "n_risk", F.sum("n_total").over(w_desc)
+    )
+    w_asc = Window.orderBy("dur_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        F.col("n_churn") < F.col("n_risk"),
+        F.log(
+            1.0 - F.col("n_churn").cast("double") / F.col("n_risk")
+        ),
+    ).otherwise(F.lit(0.0))
+    km = risk.select(
+        "dur_m", F.exp(F.sum(ln_term).over(w_asc)).alias("s_km")
+    )
+    w_lead = Window.orderBy("dur_m")
+    steps = km.filter(F.col("dur_m") <= 36).select(
+        "dur_m",
+        "s_km",
+        F.lead("dur_m").over(w_lead).alias("next_m"),
+    )
+    rmst = steps.agg(
+        F.round(
+            F.sum(
+                F.col("s_km")
+                * (
+                    F.least(
+                        F.coalesce("next_m", F.lit(36)), F.lit(36)
+                    )
+                    - F.col("dur_m")
+                )
+            ),
+            4,
+        ).alias("rmst_months")
+    )
+    return rmst.select(
+        F.lit(36).alias("tau_months"),
+        "rmst_months",
+        F.round(F.col("rmst_months") / 36.0, 6).alias(
+            "rmst_share_of_horizon"
+        ),
+    )
