@@ -183,6 +183,14 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "over the <=4096-cell grid (bounded by construction)",
     "ts_cointegration_eg_test": "residual lag over the calendar-"
     "bounded daily aggregate",
+    "ml_average_precision_ap": "cumulative precision over the 6dp "
+    "score histogram (score-histogram class)",
+    "stats_fdr_storey_qvalues": "rank + suffix-min windows over the "
+    "25-row nation p-value table",
+    "surv_rmst_restricted_mean": "KM cumulative + lead windows over "
+    "the <=80-row month-duration aggregate (KM class)",
+    "ts_ohlc_daily": "prev-close lag over the calendar-bounded daily "
+    "candle aggregate",
 }
 
 
@@ -732,6 +740,11 @@ ALLOWED_EXCHANGES = {
     # stats + per-model error rows + combo pass — every exchange
     # carries <=7-row holdout or 1-row stats.
     "ts_forecast_combination_eval": 30,
+    # closing batches: per-cohort/group aggregates + tiny-window
+    # combines, all over week/nation/day-bounded tables.
+    "cohort_decay_halflife": 12,
+    "stats_diff_in_diff_revenue": 14,
+    "stats_fdr_storey_qvalues": 12,
 }
 
 
