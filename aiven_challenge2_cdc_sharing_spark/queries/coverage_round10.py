@@ -11630,9 +11630,14 @@ def src_csv_corrupt_recovery(
 
     part = _glob.glob(f"{path}/part-*.csv")[0]
     with open(part, "a") as f:
-        f.write("99\n")  # short row
-        f.write("notanint,BADLAND,7\n")  # unparseable key
-        f.write("garbage line with no commas at all\n")
+        # every corruption is UNAMBIGUOUS under PERMISSIVE: full-arity
+        # rows with unparseable ints, or extra-column rows — short
+        # rows are null-padded valid in Spark and garbage single
+        # tokens have parser-version-dependent fates, so neither
+        # belongs in a determinism-gated fixture
+        f.write("notanint,BADLAND,7\n")  # type failure, arity 3
+        f.write("x,y,z\n")  # two type failures, arity 3
+        f.write("1,OK,2,EXTRA,COLS\n")  # arity 5 > schema
     # the writer left Hadoop .crc sidecars that no longer match the
     # dirtied file — drop them so the read exercises the CSV parser,
     # not the checksum layer
@@ -11652,24 +11657,35 @@ def src_csv_corrupt_recovery(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("header", "false")
         .csv(path)
-        .cache()
+        .cache()  # Spark requires caching to query _corrupt_record
     )
-    agg = back.agg(
-        F.sum(F.col("_corrupt_record").isNull().cast("int"))
-        .cast("long")
-        .alias("n_good_rows"),
-        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
-        .cast("long")
-        .alias("n_corrupt_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_total_lines"),
-    )
-    return agg.select(
-        "n_good_rows",
-        "n_corrupt_rows",
-        F.round(
-            F.col("n_corrupt_rows") * 1.0 / F.col("n_total_lines"), 6
-        ).alias("corrupt_share"),
-        "n_total_lines",
+    try:
+        row = back.agg(
+            F.sum(F.col("_corrupt_record").isNull().cast("int"))
+            .cast("long")
+            .alias("good"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+            .cast("long")
+            .alias("bad"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        ).collect()[0]
+    finally:
+        # the cache is keyed by the ANALYZED PLAN (path + schema), so
+        # a later invocation in the same session would silently read
+        # THIS run's rows instead of its own freshly-dirtied file —
+        # unpersist immediately and return the collected literals
+        back.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                row["good"],
+                row["bad"],
+                round(row["bad"] / row["total"], 6),
+                row["total"],
+            )
+        ],
+        "n_good_rows long, n_corrupt_rows long, "
+        "corrupt_share double, n_total_lines long",
     )
 
 
