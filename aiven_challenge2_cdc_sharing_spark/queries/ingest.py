@@ -30,9 +30,19 @@ from ..tables import load_table
 from . import register
 
 
-def _tmp(name: str) -> str:
+def _tmp(name: str, sf_dir: str = "") -> str:
+    # the per-run directory must vary by SCALE as well as process:
+    # cached CSV/JSON scans are keyed by (path, schema), so two sf
+    # dirs sharing one path in one session would serve the first
+    # scale's cached rows to the second (the plan-keyed cache hazard
+    # src_csv_corrupt_recovery documents)
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] if sf_dir else ""
     return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ingest_{os.getpid()}", name
+        tempfile.gettempdir(),
+        f"spark_graft_ingest_{os.getpid()}_{tag}",
+        name,
     )
 
 
@@ -68,7 +78,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 )
 def src_csv_ingest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
-    path = _tmp("nation_csv")
+    path = _tmp("nation_csv", sf_dir)
     formats.write_csv(nation, path)
     # cache() before the quarantine split: Spark refuses plans that
     # reference ONLY the corrupt-record column from a raw CSV/JSON scan
@@ -100,7 +110,7 @@ def src_jsonl_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 97 == 0
     )
-    path = _tmp("orders_jsonl")
+    path = _tmp("orders_jsonl", sf_dir)
     formats.write_jsonl(orders, path)
     # cache() for the same corrupt-only-pruning reason as the CSV query
     back = formats.valid_rows(formats.read_jsonl(spark, path, ORDERS_SCHEMA).cache())
@@ -130,7 +140,7 @@ GROUP BY p_brand
 )
 def src_orc_ingest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
-    path = _tmp("part_orc")
+    path = _tmp("part_orc", sf_dir)
     formats.write_orc(part, path)
     back = formats.read_orc(spark, path)
     return back.groupBy("p_brand").agg(
