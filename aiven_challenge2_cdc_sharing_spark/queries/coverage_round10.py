@@ -13029,3 +13029,250 @@ def cdc_snapshot_share_export(
             .alias("roundtrip_verified"),
         )
     )
+
+
+# ------------------------------------------------ knee detection
+
+
+@register(
+    "agg_knee_point_kneedle",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS np FROM rev),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rev
+),
+deciles AS (
+  SELECT CAST(rk * 10 // (SELECT np FROM tot) AS BIGINT) AS d,
+         max(cum) AS cum
+  FROM ranked
+  WHERE rk * 10 % (SELECT np FROM tot) = 0
+        OR rk = (SELECT np FROM tot)
+  GROUP BY 1
+),
+curve AS (
+  SELECT d * 0.1 AS x, cum * 1.0 / (SELECT t FROM tot) AS y
+  FROM deciles WHERE d BETWEEN 1 AND 10
+),
+knee AS (
+  SELECT x, y, round(y - x, 6) AS chord_gap
+  FROM curve
+  ORDER BY y - x DESC, x LIMIT 1
+)
+SELECT round(CAST(knee.x AS DOUBLE), 1) AS knee_share_of_parts,
+       round(knee.y, 6) AS knee_share_of_revenue,
+       round(knee.chord_gap, 6) AS max_chord_distance
+FROM knee
+""",
+    doc="Kneedle knee-point detection on the part-revenue "
+    "concentration curve: the cumulative revenue share at each "
+    "part-count decile forms a concave curve from (0,0) to "
+    "(1,1), and the knee is the decile maximizing the vertical "
+    "distance to the identity chord — the principled AUTO-"
+    "THRESHOLD that replaces the folklore 80/20 cut "
+    "(agg_abc_classification hardcodes 80/95; this finds where "
+    "the diminishing-returns bend ACTUALLY is, which is also how "
+    "k is auto-picked from an elbow curve and how cache sizes "
+    "get chosen from hit-rate curves).  Exact integer cents; "
+    "the decile curve is 10 points read off the part-domain "
+    "cumulative scan, knee selection has a total (gap, x) "
+    "tiebreak",
+)
+def agg_knee_point_kneedle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    w = Window.orderBy(F.desc("cents"), "l_partkey")
+    wc = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(wc).alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    deciles = (
+        ranked.filter(
+            ((F.col("rk") * 10) % F.col("np") == 0)
+            | (F.col("rk") == F.col("np"))
+        )
+        .groupBy(
+            F.floor(F.col("rk") * 10 / F.col("np"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.max("cum").alias("cum"), F.max("t").alias("t"))
+    )
+    curve = deciles.filter(
+        (F.col("d") >= 1) & (F.col("d") <= 10)
+    ).select(
+        (F.col("d") * 0.1).alias("x"),
+        (F.col("cum") * 1.0 / F.col("t")).alias("y"),
+    )
+    knee = (
+        curve.select(
+            "x", "y", F.round(F.col("y") - F.col("x"), 6).alias("gap")
+        )
+        .orderBy(F.desc(F.col("y") - F.col("x")), "x")
+        .limit(1)
+    )
+    return knee.select(
+        F.round(F.col("x"), 1).alias("knee_share_of_parts"),
+        F.round(F.col("y"), 6).alias("knee_share_of_revenue"),
+        F.col("gap").alias("max_chord_distance"),
+    )
+
+
+# ------------------------------------------------ classifier 2-sample test
+
+
+@register(
+    "ml_c2st_stump_drift",
+    oracle="""
+WITH bounds AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+binned AS (
+  SELECT least(31, CAST(floor((value - (SELECT vmin FROM bounds))
+           / ((SELECT vmax FROM bounds) - (SELECT vmin FROM bounds))
+           * 32) AS BIGINT)) AS b,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   < (SELECT cut FROM bounds) THEN 1 ELSE 0 END
+           AS early
+  FROM events
+),
+hist AS (
+  SELECT b, CAST(sum(early) AS BIGINT) AS ne,
+         CAST(count(*) - sum(early) AS BIGINT) AS nl
+  FROM binned GROUP BY 1
+),
+cum AS (
+  SELECT b,
+         sum(ne) OVER w AS ce, sum(nl) OVER w AS cl
+  FROM hist
+  WINDOW w AS (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(sum(ne) AS BIGINT) AS te,
+               CAST(sum(nl) AS BIGINT) AS tl FROM hist),
+cand AS (
+  -- stump 'value <= bin b -> predict early': accuracy counts are
+  -- exact integers; also the flipped stump
+  SELECT b,
+         greatest(ce + (SELECT tl FROM tot) - cl,
+                  cl + (SELECT te FROM tot) - ce) AS n_correct
+  FROM cum
+),
+best AS (
+  SELECT b, n_correct FROM cand
+  ORDER BY n_correct DESC, b LIMIT 1
+)
+SELECT best.b AS split_bin,
+       CAST(best.n_correct AS BIGINT) AS n_correct,
+       round(best.n_correct * 1.0
+             / ((SELECT te FROM tot) + (SELECT tl FROM tot)), 6)
+         AS c2st_accuracy,
+       round((best.n_correct * 1.0
+              / ((SELECT te FROM tot) + (SELECT tl FROM tot)) - 0.5)
+             / sqrt(0.25 / ((SELECT te FROM tot)
+                            + (SELECT tl FROM tot))), 4) AS z_stat,
+       CASE WHEN (best.n_correct * 1.0
+                  / ((SELECT te FROM tot) + (SELECT tl FROM tot))
+                  - 0.5)
+                 / sqrt(0.25 / ((SELECT te FROM tot)
+                                + (SELECT tl FROM tot))) > 2.576
+            THEN 1 ELSE 0 END AS drift_flag
+FROM best
+""",
+    doc="classifier two-sample test (C2ST, Lopez-Paz & Oquab) for "
+    "distribution drift: the best threshold stump (either "
+    "orientation) trying to DISTINGUISH early-half from "
+    "late-half event values is found on the 32-bin histogram, "
+    "and its accuracy is z-tested against the 50% chance level — "
+    "if ANY classifier can tell the halves apart better than "
+    "chance, the distributions differ, which turns drift "
+    "detection into model evaluation (the modern framing that "
+    "generalizes beyond this stump to any scorer).  Complements "
+    "the KS sup (location-sensitive), PSI (bin ratios) and "
+    "Wasserstein (mass transport) with the discriminative view; "
+    "NOTE the honest caveat: the stump is selected and evaluated "
+    "on the same data, so the z is optimistically biased — a "
+    "production C2ST splits train/eval, the algebra unchanged.  "
+    "Exact integer accuracy counts off the shared histogram "
+    "cumsum",
+)
+def ml_c2st_stump_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts").cast("long")
+    bounds = ev.agg(
+        ((F.min(e) + F.max(e)) / 2).cast("long").alias("cut"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(31),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 32
+            ).cast("long"),
+        ).alias("b"),
+        F.when(e < F.col("cut"), 1).otherwise(0).alias("early"),
+    )
+    hist = binned.groupBy("b").agg(
+        F.sum("early").cast("long").alias("ne"),
+        (F.count(F.lit(1)) - F.sum("early")).cast("long").alias("nl"),
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(
+        F.sum("ne").cast("long").alias("te"),
+        F.sum("nl").cast("long").alias("tl"),
+    )
+    cum = hist.select(
+        "b",
+        F.sum("ne").over(w).alias("ce"),
+        F.sum("nl").over(w).alias("cl"),
+    ).crossJoin(F.broadcast(tot))
+    n_correct = F.greatest(
+        F.col("ce") + F.col("tl") - F.col("cl"),
+        F.col("cl") + F.col("te") - F.col("ce"),
+    )
+    best = (
+        cum.select("b", n_correct.alias("n_correct"), "te", "tl")
+        .orderBy(F.desc("n_correct"), "b")
+        .limit(1)
+    )
+    n = F.col("te") + F.col("tl")
+    acc = F.col("n_correct") * 1.0 / n
+    z = (acc - 0.5) / F.sqrt(0.25 / n)
+    return best.select(
+        F.col("b").alias("split_bin"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.round(acc, 6).alias("c2st_accuracy"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(z > 2.576, 1).otherwise(0).alias("drift_flag"),
+    )

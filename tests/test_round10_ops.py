@@ -596,3 +596,17 @@ def test_share_export_verifies(spark):
     assert r.manifest_verified == 1
     assert r.roundtrip_verified == 1
     assert r.n_rows > 0
+
+
+def test_knee_point_concavity(spark):
+    (r,) = _run(spark, "agg_knee_point_kneedle")
+    assert 0.1 <= r.knee_share_of_parts <= 1.0
+    assert r.knee_share_of_revenue >= r.knee_share_of_parts - 1e-9
+    assert r.max_chord_distance >= 0
+
+
+def test_c2st_bounds(spark):
+    (r,) = _run(spark, "ml_c2st_stump_drift")
+    # the best-of-both-orientations stump can never be below chance
+    assert r.c2st_accuracy >= 0.5 - 1e-9
+    assert 0 <= r.split_bin <= 31
