@@ -191,6 +191,10 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "the <=80-row month-duration aggregate (KM class)",
     "ts_ohlc_daily": "prev-close lag over the calendar-bounded daily "
     "candle aggregate",
+    "agg_knee_point_kneedle": "cumulative-share scan over the part-"
+    "level revenue aggregate (dimension-domain, ABC class)",
+    "ml_c2st_stump_drift": "stump candidate scan over the fixed "
+    "32-bin histogram (bounded by construction)",
 }
 
 
@@ -745,6 +749,9 @@ ALLOWED_EXCHANGES = {
     "cohort_decay_halflife": 12,
     "stats_diff_in_diff_revenue": 14,
     "stats_fdr_storey_qvalues": 12,
+    # ml_c2st_stump_drift: bounds agg + bin histogram + 32-row
+    # cumulative scan + TakeOrdered best — each exchange <=32 rows.
+    "ml_c2st_stump_drift": 10,
 }
 
 
