@@ -4,7 +4,11 @@ from .incremental import (
     run_incremental_counts,
 )
 from .cep import streaming_journey_patterns, streaming_purchase_conversion
-from .sessions import streaming_interval_coverage, streaming_sessionize
+from .sessions import (
+    streaming_heavy_hitters,
+    streaming_interval_coverage,
+    streaming_sessionize,
+)
 from .fanout import run_shared_serving
 from .ingest import run_dedup_ingest
 from .runtime import (
@@ -28,6 +32,7 @@ __all__ = [
     "read_snapshot",
     "run_dedup_ingest",
     "run_shared_serving",
+    "streaming_heavy_hitters",
     "streaming_interval_coverage",
     "run_incremental_counts",
     "run_snapshot_maintenance",

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -157,4 +158,91 @@ def streaming_interval_coverage(events: DataFrame) -> DataFrame:
         stateStructType=COVERAGE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+HH_CAPACITY = 64
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_overcount", T.LongType()),
+    ]
+)
+
+# space-saving summary: parallel arrays of (item, count, overcount),
+# fixed capacity — O(1) state per shard regardless of stream size
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("overs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _fold_heavy_hitters(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Metwally space-saving over a keyed shard of the stream: at most
+    HH_CAPACITY counters; a new item evicts the current minimum and
+    inherits its count as overcount, giving the classic guarantees
+    est >= true and est - overcount <= true (pinned against the exact
+    batch counts in tests/test_streaming_sessions.py).  Emit-latest
+    summary per batch."""
+    if state.exists:
+        items, counts, overs = state.get
+        table = {
+            it: [c, o] for it, c, o in zip(items, counts, overs)
+        }
+    else:
+        table = {}
+    shard = key[0]
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    for it in rows["user_id"].astype("int64"):
+        it = int(it)
+        if it in table:
+            table[it][0] += 1
+        elif len(table) < HH_CAPACITY:
+            table[it] = [1, 0]
+        else:
+            # evict the minimum (deterministic tie-break: smallest item)
+            m_it = min(table, key=lambda k: (table[k][0], k))
+            m_c = table[m_it][0]
+            del table[m_it]
+            table[it] = [m_c + 1, m_c]
+    items = sorted(table)
+    state.update(
+        (
+            items,
+            [table[i][0] for i in items],
+            [table[i][1] for i in items],
+        )
+    )
+    yield pd.DataFrame(
+        [(shard, i, table[i][0], table[i][1]) for i in items],
+        columns=["shard", "item", "est_count", "max_overcount"],
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Sharded space-saving heavy hitters over a stream: shard by a
+    hash of the key so state parallelizes, merge shard summaries
+    downstream (counts are per-shard exact-ish; a key hashes to ONE
+    shard, so cross-shard merging is concatenation, not addition)."""
+    shard = (F.crc32(F.col("user_id").cast("string")) % 8).cast("int")
+    return (
+        events.withColumn("shard", shard)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _fold_heavy_hitters,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

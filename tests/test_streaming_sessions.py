@@ -234,3 +234,95 @@ def test_streaming_interval_coverage_matches_batch(spark, tmpdir):
     }
     assert latest == expected
     assert len(expected) > 0
+
+
+def test_streaming_heavy_hitters_guarantees(spark, tmpdir):
+    """Space-saving guarantees vs exact batch counts, across >= 3
+    micro-batches: every tracked item satisfies
+    est >= true >= est - overcount, and every TRUE heavy hitter
+    (count > N_shard/capacity) is present in its shard's summary."""
+    from aiven_challenge2_cdc_sharing_spark.streaming import (
+        streaming_heavy_hitters,
+    )
+    from aiven_challenge2_cdc_sharing_spark.streaming.sessions import (
+        HH_CAPACITY,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    t1, t2 = (
+        events.selectExpr(
+            "percentile_approx(ts, 0.33) p1",
+            "percentile_approx(ts, 0.66) p2",
+        ).collect()[0]
+    )
+    parts = [
+        events.filter(F.col("ts") <= F.lit(t1)),
+        events.filter(
+            (F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))
+        ),
+        events.filter(F.col("ts") > F.lit(t2)),
+    ]
+    os.makedirs(f"{tmpdir}/hh_in")
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("overwrite").json(
+            f"{tmpdir}/hh_src_{i}"
+        )
+        f = glob.glob(f"{tmpdir}/hh_src_{i}/part-*.json")[0]
+        shutil.copy(f, f"{tmpdir}/hh_in/{i:02d}.json")
+        os.utime(
+            f"{tmpdir}/hh_in/{i:02d}.json", (time.time() + i * 10,) * 2
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{tmpdir}/hh_in")
+    )
+    latest: dict[tuple, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r["shard"], r["item"])] = (
+                r["est_count"],
+                r["max_overcount"],
+            )
+            # a later batch replaces the shard's whole summary; drop
+            # entries for this shard that vanished (evicted)
+        # (emit-latest per shard: rebuild per shard)
+
+    q = (
+        streaming_heavy_hitters(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/hh_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert latest
+
+    true_counts = {
+        (r["shard"], r["user_id"]): r["c"]
+        for r in events.withColumn(
+            "shard",
+            (F.crc32(F.col("user_id").cast("string")) % 8).cast("int"),
+        )
+        .groupBy("shard", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    shard_totals: dict[int, int] = {}
+    for (sh, _), c in true_counts.items():
+        shard_totals[sh] = shard_totals.get(sh, 0) + c
+
+    for (sh, item), (est, over) in latest.items():
+        true = true_counts.get((sh, item), 0)
+        assert est >= true, (sh, item)
+        assert est - over <= true, (sh, item)
+
+    # completeness: every true heavy hitter above the capacity
+    # threshold must be tracked in its shard
+    tracked = {k for k in latest}
+    for (sh, item), c in true_counts.items():
+        if c > shard_totals[sh] / HH_CAPACITY:
+            assert (sh, item) in tracked, (sh, item, c)
