@@ -24,6 +24,7 @@ identically on both sides.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -7370,7 +7371,7 @@ def src_partitioned_write_prune(
 
     orders = load_table(spark, sf_dir, "orders")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/spark_graft_part_demo_{tag}"
+    path = f"/tmp/spark_graft_part_demo_{os.getpid()}_{tag}"
     (
         orders.withColumn("o_year", F.year("o_orderdate"))
         .write.mode("overwrite")
@@ -8534,7 +8535,7 @@ def src_schema_merge_evolution(
 
     orders = load_table(spark, sf_dir, "orders")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/spark_graft_evo_demo_{tag}"
+    path = f"/tmp/spark_graft_evo_demo_{os.getpid()}_{tag}"
     (
         orders.filter(F.col("o_orderkey") % 2 != 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -11620,7 +11621,7 @@ def src_csv_corrupt_recovery(
 
     nation = load_table(spark, sf_dir, "nation")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/spark_graft_csv_dirty_{tag}"
+    path = f"/tmp/spark_graft_csv_dirty_{os.getpid()}_{tag}"
     nation.select(
         "n_nationkey", "n_name", "n_regionkey"
     ).coalesce(1).write.mode("overwrite").option(
@@ -12991,7 +12992,7 @@ def cdc_snapshot_share_export(
         unwrap(generate_envelope_log(spark, sf_dir))
     ).select("id", "phone", "classification")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/spark_graft_share_{tag}"
+    path = f"/tmp/spark_graft_share_{os.getpid()}_{tag}"
     snap.write.mode("overwrite").parquet(f"{path}/data")
     chk = _md5_mod("share:", F.col("id"), 1000003)
     manifest = snap.agg(

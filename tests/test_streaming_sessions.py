@@ -281,14 +281,21 @@ def test_streaming_heavy_hitters_guarantees(spark, tmpdir):
     latest: dict[tuple, tuple] = {}
 
     def capture(batch_df, batch_id):
-        for r in batch_df.collect():
+        rows = batch_df.collect()
+        # _fold_heavy_hitters emits each updated shard's FULL summary
+        # every batch, so a later batch replaces that shard's whole
+        # table: clear the shard's previous entries before inserting
+        # so evicted items actually vanish from `latest` (otherwise
+        # the completeness check would pass vacuously on stale rows —
+        # ADVICE r7 finding 3)
+        for sh in {r["shard"] for r in rows}:
+            for k in [k for k in latest if k[0] == sh]:
+                del latest[k]
+        for r in rows:
             latest[(r["shard"], r["item"])] = (
                 r["est_count"],
                 r["max_overcount"],
             )
-            # a later batch replaces the shard's whole summary; drop
-            # entries for this shard that vanished (evicted)
-        # (emit-latest per shard: rebuild per shard)
 
     q = (
         streaming_heavy_hitters(stream)

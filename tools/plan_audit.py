@@ -661,10 +661,6 @@ ALLOWED_EXCHANGES = {
     # count-of-counts histogram, two cumulative scans and three
     # single-row combines.
     "ops_partition_skew_planner": 10,
-    # search_err_cascade: the TF-IDF ranker build (tf/df/scored)
-    # is the search_ndcg_at_10 pipeline; every exchange after the
-    # posting aggregate moves <=10-row top-k or 1-row stats.
-    "search_err_cascade": 11,
     # sketch_bloom_fpr: bit-array build = per-hash-row aggregates
     # over the 65536-bit domain + the probe joins; every exchange
     # carries bit positions or single-row counters.
@@ -725,6 +721,10 @@ ALLOWED_EXCHANGES = {
     "ops_slo_burn_rate_alert": 9,
     "stats_negbin_fit_daily": 9,
     "cdc_backfill_cutover_check": 25,
+    # search_err_cascade: the TF-IDF ranker build (tf/df/scored) is
+    # the search_ndcg_at_10 pipeline; every exchange after the
+    # posting aggregate moves <=10-row top-k or 1-row stats (12
+    # observed with AQE reads; was double-keyed at 11/12 — ADVICE r7).
     "search_err_cascade": 12,
     # late continuation batches — bounded-domain closed-form stages:
     # ab_group_sequential_obf: per-user aggregate + median + 4-row
@@ -755,6 +755,52 @@ ALLOWED_EXCHANGES = {
 }
 
 
+# Allowlist governance (VERDICT r7 task 5): every allowlist, by name,
+# so staleness (an allowlisted query that left the registry) fails the
+# audit, and per-run size deltas are a reviewed diff instead of
+# background growth.  The previous sizes live in
+# tools/allowlist_counts.json, updated on every full (unfiltered) run.
+ALLOWLISTS: dict[str, object] = {
+    "ALLOWED_PYTHON": ALLOWED_PYTHON,
+    "ALLOWED_GLOBAL_WINDOW": ALLOWED_GLOBAL_WINDOW,
+    "ALLOWED_FACT_BROADCAST": ALLOWED_FACT_BROADCAST,
+    "ALLOWED_UNCAPPED_BUCKET_JOIN": ALLOWED_UNCAPPED_BUCKET_JOIN,
+    "ALLOWED_EXCHANGES": ALLOWED_EXCHANGES,
+}
+
+
+def stale_allowlist_entries(registry_names) -> list[str]:
+    """Allowlisted names that are no longer in the registry — each one
+    is a WARN: the exception outlived the thing it excused."""
+    names = set(registry_names)
+    return sorted(
+        f"{lname}:{entry}"
+        for lname, entries in ALLOWLISTS.items()
+        for entry in entries
+        if entry not in names
+    )
+
+
+def report_allowlist_deltas(root: str, update: bool) -> None:
+    """Print each allowlist's size and its delta vs the committed
+    snapshot; rewrite the snapshot when `update` (full runs only)."""
+    import json
+
+    path = os.path.join(root, "tools", "allowlist_counts.json")
+    prev: dict[str, int] = {}
+    if os.path.exists(path):
+        prev = json.load(open(path))
+    cur = {lname: len(entries) for lname, entries in ALLOWLISTS.items()}
+    parts = []
+    for lname in sorted(cur):
+        d = cur[lname] - prev.get(lname, cur[lname])
+        parts.append(f"{lname}={cur[lname]}{f' ({d:+d})' if d else ''}")
+    print("allowlists: " + ", ".join(parts))
+    if update:
+        with open(path, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from aiven_challenge2_cdc_sharing_spark.plans.inspect import explain_str
@@ -766,6 +812,11 @@ def main() -> int:
     # optional second arg: comma-separated name substrings to audit
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     warnings_total = 0
+    for stale in stale_allowlist_entries(registry):
+        print(f"WARN allowlist: stale entry {stale} (not in registry)")
+        warnings_total += 1
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report_allowlist_deltas(root, update=not name_filter)
     for name, q in sorted(registry.items()):
         if name_filter and not any(
             f in name for f in name_filter.split(",") if f
