@@ -58,6 +58,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round8,
         coverage_round9,
         coverage_round10,
+        coverage_round11,
         dashboards,
         extras2,
         ingest,

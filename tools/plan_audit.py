@@ -721,6 +721,12 @@ ALLOWED_EXCHANGES = {
     "ops_slo_burn_rate_alert": 9,
     "stats_negbin_fit_daily": 9,
     "cdc_backfill_cutover_check": 25,
+    # cdc_tombstone_gc_audit: watermark scalar agg + per-key max-seq
+    # safety check + delete-subset aggregate — after the first
+    # aggregate every exchange carries (key, seq) longs or 1-row
+    # bounds; the extra 2 over the cap are the max-seq verification
+    # the query exists to demonstrate.
+    "cdc_tombstone_gc_audit": 9,
     # search_err_cascade: the TF-IDF ranker build (tf/df/scored) is
     # the search_ndcg_at_10 pipeline; every exchange after the
     # posting aggregate moves <=10-row top-k or 1-row stats (12
