@@ -1826,6 +1826,123 @@ def emb_density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _density_core_points_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of emb_density_core_points with the per-pair scoring
+    swapped from the JVM HOF dot to a cogroup-by-bucket BLAS matmul
+    (VERDICT r7 task 7: the production-default scorer at cluster scale,
+    kept OUT of the registry because BLAS summation order can flip a
+    6dp-rounded sim exactly at the eps boundary — the hash gate demands
+    bit-stable counts).  Candidate generation, multiprobe fan-out, and
+    the hot-bucket cap are byte-identical to the registry query; only
+    the probe x bucket scoring differs: one (p x d) @ (d x v) numpy
+    matmul per bucket group instead of p*v interpreted HOF dots.
+    Parity with the registry row is pinned at relaxed tolerance in
+    tests/test_round11_ops.py; wall time is recorded every round as
+    ``bench_density_core_points_blas`` in BENCH_FULL.json."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import cap_hot_buckets
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = min(16, max(4, math.ceil(math.log2(max(n, 1) / 128.0))))
+    cap = max(64, (8 * n) >> bits)
+    b = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            "label",
+            sum(
+                F.when(F.element_at(F.col("embedding"), i + 1) > 0, 1 << i)
+                .otherwise(0)
+                for i in range(bits)
+            ).cast("long").alias("bucket"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
+        )
+    )
+    probes = b.select(
+        "vec_id",
+        "en",
+        "label",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    v = cap_hot_buckets(b, ["bucket"], cap).select(
+        F.col("vec_id").alias("nb"), F.col("en").alias("ven"), "bucket"
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # LEFT-join semantics: probes with an empty bucket still emit
+        # a zero partial so capped-away vectors count toward n_total
+        if left.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "n_eps": []}
+            ).astype({"vec_id": "int64", "label": "int32",
+                      "n_eps": "int64"})
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": left["vec_id"].astype("int64"),
+                    "label": left["label"].astype("int32"),
+                    "n_eps": np.zeros(len(left), dtype="int64"),
+                }
+            )
+        P = np.asarray(left["en"].tolist(), dtype=np.float64)
+        V = np.asarray(right["ven"].tolist(), dtype=np.float64)
+        sims = np.round(P @ V.T, 6)
+        hit = sims >= 0.2
+        # exclude self-pairs (same vec_id on both sides)
+        self_mask = (
+            left["vec_id"].to_numpy()[:, None]
+            == right["nb"].to_numpy()[None, :]
+        )
+        counts = (hit & ~self_mask).sum(axis=1).astype("int64")
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].astype("int64"),
+                "label": left["label"].astype("int32"),
+                "n_eps": counts,
+            }
+        )
+
+    partials = (
+        probes.groupBy("bucket")
+        .cogroup(v.groupBy("bucket"))
+        .applyInPandas(score, "vec_id long, label int, n_eps long")
+    )
+    neigh = partials.groupBy("vec_id", "label").agg(
+        F.sum("n_eps").alias("n_eps")
+    )
+    return (
+        neigh.groupBy("label")
+        .agg(
+            F.count(F.when(F.col("n_eps") >= 5, 1))
+            .cast("long")
+            .alias("n_core"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("n_eps").cast("long").alias("total_eps_neighbors"),
+        )
+        .orderBy("label")
+    )
+
+
 # ------------------------------------------- BM25F multi-field
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"

@@ -98,3 +98,30 @@ def test_replay_inflation_is_exactly_the_mod11_share(spark):
     for r in rows:
         assert r.insert_sum_naive >= r.insert_sum_deduped
         assert r.inflation_ratio >= 1.0
+
+
+def test_density_core_blas_twin_parity(spark):
+    """The BLAS cogroup scorer (bench twin) must agree with the
+    registry's HOF-dot density query up to eps-boundary float flips:
+    n_total exactly (candidate generation is identical), n_core and
+    total_eps_neighbors within a small boundary tolerance."""
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
+        _density_core_points_blas,
+    )
+
+    hof = {r.label: r for r in _run(spark, "emb_density_core_points")}
+    blas = {
+        r.label: r
+        for r in _density_core_points_blas(spark, SF001).collect()
+    }
+    assert set(hof) == set(blas)
+    for lab in hof:
+        assert blas[lab].n_total == hof[lab].n_total
+        assert abs(blas[lab].n_core - hof[lab].n_core) <= max(
+            1, hof[lab].n_total // 100
+        )
+        denom = max(1, hof[lab].total_eps_neighbors)
+        assert (
+            abs(blas[lab].total_eps_neighbors - hof[lab].total_eps_neighbors)
+            <= max(2, denom // 500)
+        )
