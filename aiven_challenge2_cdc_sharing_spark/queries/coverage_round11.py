@@ -499,3 +499,341 @@ def cdc_replay_inflation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("classification")
     )
+
+
+# ------------------------------------------------------------------
+# Sequence / funnel
+# ------------------------------------------------------------------
+
+_FUNNEL_W = 86_400  # 1-day completion window from the step-1 event
+
+
+@register(
+    "funnel_window_funnel_levels",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+s1 AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'signup'),
+s2 AS (
+  SELECT s1.user_id, s1.t1, min(c.t) AS t2
+  FROM s1 LEFT JOIN e c
+    ON c.user_id = s1.user_id AND c.event_type = 'click'
+   AND c.t >= s1.t1 AND c.t <= s1.t1 + {_FUNNEL_W}
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2, min(p.t) AS t3
+  FROM s2 LEFT JOIN e p
+    ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+   AND s2.t2 IS NOT NULL
+   AND p.t >= s2.t2 AND p.t <= s2.t1 + {_FUNNEL_W}
+  GROUP BY 1, 2, 3
+),
+lv AS (
+  SELECT user_id,
+         max(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  ELSE 1 END) AS level
+  FROM s3 GROUP BY user_id
+),
+allu AS (SELECT DISTINCT user_id FROM e)
+SELECT coalesce(lv.level, 0) AS level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM allu LEFT JOIN lv USING (user_id)
+GROUP BY 1 ORDER BY 1
+""",
+    doc="ClickHouse-style windowFunnel: per user, the deepest "
+    "signup->click->purchase chain completed within 24h of the "
+    "opening signup (greedy earliest-next-step semantics, identical "
+    "on both engines); histogram of funnel level 0-3 over all users. "
+    "Scale: every join is user-keyed (equi join + range filter on the "
+    "same shuffle), so the plan co-partitions by user exactly like "
+    "the sessionizer family; no range BNLJ, no global window.",
+)
+def funnel_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("t").alias("t1"))
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("t").alias("ct")
+    )
+    s2 = (
+        s1.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("ct") >= F.col("t1"))
+            & (F.col("ct") <= F.col("t1") + _FUNNEL_W),
+            "left",
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ct").alias("t2"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("t").alias("pt")
+    )
+    s3 = (
+        s2.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & F.col("t2").isNotNull()
+            & (F.col("pt") >= F.col("t2"))
+            & (F.col("pt") <= F.col("t1") + _FUNNEL_W),
+            "left",
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("pt").alias("t3"))
+    )
+    lv = s3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+        ).alias("level")
+    )
+    allu = e.select("user_id").distinct()
+    return (
+        allu.join(lv, "user_id", "left")
+        .select(F.coalesce("level", F.lit(0)).alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+# ------------------------------------------------------------------
+# Embedding pipeline: Matryoshka prefix fidelity
+# ------------------------------------------------------------------
+
+
+@register(
+    "emb_matryoshka_prefix_fidelity",
+    oracle="""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+a AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, a.ea, b.ea AS eb
+  FROM a CROSS JOIN n
+  JOIN a b ON b.vec_id = (a.vec_id + n.n // 2) % n.n
+  WHERE a.vec_id < b.vec_id
+),
+pref AS (
+  SELECT qa, qb, p,
+         round(list_dot_product(ea[1:p], eb[1:p])
+               / nullif(sqrt(list_dot_product(ea[1:p], ea[1:p]))
+                        * sqrt(list_dot_product(eb[1:p], eb[1:p])), 0),
+               6) AS sim_p,
+         round(list_dot_product(ea, eb)
+               / nullif(sqrt(list_dot_product(ea, ea))
+                        * sqrt(list_dot_product(eb, eb)), 0),
+               6) AS sim_full
+  FROM pairs, (VALUES (8), (16), (32), (64)) AS v(p)
+)
+SELECT p AS prefix_dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(sim_p - sim_full)), 4) + 0.0 AS mae_vs_full,
+       round(avg(CASE WHEN sim_p * sim_full >= 0 THEN 1.0 ELSE 0.0 END),
+             4) AS sign_agree_rate,
+       round(avg(abs(sim_p)), 4) + 0.0 AS mean_abs_sim
+FROM pref
+GROUP BY p ORDER BY p
+""",
+    doc="Matryoshka-representation fidelity: cosine similarity on "
+    "renormalized prefix truncations (8/16/32/64 dims) vs the full "
+    "vector, over a deterministic half-stride pairing of the corpus "
+    "(pair i with i+n/2 — one pair per vector, linear in N; never a "
+    "pair blowup).  Measures how much similarity structure each "
+    "prefix budget preserves — the MRL deployment question (serve "
+    "16-dim candidates, rerank with 64).  Prefix slicing parity: "
+    "DuckDB e[1:p] is inclusive-end = Spark slice(e, 1, p) elements.",
+)
+def emb_matryoshka_prefix_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("qa"),
+        F.col("e").alias("ea"),
+        ((F.col("vec_id") + F.expr("n div 2")) % F.col("n")).alias("pid"),
+    )
+    b = emb.select(F.col("vec_id").alias("qb"), F.col("e").alias("eb"))
+    pairs = a.join(b, a.pid == b.qb).filter(F.col("qa") < F.col("qb"))
+
+    def _dotp(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def _cos(x, y):
+        return F.round(
+            _dotp(x, y)
+            / F.nullif(
+                F.sqrt(_dotp(x, x)) * F.sqrt(_dotp(y, y)), F.lit(0.0)
+            ),
+            6,
+        )
+
+    pref = (
+        pairs.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(8,), (16,), (32,), (64,)], "p int")
+            )
+        )
+        .select(
+            "p",
+            _cos(
+                F.slice("ea", 1, F.col("p")), F.slice("eb", 1, F.col("p"))
+            ).alias("sim_p"),
+            _cos(F.col("ea"), F.col("eb")).alias("sim_full"),
+        )
+    )
+    return (
+        pref.groupBy(F.col("p").alias("prefix_dims"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.round(F.avg(F.abs(F.col("sim_p") - F.col("sim_full"))), 4)
+             + 0.0).alias("mae_vs_full"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("sim_p") * F.col("sim_full") >= 0, 1.0
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("sign_agree_rate"),
+            (F.round(F.avg(F.abs("sim_p")), 4) + 0.0).alias("mean_abs_sim"),
+        )
+        .orderBy("prefix_dims")
+    )
+
+
+# ------------------------------------------------------------------
+# Survival: Nelson-Aalen cumulative hazard
+# ------------------------------------------------------------------
+
+
+@register(
+    "surv_nelson_aalen_hazard",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY 1
+),
+labeled AS (
+  SELECT last_m - first_m AS dur_m,
+         CASE WHEN last_m < 2000 * 12 + 8 THEN 1 ELSE 0 END AS churned
+  FROM per_cust
+),
+by_dur AS (
+  SELECT dur_m, count(*) AS n_total, sum(churned) AS n_churn
+  FROM labeled GROUP BY 1
+),
+risk AS (
+  SELECT dur_m, n_churn,
+         sum(n_total) OVER (ORDER BY dur_m DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM by_dur
+),
+na AS (
+  SELECT dur_m, n_risk, n_churn,
+         sum(round(CAST(n_churn AS DOUBLE) / n_risk, 6))
+           OVER (ORDER BY dur_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+         sum(round(CAST(n_churn AS DOUBLE) / (n_risk * n_risk), 8))
+           OVER (ORDER BY dur_m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM risk
+)
+SELECT dur_m AS month,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_churn AS BIGINT) AS n_events,
+       round(h, 4) + 0.0 AS cum_hazard,
+       round(sqrt(v), 4) + 0.0 AS hazard_se
+FROM na
+WHERE n_churn > 0
+ORDER BY month
+""",
+    doc="Nelson-Aalen cumulative-hazard estimator on the same "
+    "duration/censoring frame as surv_kaplan_meier_monthly (tenure in "
+    "months; churn = no order in the final 5 months): H(t) = sum of "
+    "d_i/n_i over event times <= t with the Poisson variance "
+    "sum d_i/n_i^2.  Complements KM (NA estimates hazard, KM "
+    "survival; exp(-H) ~ KM is the classic cross-check).  The window "
+    "runs over the month-domain aggregate (bounded), per-term ratios "
+    "rounded 6/8dp before the cumsum so summation is cross-engine "
+    "stable.",
+)
+def surv_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "first_m"
+        ),
+        F.max(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "last_m"
+        ),
+    )
+    lab = per.select(
+        (F.col("last_m") - F.col("first_m")).alias("dur_m"),
+        F.when(F.col("last_m") < 2000 * 12 + 8, 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    by_dur = lab.groupBy("dur_m").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("churned").alias("n_churn")
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_dur.select(
+        "dur_m", "n_churn", F.sum("n_total").over(w_desc).alias("n_risk")
+    )
+    w_asc = (
+        Window.orderBy("dur_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    na = risk.select(
+        "dur_m",
+        "n_risk",
+        "n_churn",
+        F.sum(
+            F.round(F.col("n_churn").cast("double") / F.col("n_risk"), 6)
+        ).over(w_asc).alias("h"),
+        F.sum(
+            F.round(
+                F.col("n_churn").cast("double")
+                / (F.col("n_risk") * F.col("n_risk")),
+                8,
+            )
+        ).over(w_asc).alias("v"),
+    )
+    return (
+        na.filter(F.col("n_churn") > 0)
+        .select(
+            F.col("dur_m").alias("month"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_churn").cast("long").alias("n_events"),
+            (F.round("h", 4) + 0.0).alias("cum_hazard"),
+            (F.round(F.sqrt("v"), 4) + 0.0).alias("hazard_se"),
+        )
+        .orderBy("month")
+    )
+
+
