@@ -131,6 +131,10 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "l_quantity value histogram (bounded integer domain)",
     "surv_kaplan_meier_monthly": "ascending + descending cumulative "
     "windows over the <=80-row month-duration aggregate",
+    "surv_nelson_aalen_hazard": "cumulative-hazard windows over the "
+    "<=~100-row tenure-month aggregate (same bounded month domain as "
+    "its Kaplan-Meier sibling; added in the round-8 snapshot commit "
+    "without this gate — round-8 verdict item 2)",
     "ts_sax_motifs": "lead windows over the calendar-bounded daily "
     "series",
     # --- round-9/10 batches (built in round 7) ---
@@ -796,6 +800,11 @@ def report_allowlist_deltas(root: str, update: bool) -> None:
     prev: dict[str, int] = {}
     if os.path.exists(path):
         prev = json.load(open(path))
+    else:
+        # deltas default to 0 when the baseline is absent, which would
+        # silently void the growth-shows-up-as-a-diff promise
+        print("WARN allowlists: snapshot tools/allowlist_counts.json "
+              "missing — size deltas below are meaningless")
     cur = {lname: len(entries) for lname, entries in ALLOWLISTS.items()}
     parts = []
     for lname in sorted(cur):
