@@ -3589,11 +3589,37 @@ def sketch_count_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), "user_id")
         .limit(10)
     )
-    hkeys = hashed.select("user_id", "d", "col", "sgn").distinct()
-    probes = (
+    # (d, col, sgn) are pure md5 functions of user_id, so derive them
+    # directly on the broadcast 10-row probe table instead of
+    # distinct()-ing the N x 3 fan-out: Catalyst cannot push a join
+    # below an Aggregate, so the old shape processed every event row
+    # twice (round-8 verdict item 3 — the 1.5 s -> 5.5 s regression).
+    # The fan-out above now feeds only the counters aggregate, once.
+    probe_keys = (
         F.broadcast(exact)
-        .join(hkeys, "user_id")
-        .join(counters, ["d", "col"])
+        .crossJoin(F.broadcast(ds))
+        .select(
+            "user_id",
+            "exact_count",
+            "d",
+            _md5_mod(
+                "cs",
+                F.concat(F.col("d"), F.lit(":"), F.col("user_id")),
+                256,
+            ).alias("col"),
+            (
+                _md5_mod(
+                    "css",
+                    F.concat(F.col("d"), F.lit(":"), F.col("user_id")),
+                    2,
+                )
+                * 2
+                - 1
+            ).alias("sgn"),
+        )
+    )
+    probes = (
+        counters.join(F.broadcast(probe_keys), ["d", "col"])
         .select(
             "user_id",
             "exact_count",
