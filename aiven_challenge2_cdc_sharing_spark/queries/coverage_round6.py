@@ -1743,16 +1743,29 @@ FROM neigh GROUP BY label ORDER BY label
     "the capped build so a vector whose own bucket is dropped still "
     "contributes n_eps=0 to n_total rather than vanishing.  Missed "
     "cross-bucket neighbors are the documented LSH recall trade, "
-    "same as ml_knn_classify_ann.  Per-pair scoring stays a JVM dot "
-    "over pre-normalized vectors; a cogroup-by-bucket BLAS matmul "
-    "(the _assign_nearest_matmul pattern) measured 6.3s vs 8.9s at "
-    "sf0.1 — kept out of the registry because BLAS summation order "
-    "can flip a 6dp-rounded sim at the eps boundary, and the hash "
-    "gate demands bit-stable counts; at cluster scale, where "
-    "compute dwarfs Arrow transfer, the matmul variant is the "
-    "right default",
+    "same as ml_knn_classify_ann.  Per-pair scoring is a cogroup-"
+    "by-bucket BLAS matmul (one (p x d) @ (d x v) per bucket) — "
+    "promoted to the registry default in round 9 on measured "
+    "evidence (round-8 verdict task 7): exact bit-parity with the "
+    "HOF-dot reference path at sf0.001/0.01/0.1 AND at the N=20k "
+    "sf1.0 stress point, where it runs 8.7s vs the HOF path's "
+    "103.7s (exponent 0.41 vs 1.01; SCALING.md).  The sequential-"
+    "fold HOF path remains as _density_core_points_hof, parity-"
+    "pinned per round in tests/test_round11_ops.py and timed as "
+    "bench_density_core_points_hof — if a BLAS library change ever "
+    "flips a 6dp-rounded sim at the eps boundary, that pin is the "
+    "tripwire",
 )
 def emb_density_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _density_core_points_blas(spark, sf_dir)
+
+
+def _density_core_points_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fold JVM HOF-dot reference path for
+    emb_density_core_points (the registry default until round 9;
+    demoted to oracle-exact twin when the BLAS cogroup scorer proved
+    bit-identical at every measured scale and 12x faster at N=20k —
+    see the registered doc above)."""
     import math
 
     from ..operators.dedup import cap_hot_buckets

@@ -179,7 +179,7 @@ def main() -> None:
     # (oracle-replayable); the cheap-hash variants are still measured
     # here so a fast-path regression is visible in BENCH_FULL.json
     from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
-        _density_core_points_blas,
+        _density_core_points_hof,
     )
     from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
         _minhash_near_pairs_xxhash,
@@ -189,10 +189,11 @@ def main() -> None:
     for name, fn in (
         ("bench_minhash_near_pairs_xxhash", _minhash_near_pairs_xxhash),
         ("bench_simhash_signatures_xxhash", _simhash_signatures_xxhash),
-        # BLAS cogroup scorer: the cluster-scale default for the
-        # density family, non-oracle (summation-order boundary flips);
-        # parity pinned in tests/test_round11_ops.py
-        ("bench_density_core_points_blas", _density_core_points_blas),
+        # HOF-dot reference path for the density family: demoted to
+        # twin in round 9 when the BLAS cogroup scorer (now the
+        # registry default) proved bit-identical at every measured
+        # scale; parity pinned in tests/test_round11_ops.py
+        ("bench_density_core_points_hof", _density_core_points_hof),
     ):
         t0 = time.perf_counter()
         try:

@@ -101,18 +101,21 @@ def test_replay_inflation_is_exactly_the_mod11_share(spark):
 
 
 def test_density_core_blas_twin_parity(spark):
-    """The BLAS cogroup scorer (bench twin) must agree with the
-    registry's HOF-dot density query up to eps-boundary float flips:
-    n_total exactly (candidate generation is identical), n_core and
-    total_eps_neighbors within a small boundary tolerance."""
+    """The registry default is the BLAS cogroup scorer since round 9;
+    the sequential-fold HOF path is the oracle-exact twin.  They must
+    agree up to eps-boundary float flips: n_total exactly (candidate
+    generation is identical), n_core and total_eps_neighbors within a
+    small boundary tolerance.  (In every measurement so far they are
+    bit-identical — this pin is the tripwire for a BLAS library
+    change flipping a 6dp-rounded sim at the 0.2 boundary.)"""
     from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
-        _density_core_points_blas,
+        _density_core_points_hof,
     )
 
-    hof = {r.label: r for r in _run(spark, "emb_density_core_points")}
-    blas = {
+    blas = {r.label: r for r in _run(spark, "emb_density_core_points")}
+    hof = {
         r.label: r
-        for r in _density_core_points_blas(spark, SF001).collect()
+        for r in _density_core_points_hof(spark, SF001).collect()
     }
     assert set(hof) == set(blas)
     for lab in hof:

@@ -35,7 +35,8 @@ from aiven_challenge2_cdc_sharing_spark.tables import load_table
 
 SRC_SF = "/root/testdata/sf0.1"
 QUERIES = [
-    "emb_density_core_points",
+    "emb_density_core_points",  # registry default = BLAS cogroup (round 9)
+    "emb_density_core_points_hof",  # oracle-exact sequential-fold twin
     "emb_hubness_indegree",
     "emb_two_nn_intrinsic_dim",
     "emb_triplet_margin_stats",
@@ -125,12 +126,29 @@ def main() -> int:
             os.path.join(sf_dir, "embeddings.parquet")
         ).count()
         print(f"-- corpus m={m}: {rows[m]} vectors")
+        outs: dict[str, list] = {}
         for q in QUERIES:
+            if q == "emb_density_core_points_hof":
+                from aiven_challenge2_cdc_sharing_spark.queries import (
+                    coverage_round6 as _cr6,
+                )
+
+                fn = _cr6._density_core_points_hof
+            else:
+                fn = registry[q].fn
             t0 = time.time()
-            out = registry[q].fn(spark, sf_dir).collect()
+            out = fn(spark, sf_dir).collect()
             dt = time.time() - t0
             walls[q][m] = dt
+            outs[q] = sorted(tuple(r) for r in out)
             print(f"   {q}: {dt:.2f}s ({len(out)} result rows)")
+        # round-8 verdict task 7: promotion evidence is parity AT THE
+        # STRESS POINT, not just at sf0.1 (registry default is BLAS
+        # since round 9; the HOF twin is the oracle-exact reference)
+        if "emb_density_core_points_hof" in outs:
+            a = outs["emb_density_core_points"]
+            bl = outs["emb_density_core_points_hof"]
+            print(f"   blas/hof parity at m={m}: exact={a == bl}")
     m0 = mults[0]
     print("\n| query | " + " | ".join(f"N={rows[m]}" for m in mults)
           + " | exponent |")
