@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cdc import generate_envelope_log, latest_snapshot, scd2_history, unwrap
+from ..cdc.materialize import latest_state
 from ..tables import load_table
 from . import register
 
@@ -402,17 +403,38 @@ def cdc_change_feed_between_versions(
         )
     )
     u = unwrap(log)
-    v1 = latest_snapshot(
-        u.crossJoin(F.broadcast(cut)).filter(F.col("ts_ms") <= F.col("cut_ms"))
-    ).select(F.col("id").alias("id1"), F.col("phone").alias("phone1"))
-    v2 = latest_snapshot(u).select(
-        F.col("id").alias("id2"), F.col("phone").alias("phone2")
+    # Classify 'update' by the winning event VERSION (ts_ms, seq), not
+    # the phone payload: phone_v1 can collide with phone_v2 whenever
+    # ck*96810 % 1e7 == 0, so at ~sf20+ a payload compare would emit
+    # 'none' where the oracle's version-label compare says 'update'
+    # (round-8 advisor finding).  The winning version differs iff a
+    # later event landed between the two cuts — exactly the oracle's
+    # s1 != s2 semantics at every scale.
+    v1 = (
+        latest_state(
+            u.crossJoin(F.broadcast(cut)).filter(
+                F.col("ts_ms") <= F.col("cut_ms")
+            )
+        )
+        .filter(~F.col("__deleted"))
+        .select(
+            F.col("id").alias("id1"),
+            F.struct(F.col("ts_ms"), F.col("seq")).alias("ver1"),
+        )
+    )
+    v2 = (
+        latest_state(u)
+        .filter(~F.col("__deleted"))
+        .select(
+            F.col("id").alias("id2"),
+            F.struct(F.col("ts_ms"), F.col("seq")).alias("ver2"),
+        )
     )
     joined = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
         F.coalesce("id1", "id2").alias("id"),
         F.when(F.col("id1").isNull(), F.lit("insert"))
         .when(F.col("id2").isNull(), F.lit("delete"))
-        .when(F.col("phone1") != F.col("phone2"), F.lit("update"))
+        .when(F.col("ver1") != F.col("ver2"), F.lit("update"))
         .otherwise(F.lit("none"))
         .alias("change_type"),
     )
