@@ -59,6 +59,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round9,
         coverage_round10,
         coverage_round11,
+        coverage_round12,
         dashboards,
         extras2,
         ingest,

@@ -1,0 +1,94 @@
+"""Invariant pins for the round-9 authoring batch
+(queries/coverage_round12.py) — semantic properties the oracle hash
+can't see, same model as tests/test_round10_ops.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiven_challenge2_cdc_sharing_spark.queries import load_registry
+from aiven_challenge2_cdc_sharing_spark.tables import load_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+def _rows(spark, registry, name, sf=SF001):
+    return registry[name].fn(spark, sf).collect()
+
+
+def test_geohash_rollup_partitions_all_customers(spark, registry):
+    rows = _rows(spark, registry, "geo_geohash_rollup")
+    n_cust = load_table(spark, SF001, "customer").count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    # prefix property: parent cell is the fine cell's high bits, so
+    # every parent holds between 1 and 256 fine cells
+    assert all(1 <= r.n_fine_cells <= 256 for r in rows)
+    assert all(0 <= r.cell8 < 256 for r in rows)
+
+
+def test_quantile_bins_are_equal_frequency(spark, registry):
+    rows = _rows(spark, registry, "prep_quantile_binning")
+    assert [r.bin for r in rows] == list(range(10))
+    counts = [r.n_orders for r in rows]
+    assert max(counts) - min(counts) <= 1  # exact equal-frequency
+    # bins tile the value range in order
+    for lo_next, hi_prev in zip(rows[1:], rows[:-1]):
+        assert lo_next.lo >= hi_prev.hi - 1e-9
+
+
+def test_loo_encoding_removes_self_leakage(spark, registry):
+    rows = _rows(spark, registry, "ml_loo_target_encode")
+    for r in rows:
+        # LOO anti-correlates with the label (naive encoding would be
+        # +p(1-p)); equality to 0 only in degenerate all-same-label cats
+        assert r.cov_loo_y <= 0
+        # per-row encodings bracket the category mean
+        assert r.enc_pos_rows <= r.mean_y <= r.enc_neg_rows
+
+
+def test_absence_counts_partition_views(spark, registry):
+    rows = _rows(spark, registry, "cep_absence_timeout")
+    ev = load_table(spark, SF001, "events")
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    assert sum(r.n_views for r in rows) == n_views
+    for r in rows:
+        assert r.n_converted_1h + r.n_absent == r.n_views
+        assert 0.0 <= r.absence_rate <= 1.0
+
+
+def test_dp_exponential_releases_exactly_3(spark, registry):
+    rows = _rows(spark, registry, "privacy_dp_exponential_topk")
+    assert len(rows) == 3
+    # noisy scores are the released ordering
+    scores = [r.noisy_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bitmap_distinct_always_matches_exact(spark, registry):
+    rows = _rows(spark, registry, "agg_bitmap_distinct_rollup")
+    assert rows and all(r.bitmap_exact_match for r in rows)
+
+
+def test_dice_bands_are_set_cardinality_ratios(spark, registry):
+    rows = _rows(spark, registry, "er_token_blocking_dice")
+    # 2-3 distinct tokens per entity -> Dice in {2k/(na+nb)} lands on
+    # a small rational grid; every band must be in (0, 1]
+    assert rows and all(0.0 < r.dice_band <= 1.0 for r in rows)
+    assert all(r.n_weighted_row_pairs >= r.n_entity_pairs for r in rows)
+
+
+def test_bitwise_suite_identities(spark, registry):
+    rows = _rows(spark, registry, "fn_bitwise_suite")
+    for r in rows[:50]:
+        k = r.c_custkey
+        assert r.k_shl == k * 4
+        assert r.k_shr == k // 8
+        assert r.k_and == k % 256
+        assert r.k_bit5 == (k >> 5) & 1
+        assert r.k_xor == k ^ 255

@@ -183,6 +183,19 @@ def main() -> int:
     # scale factors where an ORACLE (not the engine) is deliberately
     # quadratic, e.g. dedup_jaccard_threshold_pairs' brute-force twin
     skip = set(filter(None, os.environ.get("ORACLE_CHECK_SKIP", "").split(",")))
+    if name_filter:
+        # a filter that matches nothing (e.g. a path accidentally
+        # passed as argv[2], or a typo'd name) must be an ERROR — a
+        # vacuous '0 failures' reads as a green gate that never ran
+        matched = [
+            n for n in registry
+            if any(f in n for f in name_filter.split(",") if f)
+        ]
+        if not matched:
+            print(f"ERROR: name filter {name_filter!r} matches no "
+                  f"registry query — refusing the vacuous 0-failure run")
+            return 2
+        print(f"filter matches {len(matched)} queries")
     failures = []
     for name, q in sorted(registry.items()):
         if name_filter:
