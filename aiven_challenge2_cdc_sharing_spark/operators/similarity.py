@@ -371,3 +371,101 @@ def cosine_topk_lsh(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def blas_bucket_candidates(
+    probes: DataFrame,
+    build: DataFrame,
+    k: int | None = 3,
+    per_class: bool = False,
+) -> DataFrame:
+    """Cogroup-by-bucket BLAS candidate scorer — the generalization of
+    the density family's promoted matmul path (SCALING.md round-9) to
+    every multi-probe LSH diagnostic.
+
+    ``probes`` must carry (vec_id, label, en, bucket) — one row per
+    (vector, probe bucket); ``build`` carries (nb, nlabel, ven, bucket)
+    — each vector in its single own bucket, already hot-bucket-capped.
+    Per bucket group, ONE (p x d) @ (d x v) matmul scores every pair,
+    sims are rounded 6dp (the cross-engine discipline), self-pairs
+    drop, and the emission is REDUCED before it leaves the worker:
+
+    - per_class=False: the per-(probe, bucket) top-``k`` by
+      (sim desc, nb) — because each build vector lives in exactly one
+      bucket, a pair appears under at most one probe bucket, so the
+      global top-k over these partials equals the global top-k over
+      the full candidate set (the downstream window sees <=
+      (bits+1)*k rows per vector instead of (bits+1)*cap).
+    - per_class=True: the top-``k`` per (probe, bucket, same/other
+      label class) — max/top-k per class is associative, so global
+      per-class maxima over the partials are exact (the triplet-margin
+      shape).
+
+    Returns (vec_id, label, nb, nlabel, sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    kk = 1 if k is None else int(k)
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int32"),
+                "nb": pd.Series([], dtype="int64"),
+                "nlabel": pd.Series([], dtype="int32"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        P = np.asarray(left["en"].tolist(), dtype=np.float64)
+        V = np.asarray(right["ven"].tolist(), dtype=np.float64)
+        sims = np.round(P @ V.T, 6)
+        pv = left["vec_id"].to_numpy()
+        pl = left["label"].to_numpy()
+        nb = right["nb"].to_numpy()
+        nl = right["nlabel"].to_numpy()
+        o_vec, o_lab, o_nb, o_nl, o_sim = [], [], [], [], []
+        for i in range(len(left)):
+            s = sims[i]
+            idx = np.flatnonzero(nb != pv[i])
+            if idx.size == 0:
+                continue
+            if per_class:
+                groups = (
+                    idx[nl[idx] == pl[i]],
+                    idx[nl[idx] != pl[i]],
+                )
+            else:
+                groups = (idx,)
+            for grp in groups:
+                if grp.size == 0:
+                    continue
+                order = np.lexsort((nb[grp], -s[grp]))
+                sel = grp[order[:kk]]
+                o_vec.extend([pv[i]] * len(sel))
+                o_lab.extend([pl[i]] * len(sel))
+                o_nb.extend(nb[sel])
+                o_nl.extend(nl[sel])
+                o_sim.extend(s[sel])
+        if not o_vec:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(o_vec, dtype="int64"),
+                "label": pd.Series(o_lab, dtype="int32"),
+                "nb": pd.Series(o_nb, dtype="int64"),
+                "nlabel": pd.Series(o_nl, dtype="int32"),
+                "sim": pd.Series(o_sim, dtype="float64"),
+            }
+        )
+
+    return (
+        probes.groupBy("bucket")
+        .cogroup(build.groupBy("bucket"))
+        .applyInPandas(
+            score, "vec_id long, label int, nb long, nlabel int, sim double"
+        )
+    )

@@ -3153,6 +3153,46 @@ FROM indeg GROUP BY 1 ORDER BY 1
     "(anti-hub) vectors in the census",
 )
 def emb_hubness_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registry default = BLAS cogroup scorer (round-9 promotion, same
+    # evidence protocol as emb_density_core_points: exact bit-parity
+    # with the HOF path at every scale, SCALING.md).  Per-bucket top-3
+    # partials are exact for the global top-3 because each build
+    # vector lives in exactly one bucket.
+    from .coverage_round9 import _lsh_candidates_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top3 = _per_vec_top3(_lsh_candidates_blas(spark, sf_dir, k=3))
+    return _indegree_bands(emb.select("vec_id"), top3)
+
+
+def _per_vec_top3(cand: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "nb")
+    )
+
+
+def _indegree_bands(all_vecs: DataFrame, top3: DataFrame) -> DataFrame:
+    indeg = all_vecs.join(
+        top3.groupBy(F.col("nb").alias("vec_id")).agg(
+            F.count(F.lit(1)).alias("ind")
+        ),
+        "vec_id",
+        "left",
+    ).select(F.coalesce("ind", F.lit(0)).alias("ind"))
+    return (
+        indeg.select(F.least(F.col("ind"), F.lit(6)).alias("indegree_band"))
+        .groupBy("indegree_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("indegree_band")
+    )
+
+
+def _hubness_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact HOF-dot twin (the pre-round-9 registry default),
+    parity-pinned in tests/test_round12_ops.py."""
     import math
 
     from ..operators.dedup import cap_hot_buckets

@@ -1820,12 +1820,12 @@ probes AS (
 """
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str):
-    """Shared probe->capped-candidate join (the emb_hubness_indegree
-    discipline: derived bit count, Hamming-1 multi-probe, hot buckets
-    capped at 8x expected size; cites reference BASELINE.json scope —
-    the reference has no vector ops at all).  Returns (vec_id, label,
-    en, nb, nlabel, sim) with sim rounded 6dp."""
+def _lsh_frames(spark: SparkSession, sf_dir: str):
+    """Shared probe/build frames for the multi-probe LSH diagnostics
+    (derived bit count, Hamming-1 multi-probe, hot buckets capped at
+    8x expected size).  Returns (probes, v): probes = (vec_id, label,
+    en, bucket) one row per probe bucket; v = (nb, nlabel, ven,
+    bucket) capped build side."""
     import math
 
     from ..operators.dedup import cap_hot_buckets
@@ -1875,6 +1875,16 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
         F.col("en").alias("ven"),
         "bucket",
     )
+    return probes, v
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str):
+    """HOF-dot candidate join over _lsh_frames — the oracle-exact
+    reference path (the DuckDB oracles replay this join verbatim).
+    Returns (vec_id, label, nb, nlabel, sim) with sim rounded 6dp."""
+    from ..operators.similarity import _dot
+
+    probes, v = _lsh_frames(spark, sf_dir)
     return (
         probes.join(v, "bucket")
         .filter(F.col("nb") != F.col("vec_id"))
@@ -1886,6 +1896,22 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str):
             F.round(_dot(F.col("en"), F.col("ven")), 6).alias("sim"),
         )
     )
+
+
+def _lsh_candidates_blas(
+    spark: SparkSession, sf_dir: str, k: int = 3, per_class: bool = False
+):
+    """BLAS cogroup candidate scorer over the same _lsh_frames: one
+    matmul per bucket, per-(probe, bucket) top-k (or per-label-class
+    top-k) emitted — see operators/similarity.py
+    blas_bucket_candidates for why the reduction is exact.  Bit-parity
+    with _lsh_candidates' rounded sims is pinned per round
+    (tests/test_round12_ops.py) and was measured exact at every scale
+    before the round-9 promotion (SCALING.md)."""
+    from ..operators.similarity import blas_bucket_candidates
+
+    probes, v = _lsh_frames(spark, sf_dir)
+    return blas_bucket_candidates(probes, v, k=k, per_class=per_class)
 
 
 @register(
@@ -1939,7 +1965,20 @@ FROM agg WHERE slm > 1e-9 ORDER BY label
     "cluster path (SCALING.md)",
 )
 def emb_two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidates(spark, sf_dir)
+    # registry default = BLAS cogroup scorer (round-9 promotion, same
+    # evidence protocol as emb_density_core_points: exact bit-parity
+    # with the HOF path at every scale, SCALING.md); per-bucket top-2
+    # partials are exact for a global top-2
+    return _two_nn_from_cand(_lsh_candidates_blas(spark, sf_dir, k=2))
+
+
+def _two_nn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact HOF-dot twin (the pre-round-9 registry default),
+    parity-pinned in tests/test_round12_ops.py."""
+    return _two_nn_from_cand(_lsh_candidates(spark, sf_dir))
+
+
+def _two_nn_from_cand(cand: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
     nn = (
         cand.withColumn("rn", F.row_number().over(w))
@@ -2016,7 +2055,21 @@ FROM tri GROUP BY label ORDER BY label
     "isotropic fixture's margins are near-zero by construction)",
 )
 def emb_triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidates(spark, sf_dir)
+    # registry default = BLAS cogroup scorer (round-9 promotion);
+    # per-bucket per-label-class maxima are exact partials for the
+    # global conditional max below
+    return _triplet_from_cand(
+        _lsh_candidates_blas(spark, sf_dir, k=1, per_class=True)
+    )
+
+
+def _triplet_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact HOF-dot twin (the pre-round-9 registry default),
+    parity-pinned in tests/test_round12_ops.py."""
+    return _triplet_from_cand(_lsh_candidates(spark, sf_dir))
+
+
+def _triplet_from_cand(cand: DataFrame) -> DataFrame:
     sides = cand.groupBy("vec_id", "label").agg(
         F.max(
             F.when(F.col("nlabel") == F.col("label"), F.col("sim"))

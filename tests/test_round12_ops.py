@@ -92,3 +92,38 @@ def test_bitwise_suite_identities(spark, registry):
         assert r.k_and == k % 256
         assert r.k_bit5 == (k >> 5) & 1
         assert r.k_xor == k ^ 255
+
+
+@pytest.mark.parametrize(
+    "name,hof_path",
+    [
+        (
+            "emb_hubness_indegree",
+            "aiven_challenge2_cdc_sharing_spark.queries."
+            "coverage_round8:_hubness_hof",
+        ),
+        (
+            "emb_two_nn_intrinsic_dim",
+            "aiven_challenge2_cdc_sharing_spark.queries."
+            "coverage_round9:_two_nn_hof",
+        ),
+        (
+            "emb_triplet_margin_stats",
+            "aiven_challenge2_cdc_sharing_spark.queries."
+            "coverage_round9:_triplet_hof",
+        ),
+    ],
+)
+def test_blas_promotion_parity(spark, registry, name, hof_path):
+    """Round-9 promotions: each registry default is the BLAS cogroup
+    scorer; its HOF sequential-fold twin must agree EXACTLY (measured
+    bit-identical at every scale incl. the N=20k stress point before
+    the swap — this pin is the per-round tripwire for a BLAS library
+    change flipping a 6dp-rounded sim)."""
+    import importlib
+
+    mod_name, fn_name = hof_path.split(":")
+    hof = getattr(importlib.import_module(mod_name), fn_name)
+    a = sorted(tuple(r) for r in registry[name].fn(spark, SF001).collect())
+    b = sorted(tuple(r) for r in hof(spark, SF001).collect())
+    assert a == b

@@ -81,6 +81,13 @@ HEADLINERS = [
     "ops_partition_skew_planner",
     "stats_hypergeom_nation_enrichment",
     "cdc_backfill_cutover_check",
+    # round-9 session: plan fixes + new scale-defining shapes
+    "sketch_count_sketch_probe",
+    "cdc_change_feed_between_versions",
+    "agg_bitmap_distinct_rollup",
+    "prep_quantile_binning",
+    "geo_geohash_rollup",
+    "cep_absence_timeout",
 ]
 
 # Hand-maintained notes that must survive regeneration.

@@ -34,12 +34,18 @@ from aiven_challenge2_cdc_sharing_spark.session import get_spark
 from aiven_challenge2_cdc_sharing_spark.tables import load_table
 
 SRC_SF = "/root/testdata/sf0.1"
+# registry defaults are the BLAS cogroup scorers since round 9; each
+# *_hof twin is the oracle-exact sequential-fold reference path and is
+# parity-asserted against its registry row at every multiplier
 QUERIES = [
-    "emb_density_core_points",  # registry default = BLAS cogroup (round 9)
-    "emb_density_core_points_hof",  # oracle-exact sequential-fold twin
+    "emb_density_core_points",
+    "emb_density_core_points_hof",
     "emb_hubness_indegree",
+    "emb_hubness_indegree_hof",
     "emb_two_nn_intrinsic_dim",
+    "emb_two_nn_intrinsic_dim_hof",
     "emb_triplet_margin_stats",
+    "emb_triplet_margin_stats_hof",
 ]
 
 
@@ -126,29 +132,42 @@ def main() -> int:
             os.path.join(sf_dir, "embeddings.parquet")
         ).count()
         print(f"-- corpus m={m}: {rows[m]} vectors")
+        from aiven_challenge2_cdc_sharing_spark.queries import (
+            coverage_round6 as _cr6,
+        )
+        from aiven_challenge2_cdc_sharing_spark.queries import (
+            coverage_round8 as _cr8,
+        )
+        from aiven_challenge2_cdc_sharing_spark.queries import (
+            coverage_round9 as _cr9,
+        )
+
+        hof_twins = {
+            "emb_density_core_points_hof": _cr6._density_core_points_hof,
+            "emb_hubness_indegree_hof": _cr8._hubness_hof,
+            "emb_two_nn_intrinsic_dim_hof": _cr9._two_nn_hof,
+            "emb_triplet_margin_stats_hof": _cr9._triplet_hof,
+        }
         outs: dict[str, list] = {}
         for q in QUERIES:
-            if q == "emb_density_core_points_hof":
-                from aiven_challenge2_cdc_sharing_spark.queries import (
-                    coverage_round6 as _cr6,
-                )
-
-                fn = _cr6._density_core_points_hof
-            else:
-                fn = registry[q].fn
+            fn = hof_twins.get(q) or registry[q].fn
             t0 = time.time()
             out = fn(spark, sf_dir).collect()
             dt = time.time() - t0
             walls[q][m] = dt
             outs[q] = sorted(tuple(r) for r in out)
             print(f"   {q}: {dt:.2f}s ({len(out)} result rows)")
-        # round-8 verdict task 7: promotion evidence is parity AT THE
-        # STRESS POINT, not just at sf0.1 (registry default is BLAS
-        # since round 9; the HOF twin is the oracle-exact reference)
-        if "emb_density_core_points_hof" in outs:
-            a = outs["emb_density_core_points"]
-            bl = outs["emb_density_core_points_hof"]
-            print(f"   blas/hof parity at m={m}: exact={a == bl}")
+        # round-8 verdict task 7 protocol: promotion evidence is parity
+        # AT THE STRESS POINT, not just at sf0.1 (registry defaults are
+        # the BLAS scorers since round 9; each HOF twin is the
+        # oracle-exact reference)
+        for tq in hof_twins:
+            base = tq[: -len("_hof")]
+            if tq in outs and base in outs:
+                print(
+                    f"   blas/hof parity at m={m} [{base}]: "
+                    f"exact={outs[base] == outs[tq]}"
+                )
     m0 = mults[0]
     print("\n| query | " + " | ".join(f"N={rows[m]}" for m in mults)
           + " | exponent |")
