@@ -82,10 +82,29 @@ def main() -> int:
                                 f"queries < registry {len(registry)}")
             qdir = os.path.join(
                 ROOT, "aiven_challenge2_cdc_sharing_spark", "queries")
+
+            def _age(path: str) -> float:
+                # A fresh `git checkout` stamps every file with the same
+                # mtime, so prefer the committed timestamp; fall back to
+                # mtime for uncommitted edits (git returns empty there,
+                # and an uncommitted edit must count as newest).
+                proc = subprocess.run(
+                    ["git", "log", "-1", "--format=%ct", "--",
+                     os.path.relpath(path, ROOT)],
+                    capture_output=True, text=True, cwd=ROOT)
+                ts = proc.stdout.strip()
+                dirty = subprocess.run(
+                    ["git", "status", "--porcelain", "--",
+                     os.path.relpath(path, ROOT)],
+                    capture_output=True, text=True, cwd=ROOT).stdout.strip()
+                if ts and not dirty:
+                    return float(ts)
+                return os.path.getmtime(path)
+
             newest_src = max(
-                os.path.getmtime(os.path.join(qdir, f))
+                _age(os.path.join(qdir, f))
                 for f in os.listdir(qdir) if f.endswith(".py"))
-            if os.path.getmtime(log) < newest_src:
+            if _age(log) < newest_src:
                 failures.append(f"gate3: {os.path.basename(log)} is "
                                 f"older than the newest query module — "
                                 f"re-run the sweep after the last edit")
