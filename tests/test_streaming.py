@@ -126,6 +126,62 @@ def test_untouched_buckets_not_rewritten(spark, sf_dir, tmpdir):
     assert rows_set(got) == rows_set(want)
 
 
+def test_stream_crash_mid_run_recovers_from_checkpoint(spark, sf_dir, tmpdir):
+    """T1/T2 crash recovery: the query dies AFTER applying micro-batch 2
+    but BEFORE its offsets commit (the worst at-least-once window — the
+    work is done, the checkpoint doesn't know).  A restart from the same
+    checkpoint must (a) resume at batch 2, not batch 0 — committed
+    batches are never redelivered — and (b) re-apply batch 2's identical
+    WAL-pinned data idempotently, converging to the batch snapshot.
+    This is the formal content of the 'effectively exactly-once' claim
+    in run_snapshot_maintenance's docstring, exercised through a real
+    StreamingQueryException instead of a clean stop."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aiven_challenge2_cdc_sharing_spark.schemas import CDC_ENVELOPE
+    from aiven_challenge2_cdc_sharing_spark.streaming.runtime import (
+        merge_snapshot_batch,
+    )
+
+    events_dir = f"{tmpdir}/events"
+    log = _write_event_json(spark, sf_dir, events_dir, partitions=6)
+    expected = rows_set(latest_snapshot(unwrap(log)))
+    snap, ckpt = f"{tmpdir}/snapshot", f"{tmpdir}/ckpt"
+
+    applied: list[int] = []  # foreachBatch runs on the driver in local mode
+    crashed = []
+
+    def merge(batch_df, batch_id, flaky):
+        merge_snapshot_batch(batch_df, snap, 16)
+        applied.append(batch_id)
+        if flaky and batch_id == 2 and not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash after apply, before commit")
+
+    def start(flaky):
+        return (
+            spark.readStream.schema(CDC_ENVELOPE)
+            .option("maxFilesPerTrigger", 1)
+            .json(events_dir)
+            .writeStream.foreachBatch(lambda df, bid: merge(df, bid, flaky))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(StreamingQueryException):
+        start(flaky=True).awaitTermination(300)
+    assert applied[-1] == 2 and crashed, "crash must land after batch 2 applied"
+
+    first_run = list(applied)
+    start(flaky=False).awaitTermination(300)
+    resumed = applied[len(first_run):]
+    assert resumed[0] == 2, f"restart must resume at batch 2, got {resumed}"
+    assert 0 not in resumed and 1 not in resumed, "committed batches redelivered"
+    assert rows_set(read_snapshot(spark, snap)) == expected
+
+
 def test_stream_windowed_counts_match_batch(spark, sf_dir, tmpdir):
     events = load_table(spark, sf_dir, "events")
     events_dir = f"{tmpdir}/ev_json"
