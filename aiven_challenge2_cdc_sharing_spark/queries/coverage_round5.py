@@ -2846,18 +2846,43 @@ SELECT actual,
 FROM pred GROUP BY actual ORDER BY actual
 """,
     doc="k-NN classification (k=5, cosine) over the embedding table "
-    "with the standard 80pct hash split: TEST-SCALE exact baseline — "
-    "brute-force scoring against a broadcast train partition, which "
-    "exists to judge ANN recall and does NOT survive 100 TB (the "
-    "broadcast is 80pct of the table); ml_knn_classify_ann in "
-    "coverage_round6.py is the production path (LSH-bucketed "
-    "candidates, shuffled equi-join), "
-    "per-test-vector top-5 by (sim, id), majority vote with "
+    "with the standard 80pct hash split: the EXACT brute-force recall "
+    "baseline for ml_knn_classify_ann (coverage_round6.py, the "
+    "LSH-bucketed production path).  Round-9 promotion to the BLAS "
+    "cogroup scorer (same protocol as the emb_* diagnostic family, "
+    "SCALING.md): train salted into 32 disjoint buckets, test probes "
+    "replicated to every bucket, one (p x d)@(d x v) matmul per "
+    "bucket with per-(probe, bucket) top-5 partials — each train "
+    "vector lives in exactly one bucket, so the global top-5 over "
+    "partials equals the top-5 over the full cross product.  Still "
+    "O(n_test * n_train) work (brute force is), but partitioned "
+    "matmuls with bounded partial output instead of a per-pair HOF "
+    "loop + full-fan-out window; the HOF cross-join reference path "
+    "stays as _ml_knn_classify_hof (parity-pinned, bench-twinned).  "
+    "Per-test-vector top-5 by (sim, id), majority vote with "
     "deterministic label tie-break.  Per-lang accuracy rollup is the "
     "driver-checked output",
 )
 def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine
+    from ..operators.similarity import blas_bucket_candidates
+
+    probes, build = _knn_split_frames(spark, sf_dir)
+    cands = blas_bucket_candidates(probes, build, k=5).select(
+        "vec_id", F.col("label").alias("actual"),
+        F.col("nlabel").alias("cand"), "nb", "sim",
+    )
+    return _knn_vote_rollup(cands)
+
+
+_KNN_BUCKETS = 32
+
+
+def _knn_split_frames(spark: SparkSession, sf_dir: str):
+    """Shared 80/20 split for the brute-force kNN paths, in the
+    blas_bucket_candidates frame shape: probes = every test vector
+    replicated to all _KNN_BUCKETS buckets, build = train vectors each
+    in exactly one bucket (the operator's exactness precondition)."""
+    from ..operators.similarity import _dot
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2872,23 +2897,43 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 80
         ).alias("is_train"),
     )
-    train = emb.filter("is_train").select(
-        F.col("vec_id").alias("nb"),
-        F.col("e").alias("te"),
-        F.col("label").alias("cand"),
-    )
-    test = emb.filter(~F.col("is_train")).select(
-        "vec_id", F.col("label").alias("actual"), "e"
-    )
-    scored = test.crossJoin(F.broadcast(train)).select(
+    b = emb.select(
         "vec_id",
-        "actual",
-        "cand",
-        "nb",
-        F.round(cosine(F.col("e"), F.col("te")), 6).alias("sim"),
+        "label",
+        "is_train",
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
+        "e",
+    ).select(
+        "vec_id",
+        "label",
+        "is_train",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
     )
+    build = b.filter("is_train").select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nlabel"),
+        F.col("en").alias("ven"),
+        F.pmod(F.col("vec_id"), F.lit(_KNN_BUCKETS)).cast("long").alias("bucket"),
+    )
+    probes = b.filter(~F.col("is_train")).select(
+        "vec_id",
+        "label",
+        "en",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(_KNN_BUCKETS - 1).cast("long")
+            )
+        ).alias("bucket"),
+    )
+    return probes, build
+
+
+def _knn_vote_rollup(cands: DataFrame) -> DataFrame:
+    """Global top-5 -> majority vote -> per-label accuracy rollup,
+    shared by the BLAS default and the HOF reference twin.  ``cands``
+    carries (vec_id, actual, cand, nb, sim)."""
     w5 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
-    top5 = scored.withColumn("rn", F.row_number().over(w5)).filter(
+    top5 = cands.withColumn("rn", F.row_number().over(w5)).filter(
         F.col("rn") <= 5
     )
     votes = top5.groupBy("vec_id", "actual", "cand").agg(
@@ -2908,6 +2953,28 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual")
     )
+
+
+def _ml_knn_classify_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOF cross-join reference path (the pre-round-9 registry default,
+    and the form the DuckDB oracle replays verbatim): broadcast train,
+    per-pair sequential-aggregate cosine, full-fan-out window.  Kept as
+    the oracle-exact twin — parity with the BLAS default is pinned in
+    tests/test_round12_ops.py and its timing stays in BENCH_FULL.json
+    as bench_ml_knn_classify_hof."""
+    from ..operators.similarity import _dot
+
+    probes, build = _knn_split_frames(spark, sf_dir)
+    test = probes.filter(F.col("bucket") == 0).drop("bucket")
+    train = build.drop("bucket")
+    cands = test.crossJoin(F.broadcast(train)).select(
+        "vec_id",
+        F.col("label").alias("actual"),
+        F.col("nlabel").alias("cand"),
+        "nb",
+        F.round(_dot(F.col("en"), F.col("ven")), 6).alias("sim"),
+    )
+    return _knn_vote_rollup(cands)
 
 
 @register(

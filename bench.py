@@ -154,7 +154,48 @@ def _stream_cdc_e2e(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def isolated(names: list[str], reps: int) -> None:
+    """The regression-attribution protocol the BASELINE.md round-8/9
+    notes ran by hand: each named query measured alone, warm (one
+    unmeasured warm-up rep), ``reps`` timed reps, min/avg reported.
+    Usage: python bench.py --only a,b,c [--reps 3].  Does NOT touch
+    BENCH_FULL.json — the suite artifact stays the suite's."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    for t in ("customer", "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    registry = load_registry()
+    for name in names:
+        if name == "stream_cdc_snapshot_e2e":
+            runs = [_stream_cdc_e2e(spark, sf_dir) for _ in range(1 + reps)]
+        elif name in registry:
+            fn = registry[name].fn
+            runs = []
+            for _ in range(1 + reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        else:
+            print(f"isolated: unknown query {name}", file=sys.stderr)
+            continue
+        timed = runs[1:]  # rep 0 is the warm-up
+        print(json.dumps({
+            "query": name, "reps": reps,
+            "warmup": round(runs[0], 3),
+            "min": round(min(timed), 3),
+            "avg": round(sum(timed) / len(timed), 3),
+            "all": [round(r, 3) for r in timed],
+        }), flush=True)
+
+
 def main() -> None:
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        reps = (int(sys.argv[sys.argv.index("--reps") + 1])
+                if "--reps" in sys.argv else 3)
+        isolated(names, reps)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -178,6 +219,9 @@ def main() -> None:
     # xxhash64 production fast paths: registry rows run the md5 family
     # (oracle-replayable); the cheap-hash variants are still measured
     # here so a fast-path regression is visible in BENCH_FULL.json
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round5 import (
+        _ml_knn_classify_hof,
+    )
     from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
         _density_core_points_hof,
     )
@@ -189,6 +233,12 @@ def main() -> None:
     for name, fn in (
         ("bench_minhash_near_pairs_xxhash", _minhash_near_pairs_xxhash),
         ("bench_simhash_signatures_xxhash", _simhash_signatures_xxhash),
+        # HOF cross-join reference path for the brute-force kNN recall
+        # baseline, demoted to twin in round 9 when the BLAS cogroup
+        # scorer (salted disjoint train buckets, replicated probes)
+        # proved bit-identical at all 3 scales; parity pinned in
+        # tests/test_round12_ops.py
+        ("bench_ml_knn_classify_hof", _ml_knn_classify_hof),
         # HOF-dot reference path for the density family: demoted to
         # twin in round 9 when the BLAS cogroup scorer (now the
         # registry default) proved bit-identical at every measured

@@ -112,6 +112,11 @@ def test_bitwise_suite_identities(spark, registry):
             "aiven_challenge2_cdc_sharing_spark.queries."
             "coverage_round9:_triplet_hof",
         ),
+        (
+            "ml_knn_classify",
+            "aiven_challenge2_cdc_sharing_spark.queries."
+            "coverage_round5:_ml_knn_classify_hof",
+        ),
     ],
 )
 def test_blas_promotion_parity(spark, registry, name, hof_path):
