@@ -127,6 +127,21 @@ HEADLINE = [
 ]
 
 
+def _host_probe_sec() -> float:
+    """Single-core CPU-speed probe (a fixed 20M-iteration integer
+    loop), recorded in every bench payload.  Three consecutive rounds
+    of verdict work attributed per-query deltas to run-order noise or
+    host variance by hand; this gives cross-round comparisons a
+    measured denominator — if the probe moved 1.7x, a uniform 1.7x
+    suite inflation is the machine, not the plans."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    assert s  # keep the loop un-optimizable and the linter quiet
+    return round(time.perf_counter() - t0, 3)
+
+
 def _stream_cdc_e2e(spark, sf_dir: str) -> float:
     import shutil
     import tempfile
@@ -258,13 +273,15 @@ def main() -> None:
     timings["stream_cdc_snapshot_e2e"] = round(_stream_cdc_e2e(spark, sf_dir), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
+    probe = _host_probe_sec()
 
     # Full per-query timings go to stderr and (best-effort) to
     # BENCH_FULL.json next to this script, so nothing is lost even though
     # the stdout line below is size-capped.
     full = json.dumps(
         {"metric": "registry_suite_seconds", "value": total, "unit": "sec",
-         "n_queries": len(timings), "queries": timings, "sf": sf},
+         "n_queries": len(timings), "host_probe_sec": probe,
+         "queries": timings, "sf": sf},
         separators=(",", ":"),
     )
     print(f"bench-full: {full}", file=sys.stderr)
@@ -291,6 +308,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "host_probe_sec": probe,
         "full": "BENCH_FULL.json",
         "queries": {},
         "sf": sf,

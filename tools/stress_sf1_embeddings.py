@@ -46,7 +46,14 @@ QUERIES = [
     "emb_two_nn_intrinsic_dim_hof",
     "emb_triplet_margin_stats",
     "emb_triplet_margin_stats_hof",
+    "ml_knn_classify",
+    "ml_knn_classify_hof",
 ]
+
+# the brute-force kNN HOF twin is O(n_test * n_train) per-pair folds —
+# ~17 min at m=10 — so its parity pin runs at the base multiplier only;
+# the BLAS registry default (same work as 32 dgemms) runs at every m
+BASE_MULT_ONLY = {"ml_knn_classify_hof"}
 
 
 def build_corpus(spark, mult: int, base_dir: str) -> str:
@@ -139,6 +146,9 @@ def main() -> int:
             coverage_round8 as _cr8,
         )
         from aiven_challenge2_cdc_sharing_spark.queries import (
+            coverage_round5 as _cr5,
+        )
+        from aiven_challenge2_cdc_sharing_spark.queries import (
             coverage_round9 as _cr9,
         )
 
@@ -147,9 +157,12 @@ def main() -> int:
             "emb_hubness_indegree_hof": _cr8._hubness_hof,
             "emb_two_nn_intrinsic_dim_hof": _cr9._two_nn_hof,
             "emb_triplet_margin_stats_hof": _cr9._triplet_hof,
+            "ml_knn_classify_hof": _cr5._ml_knn_classify_hof,
         }
         outs: dict[str, list] = {}
         for q in QUERIES:
+            if q in BASE_MULT_ONLY and m != mults[0]:
+                continue
             fn = hof_twins.get(q) or registry[q].fn
             t0 = time.time()
             out = fn(spark, sf_dir).collect()
@@ -162,11 +175,11 @@ def main() -> int:
         # the BLAS scorers since round 9; each HOF twin is the
         # oracle-exact reference)
         for tq in hof_twins:
-            base = tq[: -len("_hof")]
-            if tq in outs and base in outs:
+            reg_name = tq[: -len("_hof")]
+            if tq in outs and reg_name in outs:
                 print(
-                    f"   blas/hof parity at m={m} [{base}]: "
-                    f"exact={outs[base] == outs[tq]}"
+                    f"   blas/hof parity at m={m} [{reg_name}]: "
+                    f"exact={outs[reg_name] == outs[tq]}"
                 )
     m0 = mults[0]
     print("\n| query | " + " | ".join(f"N={rows[m]}" for m in mults)
@@ -174,10 +187,13 @@ def main() -> int:
     print("|---|" + "---|" * (len(mults) + 1))
     for q in QUERIES:
         expo = ""
-        if len(mults) > 1:
-            m1 = mults[-1]
+        m1 = mults[-1]
+        if len(mults) > 1 and m1 in walls[q]:
             expo = f"{math.log(walls[q][m1] / walls[q][m0]) / math.log(m1 / m0):.2f}"
-        cells = " | ".join(f"{walls[q][m]:.2f} s" for m in mults)
+        cells = " | ".join(
+            f"{walls[q][m]:.2f} s" if m in walls[q] else "(base-mult only)"
+            for m in mults
+        )
         print(f"| {q} | {cells} | {expo} |")
     shutil.rmtree(base, ignore_errors=True)
     return 0
