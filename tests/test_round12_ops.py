@@ -132,3 +132,77 @@ def test_blas_promotion_parity(spark, registry, name, hof_path):
     a = sorted(tuple(r) for r in registry[name].fn(spark, SF001).collect())
     b = sorted(tuple(r) for r in hof(spark, SF001).collect())
     assert a == b
+
+
+def test_blas_bucket_candidates_tie_break_synthetic(spark):
+    """The operator is the registry default for 5 queries; the
+    real-data parity pins rarely exercise EXACT sim ties, so force
+    them: duplicate build vectors (identical rounded sims) must break
+    ties by nb ascending, identically to the HOF window's
+    orderBy(desc(sim), nb), and per-bucket top-k over disjoint
+    buckets must equal the global top-k."""
+    from pyspark.sql import Window
+    from aiven_challenge2_cdc_sharing_spark.operators.similarity import (
+        _dot,
+        blas_bucket_candidates,
+    )
+
+    # 3 probe vectors; 12 build vectors in 2 disjoint buckets, with
+    # each build vector DUPLICATED under a different nb so every sim
+    # appears at least twice (forced tie at full float precision)
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.6, 0.8, 0.0, 0.0], [0.0, 0.6, 0.8, 0.0],
+            [0.28, 0.96, 0.0, 0.0], [0.0, 0.0, 0.6, 0.8]]
+    build_rows = []
+    for rep in range(2):
+        for i, v in enumerate(base):
+            nb = rep * 100 + i
+            build_rows.append((nb, nb % 3, v, (i % 2)))
+    probes_rows = [
+        (1000 + j, j % 3, v, b)
+        for j, v in enumerate(base[:3])
+        for b in (0, 1)
+    ]
+    build = spark.createDataFrame(
+        build_rows, "nb long, nlabel int, ven array<double>, bucket long"
+    )
+    probes = spark.createDataFrame(
+        probes_rows, "vec_id long, label int, en array<double>, bucket long"
+    )
+    got = blas_bucket_candidates(probes, build, k=5)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nb")
+    top5 = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    # HOF reference: full cross join, same rounding, same tie-break
+    ref = (
+        probes.filter(F.col("bucket") == 0).drop("bucket")
+        .crossJoin(F.broadcast(build.drop("bucket")))
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id", "label", "nb", "nlabel",
+            F.round(_dot(F.col("en"), F.col("ven")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    a = sorted(tuple(r) for r in top5.collect())
+    b = sorted(tuple(r) for r in ref.collect())
+    assert a == b
+    # the forced ties are real: each probe's top-5 must contain at
+    # least one duplicated-sim pair resolved by nb order
+    by_probe = {}
+    for r in a:
+        by_probe.setdefault(r[0], []).append((r[4], r[2]))
+    for probe_id, pairs in by_probe.items():
+        sims = [s for s, _ in pairs]
+        assert len(sims) != len(set(sims)), (
+            f"probe {probe_id}: no tie exercised — test data broken"
+        )
+        # within equal sims, nb ascends
+        for s in set(sims):
+            nbs = [nb for sv, nb in pairs if sv == s]
+            assert nbs == sorted(nbs)
