@@ -54,6 +54,7 @@ HEADLINERS = [
     "agg_theil_index_decomposition",
     # round-7 fixes + round-8 queue headliners
     "emb_density_core_points",
+    "ml_knn_classify",
     "emb_pq_adc_topk",
     "emb_hubness_indegree",
     "cdc_txn_snapshot_consistency",
