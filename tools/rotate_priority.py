@@ -78,6 +78,19 @@ def main() -> int:
     for n in ordered:
         print(f'    "{n}",')
     print("]")
+    latest = max(
+        (
+            int("".join(c for c in os.path.basename(p) if c.isdigit()))
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    )
+    # the round-8 close-out bug was a rotation pasted WITHOUT the stamp
+    # bump: test_window_has_no_already_green_fillers evaluates the
+    # window against rounds < ROTATION_ROUND, so a stale stamp makes a
+    # correct rotation look like green-filler padding (or vice versa)
+    print(f"ROTATION_ROUND = {latest + 1}  "
+          f"# paste BOTH lines; latest CORRECTNESS is r{latest:02d}")
     return 0
 
 
