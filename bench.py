@@ -142,6 +142,27 @@ def _host_probe_sec() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _burn(_arg: int) -> int:
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return s
+
+
+def _host_probe_par8_sec() -> float:
+    """8-process variant of the probe: the round-9 session measured a
+    +25% same-code suite swing while the SINGLE-core probe was at its
+    session fastest — noisy-neighbor contention shows up only under
+    parallel load, which is what a 32-thread Spark suite runs under."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(8) as pool:
+        pool.map(_burn, range(8))
+    return round(time.perf_counter() - t0, 3)
+
+
 def _stream_cdc_e2e(spark, sf_dir: str) -> float:
     import shutil
     import tempfile
@@ -274,6 +295,7 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     probe = _host_probe_sec()
+    probe8 = _host_probe_par8_sec()
 
     # Full per-query timings go to stderr and (best-effort) to
     # BENCH_FULL.json next to this script, so nothing is lost even though
@@ -281,6 +303,7 @@ def main() -> None:
     full = json.dumps(
         {"metric": "registry_suite_seconds", "value": total, "unit": "sec",
          "n_queries": len(timings), "host_probe_sec": probe,
+         "host_probe_par8_sec": probe8,
          "queries": timings, "sf": sf},
         separators=(",", ":"),
     )
@@ -309,6 +332,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "host_probe_sec": probe,
+        "host_probe_par8_sec": probe8,
         "full": "BENCH_FULL.json",
         "queries": {},
         "sf": sf,
