@@ -153,14 +153,27 @@ def _host_probe_par8_sec() -> float:
     """8-process variant of the probe: the round-9 session measured a
     +25% same-code suite swing while the SINGLE-core probe was at its
     session fastest — noisy-neighbor contention shows up only under
-    parallel load, which is what a 32-thread Spark suite runs under."""
+    parallel load, which is what a 32-thread Spark suite runs under.
+
+    fork-with-a-live-py4j-JVM is a known hang risk in some
+    environments, and this runs AFTER all timings are collected — a
+    wedged probe must not discard the whole run, so the map is
+    timeout-guarded and a hang degrades to the -1.0 sentinel
+    (round-9 advice item)."""
     import multiprocessing as mp
 
     t0 = time.perf_counter()
     ctx = mp.get_context("fork")
-    with ctx.Pool(8) as pool:
-        pool.map(_burn, range(8))
-    return round(time.perf_counter() - t0, 3)
+    pool = ctx.Pool(8)
+    try:
+        pool.map_async(_burn, range(8)).get(timeout=120)
+        return round(time.perf_counter() - t0, 3)
+    except mp.TimeoutError:
+        print("bench: par8 host probe timed out (120s)", file=sys.stderr)
+        return -1.0
+    finally:
+        pool.terminate()
+        pool.join()
 
 
 def _stream_cdc_e2e(spark, sf_dir: str) -> float:
@@ -190,6 +203,39 @@ def _stream_cdc_e2e(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _twin_fns() -> dict:
+    """Non-registry bench twins: xxhash64 production fast paths and the
+    demoted HOF reference paths.  Shared by the suite run and by
+    ``isolated()`` so twin timings — part of the regression-triage
+    protocol — are resolvable via ``--only`` too (round-9 advice)."""
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round5 import (
+        _ml_knn_classify_hof,
+    )
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
+        _density_core_points_hof,
+    )
+    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
+        _minhash_near_pairs_xxhash,
+        _simhash_signatures_xxhash,
+    )
+
+    return {
+        "bench_minhash_near_pairs_xxhash": _minhash_near_pairs_xxhash,
+        "bench_simhash_signatures_xxhash": _simhash_signatures_xxhash,
+        # HOF cross-join reference path for the brute-force kNN recall
+        # baseline, demoted to twin in round 9 when the BLAS cogroup
+        # scorer (salted disjoint train buckets, replicated probes)
+        # proved bit-identical at all 3 scales; parity pinned in
+        # tests/test_round12_ops.py
+        "bench_ml_knn_classify_hof": _ml_knn_classify_hof,
+        # HOF-dot reference path for the density family: demoted to
+        # twin in round 9 when the BLAS cogroup scorer (now the
+        # registry default) proved bit-identical at every measured
+        # scale; parity pinned in tests/test_round11_ops.py
+        "bench_density_core_points_hof": _density_core_points_hof,
+    }
+
+
 def isolated(names: list[str], reps: int) -> None:
     """The regression-attribution protocol the BASELINE.md round-8/9
     notes ran by hand: each named query measured alone, warm (one
@@ -202,11 +248,12 @@ def isolated(names: list[str], reps: int) -> None:
               "embeddings"):
         load_table(spark, sf_dir, t).count()
     registry = load_registry()
+    twins = _twin_fns()
     for name in names:
         if name == "stream_cdc_snapshot_e2e":
             runs = [_stream_cdc_e2e(spark, sf_dir) for _ in range(1 + reps)]
-        elif name in registry:
-            fn = registry[name].fn
+        elif name in registry or name in twins:
+            fn = twins[name] if name in twins else registry[name].fn
             runs = []
             for _ in range(1 + reps):
                 t0 = time.perf_counter()
@@ -226,11 +273,18 @@ def isolated(names: list[str], reps: int) -> None:
 
 
 def main() -> None:
-    if "--only" in sys.argv:
-        names = sys.argv[sys.argv.index("--only") + 1].split(",")
-        reps = (int(sys.argv[sys.argv.index("--reps") + 1])
-                if "--reps" in sys.argv else 3)
-        isolated(names, reps)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", metavar="a,b,c", default=None,
+                    help="isolated warm re-measure of the named queries "
+                         "(registry names, bench twins, or "
+                         "stream_cdc_snapshot_e2e); skips the suite run")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed reps per query in --only mode")
+    args = ap.parse_args()
+    if args.only is not None:
+        isolated([n for n in args.only.split(",") if n], args.reps)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -255,32 +309,7 @@ def main() -> None:
     # xxhash64 production fast paths: registry rows run the md5 family
     # (oracle-replayable); the cheap-hash variants are still measured
     # here so a fast-path regression is visible in BENCH_FULL.json
-    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round5 import (
-        _ml_knn_classify_hof,
-    )
-    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
-        _density_core_points_hof,
-    )
-    from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
-        _minhash_near_pairs_xxhash,
-        _simhash_signatures_xxhash,
-    )
-
-    for name, fn in (
-        ("bench_minhash_near_pairs_xxhash", _minhash_near_pairs_xxhash),
-        ("bench_simhash_signatures_xxhash", _simhash_signatures_xxhash),
-        # HOF cross-join reference path for the brute-force kNN recall
-        # baseline, demoted to twin in round 9 when the BLAS cogroup
-        # scorer (salted disjoint train buckets, replicated probes)
-        # proved bit-identical at all 3 scales; parity pinned in
-        # tests/test_round12_ops.py
-        ("bench_ml_knn_classify_hof", _ml_knn_classify_hof),
-        # HOF-dot reference path for the density family: demoted to
-        # twin in round 9 when the BLAS cogroup scorer (now the
-        # registry default) proved bit-identical at every measured
-        # scale; parity pinned in tests/test_round11_ops.py
-        ("bench_density_core_points_hof", _density_core_points_hof),
-    ):
+    for name, fn in _twin_fns().items():
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
