@@ -373,6 +373,35 @@ def cosine_topk_lsh(
     )
 
 
+def _round6_half_up(a):
+    """6dp rounding matched to Spark ``F.round`` / DuckDB ``round``
+    (HALF_UP — half away from zero — applied to the double's shortest
+    decimal repr).  ``np.round`` is half-to-even, so a sim landing on a
+    6dp tie boundary could flip the rounded value (and thus a top-k /
+    vote) vs the oracle; all three paths now share one rounding rule
+    (round-9 advice item).  Fast path: np.round, which agrees with
+    HALF_UP everywhere except ties; elements whose scaled fraction sits
+    within 1e-8 of the .5 boundary (true ties, plus values whose
+    1e6-scaling FP error could cross it) are re-rounded exactly via
+    decimal on the shortest repr — rare enough that the per-element
+    cost never shows against the dgemm."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = np.round(a, 6)
+    scaled = np.abs(a) * 1e6
+    frac = scaled - np.floor(scaled)
+    suspect = np.flatnonzero(np.abs(frac - 0.5).ravel() < 1e-8)
+    if suspect.size:
+        q = Decimal("0.000001")
+        flat, src = out.ravel(), np.asarray(a, dtype=np.float64).ravel()
+        for i in suspect:
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(q, ROUND_HALF_UP)
+            )
+    return out
+
+
 def blas_bucket_candidates(
     probes: DataFrame,
     build: DataFrame,
@@ -422,7 +451,7 @@ def blas_bucket_candidates(
             return empty
         P = np.asarray(left["en"].tolist(), dtype=np.float64)
         V = np.asarray(right["ven"].tolist(), dtype=np.float64)
-        sims = np.round(P @ V.T, 6)
+        sims = _round6_half_up(P @ V.T)
         pv = left["vec_id"].to_numpy()
         pl = left["label"].to_numpy()
         nb = right["nb"].to_numpy()

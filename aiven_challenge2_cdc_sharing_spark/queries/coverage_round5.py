@@ -2956,12 +2956,15 @@ def _knn_vote_rollup(cands: DataFrame) -> DataFrame:
 
 
 def _ml_knn_classify_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOF cross-join reference path (the pre-round-9 registry default,
-    and the form the DuckDB oracle replays verbatim): broadcast train,
-    per-pair sequential-aggregate cosine, full-fan-out window.  Kept as
-    the oracle-exact twin — parity with the BLAS default is pinned in
-    tests/test_round12_ops.py and its timing stays in BENCH_FULL.json
-    as bench_ml_knn_classify_hof."""
+    """HOF cross-join reference path (the pre-round-9 registry
+    default): broadcast train, per-pair sequential-aggregate cosine
+    over pre-normalized vectors (_knn_split_frames), full-fan-out
+    window.  Numerically equivalent to the DuckDB oracle — which
+    computes list_cosine_similarity on the RAW vectors — at the 6dp
+    rounding discipline, not its verbatim replay (round-9 advice
+    item).  Kept as the slow-but-simple twin — parity with the BLAS
+    default is pinned in tests/test_round12_ops.py and its timing
+    stays in BENCH_FULL.json as bench_ml_knn_classify_hof."""
     from ..operators.similarity import _dot
 
     probes, build = _knn_split_frames(spark, sf_dir)

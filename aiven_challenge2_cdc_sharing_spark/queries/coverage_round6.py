@@ -1858,7 +1858,7 @@ def _density_core_points_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators.dedup import cap_hot_buckets
-    from ..operators.similarity import _dot
+    from ..operators.similarity import _dot, _round6_half_up
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
@@ -1919,7 +1919,7 @@ def _density_core_points_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         P = np.asarray(left["en"].tolist(), dtype=np.float64)
         V = np.asarray(right["ven"].tolist(), dtype=np.float64)
-        sims = np.round(P @ V.T, 6)
+        sims = _round6_half_up(P @ V.T)
         hit = sims >= 0.2
         # exclude self-pairs (same vec_id on both sides)
         self_mask = (

@@ -193,16 +193,18 @@ def test_blas_bucket_candidates_tie_break_synthetic(spark):
     b = sorted(tuple(r) for r in ref.collect())
     assert a == b
     # the forced ties are real: each probe's top-5 must contain at
-    # least one duplicated-sim pair resolved by nb order
+    # least one duplicated-sim pair — this guards the FIXTURE (without
+    # it the a == b equality above would pass vacuously on tie-free
+    # data).  The tie-break itself is validated by that equality: had
+    # the operator's per-bucket lexsort kept the wrong nb of a tied
+    # pair, the kept set would differ from the reference's
+    # (sim desc, nb asc) top-5.  (A previous within-group nb-ascends
+    # loop was dropped — it re-derived the test's own sort order, not
+    # operator behavior; round-9 advice item.)
     by_probe = {}
     for r in a:
-        by_probe.setdefault(r[0], []).append((r[4], r[2]))
-    for probe_id, pairs in by_probe.items():
-        sims = [s for s, _ in pairs]
+        by_probe.setdefault(r[0], []).append(r[4])
+    for probe_id, sims in by_probe.items():
         assert len(sims) != len(set(sims)), (
             f"probe {probe_id}: no tie exercised — test data broken"
         )
-        # within equal sims, nb ascends
-        for s in set(sims):
-            nbs = [nb for sv, nb in pairs if sv == s]
-            assert nbs == sorted(nbs)
