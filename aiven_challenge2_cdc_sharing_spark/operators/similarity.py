@@ -78,17 +78,34 @@ def _assign_nearest(
     exchanges per k-means build.  Tie-breaking matches the old window
     exactly: struct comparison is field-ordered, so max (sim, -cid) ==
     first row of ORDER BY sim DESC, cid ASC (verified identical output
-    at sf0.1)."""
+    at sf0.1).
+
+    The norms are hoisted out of the argmax transform (round-10): the
+    naive ``cosine(v, c)`` per element re-evaluates norm(v) k times
+    per row and norm(c) once per ROW per centroid — at k=16, d=64
+    that is ~2/3 of the lambda steps, and HOF lambdas get no common-
+    subexpression elimination.  norm(v) computes once per row, norm(c)
+    once per centroid inside the broadcast struct; the per-element
+    expression is dot/(vnrm*cnrm) — the SAME multiplication order as
+    ``cosine``, so every compared value is bit-identical and the
+    oracle replays that re-derive assignments from raw vectors keep
+    hash-matching (measured: 5.7 s -> 2.1 s per 20k x 16 pass)."""
     v = F.col(vec_col).cast("array<double>")
     cent_row = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("__cid", "__cvec"))).alias("__cents")
+        F.array_sort(
+            F.collect_list(
+                F.struct("__cid", "__cvec", _norm(F.col("__cvec")).alias("__cnrm"))
+            )
+        ).alias("__cents")
     )
-    scored = vectors.join(F.broadcast(cent_row))
+    scored = vectors.join(F.broadcast(cent_row)).withColumn("__vnrm", _norm(v))
     best = F.array_max(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                cosine(v, c["__cvec"]).alias("s"),
+                (_dot(v, c["__cvec"]) / (F.col("__vnrm") * c["__cnrm"])).alias(
+                    "s"
+                ),
                 (-c["__cid"]).alias("negid"),
             ),
         )
@@ -267,16 +284,27 @@ def cosine_topk_ivf(
         "__csim", cosine(F.col("__qvec"), F.col("__cvec"))
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.col("__cid"))
+    # __qnrm hoisted per probe row (same bit-identical-norm discipline
+    # as _assign_nearest): the in-cell scorer would otherwise
+    # re-derive norm(qvec) once per CANDIDATE pair
     probes = (
         qscored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, "__qvec", F.col("__cid").alias("__cluster"))
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__cid").alias("__cluster"),
+            _norm(F.col("__qvec")).alias("__qnrm"),
+        )
     )
+    cand_v = F.col(vec_col).cast("array<double>")
     scored = assigned.join(F.broadcast(probes), "__cluster").select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec")), 6
+            _dot(cand_v, F.col("__qvec"))
+            / (_norm(cand_v) * F.col("__qnrm")),
+            6,
         ).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))

@@ -14,8 +14,9 @@ occupancy is preserved) and times each query at N=2k and N=20k
 ("sf1.0"; pass more multipliers for further points), reporting the
 wall-clock scaling exponent log(t_M/t_1)/log(M) — ~1.0 = linear.
 
-Usage: python tools/stress_sf1_embeddings.py [multipliers]
-       (default "1,10"; e.g. "1,10,30")
+Usage: python tools/stress_sf1_embeddings.py [multipliers] [query_filter]
+       (default "1,10"; e.g. "1,10,30"; query_filter is a
+       comma-separated substring filter over QUERIES)
 """
 
 from __future__ import annotations
@@ -48,6 +49,9 @@ QUERIES = [
     "emb_triplet_margin_stats_hof",
     "ml_knn_classify",
     "ml_knn_classify_hof",
+    # round-10: the IVF search path (verdict task 4 asks whether its
+    # in-cell HOF scoring needs the BLAS treatment — measure first)
+    "sim_cosine_topk_ivf",
 ]
 
 # the brute-force kNN HOF twin is O(n_test * n_train) per-pair folds —
@@ -126,12 +130,19 @@ def main() -> int:
         int(m)
         for m in (sys.argv[1] if len(sys.argv) > 1 else "1,10").split(",")
     ]
+    queries = QUERIES
+    if len(sys.argv) > 2 and sys.argv[2]:
+        pats = [p for p in sys.argv[2].split(",") if p]
+        queries = [q for q in QUERIES if any(p in q for p in pats)]
+        if not queries:
+            print(f"query filter {sys.argv[2]!r} matches nothing")
+            return 1
     from aiven_challenge2_cdc_sharing_spark.queries import load_registry
 
     spark = get_spark("stress_sf1_embeddings")
     registry = load_registry()
     base = f"/tmp/spark_graft_sf1_stress_{os.getpid()}"
-    walls: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    walls: dict[str, dict[int, float]] = {q: {} for q in queries}
     rows: dict[int, int] = {}
     for m in mults:
         sf_dir = build_corpus(spark, m, base)
@@ -160,7 +171,7 @@ def main() -> int:
             "ml_knn_classify_hof": _cr5._ml_knn_classify_hof,
         }
         outs: dict[str, list] = {}
-        for q in QUERIES:
+        for q in queries:
             if q in BASE_MULT_ONLY and m != mults[0]:
                 continue
             fn = hof_twins.get(q) or registry[q].fn
@@ -185,7 +196,7 @@ def main() -> int:
     print("\n| query | " + " | ".join(f"N={rows[m]}" for m in mults)
           + " | exponent |")
     print("|---|" + "---|" * (len(mults) + 1))
-    for q in QUERIES:
+    for q in queries:
         expo = ""
         m1 = mults[-1]
         if len(mults) > 1 and m1 in walls[q]:
