@@ -60,6 +60,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round10,
         coverage_round11,
         coverage_round12,
+        coverage_round13,
         dashboards,
         extras2,
         ingest,
