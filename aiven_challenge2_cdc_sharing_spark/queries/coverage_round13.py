@@ -161,23 +161,27 @@ def layout_file_skipping_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         interleave_bits(F.col("cks"), F.col("ds"), bits=8).alias("zval"),
     ).localCheckpoint(eager=False)
 
-    def laid_out(sort_cols, layout: str) -> DataFrame:
+    def files_for(sort_cols, layout: str) -> DataFrame:
+        # aggregate to zone maps BEFORE the union: the cross-layout
+        # union carries n_files rows, never 2x the fact table
         ranked, _n = global_ordinal(z, sort_cols, out_col="__pos")
-        return ranked.select(
-            F.lit(layout).alias("layout"),
-            "ck",
-            "d",
-            F.floor((F.col("__pos") - 1) / 256).cast("long").alias("file_id"),
+        return (
+            ranked.withColumn(
+                "file_id",
+                F.floor((F.col("__pos") - 1) / 256).cast("long"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("ck").alias("fcklo"),
+                F.max("ck").alias("fckhi"),
+                F.min("d").alias("fdlo"),
+                F.max("d").alias("fdhi"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
         )
 
-    laid = laid_out([F.col("d"), F.col("o_orderkey")], "date").unionByName(
-        laid_out([F.col("zval"), F.col("o_orderkey")], "zorder")
-    )
-    files = laid.groupBy("layout", "file_id").agg(
-        F.min("ck").alias("fcklo"),
-        F.max("ck").alias("fckhi"),
-        F.min("d").alias("fdlo"),
-        F.max("d").alias("fdhi"),
+    files = files_for([F.col("d"), F.col("o_orderkey")], "date").unionByName(
+        files_for([F.col("zval"), F.col("o_orderkey")], "zorder")
     )
     idx = spark.range(4).select(F.col("id").cast("int").alias("i"))
     preds = (

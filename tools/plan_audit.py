@@ -371,6 +371,14 @@ def count_unpartitioned_windows(plan: str) -> int:
 #   typed aggregate and the deviation stream re-joins the broadcast
 #   median between them; every exchange moves (type, double) pairs.
 ALLOWED_EXCHANGES = {
+    # layout_file_skipping_minmax audits TWO independent physical
+    # layouts; each needs its own range-partition (scalable ordinal),
+    # per-partition rank, and zone-map groupBy over the fact table —
+    # 2x that core plus the bounds/preds broadcasts and the final
+    # 8-row aggregates.  Every exchange after the two ordinal cores
+    # carries n_files zone-map rows (~N/256) or 8 predicate rows,
+    # never the fact table twice (union moved after aggregation).
+    "layout_file_skipping_minmax": 12,
     "ts_outliers_mad": 8,
     "dedup_embedding_cosine": 9,
     "tpch_q8_market_share": 9,
