@@ -175,27 +175,43 @@ FROM (SELECT user_id, ts,
 GROUP BY user_id, sid
 """
     ).to_records(index=False)
-    want: dict[str, int] = {}
+    # naive all-pairs reference, vectorized in numpy blocks: np.select
+    # mirrors the original if/elif classification chain exactly (first
+    # matching condition wins), and the block loop replaces a 9.5k^2
+    # pure-Python double loop that cost 390 s on round-10's degraded
+    # host (equivalence on the real data asserted before the swap:
+    # identical counts, 8x faster there, ~50x on a healthy host)
     rows = list(sess)
-    for i in range(len(rows)):
-        u1, s1, e1 = rows[i]
-        for j in range(len(rows)):
-            u2, s2, e2 = rows[j]
-            if not (u2 > u1 and s2 <= e1 and s1 <= e2):
-                continue
-            if s1 == s2 and e1 == e2:
-                rel = "equals"
-            elif s1 == s2:
-                rel = "starts"
-            elif e1 == e2:
-                rel = "finishes"
-            elif (s2 < s1 and e1 < e2) or (s1 < s2 and e2 < e1):
-                rel = "during"
-            elif e1 == s2 or e2 == s1:
-                rel = "meets"
-            else:
-                rel = "overlaps"
-            want[rel] = want.get(rel, 0) + 1
+    u = np.array([r[0] for r in rows])
+    s = np.array([r[1] for r in rows])
+    e = np.array([r[2] for r in rows])
+    names = ["equals", "starts", "finishes", "during", "meets", "overlaps"]
+    counts = np.zeros(6, dtype=np.int64)
+    for i in range(0, len(u), 2000):
+        u1 = u[i : i + 2000, None]
+        s1 = s[i : i + 2000, None]
+        e1 = e[i : i + 2000, None]
+        cond = (u[None, :] > u1) & (s[None, :] <= e1) & (s1 <= e[None, :])
+        eqs = s1 == s[None, :]
+        eqe = e1 == e[None, :]
+        during = ((s[None, :] < s1) & (e1 < e[None, :])) | (
+            (s1 < s[None, :]) & (e[None, :] < e1)
+        )
+        meets = (e1 == s[None, :]) | (e[None, :] == s1)
+        code = np.select(
+            [
+                cond & eqs & eqe,
+                cond & eqs,
+                cond & eqe,
+                cond & during,
+                cond & meets,
+                cond,
+            ],
+            [0, 1, 2, 3, 4, 5],
+            default=-1,
+        )
+        counts += np.bincount(code.ravel() + 1, minlength=7)[1:]
+    want = {names[k]: int(counts[k]) for k in range(6) if counts[k]}
     assert got == want
     assert sum(want.values()) > 0
 
