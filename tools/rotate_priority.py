@@ -93,11 +93,25 @@ def stale_greens(
     sha_of_round: dict[int, str] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
-        sha = _git(
-            root, "log", "-1", "--format=%H", "--", os.path.basename(path)
-        ).strip()
-        if sha:
-            sha_of_round[rnd] = sha
+        # Anchor to the FIRST commit that ADDED the file (round-10
+        # advice): `git log -1` returns the LAST commit touching it, so
+        # a later amend/re-commit would silently advance the anchor and
+        # hide post-attestation code changes made before the amend.
+        shas = _git(
+            root, "log", "--diff-filter=A", "--format=%H", "--",
+            os.path.basename(path),
+        ).split()
+        touches = _git(
+            root, "log", "--format=%H", "--", os.path.basename(path)
+        ).split()
+        if len(touches) > 1:
+            print(f"# WARN: {os.path.basename(path)} touched by "
+                  f"{len(touches)} commits; anchoring staleness to the "
+                  f"ADD commit {shas[-1][:10] if shas else '??'}")
+        if shas:
+            sha_of_round[rnd] = shas[-1]
+        elif touches:
+            sha_of_round[rnd] = touches[-1]
 
     diff_cache: dict[tuple[str, str], list[tuple[int, int]]] = {}
     stale: dict[str, int] = {}
