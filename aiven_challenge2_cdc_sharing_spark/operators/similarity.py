@@ -402,11 +402,17 @@ def cosine_topk_lsh(
 
 
 def _round6_half_up(a):
-    """6dp rounding matched to Spark ``F.round`` / DuckDB ``round``
-    (HALF_UP — half away from zero — applied to the double's shortest
-    decimal repr).  ``np.round`` is half-to-even, so a sim landing on a
-    6dp tie boundary could flip the rounded value (and thus a top-k /
-    vote) vs the oracle; all three paths now share one rounding rule
+    """6dp rounding matched to Spark ``F.round`` exactly (HALF_UP —
+    half away from zero — applied to the double's shortest decimal
+    repr), pinning BLAS==HOF twin parity.  DuckDB ``round`` is NOT the
+    same rule: it rounds the binary-scaled double half-away-from-zero
+    (``round(0.5000005::DOUBLE, 6) = 0.5`` in DuckDB vs 0.500001 here
+    and in Spark), so at shortest-repr tie values the oracle can differ
+    — the same exposure class every F.round-based registry path already
+    carries, negligible on real-valued sims (round-10 advice item).
+    ``np.round`` is half-to-even, so a sim landing on a 6dp tie
+    boundary could flip the rounded value (and thus a top-k / vote) vs
+    Spark; BLAS and HOF paths share this one rounding rule
     (round-9 advice item).  Fast path: np.round, which agrees with
     HALF_UP everywhere except ties; elements whose scaled fraction sits
     within 1e-8 of the .5 boundary (true ties, plus values whose

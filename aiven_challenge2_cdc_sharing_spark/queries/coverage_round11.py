@@ -681,18 +681,6 @@ GROUP BY p ORDER BY p
 def emb_matryoshka_prefix_fidelity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    n = emb.agg(F.count(F.lit(1)).alias("n"))
-    a = emb.crossJoin(F.broadcast(n)).select(
-        F.col("vec_id").alias("qa"),
-        F.col("e").alias("ea"),
-        ((F.col("vec_id") + F.expr("n div 2")) % F.col("n")).alias("pid"),
-    )
-    b = emb.select(F.col("vec_id").alias("qb"), F.col("e").alias("eb"))
-    pairs = a.join(b, a.pid == b.qb).filter(F.col("qa") < F.col("qb"))
-
     def _dotp(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda u, v: u * v),
@@ -700,27 +688,79 @@ def emb_matryoshka_prefix_fidelity(
             lambda acc, z: acc + z,
         )
 
-    def _cos(x, y):
-        return F.round(
-            _dotp(x, y)
-            / F.nullif(
-                F.sqrt(_dotp(x, x)) * F.sqrt(_dotp(y, y)), F.lit(0.0)
-            ),
-            6,
+    # Norm hoist (round-10 verdict task 2, acf7027 discipline): the
+    # original form recomputed sim_full AND all six norms inside the
+    # 4-way prefix crossJoin — 15 HOF aggregates per prefix-pair row.
+    # Each norm is a per-VECTOR quantity: compute the 4 prefix norms +
+    # the full norm once per vector (same sqrt(dot(slice,slice))
+    # expression on the same data, so every retrieved value is
+    # bit-identical), and sim_full once per PAIR before the prefix
+    # fan-out.  Per prefix-pair row only the prefix dot remains.
+    pvals = [8, 16, 32, 64]
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.array(
+            *[
+                F.sqrt(_dotp(F.slice("e", 1, p), F.slice("e", 1, p)))
+                for p in pvals
+            ]
+        ).alias("nrm_p"),
+        F.sqrt(_dotp("e", "e")).alias("nrm_f"),
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("qa"),
+        F.col("e").alias("ea"),
+        F.col("nrm_p").alias("na_p"),
+        F.col("nrm_f").alias("na_f"),
+        ((F.col("vec_id") + F.expr("n div 2")) % F.col("n")).alias("pid"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("qb"),
+        F.col("e").alias("eb"),
+        F.col("nrm_p").alias("nb_p"),
+        F.col("nrm_f").alias("nb_f"),
+    )
+    pairs = (
+        a.join(b, a.pid == b.qb)
+        .filter(F.col("qa") < F.col("qb"))
+        .select(
+            "ea",
+            "eb",
+            "na_p",
+            "nb_p",
+            F.round(
+                _dotp("ea", "eb")
+                / F.nullif(F.col("na_f") * F.col("nb_f"), F.lit(0.0)),
+                6,
+            ).alias("sim_full"),
         )
+    )
 
     pref = (
         pairs.crossJoin(
             F.broadcast(
-                spark.createDataFrame([(8,), (16,), (32,), (64,)], "p int")
+                spark.createDataFrame(
+                    [(p, i + 1) for i, p in enumerate(pvals)], "p int, pi int"
+                )
             )
         )
         .select(
             "p",
-            _cos(
-                F.slice("ea", 1, F.col("p")), F.slice("eb", 1, F.col("p"))
+            F.round(
+                _dotp(F.slice("ea", 1, F.col("p")), F.slice("eb", 1, F.col("p")))
+                / F.nullif(
+                    F.element_at("na_p", F.col("pi"))
+                    * F.element_at("nb_p", F.col("pi")),
+                    F.lit(0.0),
+                ),
+                6,
             ).alias("sim_p"),
-            _cos(F.col("ea"), F.col("eb")).alias("sim_full"),
+            "sim_full",
         )
     )
     return (

@@ -9,9 +9,9 @@ REPLICATION stress — near-dup replicas, so true pairs and therefore
 any correct operator's output grow ~K^2, which conflates output
 growth with input growth).
 
-This harness isolates INPUT scaling: replica r != 0 gets every token
-suffixed with a replica-unique marker, so replicas are pairwise
-DISJOINT shingle universes — cross-replica similarity is zero, true
+This harness isolates INPUT scaling: EVERY replica (including rep 0)
+gets every token suffixed with a replica-unique marker ('zq<r>'), so
+replicas are pairwise DISJOINT shingle universes by construction — cross-replica similarity is zero, true
 pairs grow ~K (each replica reproduces the base corpus's internal
 dup structure), and each shingle's document frequency is unchanged
 (a suffixed shingle lives only in its replica).  The df-cap therefore
@@ -59,17 +59,16 @@ def build_corpus(spark, mult: int, base_dir: str) -> str:
     reps = spark.range(mult).select(F.col("id").alias("__rep"))
     replicated = docs.crossJoin(F.broadcast(reps)).select(
         (F.col("doc_id") + F.col("__rep") * 1_000_000_000).alias("doc_id"),
-        F.when(F.col("__rep") == 0, F.col("text"))
-        .otherwise(
-            # suffix EVERY token: replica shingle universes are disjoint,
-            # per-shingle df is preserved within each replica
-            F.regexp_replace(
-                F.col("text"),
-                F.lit(r"(\S+)"),
-                F.concat(F.lit(r"$1zq"), F.col("__rep").cast("string")),
-            )
-        )
-        .alias("text"),
+        # suffix EVERY token in EVERY replica (including rep 0 — a base
+        # token naturally ending in 'zq<digits>' would otherwise collide
+        # with a suffixed replica's universe; round-10 advice item):
+        # replica shingle universes are disjoint by construction,
+        # per-shingle df is preserved within each replica
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit(r"$1zq"), F.col("__rep").cast("string")),
+        ).alias("text"),
         "lang",
         "source",
         "n_chars",
