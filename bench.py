@@ -341,6 +341,22 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
             f.write(full + "\n")
+        # ALSO write the round-stamped artifact (round-10 verdict task
+        # 5): BENCH_FULL.json gets overwritten by whichever run happens
+        # last (builder close-out vs driver), so cross-round diffs used
+        # to depend on which copy survived in the tree vs git history.
+        # The stamp is the round this run belongs to = latest
+        # CORRECTNESS round + 1 (same convention as ROTATION_ROUND).
+        import glob as _glob
+        rounds = [
+            int("".join(c for c in os.path.basename(p) if c.isdigit()))
+            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
+        stamp = (max(rounds) if rounds else 0) + 1
+        with open(
+            os.path.join(here, f"BENCH_FULL_r{stamp:02d}.json"), "w"
+        ) as f:
+            f.write(full + "\n")
     except OSError as e:
         print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
 

@@ -26,14 +26,21 @@ timings under ``parsed.queries``) and reports:
 - added / removed query names;
 - totals over the shared subset, raw and probe-normalized.
 
-Usage: python tools/bench_diff.py OLD.json NEW.json [--band 2.0]
+Usage: python tools/bench_diff.py [OLD.json NEW.json] [--band 2.0]
        [--reg-abs 0.3] [--raw] [--reg-pct 15]
+
+With no positional args, diffs the two newest round-stamped
+``BENCH_FULL_r{N}.json`` files in the repo root (round-10 verdict task
+5: bench.py stamps every suite run, so the cross-round diff no longer
+depends on which copy of BENCH_FULL.json survived in the tree).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 
 
 def load_payload(path: str) -> dict:
@@ -62,8 +69,8 @@ def host_factor(old: dict, new: dict) -> tuple[float | None, str]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("old", nargs="?", default=None)
+    ap.add_argument("new", nargs="?", default=None)
     ap.add_argument("--band", type=float, default=2.0,
                     help="same-code variance band on the probe-normalized "
                          "per-query ratio (round-9 same-code runs: +-100%% "
@@ -74,6 +81,18 @@ def main() -> int:
                          "--reg-pct/--reg-abs")
     ap.add_argument("--reg-pct", type=float, default=15.0)
     args = ap.parse_args()
+
+    if args.old is None or args.new is None:
+        if args.old is not None:
+            ap.error("pass both OLD and NEW, or neither")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        stamped = sorted(glob.glob(os.path.join(root, "BENCH_FULL_r*.json")))
+        if len(stamped) < 2:
+            ap.error("need two BENCH_FULL_r*.json files for the default "
+                     "diff; pass paths explicitly")
+        args.old, args.new = stamped[-2], stamped[-1]
+        print(f"(default) diffing {os.path.basename(args.old)} -> "
+              f"{os.path.basename(args.new)}")
 
     old_payload = load_payload(args.old)
     new_payload = load_payload(args.new)
