@@ -61,6 +61,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round11,
         coverage_round12,
         coverage_round13,
+        coverage_round14,
         dashboards,
         extras2,
         ingest,

@@ -214,12 +214,19 @@ def _twin_fns() -> dict:
     from aiven_challenge2_cdc_sharing_spark.queries.coverage_round6 import (
         _density_core_points_hof,
     )
+    from aiven_challenge2_cdc_sharing_spark.queries.coverage_round14 import (
+        _ivf_build_only,
+    )
     from aiven_challenge2_cdc_sharing_spark.queries.llm_ops import (
         _minhash_near_pairs_xxhash,
         _simhash_signatures_xxhash,
     )
 
     return {
+        # index-build cost in isolation: (sim_ivf_serving_batch -
+        # this) / n_probes is the amortized per-probe serving cost
+        # (round-10 verdict task 6; SCALING.md round-11)
+        "bench_ivf_build_only": _ivf_build_only,
         "bench_minhash_near_pairs_xxhash": _minhash_near_pairs_xxhash,
         "bench_simhash_signatures_xxhash": _simhash_signatures_xxhash,
         # HOF cross-join reference path for the brute-force kNN recall

@@ -231,6 +231,12 @@ ALLOWED_FACT_BROADCAST = {
     "ml_knn_classify": "documented test-scale exact baseline",
     "emb_dim_truncation_recall": "vec_id IN (0,1,2) probe set",
     "search_hybrid_rrf": "vec_id == 0 query vector",
+    # serving batch bounded by LITERAL predicate, not corpus size:
+    # vec_id % 25 == 0 AND vec_id < 12800 => at most 512 probes at
+    # any SF (a real serving batch is sized by the caller; the
+    # static rule can't see the arithmetic bound)
+    "sim_ivf_serving_batch": "probe batch capped at 512 ids by "
+    "literal predicate",
 }
 
 
