@@ -270,9 +270,13 @@ def bpe_oracle_sql(n_merges: int = 6) -> str:
     return sql + "\n" + " UNION ALL ".join(sel) + " ORDER BY merge_rank"
 
 
-def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
-    """Train the merges AND apply them: per-source corpus compression
-    stats from the encoded vocabulary joined back to occurrences."""
+def bpe_apply_ctes(n_merges: int = 6, occ_cols: str = "source") -> str:
+    """Shared train+apply CTE prefix: the unrolled training chain plus
+    ``enc`` (word -> trained token count) and ``occ`` (the filtered
+    word-occurrence stream carrying ``occ_cols``).  Both per-source
+    compression (``bpe_apply_oracle_sql``) and the doc-grain budget
+    oracle (queries/coverage_round14) extend this one text, so a
+    tokenizer change can't leave one oracle on old behavior."""
     sql, final, _ = _bpe_cte_chain(n_merges, carry_word=True)
     return (
         sql
@@ -281,12 +285,21 @@ enc AS (
   SELECT w, len(string_split(sym, chr(31))) AS n_tok FROM {final}
 ),
 occ AS (
-  SELECT source, w FROM (
-    SELECT source,
+  SELECT {occ_cols}, w FROM (
+    SELECT {occ_cols},
            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
     FROM documents
   ) WHERE length(w) > 0 AND NOT contains(w, chr(31))
-)
+)"""
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
+    """Train the merges AND apply them: per-source corpus compression
+    stats from the encoded vocabulary joined back to occurrences."""
+    return (
+        bpe_apply_ctes(n_merges, "source")
+        + """
 SELECT o.source,
        CAST(sum(e.n_tok) AS BIGINT) AS bpe_tokens,
        CAST(sum(length(o.w)) AS BIGINT) AS n_chars,
@@ -295,6 +308,37 @@ FROM occ o JOIN enc e USING (w)
 GROUP BY o.source
 ORDER BY o.source"""
     )
+
+
+def bpe_encoded_vocab(
+    docs: DataFrame, text_col: str, n_merges: int = 6
+) -> DataFrame:
+    """(w, n_tok): every distinct word with its trained-BPE token
+    count — train ``n_merges`` merges, then apply them as K string
+    replaces over the vocabulary symbols.  The encode step every
+    apply-shaped query shares; encoding happens once per DISTINCT
+    word, never on the occurrence stream."""
+    merges = [
+        (r["l"], r["r"])
+        for r in bpe_train_merges(docs, text_col, n_merges).collect()
+    ]
+    enc = word_vocab(docs, text_col, keep_word=True)
+    sym = F.col("sym")
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
+    return enc.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
+
+
+def bpe_word_occurrences(docs: DataFrame, text_col: str, *cols) -> DataFrame:
+    """(*cols, w): the filtered word-occurrence stream — the SAME
+    tokenize + filter as ``word_vocab``, carrying the caller's grain
+    columns, so occurrence totals always reconcile with the vocab."""
+    return docs.select(
+        *cols,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
 
 
 def bpe_encode_stats(
@@ -306,24 +350,8 @@ def bpe_encode_stats(
     word (the vocabulary, with the K merges applied as K string
     replaces) and broadcast-joins back to word occurrences — the
     occurrences stream is scanned once and never carries symbols."""
-    merges = [
-        (r["l"], r["r"])
-        for r in bpe_train_merges(docs, text_col, n_merges).collect()
-    ]
-    enc = word_vocab(docs, text_col, keep_word=True)
-    sym = F.col("sym")
-    for l, r in merges:
-        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
-    enc = enc.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
-    occ = (
-        docs.select(
-            F.col(group_col),
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("w"),
-        )
-        .filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
-    )
+    enc = bpe_encoded_vocab(docs, text_col, n_merges)
+    occ = bpe_word_occurrences(docs, text_col, group_col)
     return (
         occ.join(F.broadcast(enc), "w")
         .groupBy(group_col)

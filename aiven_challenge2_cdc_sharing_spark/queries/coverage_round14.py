@@ -9,9 +9,10 @@ not yet cover, per the round-10 verdict's candidate list:
   — the throughput-shaped sibling of text_bpe_encode_compression's
   per-source stats);
 - IVF serving with a real probe BATCH (sim_ivf_serving_batch — 20
-  probes at sf0.01, 200 at sf0.1 — the amortized-index question, with
-  bench.py's ``bench_ivf_build_only`` twin isolating build cost so
-  SCALING.md can report per-probe serving cost);
+  probes at sf0.01, 80 at sf0.1's 2000 vectors, capped at 512 at any
+  scale — the amortized-index question, with bench.py's
+  ``bench_ivf_build_only`` twin isolating build cost so SCALING.md
+  can report per-probe serving cost);
 - per-vector symmetric int8 quantization error (the
   serving-quantization go/no-go audit: reconstruction RMSE, worst
   element error, cosine drift — all deterministic closed-form, no RNG);
@@ -43,22 +44,11 @@ _BIN = 512  # packing bin size in BPE tokens (256-token ctx x2, small
 
 
 def _bpe_budget_oracle(n_merges: int = 6, bin_tokens: int = _BIN) -> str:
-    from ..operators.bpe import _bpe_cte_chain
+    from ..operators.bpe import bpe_apply_ctes
 
-    sql, final, _ = _bpe_cte_chain(n_merges, carry_word=True)
     return (
-        sql
+        bpe_apply_ctes(n_merges, "source, doc_id")
         + f""",
-enc AS (
-  SELECT w, len(string_split(sym, chr(31))) AS n_tok FROM {final}
-),
-occ AS (
-  SELECT source, doc_id, w FROM (
-    SELECT source, doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-    FROM documents
-  ) WHERE length(w) > 0 AND NOT contains(w, chr(31))
-),
 per_doc AS (
   SELECT o.source, o.doc_id, sum(e.n_tok) AS doc_tokens
   FROM occ o JOIN enc e USING (w)
@@ -100,23 +90,11 @@ GROUP BY source ORDER BY source"""
 def text_bpe_token_budget_bins(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.bpe import BPE_SEP, bpe_train_merges, word_vocab
+    from ..operators.bpe import bpe_encoded_vocab, bpe_word_occurrences
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["l"], r["r"])
-        for r in bpe_train_merges(docs, "text", 6).collect()
-    ]
-    enc = word_vocab(docs, "text", keep_word=True)
-    sym = F.col("sym")
-    for l, r in merges:
-        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
-    enc = enc.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
-    occ = docs.select(
-        "source",
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
-    ).filter((F.length("w") > 0) & (~F.col("w").contains(BPE_SEP)))
+    enc = bpe_encoded_vocab(docs, "text", 6)
+    occ = bpe_word_occurrences(docs, "text", "source", "doc_id")
     per_doc = (
         occ.join(F.broadcast(enc), "w")
         .groupBy("source", "doc_id")

@@ -352,14 +352,34 @@ def main() -> None:
         # 5): BENCH_FULL.json gets overwritten by whichever run happens
         # last (builder close-out vs driver), so cross-round diffs used
         # to depend on which copy survived in the tree vs git history.
-        # The stamp is the round this run belongs to = latest
-        # CORRECTNESS round + 1 (same convention as ROTATION_ROUND).
+        # The stamp is __spark_entry__.ROTATION_ROUND — the round this
+        # TREE is rotated for — read textually so bench carries no
+        # import dependency; a run after next round's CORRECTNESS file
+        # lands but before the next rotation still labels the code
+        # state it actually measured.  Fallback (entry file missing or
+        # stampless): latest CORRECTNESS round + 1, the same value by
+        # convention.
         import glob as _glob
-        rounds = [
-            int("".join(c for c in os.path.basename(p) if c.isdigit()))
-            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        ]
-        stamp = (max(rounds) if rounds else 0) + 1
+        import re as _re
+        stamp = None
+        try:
+            m = _re.search(
+                r"^ROTATION_ROUND = (\d+)",
+                open(os.path.join(here, "__spark_entry__.py")).read(),
+                _re.M,
+            )
+            if m:
+                stamp = int(m.group(1))
+        except OSError:
+            pass
+        if stamp is None:
+            rounds = [
+                int("".join(c for c in os.path.basename(p) if c.isdigit()))
+                for p in _glob.glob(
+                    os.path.join(here, "CORRECTNESS_r*.json")
+                )
+            ]
+            stamp = (max(rounds) if rounds else 0) + 1
         with open(
             os.path.join(here, f"BENCH_FULL_r{stamp:02d}.json"), "w"
         ) as f:

@@ -41,9 +41,10 @@ def test_bench_stamp_matches_rotation_round_convention():
         for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
     ]
     expect = (max(rounds) if rounds else 0) + 1
-    stamped = sorted(glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")))
-    newest = int(
-        re.search(r"r(\d+)\.json$", os.path.basename(stamped[-1])).group(1)
+    # numeric round order (r100 > r99, unlike lexicographic sort)
+    newest = max(
+        int(re.search(r"r(\d+)\.json$", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json"))
     )
     assert newest <= expect, (newest, expect)
 

@@ -86,7 +86,18 @@ def main() -> int:
         if args.old is not None:
             ap.error("pass both OLD and NEW, or neither")
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        stamped = sorted(glob.glob(os.path.join(root, "BENCH_FULL_r*.json")))
+        # numeric round order, not lexicographic: r100 must sort after
+        # r99, not between r10 and r11
+        import re
+
+        def _round_no(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+            return int(m.group(1)) if m else -1
+
+        stamped = sorted(
+            glob.glob(os.path.join(root, "BENCH_FULL_r*.json")),
+            key=_round_no,
+        )
         if len(stamped) < 2:
             ap.error("need two BENCH_FULL_r*.json files for the default "
                      "diff; pass paths explicitly")

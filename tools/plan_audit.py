@@ -950,7 +950,16 @@ def measure_global_windows(sf_dir: str, max_rows: int = 1_000_000) -> int:
                   f"plan (below a localCheckpoint or optimized away; "
                   f"static rule attests)")
             continue
-        worst = max((r or 0) for r, _ in wins)
+        if any(r is None for r, _ in wins):
+            # no metrics-bearing descendant found: an unmeasured window
+            # must FAIL, not pass as 0 rows — the whole point of this
+            # mode is replacing attestation with measurement
+            print(f"FAIL {name}: unpartitioned window with NO "
+                  f"measurable input (no metrics-bearing descendant) — "
+                  f"extend _PASS_THROUGH/_node_rows for this plan shape")
+            violations += 1
+            continue
+        worst = max(r for r, _ in wins)
         flags = "".join(
             "~" if a else "" for _, a in wins if a
         )
