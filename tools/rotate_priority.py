@@ -93,10 +93,15 @@ def stale_greens(
     sha_of_round: dict[int, str] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
-        # Anchor to the FIRST commit that ADDED the file (round-10
-        # advice): `git log -1` returns the LAST commit touching it, so
-        # a later amend/re-commit would silently advance the anchor and
-        # hide post-attestation code changes made before the amend.
+        # Anchor to the ADD commit (round-10 advice): `git log -1`
+        # returns the LAST commit touching it, so a later amend/
+        # re-commit would silently advance the anchor and hide
+        # post-attestation code changes made before the amend.  When
+        # the file was deleted and re-ADDED (a re-attestation), the
+        # MOST RECENT add commit is the right anchor — the old add
+        # would over-flag functions legitimately re-attested by the
+        # re-add and burn the stale tier on false positives
+        # (round-11 advice).  git log prints newest-first: shas[0].
         shas = _git(
             root, "log", "--diff-filter=A", "--format=%H", "--",
             os.path.basename(path),
@@ -107,9 +112,9 @@ def stale_greens(
         if len(touches) > 1:
             print(f"# WARN: {os.path.basename(path)} touched by "
                   f"{len(touches)} commits; anchoring staleness to the "
-                  f"ADD commit {shas[-1][:10] if shas else '??'}")
+                  f"newest ADD commit {shas[0][:10] if shas else '??'}")
         if shas:
-            sha_of_round[rnd] = shas[-1]
+            sha_of_round[rnd] = shas[0]
         elif touches:
             sha_of_round[rnd] = touches[-1]
 
@@ -177,6 +182,14 @@ def main() -> int:
     # (round-9 verdict task 7: tmp-file CSV quarantine, the r9-authored
     # coverage_round12 batch).  Harmless no-op once they've been checked.
     early_check = [
+        # round-11-authored serving/tokenizer batch (round-11 verdict
+        # task 1: must land inside round 12's 50-row window, not the
+        # tail — they sit at the natural end of the never-checked
+        # queue otherwise)
+        "text_bpe_token_budget_bins",
+        "sim_ivf_serving_batch",
+        "emb_int8_quantization_error",
+        "text_chunk_sliding_windows",
         "src_csv_corrupt_recovery",
         "geo_geohash_rollup",
         "prep_quantile_binning",
