@@ -15,7 +15,7 @@ not yet cover, per the round-10 verdict's candidate list:
   can report per-probe serving cost);
 - per-vector symmetric int8 quantization error (the
   serving-quantization go/no-go audit: reconstruction RMSE, worst
-  element error, cosine drift — all deterministic closed-form, no RNG);
+  element error, cosine fidelity — all deterministic closed-form, no RNG);
 - sliding-window RAG chunking (W=64 tokens, stride 48) materialized
   and audited per source (chunk counts, storage amplification — the
   fan-out is the operator; the rollup keeps the output bounded).
@@ -228,8 +228,8 @@ WITH q AS (
 ),
 per_vec AS (
   SELECT label,
-         sqrt(list_sum(list_transform(range(1, len(e) + 1),
-                i -> (e[i] - d[i]) * (e[i] - d[i]))) / len(e)) AS rmse,
+         round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                i -> (e[i] - d[i]) * (e[i] - d[i]))) / len(e)), 6) AS rmse,
          list_max(list_transform(range(1, len(e) + 1),
                 i -> abs(e[i] - d[i]))) AS max_err,
          round(list_cosine_similarity(e, d), 6) AS cosim
@@ -237,9 +237,9 @@ per_vec AS (
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(avg(rmse), 6) + 0.0 AS avg_rmse,
+       round(avg(rmse), 5) + 0.0 AS avg_rmse,
        round(max(max_err), 6) + 0.0 AS worst_abs_err,
-       round(avg(cosim), 5) + 0.0 AS avg_cos_drift
+       round(avg(cosim), 5) + 0.0 AS avg_cosine
 FROM per_vec
 GROUP BY label ORDER BY label
 """,
@@ -248,7 +248,8 @@ GROUP BY label ORDER BY label
     "0.5) — floor(+0.5) instead of round() because Spark F.round is "
     "shortest-repr HALF_UP while DuckDB round is binary-scaled, and "
     "floor is bit-identical in both) with reconstruction RMSE, worst "
-    "element error, and cosine drift per label.  One scan, all HOF "
+    "element error, and cosine similarity per label.  One scan, all "
+    "HOF "
     "lambda expressions JVM-side, no shuffle before the 10-row label "
     "rollup — the shape survives any SF.  Per-vector cosine rounded "
     "6dp before the group avg (rounded 5dp) so cross-engine summation "
@@ -290,7 +291,7 @@ def emb_int8_quantization_error(
     )
     per_vec = emb.select(
         "label",
-        F.sqrt(diff_sq / F.size("e")).alias("rmse"),
+        F.round(F.sqrt(diff_sq / F.size("e")), 6).alias("rmse"),
         F.array_max(
             F.zip_with("e", "d", lambda a, b: F.abs(a - b))
         ).alias("max_err"),
@@ -302,9 +303,9 @@ def emb_int8_quantization_error(
         per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            (F.round(F.avg("rmse"), 6) + 0.0).alias("avg_rmse"),
+            (F.round(F.avg("rmse"), 5) + 0.0).alias("avg_rmse"),
             (F.round(F.max("max_err"), 6) + 0.0).alias("worst_abs_err"),
-            (F.round(F.avg("cosim"), 5) + 0.0).alias("avg_cos_drift"),
+            (F.round(F.avg("cosim"), 5) + 0.0).alias("avg_cosine"),
         )
         .orderBy("label")
     )
@@ -361,10 +362,20 @@ ORDER BY source
 def text_chunk_sliding_windows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL text would make size(split(NULL)) illegal sequence
+        # bounds on the Spark side while the oracle's unnest(range)
+        # just emits no rows — filter so both degrade identically
+        # (no NULL text exists at any current SF; latent-only guard)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.size(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("n"),
+        )
     )
     chunks = docs.select(
         "source",

@@ -380,10 +380,19 @@ def main() -> None:
                 )
             ]
             stamp = (max(rounds) if rounds else 0) + 1
-        with open(
-            os.path.join(here, f"BENCH_FULL_r{stamp:02d}.json"), "w"
-        ) as f:
-            f.write(full + "\n")
+        # The stamped artifact gets its OWN try/except (round-11
+        # advice): it is the copy bench_diff and the artifact tests
+        # depend on, so a failure here must not be mislabeled as a
+        # BENCH_FULL.json failure or silently skipped.
+        stamped = os.path.join(here, f"BENCH_FULL_r{stamp:02d}.json")
+        try:
+            with open(stamped, "w") as f:
+                f.write(full + "\n")
+        except OSError as e:
+            print(
+                f"bench: could not write {os.path.basename(stamped)}: {e}",
+                file=sys.stderr,
+            )
     except OSError as e:
         print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
 

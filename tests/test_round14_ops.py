@@ -86,7 +86,7 @@ def test_int8_quantization_error_bounds(spark, sf_dir):
         assert r.worst_abs_err <= bound, (r, bound)
         assert r.avg_rmse <= bound, r
         # int8 on 64-dim vectors barely moves direction
-        assert r.avg_cos_drift > 0.99, r
+        assert r.avg_cosine > 0.99, r
         assert r.n_vecs > 0
 
 
