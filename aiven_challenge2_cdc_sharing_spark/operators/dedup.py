@@ -203,25 +203,87 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (the verify step).
 
-    Posting-count formulation: explode the corpus's shingle sets ONCE
-    into a checkpointed (id, set-size, shingle) posting list, join it
-    to the pair list on each side, and count matching shingles per
-    pair — the count IS |A∩B| because per-doc shingles are distinct,
-    and J = ov / (|A|+|B|-ov).  Nothing after the scan ships a shingle
-    ARRAY: the pair join moves (long, int, token) tuples, the same
-    design language as ``jaccard_threshold_join``.  Measured vs the
-    array-rejoin form (join both docs' full shingle arrays to each
-    pair row, array_intersect per row) on 62k candidate pairs at
-    sf0.1: 2.65s -> 2.14s, identical output — and the array form
-    re-computed the shingle projection on both join sides, a cost that
-    grows with candidate density.  (A round-2 measurement rejected
-    checkpointing the ARRAY-form shingle table — 5.5s -> 6.4s — fat
-    arrays in the block manager cost more than recompute; the posting
-    list checkpoints cheaply because its rows are skinny.)
+    PAIR-GRAIN formulation (round-11 verdict task 2): join each
+    candidate pair to the corpus's (id, shingle-array) table on id_a
+    and id_b, then intersect the two arrays ON the pair row —
+    ``array_intersect`` is an O(|A|+|B|) hash probe per pair, fully
+    JVM-side, and |A∩B| = its size because per-doc shingles are
+    distinct.  J = ov / (|A|+|B|-ov).
 
-    A candidate pair with ZERO shingle overlap emits no row (the old
-    array form emitted jaccard=0.0) — below any useful threshold by
+    Why pair grain and not the posting-count form
+    (``jaccard_pairs_postings``): the posting form joins an exploded
+    (id, size, shingle) token list to BOTH pair sides — its
+    intermediate is one row per pair per matching token, then a
+    pair-key groupBy over all of it.  At the round-11 stress point
+    (500k docs, 6.2M candidate pairs, ~50 shared tokens each) that is
+    ~300M skinny rows through a sort-merge join + aggregate — measured
+    deep in the single-node spill regime (~360 s verify wall,
+    insensitive to partition count; SCALING.md round 11).  The pair
+    grain moves one row per PAIR (6.2M fat rows carrying two bounded
+    arrays), no token explosion and no post-join aggregate at all —
+    shuffle volume is bounded by candidate count x document shingle
+    size, and candidates were measured exactly linear in corpus size.
+    Round-12 SAME-RUN twin on identical disjoint-replica corpora and
+    an identical checkpointed candidate set (bit-identical outputs,
+    25,562 pairs at the top point): verify-stage wall 5.9 s -> 2.6 s
+    at N=50k docs, 68.8 s -> 8.4 s (8.2x) at N=500k — the posting
+    form's token-grain intermediate is what fell away.  Full-query
+    stress (tools/stress_pairjoins.py 10,100): wall exponent 1.28 ->
+    0.93 for dedup_minhash_near_pairs, i.e. the verify stage no
+    longer adds a superlinear spill term on one node.
+
+    The shingle-array build is NOT checkpointed: both join sides share
+    the one projection lineage, and a round-2 measurement showed fat
+    arrays in the block manager cost more than recompute (5.5s ->
+    6.4s — skinny posting rows checkpointed well, fat arrays do not).
+
+    A candidate pair with ZERO shingle overlap emits no row (filtered
+    before the division) — below any useful threshold by
     construction, and every caller filters on one."""
+    sh = with_shingles(df, text_col, shingle_n)
+    arrs = sh.select(F.col(id_col).alias("__jid"), "__sh")
+    a = arrs.select(F.col("__jid").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = arrs.select(F.col("__jid").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    scored = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__sh_a").alias("__sz_a"),
+            F.size("__sh_b").alias("__sz_b"),
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("__ov"),
+        )
+        .filter(F.col("__ov") > 0)
+    )
+    jac = F.col("__ov").cast("double") / (
+        F.col("__sz_a") + F.col("__sz_b") - F.col("__ov")
+    )
+    return scored.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def jaccard_pairs_postings(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Posting-count twin of ``jaccard_pairs`` (the pre-round-12
+    default, kept for the measured comparison and the parity pin).
+
+    Explodes the corpus's shingle sets ONCE into a checkpointed
+    (id, set-size, shingle) posting list, joins it to the pair list on
+    each side, and counts matching shingles per pair — the count IS
+    |A∩B| because per-doc shingles are distinct.  Nothing after the
+    scan ships a shingle ARRAY, but the intermediate is one row per
+    pair per MATCHING TOKEN (~300M rows at the 500k-doc stress point)
+    plus a pair-key groupBy over all of it — the measured spill
+    driver that motivated the pair-grain rewrite (SCALING.md rounds
+    11-12).  Still the better shape when candidate pairs are fat-doc
+    dominated (huge |A| with tiny overlap), where the pair grain would
+    ship large arrays to compute a small count."""
     sh = with_shingles(df, text_col, shingle_n)
     ex = sh.select(
         F.col(id_col).alias("__jid"),

@@ -588,7 +588,10 @@ FROM ev, q
     "-th order statistic found by an exact integer crossing test "
     "(cw*10 >= 9*(n+1)) over the residual-cents histogram — the "
     "cumulative scan touches the HISTOGRAM, never the N rows (the "
-    "score-histogram AUC discipline).  Marginal coverage on the "
+    "score-histogram AUC discipline), and since round 12 runs as a "
+    "range-partitioned prefix sum (global_prefix_sum) because the "
+    "sf1.0 measurement showed the cents histogram is corpus-"
+    "proportional, not domain-saturating.  Marginal coverage on the "
     "held-out split lands ~0.9 by the conformal guarantee with NO "
     "distributional assumption on the (badly heteroskedastic) "
     "price residuals — the distribution-free uncertainty primitive "
@@ -635,10 +638,18 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cal_n = cal.agg(F.count(F.lit(1)).alias("n"))
     hist = cal.groupBy("r_cents").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("r_cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select("r_cents", F.sum("c").over(w).alias("cw"))
+    # Round-12 scalable-ordinal treatment: the sf1.0 measurement
+    # (tools/stress_windows_sf1.py) showed the residual-cents
+    # histogram is CORPUS-PROPORTIONAL (118,756 rows at sf0.1 ->
+    # 1,073,300 at 10x — the cents domain is sparse, not saturating),
+    # so the global cumulative window became a range-partitioned
+    # prefix sum: per-partition windows + 32 broadcast offsets, no
+    # single-reducer sort at any SF.  Same cw per r_cents bit-for-bit.
+    from ..operators.topk import global_prefix_sum
+
+    cum = global_prefix_sum(
+        hist, [F.col("r_cents")], "c", out_col="cw"
+    ).select("r_cents", "cw")
     q = (
         cum.crossJoin(F.broadcast(cal_n))
         .filter(F.col("cw") * 10 >= 9 * (F.col("n") + 1))

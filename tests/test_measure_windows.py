@@ -71,3 +71,45 @@ def test_filter_below_window_counts_post_filter_rows(spark):
     wins = _measure(df)
     assert len(wins) == 1
     assert wins[0][0] == 500
+
+
+def test_checkpoint_capture_measures_hidden_window(spark):
+    # A window below an eager localCheckpoint never appears in the
+    # final QueryExecution — the round-12 _CheckpointCapture must
+    # surface the pre-checkpoint subplan so the window is MEASURED,
+    # not comment-attested (round-11 verdict task 4).
+    from plan_audit import _CheckpointCapture, _unpartitioned_windows_of
+
+    with _CheckpointCapture() as cap:
+        base = (
+            spark.range(300)
+            .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+            .localCheckpoint()
+        )
+        out = base.groupBy((F.col("id") % 3).alias("g")).count()
+        ep = out._jdf.queryExecution().executedPlan()
+        ep.execute().count()
+
+    # hidden from the main plan ...
+    assert _unpartitioned_windows_of(ep) == []
+    # ... but captured: exactly one checkpoint site, whose re-executed
+    # subplan shows the 300-row unpartitioned window
+    assert len(cap.frames) == 1
+    sep = cap.frames[0]._jdf.queryExecution().executedPlan()
+    sep.execute().count()
+    wins = _unpartitioned_windows_of(sep)
+    assert len(wins) == 1
+    assert wins[0][0] == 300
+
+
+def test_checkpoint_capture_restores_patch(spark):
+    # the patch lands on the CONCRETE class (pyspark>=4 overrides
+    # localCheckpoint in sql.classic.dataframe.DataFrame)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from plan_audit import _CheckpointCapture
+
+    orig = DataFrame.localCheckpoint
+    with _CheckpointCapture():
+        assert DataFrame.localCheckpoint is not orig
+    assert DataFrame.localCheckpoint is orig

@@ -360,3 +360,36 @@ def test_hash_split_stable_under_repartition(spark, sf_dir):
         hash_bucket(F.col("doc_id"), "mix").alias("m"),
     ).collect()
     assert sum(r["s"] == r["m"] for r in both) < len(both) * 0.01
+
+
+def test_jaccard_pairs_pair_grain_matches_posting_form(spark):
+    # Round-12 promotion pin: the pair-grain array-intersect default
+    # must be BIT-IDENTICAL to the posting-count form it replaced
+    # (same pairs, same 6dp jaccard, same zero-overlap omission) —
+    # this is what keeps prior driver attestations of
+    # dedup_minhash_near_pairs meaningful across the swap.
+    from aiven_challenge2_cdc_sharing_spark.operators.dedup import (
+        jaccard_pairs_postings,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "totally different words entirely here now"),
+        (5, "short doc"),
+        (6, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # all candidate pairs, including zero-overlap ones (5,4) etc., so
+    # the omission semantics are exercised — not just LSH survivors
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    new = jaccard_pairs(pairs, docs, "doc_id", "text")
+    old = jaccard_pairs_postings(pairs, docs, "doc_id", "text")
+    assert sorted(new.collect()) == sorted(old.collect())
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
