@@ -221,18 +221,24 @@ def bpe_train_merges_batched(
     )
 
 
-def _bpe_cte_chain(n_merges: int, carry_word: bool) -> tuple[str, str, list[str]]:
+def _bpe_cte_chain(
+    n_merges: int, carry_word: bool, doc_where: str = ""
+) -> tuple[str, str, list[str]]:
     """(cte_sql, final_vocab_cte, [winner_cte names]) — the training
     rounds unrolled as CTE chains (v0 -> p_k/b_k/v_{k+1}); chr(31) is
     the separator.  ``carry_word`` threads the original word through
-    every round so an apply step can join back to occurrences."""
+    every round so an apply step can join back to occurrences.
+    ``doc_where`` restricts the TRAINING corpus (e.g. a held-out
+    split's complement); empty keeps the historical whole-corpus
+    chain byte-for-byte."""
     wcol = "w, " if carry_word else ""
+    where = f" WHERE {doc_where}" if doc_where else ""
     sql = f"""
 WITH v0 AS MATERIALIZED (
   SELECT {wcol}array_to_string(string_split(w, ''), chr(31)) AS sym, freq FROM (
     SELECT w, count(*) AS freq FROM (
       SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-      FROM documents
+      FROM documents{where}
     ) WHERE length(w) > 0 AND NOT contains(w, chr(31))
     GROUP BY w)
 )"""
@@ -310,6 +316,20 @@ ORDER BY o.source"""
     )
 
 
+def bpe_apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(w, n_tok): apply a FIXED ordered merge list to a word table
+    carrying (w, sym) — the serving-side half of the tokenizer, split
+    out (round 12) so a model trained on one split can encode another
+    (fertility / OOV audits).  K string replaces in rank order, same
+    leftmost-first semantics as training."""
+    sym = F.col("sym")
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
+    return words.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
+
+
 def bpe_encoded_vocab(
     docs: DataFrame, text_col: str, n_merges: int = 6
 ) -> DataFrame:
@@ -323,10 +343,7 @@ def bpe_encoded_vocab(
         for r in bpe_train_merges(docs, text_col, n_merges).collect()
     ]
     enc = word_vocab(docs, text_col, keep_word=True)
-    sym = F.col("sym")
-    for l, r in merges:
-        sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
-    return enc.select("w", F.size(F.split(sym, BPE_SEP)).alias("n_tok"))
+    return bpe_apply_merges(enc, merges)
 
 
 def bpe_word_occurrences(docs: DataFrame, text_col: str, *cols) -> DataFrame:

@@ -62,6 +62,7 @@ def load_registry() -> dict[str, Query]:
         coverage_round12,
         coverage_round13,
         coverage_round14,
+        coverage_round15,
         dashboards,
         extras2,
         ingest,

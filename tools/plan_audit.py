@@ -390,6 +390,13 @@ ALLOWED_EXCHANGES = {
     # carries n_files zone-map rows (~N/256) or 8 predicate rows,
     # never the fact table twice (union moved after aggregation).
     "layout_file_skipping_minmax": 12,
+    # cdc_ivf_list_churn (round 12): the base index (a3) and move
+    # table are checkpointed, so the counted exchanges are the one
+    # N-sized MERGE window (apply_changes — the operator under test),
+    # the |batch|-sized delta-assign legs, five 16-row per-list
+    # rollups, and the 16-row broadcasts that stitch the audit row —
+    # every exchange after the MERGE carries <=|batch| or <=16 rows.
+    "cdc_ivf_list_churn": 18,
     "ts_outliers_mad": 8,
     "dedup_embedding_cosine": 9,
     "tpch_q8_market_share": 9,
