@@ -88,9 +88,9 @@ ALLOWED_PYTHON = {"udtf_sentence_stats"}
 #   dash_peak_concurrency_scalable (two-level prefix sum).
 # - sort_global_orders / win_percent_rank_cume: deliberate demo twins
 #   of sort_global_ordinal_scalable / win_percent_rank_scalable.
-# - ts_resample_linear: anchor interpolation over per-day aggregates.
 # (join_lateral_top2_orders / agg_regr_value_by_hour /
-# stats_bootstrap_ci_mean were reclassified OUT in round 12: both the
+# stats_bootstrap_ci_mean / dash_week_over_week_movers /
+# ts_resample_linear were reclassified OUT in round 12: both the
 # static detector and the executed-plan measurement find ZERO
 # unpartitioned windows in their current implementations — the
 # entries outlived rewrites that removed the windows they excused.
@@ -100,12 +100,10 @@ ALLOWED_PYTHON = {"udtf_sentence_stats"}
 ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "ts_cusum_drift": "per-day aggregate input (date domain)",
     "ml_eval_auc_prf": "score-histogram input (<=1e6 distinct)",
-    "dash_week_over_week_movers": "per-week aggregate input",
     "agg_equidepth_histogram": "demo twin of _scalable",
     "dash_peak_concurrency": "demo twin of _scalable",
     "sort_global_orders": "demo twin of sort_global_ordinal_scalable",
     "win_percent_rank_cume": "demo twin of win_percent_rank_scalable",
-    "ts_resample_linear": "per-day aggregate input",
     "search_hybrid_rrf": "rank legs over LIMIT-20 inputs "
     "(TakeOrdered upstream bounds both windows)",
     "ts_anomaly_daily_values": "per-day aggregate input (date domain)",
