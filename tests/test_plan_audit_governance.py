@@ -77,3 +77,24 @@ def test_every_allowlist_is_registered_for_governance():
         f"ALLOWLISTS out of sync with ALLOWED_* globals: "
         f"{declared ^ set(pa.ALLOWLISTS)}"
     )
+
+
+def test_bucket_join_detector_sees_cap_marker_in_subplan_text():
+    # dedup_minhash_near_pairs caps its band buckets ABOVE a
+    # localCheckpoint, so the __bsz marker never reaches the final
+    # explain — the round-12 audit loop concatenates the captured
+    # pre-checkpoint subplan explains before running the detector.
+    # Pin the string-level contract both ways.
+    from tools.plan_audit import uncapped_bucket_joins
+
+    main_plan = (
+        "Left keys [2]: [band_idx#1, band_hash#2]\n"
+        "Right keys [2]: [band_idx#3, band_hash#4]\n"
+        "Location: InMemoryFileIndex [file:/x/documents.parquet]\n"
+        "Location: InMemoryFileIndex [file:/x/documents.parquet]\n"
+    )
+    # main plan alone: capped nowhere in sight -> flagged
+    assert uncapped_bucket_joins(main_plan) == ["documents"]
+    # with the captured subplan text carrying the cap filter -> clean
+    sub = "Filter (__bsz#9L <= 64)\n"
+    assert uncapped_bucket_joins(main_plan + sub) == []

@@ -1093,11 +1093,28 @@ def main() -> int:
         ):
             continue
         try:
-            plan = explain_str(q.fn(spark, sf_dir))
+            with _CheckpointCapture() as cap:
+                df = q.fn(spark, sf_dir)
+            plan = explain_str(df)
         except Exception as e:
             print(f"WARN {name}: explain failed: {type(e).__name__}: {e}")
             warnings_total += 1
             continue
+        # a localCheckpoint truncates lineage, so anything above it —
+        # including the __bsz/__bn hot-bucket cap markers — vanishes
+        # from the final explain.  Concatenate the captured
+        # pre-checkpoint subplans (explain only, never executed here)
+        # so the bucket-join detector judges the FULL program, same
+        # below-checkpoint visibility --measure-windows gained this
+        # round.  (Windows stay main-plan-scoped in static mode: the
+        # allowlisted ones are row-MEASURED below checkpoints by
+        # measure_global_windows instead.)
+        sub_text = ""
+        for f in cap.frames:
+            try:
+                sub_text += "\n" + explain_str(f)
+            except Exception:
+                pass
         warns = []
         if "CartesianProduct" in plan:
             warns.append("CartesianProduct")
@@ -1129,7 +1146,7 @@ def main() -> int:
                 "broadcast of non-aggregated fact scan: "
                 + ",".join(sorted(set(fact_bc)))
             )
-        bj = uncapped_bucket_joins(plan)
+        bj = uncapped_bucket_joins(plan + sub_text)
         if bj and name not in ALLOWED_UNCAPPED_BUCKET_JOIN:
             warns.append(
                 "uncapped LSH-bucket join over fact scan(s): "
