@@ -11,9 +11,16 @@ surface the registry did not yet cover:
   the frozen coarse quantizer — and the query emits the per-list
   freshness audit a serving fleet reads before deciding to rebuild
   (list sizes before/after, departures, arrivals, reassignment
-  stay-rate).  Maintenance cost is O(|batch|), never O(N): that is
-  the whole point, and the dataflow (anti-join + delta assign +
-  union) is the incremental index update a 100 TB store runs.
+  stay-rate).  Maintenance DISTANCE work is O(|batch| * k); the MERGE
+  and index anti-join are O(N) scan-only passes with no distance
+  math (partition-prunable to the touched lists in a real store) —
+  what maintenance avoids is the O(N * k * (iters+1)) re-cluster.
+  Measured at N=2M, k=256 (SCALING.md round 12): rebuild min 10.4 s
+  vs maintenance min 2.7 s, maintenance flat across a 1000x batch-
+  size sweep — at k=16 both sit on the scan floor and the MERGE
+  itself dominates, so the win GROWS with nlist.  The dataflow
+  (anti-join + delta assign + union) is the incremental index update
+  a 100 TB store runs.
 - ``text_bpe_fertility_oov`` is the tokenizer-evaluation loop: merges
   trained on HALF the corpus (doc_id parity split), applied to the
   HELD-OUT half, reporting per-source fertility (BPE tokens per
@@ -118,7 +125,9 @@ ORDER BY cluster
     "then the frozen 16-list coarse quantizer (same deterministic "
     "build as sim_cosine_topk_ivf) re-assigns ONLY the post-merge "
     "changed vectors — a broadcast 16-centroid argmax over |batch| "
-    "rows, never a corpus rescan.  The maintained index is "
+    "rows, never a corpus re-CLUSTER (the MERGE and anti-join are "
+    "O(N) scan-only passes, no distance math; measured vs rebuild "
+    "in SCALING.md round 12).  The maintained index is "
     "(base-assignment ANTI-JOIN batch keys) UNION (delta "
     "assignment); the audit reports per-list size before/after, "
     "deletes, upsert departures/arrivals, and the stay-rate a "
@@ -171,7 +180,7 @@ def cdc_ivf_list_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # incremental maintenance: re-assign ONLY the changed vectors
     # (post-merge state joined to the upsert keys), broadcast
-    # 16-centroid argmax — O(|batch|) work
+    # 16-centroid argmax — O(|batch| * k) distance work
     changed = state1.join(
         ups.select("vec_id"), "vec_id"
     ).select("vec_id", "embedding")
