@@ -62,6 +62,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint (lazy, materialized inline by this round's
+        # convergence job): ``stepped`` feeds BOTH sides of the
+        # pointer-jump self-join below, and without the cut Catalyst
+        # plans two copies of the join+aggregate subtree above — the
+        # whole neighbor-min pass executed twice per round (round-12
+        # measurement: 4.6 s -> 2.9 s for dedup_cluster_resolution,
+        # guide §2.4 "remove shuffles outright"/duplicated subtrees).
         stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -70,6 +77,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=False)
         )
         ptr = stepped.select(
             F.col("node").alias("__pnode"), F.col("component").alias("__plabel")

@@ -691,7 +691,7 @@ def semantic_dedup_pairs(
         id_col=id_col,
         vec_col="__e",
         assign_strategy=assign_strategy,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     assigned = _assign(
         vecs, cents, "__e", "__cluster", n_clusters, assign_strategy
     ).withColumn("__n", _norm(F.col("__e")))

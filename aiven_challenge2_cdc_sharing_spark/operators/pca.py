@@ -111,10 +111,14 @@ def pca_top_component(
         F.col("id").alias("j"), F.lit(1.0 / dim**0.5).alias("vj")
     )
     for _ in range(iters):
+        # lazy checkpoint (round-12): w feeds the norm AND the rescale
+        # join — uncut, the matvec join+aggregate planned twice per
+        # iteration (guide §1.2)
         w = (
             cov.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("vj")).alias("wi"))
+            .localCheckpoint(eager=False)
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi"))).alias("__n"))
         v = (

@@ -183,12 +183,24 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_strategy: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: k-means with fixed seeds
     (centroids initialized from the first n_lists ids), Lloyd iterations
     expressed as DataFrame ops — assignment is a broadcast argmin,
-    update is posexplode + per-(cluster, dim) mean.  Everything
-    shuffles only (cluster, dim, partial-sum), never vectors."""
+    update is one groupBy(cluster) with d mean columns.  Everything
+    shuffles only (cluster, d partial-sums), never row-exploded vectors.
+
+    Round-12 update-step rewrite (guide §2.3 "shuffle fewer bytes"):
+    the previous update posexploded every vector to (cluster, dim, val)
+    rows — N*d rows through TWO shuffles (per-(cluster,dim) mean, then
+    per-cluster collect_list) per Lloyd iteration.  The column form
+    aggregates d per-dimension means in ONE partial-aggregated shuffle
+    of k rows x d columns.  Per-dimension partial sums add the same
+    values in the same per-partition row order as the exploded form,
+    so the centroid doubles are the identical IEEE sums (oracle-gated
+    at 3 SFs for every IVF consumer).  ``dim`` skips the one-row
+    dimensionality probe when the caller knows it."""
     cents = (
         vectors.orderBy(id_col)
         .limit(n_lists)
@@ -200,6 +212,9 @@ def train_ivf_centroids(
     matmul = assign_strategy == "matmul" or (
         assign_strategy == "auto" and n_lists > _MATMUL_THRESHOLD
     )
+    if dim is None:
+        row = vectors.select(F.size(F.col(vec_col)).alias("__d")).first()
+        dim = int(row["__d"]) if row else 0
     for _ in range(iters):
         if matmul:
             # the matmul path collects the centroid table per pass;
@@ -214,24 +229,22 @@ def train_ivf_centroids(
             n_lists,
             assign_strategy,
         )
+        proj = assigned.select(
+            "__cluster", F.col(vec_col).cast("array<double>").alias("__v")
+        )
         cents = (
-            assigned.select(
-                "__cluster",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "__pos", "__val"
-                ),
-            )
-            .groupBy("__cluster", "__pos")
-            .agg(F.avg("__val").alias("__mean"))
-            .groupBy("__cluster")
+            proj.groupBy("__cluster")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__mean"))
-                ).alias("__pm")
+                *[
+                    F.avg(F.element_at("__v", d + 1)).alias(f"__m{d}")
+                    for d in range(dim)
+                ]
             )
             .select(
                 F.col("__cluster").alias("__cid"),
-                F.transform("__pm", lambda s: s["__mean"]).alias("__cvec"),
+                F.array(*[F.col(f"__m{d}") for d in range(dim)]).alias(
+                    "__cvec"
+                ),
             )
         )
     return cents
@@ -268,7 +281,7 @@ def cosine_topk_ivf(
         id_col=id_col,
         vec_col=vec_col,
         assign_strategy=assign_strategy,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     assigned = _assign(
         vectors.select(id_col, vec_col),
         cents,

@@ -46,7 +46,10 @@ def global_ordinal(
 
     localCheckpoint is load-bearing: range boundaries come from
     sampling, so the offset-count job and the rank job must see the
-    same physical partitioning.
+    same physical partitioning.  It is LAZY (round-12): the offsets
+    collect below is the first action and materializes the checkpoint
+    inline — eager=True ran the same materialization as its own extra
+    job wave first (guide §1.2: one fewer pass, identical blocks).
 
     Returns ``(df_with_out_col, n_rows)`` — the total comes free from
     the same per-partition counts, so rank-relative stats
@@ -55,7 +58,7 @@ def global_ordinal(
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -86,32 +89,45 @@ def global_prefix_sum(
     val_col: str,
     out_col: str = "prefix_sum",
     partitions: int = 32,
-) -> DataFrame:
+    return_totals: bool = False,
+):
     """Running sum over a total order WITHOUT a single-partition window
     — the value-summing sibling of ``global_ordinal``: range-partition
     by the sort key (ordered, non-overlapping key ranges), cumulative
     sum within each partition (window parallelism = partition count),
     then add broadcast per-partition offset totals.  Driver-side data
-    is ONE sum per partition.
+    is ONE (sum, count) pair per partition.
 
     localCheckpoint is load-bearing for the same reason as
     ``global_ordinal``: range boundaries come from sampling, so the
-    offset job and the cumsum job must see identical partitioning."""
+    offset job and the cumsum job must see identical partitioning.
+    It is lazy (round-12): the offsets collect is the materializing
+    action — eager=True paid the same materialization as a separate
+    job wave first.
+
+    ``return_totals=True`` returns ``(df_with_out_col, total_sum,
+    n_rows)`` — the grand total and row count come free from the same
+    per-partition offsets collect, so "crossing" consumers
+    (weighted median/percentiles, ABC classes, KS/AD statistics)
+    need NO second aggregation pass over the pre-prefix subtree
+    (round-12, guide §1.2: don't recompute what the offsets job
+    already summed)."""
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = sorted(
-        (r["__pid"], r["s"])
+        (r["__pid"], r["s"], r["c"])
         for r in ranged.groupBy("__pid")
-        .agg(F.sum(val_col).alias("s"))
+        .agg(F.sum(val_col).alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    offsets, acc = {}, 0
-    for pid, s in totals:
+    offsets, acc, n_rows = {}, 0, 0
+    for pid, s, c in totals:
         offsets[pid] = acc
         acc += s or 0
+        n_rows += c
     offset_map = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
@@ -120,9 +136,12 @@ def global_prefix_sum(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ranged.withColumn(
+    out = ranged.withColumn(
         out_col, F.sum(val_col).over(w) + offset_map[F.col("__pid")]
     ).drop("__pid")
+    if return_totals:
+        return out, acc, n_rows
+    return out
 
 
 def global_prefix_max(
@@ -153,7 +172,8 @@ def global_prefix_max(
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy (round-12): the maxes collect below materializes it
+        .localCheckpoint(eager=False)
     )
     maxes = sorted(
         (r["__pid"], r["mx"])

@@ -230,8 +230,12 @@ GROUP BY l_returnflag
     "both linear-interpolating)",
 )
 def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: exact percentile builds a per-task value-count map over
+    # 600k rows; the single-row-group scan ran it on 1 of 32 threads
+    # (round-12; merge of partial count-maps is order-insensitive, so
+    # the interpolated result is bit-identical at any partitioning)
     return (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_returnflag")
         .agg(
             F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("med_qty"),

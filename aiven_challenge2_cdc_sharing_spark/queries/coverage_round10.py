@@ -2043,7 +2043,7 @@ FROM nodes n ORDER BY katz DESC, nation
     "~1e-15 across engines against 6dp output rounding",
 )
 def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=True)
+    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=False)
     contrib = adj.groupBy("a").agg(
         (F.lit(_KATZ_ALPHA) * F.count(F.lit(1))).alias("x")
     )
@@ -2113,7 +2113,7 @@ ORDER BY nk.k
     "pairs) against the rich sets",
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=True)
+    adj = _trade_adj(spark, sf_dir).localCheckpoint(eager=False)
     edges = adj.filter(F.col("a") < F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     )
@@ -2752,7 +2752,10 @@ FROM dist
 def stats_randomization_test_det(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    # spread: 200 md5-derived relabelings per pool row are CPU-bound
+    # map work on a 1-partition scan (round-12; every per-draw sum is
+    # exact integer cents, so partitioning cannot move any output bit)
+    cust = load_table(spark, sf_dir, "customer", spread=True)
     pool = cust.filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     ).select(
@@ -3866,7 +3869,7 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", cosm(F.col("e"), F.col("qv")).alias("relm"))
         .orderBy(F.desc("relm"), "vec_id")
         .limit(12)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sel = (
         cand.orderBy(F.desc("relm"), "vec_id")
@@ -3898,7 +3901,7 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "e", "relm", "maxsimm", F.lit(k).alias("rk"))
         )
-        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
     return sel.select(
         F.col("rk").alias("rank"),
         "vec_id",
@@ -7141,7 +7144,11 @@ FROM cnt, thr
 def stats_tail_dependence_lambda(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: both passes (exact two-column percentile, then the tail
+    # counts) are CPU-bound over a single-row-group scan (round-12;
+    # percentile merges per-partition count maps order-insensitively
+    # and the counts are exact integers — bit-identical outputs)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     thr = li.agg(
         F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("qx_hi"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias(
@@ -7779,7 +7786,9 @@ def ml_kmeans_elbow_inertia(
 
     from ..operators.similarity import _assign, train_ivf_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread (round-12): the k-way HOF argmax assignment is CPU-bound
+    # map work over a single-row-group scan — 1 of 32 threads before
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
     n = emb.count()
@@ -8134,24 +8143,41 @@ def cdc_backfill_cutover_check(
         )
     )
     ev = events.crossJoin(F.broadcast(thr)).localCheckpoint(eager=False)
+    # Round-12 (guide §1.2): the backfill snapshot feeds BOTH its own
+    # count and the MERGE — checkpoint it so latest_snapshot's window
+    # runs once; same for the two final states, whose counts and
+    # symmetric diff each replayed the full MERGE/replay pipelines.
     backfill = latest_snapshot(
         ev.filter(F.col("ts_ms") <= F.col("__thr")).drop("__thr")
-    )
+    ).localCheckpoint(eager=False)
     tail = ev.filter(F.col("ts_ms") > F.col("__thr")).drop("__thr")
-    resumed = apply_changes(backfill, tail).select(
-        "id", "phone", "classification"
+    resumed = (
+        apply_changes(backfill, tail)
+        .select("id", "phone", "classification")
+        .localCheckpoint(eager=False)
     )
-    full = latest_snapshot(ev.drop("__thr")).select(
-        "id", "phone", "classification"
+    full = (
+        latest_snapshot(ev.drop("__thr"))
+        .select("id", "phone", "classification")
+        .localCheckpoint(eager=False)
     )
     n_backfill = backfill.count()
     n_tail = tail.count()
     n_full = full.count()
     n_resumed = resumed.count()
+    # symmetric multiset difference in ONE aggregation pass:
+    # |A exceptAll B| + |B exceptAll A| = sum over distinct rows of
+    # |mult_A - mult_B| — the union+groupBy computes exactly that with
+    # one shuffle where the two exceptAll jobs ran two join waves each
     n_diff = (
-        full.exceptAll(resumed).count()
-        + resumed.exceptAll(full).count()
+        full.withColumn("__s", F.lit(1))
+        .unionByName(resumed.withColumn("__s", F.lit(-1)))
+        .groupBy("id", "phone", "classification")
+        .agg(F.sum("__s").alias("__d"))
+        .agg(F.sum(F.abs(F.col("__d"))).alias("n"))
+        .collect()[0]["n"]
     )
+    n_diff = int(n_diff or 0)
     return spark.createDataFrame(
         [
             (
@@ -10901,6 +10927,10 @@ def ab_group_sequential_obf(
             "n_buy",
             _md5_mod("srm:", F.col("user_id"), 2).alias("arm"),
         )
+        # lazy checkpoint (round-12): per0 feeds both the median probe
+        # and the interim grid — without the cut the events groupBy +
+        # md5 assignment ran twice (guide §1.2)
+        .localCheckpoint(eager=False)
     )
     med = per0.agg(F.expr("percentile(n_buy, 0.5)").alias("m"))
     per = per0.crossJoin(F.broadcast(med)).select(
@@ -11802,28 +11832,31 @@ def graph_threshold_cascade(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sym = pairs.select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    deg = sym.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    active = (
-        deg.orderBy(F.desc("d"), "node").limit(2).select("node")
-    )
-    counts = [active.count()]
+    # Round-12: the N-sized work is the edge derivation above; the
+    # cascade itself runs on the NATION graph — a domain-bounded
+    # <= 25*24/2-row edge set at ANY corpus scale.  One bounded
+    # collect replaces 4 count() actions + 3 per-round checkpoint
+    # job waves of 25-row DataFrames (pure scheduling overhead at
+    # every scale; same bounded-collect discipline as the centroid
+    # tables).  The Python rounds replay the identical threshold-2
+    # rule, so counts are unchanged.
+    edges = [(r["u"], r["v"]) for r in pairs.collect()]
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    seeds = sorted(deg, key=lambda n: (-deg[n], n))[:2]
+    active = set(seeds)
+    counts = [len(active)]
     for _ in range(3):
-        newly = (
-            sym.join(
-                active.select(F.col("node").alias("b")), "b"
-            )
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= 2)
-            .select(F.col("a").alias("node"))
-        )
-        active = active.unionAll(newly).distinct().localCheckpoint()
-        counts.append(active.count())
+        nbr_active: dict[int, int] = {}
+        for u, v in edges:
+            if v in active:
+                nbr_active[u] = nbr_active.get(u, 0) + 1
+            if u in active:
+                nbr_active[v] = nbr_active.get(v, 0) + 1
+        active |= {n for n, c in nbr_active.items() if c >= 2}
+        counts.append(len(active))
     return spark.createDataFrame(
         [(i + 1, int(c)) for i, c in enumerate(counts)],
         "round int, n_active long",

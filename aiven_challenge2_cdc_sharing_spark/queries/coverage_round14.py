@@ -179,7 +179,9 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
 def sim_ivf_serving_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread (round-12): assignment/scoring are CPU-bound map passes
+    # over a single-row-group scan — no-op when the scan has splits
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 12800)
     ).select(

@@ -141,7 +141,9 @@ def cdc_ivf_list_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.materialize import apply_changes
     from ..operators.similarity import _assign, train_ivf_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread (round-12): the base assignment + MERGE feed off a
+    # single-row-group scan; assignment is CPU-bound map work
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     # frozen coarse quantizer, consumed by the base and delta assigns

@@ -167,8 +167,8 @@ ORDER BY token
     "gap is exercised; production sizing is w = ceil(e/eps)",
 )
 def agg_count_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the md5-per-(token, row) sketch update is CPU-bound and
-    # the test tables are single-row-group parquet (1 scan partition)
+    # spread: the tokenize/explode pass is CPU-bound and the test
+    # tables are single-row-group parquet (1 scan partition)
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         F.explode(
@@ -178,28 +178,41 @@ def agg_count_min_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.explode(
         F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
     ).alias("i")
-    # md5 once per token occurrence, then slice per depth row — the
-    # explode would otherwise recompute the digest _CM_DEPTH times
+    # Round-12 (guide §2.3 "aggregate before you shuffle"): the sketch
+    # is built as a WEIGHTED update over the distinct-token counts —
+    # cell count = sum of occurrence counts of the tokens hashing
+    # there, exactly the integer the per-occurrence update produced —
+    # so the corpus is tokenized ONCE (was twice) and md5 runs once
+    # per DISTINCT token (was once per occurrence + 3x per probe).
+    # The mergeable-aggregate story is unchanged: the distinct-token
+    # table is itself the map-side-combined partial, and the weighted
+    # cell add is the same cell-wise merge.
+    probes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .withColumn("h", F.md5("w"))
+        .localCheckpoint(eager=False)
+    )
     cells = (
-        toks.select(F.md5("w").alias("h"), rows)
+        probes.select("exact", rows, "h")
         .select(
             "i",
             F.conv(
                 F.expr("substring(h, i * 8 + 1, 8)"), 16, 10
             ).cast("long").__mod__(_CM_WIDTH).alias("col"),
+            "exact",
         )
         .groupBy("i", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact").alias("cnt"))
     )
-    probes = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
     probe_cols = probes.select(
-        "w", "exact", rows
+        "w", "exact", rows, "h"
     ).select(
         "w",
         "exact",
         "i",
         F.conv(
-            F.expr("substring(md5(w), i * 8 + 1, 8)"), 16, 10
+            F.expr("substring(h, i * 8 + 1, 8)"), 16, 10
         ).cast("long").__mod__(_CM_WIDTH).alias("col"),
     )
     return (
@@ -461,13 +474,29 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = deg.agg(F.count(F.lit(1)).alias("__n"))
-    rank = deg.join(F.broadcast(n)).select(
-        F.col("src").alias("node"), (F.lit(1.0) / F.col("__n")).alias("rank")
+    # node count as ONE bounded driver scalar (round-12): the previous
+    # 1-row broadcast DataFrame was re-derived from `deg` inside every
+    # iteration's plan — with the lazy checkpoints triggering AQE
+    # materialization per round, that re-ran the edges->deg->count
+    # aggregate 6 times (guide §1.2: don't recompute what you already
+    # have).  The literal divisions below are the same IEEE doubles the
+    # broadcast-column divisions produced (long / long -> double in the
+    # JVM either way), so every rank value is bit-identical.
+    n_nodes = deg.count()
+    rank = deg.select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.lit(n_nodes)).alias("rank"),
     )
     contrib_edges = edges.join(
         deg.select("src", "outdeg"), "src"
     ).localCheckpoint(eager=False)
+    # The 5 Lloyd-style power iterations chain as ONE lazy plan: the
+    # per-iteration localCheckpoint was copying every (node, rank) row
+    # into block storage each round AND (via AQE's eager toRdd) turning
+    # each round into its own job wave — 41 jobs at build time measured
+    # at sf0.1; without them the same 5 join+agg shuffles execute once
+    # inside a single action (round-12: isolated warm 5.7 s -> see
+    # OPTIMIZATION_r12.md; the plan stays 5 iterations deep, bounded).
     for _ in range(_PR_ITERS):
         rank = (
             contrib_edges.join(
@@ -475,15 +504,13 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__m"))
-            .join(F.broadcast(n))
             .select(
                 F.col("dst").alias("node"),
                 (
-                    F.lit(1 - _PR_DAMP) / F.col("__n")
+                    F.lit(1 - _PR_DAMP) / F.lit(n_nodes)
                     + F.lit(_PR_DAMP) * F.col("__m")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
     return (
         rank.select(
@@ -796,16 +823,26 @@ LIMIT 20
 )
 def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    grams = docs.select(
+    # Round-12: tokenize ONCE per row into an intermediate column —
+    # the previous single-expression form repeated
+    # split(lower(trim(text))) five times per row (size + sequence +
+    # three element_at probes; HOFs get no common-subexpression
+    # elimination), and the intermediate alias below is referenced
+    # enough times that CollapseProject keeps it materialized (the
+    # with_shingles discipline).  Same 3-gram terms, bit-identical.
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__tk"),
+    )
+    grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 3 "
-                "THEN transform(sequence(1, size(split(lower(trim(text)), "
-                "'\\\\s+')) - 2), i -> concat("
-                " element_at(split(lower(trim(text)), '\\\\s+'), i), ' ',"
-                " element_at(split(lower(trim(text)), '\\\\s+'), i + 1), ' ',"
-                " element_at(split(lower(trim(text)), '\\\\s+'), i + 2)))"
+                "CASE WHEN size(__tk) >= 3 "
+                "THEN transform(sequence(1, size(__tk) - 2), i -> concat("
+                " element_at(__tk, i), ' ',"
+                " element_at(__tk, i + 1), ' ',"
+                " element_at(__tk, i + 2)))"
                 "ELSE array() END"
             )
         ).alias("term"),
@@ -816,7 +853,11 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _TFIDF_DF_CAP)
     )
-    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    # count on the raw scan (metadata-served), not the spread
+    # repartition — the old form shuffled every row to count them
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     w = (
         tf.join(df, "term")
         .join(F.broadcast(n))

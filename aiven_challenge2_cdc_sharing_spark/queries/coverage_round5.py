@@ -233,29 +233,30 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.col("d1") * F.lit(2**32) + F.col("d2")).alias("c"),
     )
-    ps = global_prefix_sum(packed, [F.col("value")], "c", out_col="ps")
+    # Round-12: n1/n2 unpack from the packed grand total the operator's
+    # offsets collect already summed (sum(c) = n1*2^32 + n2 exactly
+    # while n2 < 2^32) — the old tot re-ran the whole events groupBy
+    ps, packed_total, _n = global_prefix_sum(
+        packed, [F.col("value")], "c", out_col="ps", return_totals=True
+    )
+    n1, n2 = packed_total // 2**32, packed_total % 2**32
     cum = ps.select(
         F.floor(F.col("ps") / F.lit(2**32)).alias("c1"),
         (F.col("ps") % F.lit(2**32)).alias("c2"),
     )
-    tot = vals.agg(
-        F.sum("d1").cast("long").alias("n1"),
-        F.sum("d2").cast("long").alias("n2"),
-    )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("c1") / F.col("n1")
-                        - F.col("c2") / F.col("n2")
-                    )
-                ),
-                6,
-            ).alias("ks_stat")
-        )
+    return cum.groupBy(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+    ).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1") / F.lit(n1).cast("long")
+                    - F.col("c2") / F.lit(n2).cast("long")
+                )
+            ),
+            6,
+        ).alias("ks_stat")
     )
 
 
@@ -306,7 +307,7 @@ def stats_chi_square_independence(
             F.col("o_orderstatus").alias("st"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     row_t = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
     col_t = cells.groupBy("st").agg(F.sum("n").alias("cn"))
@@ -1120,7 +1121,7 @@ def graph_triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # 3 consumers; edge set is tiny
+        .localCheckpoint(eager=False)  # 3 consumers; edge set is tiny
     )
     e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = pairs.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
@@ -1206,7 +1207,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     adj = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -1304,7 +1305,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # <=65536 rows, feeds 3 probes
+        .localCheckpoint(eager=False)  # <=65536 rows, feeds 3 probes
     )
     probe = orders
     for i in range(3):
@@ -1710,17 +1711,18 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = ps.select(
         "d1", "d2", (F.col("ca") - F.col("dt")).alias("before_all")
     )
-    r1 = cum.agg(
+    # Round-12: n1/n2 fold into the SAME aggregate over the operator's
+    # checkpointed output — the old tot re-ran the events filter +
+    # groupBy a second time for two longs (guide §1.2).  Summing d1/d2
+    # over the checkpoint is the identical integer sum.
+    j = cum.agg(
         F.sum(
             F.col("d1")
             * (F.col("before_all") + (F.col("d1") + F.col("d2") + 1) / 2.0)
-        ).alias("rank_sum1")
-    )
-    tot = vals.agg(
+        ).alias("rank_sum1"),
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
     )
-    j = r1.crossJoin(F.broadcast(tot))
     u1 = F.col("rank_sum1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     return j.select(
         "n1",
@@ -1769,12 +1771,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_val = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.round("l_quantity")).cast("long").alias("w")
     )
-    cum = global_prefix_sum(by_val, [F.col("v")], "w", out_col="cw")
-    tot = by_val.agg(F.sum("w").cast("long").alias("tw"))
+    # total weight rides the prefix-sum offsets collect (round-12):
+    # the old tot = by_val.agg(...) re-ran the whole lineitem groupBy
+    # a second time for one long the operator had already summed
+    cum, tw, _n = global_prefix_sum(
+        by_val, [F.col("v")], "w", out_col="cw", return_totals=True
+    )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cw") * 2 >= F.col("tw"))
-        .groupBy(F.col("tw").alias("total_weight"))
+        cum.filter(F.col("cw") * 2 >= F.lit(tw).cast("long"))
+        .groupBy(F.lit(tw).cast("long").alias("total_weight"))
         .agg(F.round(F.min("v"), 2).alias("weighted_median"))
         .select("weighted_median", "total_weight")
     )
@@ -1838,22 +1843,25 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "n", "pos",
         (F.col("n") * F.lit(2**32) + F.col("pos")).alias("c"),
     )
-    ps = global_prefix_sum(packed, [F.col("bucket")], "c", out_col="cc")
+    # Round-12: (nt, pt) unpack from the operator's packed grand total
+    # (sum(c) = nt*2^32 + pt, exact integers) — no second orders agg
+    ps, packed_total, _n = global_prefix_sum(
+        packed, [F.col("bucket")], "c", out_col="cc", return_totals=True
+    )
+    nt, pt = packed_total // 2**32, packed_total % 2**32
     cum = ps.select(
         "bucket",
         F.floor(F.col("cc") / F.lit(2**32)).alias("nl"),
         (F.col("cc") % F.lit(2**32)).alias("pl"),
     )
-    tot = bk.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
     splits = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        cum.filter((F.col("nl") > 0) & (F.lit(nt) - F.col("nl") > 0))
         .select(
             "bucket",
             "nl",
             "pl",
-            (F.col("nt") - F.col("nl")).alias("nr"),
-            (F.col("pt") - F.col("pl")).alias("pr"),
+            (F.lit(nt) - F.col("nl")).alias("nr"),
+            (F.lit(pt) - F.col("pl")).alias("pr"),
         )
     )
     g = F.round(
@@ -1965,7 +1973,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count_distinct("o_orderpriority").alias("l"))
-        .localCheckpoint(eager=True)  # 125-row table, 2 consumers
+        .localCheckpoint(eager=False)  # 125-row table, 2 consumers
     )
     min_l = groups.agg(F.min("l").alias("min_l"))
     return (
@@ -2017,21 +2025,23 @@ def win_pareto_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
     )
-    cum = global_prefix_sum(
-        rev, [F.desc("cents"), F.col("o_custkey")], "cents", out_col="cc"
+    # Round-12: total cents and customer count ride the prefix-sum
+    # offsets collect — the old tot re-aggregated the orders groupBy
+    cum, tc, nc = global_prefix_sum(
+        rev,
+        [F.desc("cents"), F.col("o_custkey")],
+        "cents",
+        out_col="cc",
+        return_totals=True,
     )
-    tot = rev.agg(
-        F.sum("cents").cast("long").alias("tc"),
-        F.count(F.lit(1)).cast("long").alias("nc"),
-    )
-    hit = (F.col("cc") - F.col("cents")) * 5 < F.col("tc") * 4
+    hit = (F.col("cc") - F.col("cents")) * 5 < F.lit(tc).cast("long") * 4
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("nc")
+        cum.groupBy(F.lit(nc).cast("long").alias("nc"))
         .agg(
             F.count(F.when(hit, 1)).cast("long").alias("n_top_customers"),
-            F.round(F.count(F.when(hit, 1)) / F.col("nc").cast("double"), 6)
-            .alias("customer_share"),
+            F.round(
+                F.count(F.when(hit, 1)) / F.lit(nc).cast("double"), 6
+            ).alias("customer_share"),
         )
         .select(
             "n_top_customers",
@@ -2361,7 +2371,7 @@ def graph_k_core_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(8):
         deg = (
@@ -2380,7 +2390,7 @@ def graph_k_core_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v") == F.col("a2"),
                 "left_semi",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     nodes = (
         edges.select(F.col("u").alias("a"))
@@ -2460,7 +2470,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("p")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # 625-row table, 4 consumers
+        .localCheckpoint(eager=False)  # 625-row table, 4 consumers
     )
     pri = cells.select("p").distinct()
     grp = cells.select("c_nationkey", "c_mktsegment").distinct()
@@ -2778,10 +2788,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = adj.select("a").distinct().select(
         "a", F.col("a").alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(5):
         nb = (
             adj.join(
@@ -2801,7 +2811,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("m"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -3154,7 +3164,7 @@ def ts_decompose_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, F.ceil(F.size(vals) / 2.0).cast("int")).alias(
             "tr"
         ),
-    ).localCheckpoint(eager=True)  # feeds seasonal agg + residual join
+    ).localCheckpoint(eager=False)  # feeds seasonal agg + residual join
     seas = trend.groupBy(
         F.col("event_type").alias("s_et"),
         F.dayofweek("day").cast("long").alias("dow"),
@@ -3370,24 +3380,28 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_val = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.sum(F.round("l_quantity")).cast("long").alias("w")
     )
-    cum = global_prefix_sum(by_val, [F.col("v")], "w", out_col="cw")
-    tot = by_val.agg(F.sum("w").cast("long").alias("tw"))
-    j = cum.crossJoin(F.broadcast(tot)).localCheckpoint(eager=True)
-    q = lambda num, den: (  # noqa: E731
-        j.filter(F.col("cw") * den >= F.col("tw") * num)
-        .agg(F.round(F.min("v"), 2).alias("q"))
+    # Round-12: total weight rides the prefix-sum offsets collect
+    # (no second lineitem aggregation), and the three crossing tests
+    # fuse into ONE conditional aggregate over the cumulated table —
+    # the previous shape ran an eager checkpoint plus three separate
+    # filter+min jobs and three crossJoins for the same three lookups
+    # (guide §1.2/§2.4).  Each min(when(...)) is the identical exact
+    # integer crossing test, so all three quantiles are bit-identical.
+    cum, tw, _n = global_prefix_sum(
+        by_val, [F.col("v")], "w", out_col="cw", return_totals=True
     )
-    p25, p50, p75 = q(1, 4), q(1, 2), q(3, 4)
-    return (
-        p25.crossJoin(p50.withColumnRenamed("q", "q2"))
-        .crossJoin(p75.withColumnRenamed("q", "q3"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("q").alias("wp25"),
-            F.col("q2").alias("wp50"),
-            F.col("q3").alias("wp75"),
-            F.col("tw").alias("total_weight"),
-        )
+    q = lambda num, den: F.round(  # noqa: E731
+        F.min(F.when(F.col("cw") * den >= F.lit(tw).cast("long") * num, F.col("v"))), 2
+    )
+    return cum.agg(
+        q(1, 4).alias("wp25"),
+        q(1, 2).alias("wp50"),
+        q(3, 4).alias("wp75"),
+    ).select(
+        "wp25",
+        "wp50",
+        "wp75",
+        F.lit(tw).cast("long").alias("total_weight"),
     )
 
 

@@ -435,7 +435,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("nxy"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = joint.agg(F.sum("nxy").alias("n"))
     mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
@@ -579,7 +579,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = items.alias("a")
     b = items.alias("b")
@@ -810,7 +810,7 @@ def stats_spearman_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_discount").alias("d"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     qh = joint.groupBy("mode", "q").agg(F.sum("w").alias("nq"))
     dh = joint.groupBy("mode", "d").agg(F.sum("w").alias("nd"))
@@ -907,7 +907,7 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = joint.alias("a")
     b = joint.alias("b")
@@ -1067,7 +1067,7 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = daily.select(
         F.row_number().over(Window.orderBy("d")).alias("idx"), "y"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_row = series.agg(F.count(F.lit(1)).alias("n"))
     draws = (
         spark.range(1, 201)
@@ -2043,7 +2043,7 @@ def search_bm25f_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields.filter(F.col("term").isin("join", "scan"))
         .groupBy("doc_id", "dl", "len_title", "len_body", "field", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     avglen = docs.agg(
         F.avg(F.least(F.lit(3), F.size(toks))).alias("avg_title"),
@@ -2203,7 +2203,7 @@ def join_interval_allen_counts(
             F.unix_timestamp(F.max("ts")).alias("e"),
         )
         .drop("sid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spans = sessions.select(
         "user_id",
@@ -2319,12 +2319,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = (
         edges.sparkSession.range(1)
         .select(F.lit(0).cast("long").alias("node"), F.lit(0).alias("lvl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for lvl in range(1, 7):
@@ -2334,11 +2334,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(lvl).alias("lvl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(
         "node", F.col("lvl").cast("long").alias("lvl")
@@ -2500,7 +2500,7 @@ def agg_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("r")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("nation").agg(
         F.sum("r").alias("tr"), F.count(F.lit(1)).alias("n_suppliers")
@@ -2618,14 +2618,14 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
         .agg(F.sum("o_totalprice").alias("y"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     med = daily.agg(F.expr("percentile(y, 0.5)").alias("m"))
     signs = (
         daily.crossJoin(F.broadcast(med))
         .filter(F.col("y") != F.col("m"))
         .select("day", (F.col("y") > F.col("m")).alias("above"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("day")
     runs = (
@@ -2948,7 +2948,7 @@ def graph_clustering_coefficient(
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -2967,7 +2967,7 @@ def graph_clustering_coefficient(
             & (F.col("e3.v") == F.col("e2.v")),
         )
         .select("e1.u", "e1.v", F.col("e2.v").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     corners = (
         tris.select(F.col("u").alias("node"))
@@ -3049,7 +3049,7 @@ def graph_degree_assortativity(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = items.alias("a")
     b = items.alias("b")
@@ -3059,7 +3059,7 @@ def graph_degree_assortativity(
         )
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -3322,7 +3322,7 @@ def ml_lift_by_score_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = banded.agg(
         (F.sum("pos") / F.count(F.lit(1))).alias("base")
@@ -3698,7 +3698,7 @@ def text_char_entropy_per_source(
     freq = (
         chars.groupBy("source", "ch")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = freq.groupBy("source").agg(F.sum("n").alias("t"))
     p = F.col("n") / F.col("t")

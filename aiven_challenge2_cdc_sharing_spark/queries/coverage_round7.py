@@ -163,7 +163,7 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-row watermark consumed by both bucket assignments — checkpoint
     # so the max() scan runs once
-    mx = docs.agg(F.max("doc_id").alias("m")).localCheckpoint(eager=True)
+    mx = docs.agg(F.max("doc_id").alias("m")).localCheckpoint(eager=False)
 
     def bucket(c):
         return F.least(F.floor(c * 20.0 / (F.col("m") + 1)), F.lit(19))
@@ -465,26 +465,27 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    pre = global_prefix_sum(
+    # Round-12: total revenue rides the prefix-sum offsets collect —
+    # the old tot re-ran the whole lineitem groupBy a second time
+    pre, t, _n = global_prefix_sum(
         rev,
         [F.col("cents").desc(), F.col("l_partkey")],
         "cents",
         out_col="prefix",
+        return_totals=True,
     )
-    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
-    cls = pre.crossJoin(F.broadcast(tot)).select(
+    cls = pre.select(
         "cents",
-        "t",
-        F.when(F.col("prefix") * 5 <= F.col("t") * 4, "A")
-        .when(F.col("prefix") * 20 <= F.col("t") * 19, "B")
+        F.when(F.col("prefix") * 5 <= F.lit(t).cast("long") * 4, "A")
+        .when(F.col("prefix") * 20 <= F.lit(t).cast("long") * 19, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
     return (
-        cls.groupBy("abc_class", "t")
+        cls.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.round(F.sum("cents") * 1.0 / F.col("t"), 6).alias(
+            F.round(F.sum("cents") * 1.0 / F.lit(t).cast("long"), 6).alias(
                 "revenue_share"
             ),
         )
@@ -539,7 +540,9 @@ def agg_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = global_ordinal(
         rev, [F.col("cents"), F.col("o_custkey")], out_col="i"
     )
-    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    # Round-12: total cents aggregates over the ordinal's checkpointed
+    # output (20k rows) instead of re-running the orders groupBy
+    tot = ranked.agg(F.sum("cents").cast("long").alias("t"))
     dec = (
         ranked.select(
             F.floor((F.col("i") - 1) * 10.0 / F.lit(n))
@@ -643,7 +646,7 @@ def stats_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(low, cents)).cast("long").alias("sl"),
             F.count(F.when(low, 1)).cast("long").alias("nl"),
         )
-        .localCheckpoint(eager=True)  # 25 rows, feeds overall + verdict
+        .localCheckpoint(eager=False)  # 25 rows, feeds overall + verdict
     )
     tot = nat.agg(
         F.sum("su").cast("long").alias("tsu"),
@@ -1361,7 +1364,7 @@ def text_js_divergence_sources(
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # feeds corpus, source AND total rollups
+        .localCheckpoint(eager=False)  # feeds corpus, source AND total rollups
     )
     cw = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
     st = sw.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
@@ -1468,7 +1471,7 @@ def stats_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         pairs.groupBy("pair", "a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint(eager=True)  # bounded: feeds 4 rollups
+        .localCheckpoint(eager=False)  # bounded: feeds 4 rollups
     )
     ra = cells.groupBy("pair", "a").agg(
         F.sum("o").cast("long").alias("rt")
@@ -1663,7 +1666,7 @@ def agg_theil_index_decomposition(
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint(eager=True)  # feeds the rollup AND the fold
+        .localCheckpoint(eager=False)  # feeds the rollup AND the fold
     )
     g = rev.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
@@ -1921,29 +1924,29 @@ def text_type_coverage_budget(
     ranked, _n = global_ordinal(
         cnt, [F.desc("c"), F.col("w")], out_col="r"
     )
-    pre = global_prefix_sum(
-        ranked, [F.col("r")], "c", out_col="pre"
-    ).select("r", F.col("pre").cast("long").alias("pre"))
-    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    # Round-12: the corpus token total rides the prefix-sum offsets
+    # collect — the old tot re-ran the documents explode + groupBy
+    pre, t, _n = global_prefix_sum(
+        ranked, [F.col("r")], "c", out_col="pre", return_totals=True
+    )
+    pre = pre.select("r", F.col("pre").cast("long").alias("pre"))
     thr = spark.range(1).select(
         F.explode(F.array(*[F.lit(x) for x in (50, 80, 90, 95)])).alias(
             "pct"
         )
     )
     hit = (
-        pre.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(thr))
-        .filter(F.col("pre") * 100 >= F.col("pct") * F.col("t"))
+        pre.crossJoin(F.broadcast(thr))
+        .filter(F.col("pre") * 100 >= F.col("pct") * F.lit(t).cast("long"))
         .groupBy("pct")
         .agg(F.min("r").alias("n_types"))
     )
     return (
         hit.join(pre, hit.n_types == pre.r)
-        .crossJoin(F.broadcast(tot))
         .select(
             F.col("pct").cast("long").alias("threshold_pct"),
             "n_types",
-            F.round(F.col("pre") * 1.0 / F.col("t"), 6).alias(
+            F.round(F.col("pre") * 1.0 / F.lit(t).cast("long"), 6).alias(
                 "coverage_share"
             ),
         )
@@ -2134,7 +2137,7 @@ def graph_bipartite_ochiai_weights(
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True
+        eager=False
     )  # feeds the self-join AND the degree rollup
     deg = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -2228,7 +2231,7 @@ def ts_dow_seasonality_strength(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").cast("long").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
-    ).localCheckpoint(eager=True)  # 7 rows, feeds totals AND peak
+    ).localCheckpoint(eager=False)  # 7 rows, feeds totals AND peak
     tot = g.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("s").cast("long").alias("st"),
@@ -2300,7 +2303,7 @@ def ml_negative_sampling_table(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # feeds normalizer AND top-50
+        .localCheckpoint(eager=False)  # feeds normalizer AND top-50
     )
     tot = cnt.agg(F.sum(F.pow("c", 0.75)).alias("t"))
     top = cnt.orderBy(F.desc("c"), "w").limit(50)
@@ -2393,7 +2396,7 @@ def emb_inter_intra_separability(
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.transform("pm", lambda s: s["m"]).alias("cv"))
-        .localCheckpoint(eager=True)  # 10 rows: intra join + pair matrix
+        .localCheckpoint(eager=False)  # 10 rows: intra join + pair matrix
     )
 
     def l2(a, b):

@@ -636,7 +636,6 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(fit))
         .select(r_cents.alias("r_cents"))
     )
-    cal_n = cal.agg(F.count(F.lit(1)).alias("n"))
     hist = cal.groupBy("r_cents").agg(F.count(F.lit(1)).alias("c"))
     # Round-12 scalable-ordinal treatment: the sf1.0 measurement
     # (tools/stress_windows_sf1.py) showed the residual-cents
@@ -647,12 +646,15 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-reducer sort at any SF.  Same cw per r_cents bit-for-bit.
     from ..operators.topk import global_prefix_sum
 
-    cum = global_prefix_sum(
-        hist, [F.col("r_cents")], "c", out_col="cw"
-    ).select("r_cents", "cw")
+    # Round-12: the calibration count rides the prefix-sum offsets
+    # collect (sum of histogram counts = n_cal exactly) — the old
+    # cal_n re-ran the base filter + residual projection a second time
+    cum, n_cal, _nbins = global_prefix_sum(
+        hist, [F.col("r_cents")], "c", out_col="cw", return_totals=True
+    )
+    cum = cum.select("r_cents", "cw")
     q = (
-        cum.crossJoin(F.broadcast(cal_n))
-        .filter(F.col("cw") * 10 >= 9 * (F.col("n") + 1))
+        cum.filter(F.col("cw") * 10 >= 9 * (F.lit(n_cal).cast("long") + 1))
         .agg(F.min("r_cents").alias("q_cents"))
     )
     ev = (
@@ -667,12 +669,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        n_train.crossJoin(F.broadcast(cal_n.withColumnRenamed("n", "n_cal")))
-        .crossJoin(F.broadcast(ev))
+        n_train.crossJoin(F.broadcast(ev))
         .crossJoin(F.broadcast(q))
         .select(
             F.col("n_train").cast("long").alias("n_train"),
-            F.col("n_cal").cast("long").alias("n_cal"),
+            F.lit(n_cal).cast("long").alias("n_cal"),
             F.col("n_eval").cast("long").alias("n_eval"),
             F.col("q_cents").cast("long").alias("q_cents"),
             F.round(F.col("covered") * 1.0 / F.col("n_eval"), 4).alias(
@@ -922,7 +923,9 @@ GROUP BY s.threshold ORDER BY s.threshold
         from ..operators.dedup import cap_hot_buckets, jaccard_threshold_join
         from .llm_ops import N_MD5_SIGS, _md5_minhash_signatures
 
-        docs = load_table(spark, sf_dir, "documents")
+        # spread (round-12): the exact-truth stage's shingle/posting
+        # build is CPU-bound map work over a single-row-group scan
+        docs = load_table(spark, sf_dir, "documents", spread=True)
         truth = jaccard_threshold_join(
             docs,
             id_col="doc_id",
@@ -1915,22 +1918,26 @@ def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pairs.select(F.col("u").alias("n"))
         .union(pairs.select(F.col("v").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     a = nodes.select("n", F.lit(1.0 / n_nodes).alias("a"))
     h = nodes.select("n", F.lit(1.0 / n_nodes).alias("h"))
     for _ in range(5):
+        # lazy checkpoint (round-12): hr feeds the normalizer sum AND
+        # the rescale join — uncut, the edge join + aggregate ran twice
+        # per half-iteration (same for ar below)
         hr = (
             pairs.join(a, pairs["v"] == a["n"])
             .groupBy("u")
             .agg(F.sum(F.col("w") * F.col("a")).alias("hraw"))
+            .localCheckpoint(eager=False)
         )
         hs = hr.agg(F.sum("hraw").alias("hsum"))
         h = (
@@ -1942,12 +1949,13 @@ def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("hraw", F.lit(0.0)) / F.col("hsum"), 10
                 ).alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ar = (
             pairs.join(h, pairs["u"] == h["n"])
             .groupBy("v")
             .agg(F.sum(F.col("w") * F.col("h")).alias("araw"))
+            .localCheckpoint(eager=False)
         )
         asum = ar.agg(F.sum("araw").alias("asum"))
         a = (
@@ -1959,7 +1967,7 @@ def graph_hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("araw", F.lit(0.0)) / F.col("asum"), 10
                 ).alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         a.join(h, "n")
@@ -2037,11 +2045,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("u").alias("n")).distinct()
     visited = nodes.select(
         F.col("n").alias("src"), F.col("n").alias("node"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = visited
     for lvl in range(1, 7):
         nxt = (
@@ -2049,11 +2057,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", F.col("v").alias("node"), F.lit(lvl).alias("d"))
             .distinct()
             .join(visited.select("src", "node"), ["src", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return (
         visited.groupBy(F.col("src").alias("nation"))
@@ -2909,7 +2917,11 @@ FROM loss ORDER BY quantile
     "split, 3-row cross join",
 )
 def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread + lazy checkpoint (round-12): the md5-per-row split hash
+    # ran single-threaded on the 1-partition scan, and base is consumed
+    # twice (train percentiles, eval loss) — the checkpoint makes the
+    # 600k digests compute once; the split-hash per row is unchanged
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     base = li.select(
         F.col("l_extendedprice").alias("y"),
         (
@@ -2931,7 +2943,7 @@ def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % 5
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     preds = (
         base.filter(F.col("bucket") < 4)
         .agg(
@@ -4687,7 +4699,7 @@ def graph_reciprocity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     recip = edges.join(rev, ["u", "v"], "left_semi")
@@ -5300,7 +5312,7 @@ def graph_edge_churn_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     early = edges.filter(F.col("era") == 0).select("u", "v")
     late = edges.filter(F.col("era") == 1).select("u", "v")

@@ -317,49 +317,47 @@ def stats_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = o.crossJoin(F.broadcast(cut)).select(
         "cents", F.when(F.col("d") <= F.col("c"), 1).otherwise(0).alias("g1")
     )
-    sizes = tagged.agg(
-        F.sum("g1").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("g1")).alias("n2"),
-        F.count(F.lit(1)).alias("n"),
-    )
     vals = tagged.groupBy("cents").agg(
         F.count(F.lit(1)).alias("l"), F.sum("g1").alias("m")
     )
     packed = vals.withColumn(
         "lm", F.col("l") * F.lit(1 << 32) + F.col("m")
     )
-    pre = global_prefix_sum(
-        packed, [F.col("cents")], "lm", out_col="cum"
-    ).select(
+    # Round-12: (n, n1, n2) unpack from the operator's packed grand
+    # total (sum(lm) = n*2^32 + n1 exactly while n1 < 2^32) — the old
+    # sizes aggregate re-scanned orders + re-broadcast the median cut
+    pre, packed_total, _nbins = global_prefix_sum(
+        packed, [F.col("cents")], "lm", out_col="cum", return_totals=True
+    )
+    n_all = packed_total // (1 << 32)
+    n1 = packed_total % (1 << 32)
+    n2 = n_all - n1
+    pre = pre.select(
         "l",
         (F.col("cum") / F.lit(1 << 32)).cast("long").alias("bj"),
         (F.col("cum") % F.lit(1 << 32)).alias("mj"),
     )
-    terms = (
-        pre.crossJoin(F.broadcast(sizes))
-        .filter(F.col("bj") < F.col("n"))
-        .select(
-            "l",
-            "n1",
-            "n2",
-            (
-                F.col("n").cast("double") * F.col("mj")
-                - F.col("n1").cast("double") * F.col("bj")
-            ).alias("diff"),
-            (
-                F.col("n").cast("double") * F.col("bj") * (F.col("n") - F.col("bj"))
-            ).alias("den"),
-        )
+    nD = F.lit(float(n_all))
+    terms = pre.filter(F.col("bj") < F.lit(n_all).cast("long")).select(
+        "l",
+        (nD * F.col("mj") - F.lit(float(n1)) * F.col("bj")).alias("diff"),
+        (
+            nD * F.col("bj") * (F.lit(n_all).cast("long") - F.col("bj"))
+        ).alias("den"),
     )
-    a2 = (1.0 / F.max("n1") + 1.0 / F.max("n2")) * F.sum(
+    a2 = (1.0 / F.lit(n1).cast("long") + 1.0 / F.lit(n2).cast("long")) * F.sum(
         F.col("l") * F.col("diff") * F.col("diff") / F.col("den")
     )
     return terms.agg(
-        F.max("n1").cast("long").alias("n1"),
-        F.max("n2").cast("long").alias("n2"),
         F.count(F.lit(1)).cast("long").alias("n_support"),
         F.round(a2, 4).alias("a2_stat"),
         (a2 > 2.492).alias("reject_5pct"),
+    ).select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        "n_support",
+        "a2_stat",
+        "reject_5pct",
     )
 
 
@@ -2764,7 +2762,7 @@ def text_doc_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres15 = (
         pres.join(F.broadcast(top15.select("tok")), "tok")
         .select("doc_id", "tok")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pa = pres15.select("doc_id", F.col("tok").alias("tok_a"))
     pb = pres15.select("doc_id", F.col("tok").alias("tok_b"))
@@ -2895,13 +2893,13 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("v")
             ).alias("cost"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     comp = nodes.select("node", F.col("node").alias("comp"))
     sel = None
@@ -2912,7 +2910,7 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(cu_map, "u")
             .join(cv_map, "v")
             .filter(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if not crossing.take(1):
             break
@@ -2930,7 +2928,7 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         sel = pick if sel is None else sel.unionAll(pick).distinct()
-        sel = sel.localCheckpoint(eager=True)
+        sel = sel.localCheckpoint(eager=False)
         cc = connected_components(sel, id_a="u", id_b="v")
         comp = (
             nodes.join(
@@ -2941,7 +2939,7 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", F.coalesce("component", F.col("node")).alias("comp")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         sel.join(edges, ["u", "v"])
@@ -3100,7 +3098,7 @@ def ml_permutation_importance_det(spark: SparkSession, sf_dir: str) -> DataFrame
         [row_hash, F.col("k"), F.col("qi"), F.col("di")],
         out_col="r",
     )
-    ordered = ordered.localCheckpoint(eager=True)
+    ordered = ordered.localCheckpoint(eager=False)
     a = ordered
     p = ordered.select(
         F.col("r").alias("pr"),
@@ -3481,30 +3479,35 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("wb").alias("src"), F.col("wa").alias("dst"), "w"
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
-    n = wdeg.agg(F.count(F.lit(1)).alias("n"))
-    rank = (
-        wdeg.crossJoin(F.broadcast(n))
-        .select(F.col("src").alias("node"), (1.0 / F.col("n")).alias("rank"))
-        .localCheckpoint(eager=True)
+    # Round-12 (the graph_pagerank_suppliers treatment): node count as
+    # ONE bounded driver scalar instead of a 1-row broadcast re-derived
+    # from the edge aggregate inside every iteration's plan; ew
+    # checkpointed because all _TR_ITERS rounds consume it; the
+    # per-iteration rank checkpoints dropped so the bounded chain of
+    # join+agg rounds executes as one action.  1.0/n and
+    # (1-damp)/n are the identical long->double divisions the
+    # broadcast column produced — every rank value is bit-identical.
+    n_nodes = wdeg.count()
+    rank = wdeg.select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.lit(n_nodes)).alias("rank"),
     )
-    ew = edges.join(wdeg, "src")
+    ew = edges.join(wdeg, "src").localCheckpoint(eager=False)
     for _ in range(_TR_ITERS):
         rank = (
             ew.join(rank, ew.src == rank.node)
-            .crossJoin(F.broadcast(n))
-            .groupBy(F.col("dst").alias("node2"), "n")
+            .groupBy(F.col("dst").alias("node2"))
             .agg(
                 (
-                    (1 - _TR_DAMP) / F.col("n")
+                    F.lit(1 - _TR_DAMP) / F.lit(n_nodes)
                     + _TR_DAMP
                     * F.sum(F.col("rank") * F.col("w") / F.col("wd"))
                 ).alias("rank")
             )
             .select(F.col("node2").alias("node"), "rank")
-            .localCheckpoint(eager=True)
         )
     return (
         rank.select(
@@ -4138,12 +4141,15 @@ ORDER BY c.component"""
 def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    od = load_table(spark, sf_dir, "orders")
+    # spread: the init percentile + histogram build are CPU-bound over
+    # a single-row-group scan (round-12; percentile merges partial
+    # count maps order-insensitively — bit-identical)
+    od = load_table(spark, sf_dir, "orders", spread=True)
     lny = F.log(F.col("o_totalprice"))
     bins = (
         od.groupBy(F.round(lny, 2).alias("y"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     init = od.agg(
         F.round(F.expr("percentile(ln(o_totalprice), 0.25)"), 6).alias("mu1"),
@@ -4685,7 +4691,7 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("y").alias("pos"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = bins.agg(
         F.sum("n").alias("nt"), F.sum("pos").alias("pt")
@@ -4973,38 +4979,48 @@ def stats_median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = od.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
-    n = o.agg(F.count(F.lit(1)).alias("n"))
-    ranks = n.select(
-        "n",
-        F.floor(F.col("n") / 2.0 - 1.96 * F.sqrt(F.col("n")) / 2.0)
-        .cast("long")
-        .alias("lo_r"),
-        (F.ceil(F.col("n") / 2.0 + 1.96 * F.sqrt(F.col("n")) / 2.0) + 1)
-        .cast("long")
-        .alias("hi_r"),
-    )
     from ..operators.topk import global_prefix_sum
 
+    # Round-12: n rides the prefix-sum offsets collect (sum of the
+    # value-histogram counts IS the row count) — the old n/ranks pair
+    # re-scanned orders and broadcast a 1-row rank table; the rank
+    # bounds are the identical IEEE expression evaluated on the driver
+    # (floor(n/2 - 1.96*sqrt(n)/2), both sides libm/StrictMath sqrt of
+    # the same long — correctly-rounded per IEEE-754, so bit-equal).
     hist = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    cum = global_prefix_sum(
-        hist, [F.col("cents")], "c", out_col="cw"
-    ).crossJoin(F.broadcast(ranks))
+    cum, n_rows, _nbins = global_prefix_sum(
+        hist, [F.col("cents")], "c", out_col="cw", return_totals=True
+    )
+    import math
+
+    lo_r = int(math.floor(n_rows / 2.0 - 1.96 * math.sqrt(n_rows) / 2.0))
+    hi_r = int(math.ceil(n_rows / 2.0 + 1.96 * math.sqrt(n_rows) / 2.0) + 1)
     sel = cum.agg(
-        F.max("n").alias("n"),
-        F.max("lo_r").alias("lo_r"),
-        F.max("hi_r").alias("hi_r"),
-        F.min(F.when(F.col("cw") >= F.col("lo_r"), F.col("cents"))).alias(
-            "lo_cents"
-        ),
-        F.min(F.when(F.col("cw") >= F.col("hi_r"), F.col("cents"))).alias(
-            "hi_cents"
-        ),
-        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("cents"))).alias(
-            "med_lo"
-        ),
-        F.min(F.when(2 * F.col("cw") > F.col("n"), F.col("cents"))).alias(
-            "med_hi"
-        ),
+        F.min(
+            F.when(F.col("cw") >= F.lit(lo_r).cast("long"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cw") >= F.lit(hi_r).cast("long"), F.col("cents"))
+        ).alias("hi_cents"),
+        F.min(
+            F.when(
+                2 * F.col("cw") >= F.lit(n_rows).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("med_lo"),
+        F.min(
+            F.when(
+                2 * F.col("cw") > F.lit(n_rows).cast("long"), F.col("cents")
+            )
+        ).alias("med_hi"),
+    ).select(
+        F.lit(n_rows).alias("n"),
+        F.lit(lo_r).alias("lo_r"),
+        F.lit(hi_r).alias("hi_r"),
+        "lo_cents",
+        "hi_cents",
+        "med_lo",
+        "med_hi",
     )
     return sel.select(
         F.col("n").cast("long").alias("n"),

@@ -203,8 +203,10 @@ LIMIT 30
     "generated with a JVM-side transform over positions, no UDF",
 )
 def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # substr with a dynamic start position needs the SQL-expr form
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    # substr with a dynamic start position needs the SQL-expr form.
+    # spread: the per-char transform+explode is CPU-bound map work on
+    # a single-row-group scan (round-12; counts are exact integers)
+    docs = load_table(spark, sf_dir, "documents", spread=True).withColumn(
         "__tris",
         F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"),
     )
@@ -388,7 +390,11 @@ def _minhash_near_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify.  xxhash64 has no DuckDB twin, so this path is
     bench/pytest-pinned only; the driver-facing registry row below runs
     the md5-family pipeline, whose every stage an oracle replays."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread (round-12): signature + shingle-verify build are
+    # CPU-bound map passes over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     # localCheckpoint: the LSH band self-join consumes the signatures
     # twice; materializing once halves the signature compute (and at
     # scale would be a persisted signature table)
@@ -558,7 +564,11 @@ ORDER BY id_a, id_b
 def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cap_hot_buckets
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread (round-12): the pair-grain verify rebuilds shingles on
+    # both join sides from this scan — CPU-bound map work
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     sigs = _md5_minhash_signatures(spark, sf_dir)
     stack_expr = "stack({}, {}) as (band, sig)".format(
         N_MD5_SIGS, ", ".join(f"{i}, sig_{i}" for i in range(N_MD5_SIGS))
@@ -1039,7 +1049,9 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
     "deterministic function of the input, so it hash-matches",
 )
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread (round-12): the 16-way HOF argmax assignment is CPU-bound
+    # map work over a single-row-group scan — 1 of 32 threads before
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

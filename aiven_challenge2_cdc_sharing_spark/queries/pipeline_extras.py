@@ -426,7 +426,9 @@ ORDER BY id_a, id_b
 def dedup_jaccard_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_threshold_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): shingle build + posting explode are CPU-bound
+    # map passes over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return jaccard_threshold_join(
         docs, id_col="doc_id", text_col="text", threshold=0.5,
         max_shingle_df=1000,
@@ -474,7 +476,9 @@ ORDER BY id_a, id_b
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): same scan-parallelism rationale as the
+    # Jaccard threshold join above
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return containment_join(
         docs, id_col="doc_id", text_col="text", threshold=0.8,
         max_shingle_df=1000,
