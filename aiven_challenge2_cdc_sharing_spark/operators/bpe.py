@@ -66,7 +66,7 @@ def bpe_train_merges(
     pair_count), built from the per-round winners (a K-row
     driver-side result, like a trained centroid table)."""
     spark: SparkSession = docs.sparkSession
-    vocab = word_vocab(docs, text_col).localCheckpoint()
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=False)
     merges = []
     for k in range(n_merges):
         pairs = (
@@ -92,7 +92,7 @@ def bpe_train_merges(
         vocab = vocab.withColumn(
             "sym",
             F.replace(F.col("sym"), F.lit(l + BPE_SEP + r), F.lit(l + r)),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank int, l string, r string, merged string, pair_count long"
     )
@@ -165,7 +165,7 @@ def bpe_train_merges_batched(
     adversarial corpus in tests/test_bpe_batched.py.
     """
     spark: SparkSession = docs.sparkSession
-    vocab = word_vocab(docs, text_col).localCheckpoint()
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < n_merges:
         pairs = (
@@ -214,7 +214,7 @@ def bpe_train_merges_batched(
         for l, r, cnt in accepted:
             merges.append((len(merges), l, r, l + r, cnt))
             sym = F.replace(sym, F.lit(l + BPE_SEP + r), F.lit(l + r))
-        vocab = vocab.withColumn("sym", sym).localCheckpoint()
+        vocab = vocab.withColumn("sym", sym).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "merge_rank int, l string, r string, merged string, pair_count long",

@@ -183,24 +183,22 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_strategy: str = "auto",
-    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: k-means with fixed seeds
     (centroids initialized from the first n_lists ids), Lloyd iterations
     expressed as DataFrame ops — assignment is a broadcast argmin,
-    update is one groupBy(cluster) with d mean columns.  Everything
-    shuffles only (cluster, d partial-sums), never row-exploded vectors.
+    update is posexplode + per-(cluster, dim) mean.  Everything
+    shuffles only (cluster, dim, partial-sum), never vectors.
 
-    Round-12 update-step rewrite (guide §2.3 "shuffle fewer bytes"):
-    the previous update posexploded every vector to (cluster, dim, val)
-    rows — N*d rows through TWO shuffles (per-(cluster,dim) mean, then
-    per-cluster collect_list) per Lloyd iteration.  The column form
-    aggregates d per-dimension means in ONE partial-aggregated shuffle
-    of k rows x d columns.  Per-dimension partial sums add the same
-    values in the same per-partition row order as the exploded form,
-    so the centroid doubles are the identical IEEE sums (oracle-gated
-    at 3 SFs for every IVF consumer).  ``dim`` skips the one-row
-    dimensionality probe when the caller knows it."""
+    Round-12 note (measured, then REVERTED): a "groupBy(cluster) with
+    d avg columns" update was tried to drop the explode — it shuffles
+    the same k*d partial sums (map-side combine already reduces the
+    exploded form to per-partition (cluster, dim) partials) but the
+    64-aggregate-buffer hash aggregate leaves whole-stage codegen's
+    method budget, measured 30-45% SLOWER per build at sf0.1
+    (bench --only bench_ivf_build_only: 2.0s explode vs 3.1s column;
+    ml_kmeans_elbow_inertia 8.2s vs 11.6s same host).  The explode
+    form stays."""
     cents = (
         vectors.orderBy(id_col)
         .limit(n_lists)
@@ -212,9 +210,6 @@ def train_ivf_centroids(
     matmul = assign_strategy == "matmul" or (
         assign_strategy == "auto" and n_lists > _MATMUL_THRESHOLD
     )
-    if dim is None:
-        row = vectors.select(F.size(F.col(vec_col)).alias("__d")).first()
-        dim = int(row["__d"]) if row else 0
     for _ in range(iters):
         if matmul:
             # the matmul path collects the centroid table per pass;
@@ -229,22 +224,24 @@ def train_ivf_centroids(
             n_lists,
             assign_strategy,
         )
-        proj = assigned.select(
-            "__cluster", F.col(vec_col).cast("array<double>").alias("__v")
-        )
         cents = (
-            proj.groupBy("__cluster")
+            assigned.select(
+                "__cluster",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__pos", "__val"
+                ),
+            )
+            .groupBy("__cluster", "__pos")
+            .agg(F.avg("__val").alias("__mean"))
+            .groupBy("__cluster")
             .agg(
-                *[
-                    F.avg(F.element_at("__v", d + 1)).alias(f"__m{d}")
-                    for d in range(dim)
-                ]
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__mean"))
+                ).alias("__pm")
             )
             .select(
                 F.col("__cluster").alias("__cid"),
-                F.array(*[F.col(f"__m{d}") for d in range(dim)]).alias(
-                    "__cvec"
-                ),
+                F.transform("__pm", lambda s: s["__mean"]).alias("__cvec"),
             )
         )
     return cents

@@ -92,7 +92,9 @@ def text_bpe_token_budget_bins(
 ) -> DataFrame:
     from ..operators.bpe import bpe_encoded_vocab, bpe_word_occurrences
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): vocab train pass + occurrence explode are
+    # CPU-bound map work over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     enc = bpe_encoded_vocab(docs, "text", 6)
     occ = bpe_word_occurrences(docs, "text", "source", "doc_id")
     per_doc = (

@@ -332,7 +332,9 @@ def text_bpe_fertility_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_vocab,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): train + holdout vocab passes are CPU-bound
+    # map work over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     train = docs.filter(F.col("doc_id") % 2 == 0)
     hold = docs.filter(F.col("doc_id") % 2 == 1)
 

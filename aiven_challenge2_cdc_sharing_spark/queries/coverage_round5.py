@@ -1449,7 +1449,11 @@ ORDER BY s_suppkey
     "distances — no window over the pair stream",
 )
 def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = load_table(spark, sf_dir, "supplier").selectExpr(
+    # spread: the broadcast-join fan-out evaluates ~600 trig exprs per
+    # supplier row on the probe side — CPU-bound map work that ran on
+    # the single-row-group scan's one task (round-12; distances are
+    # 6dp-rounded before the argmin, so partitioning moves no bit)
+    supp = load_table(spark, sf_dir, "supplier", spread=True).selectExpr(
         "s_suppkey",
         "s_nationkey",
         f"radians({_LAT_SPARK.format(k='s_suppkey')}) la1",

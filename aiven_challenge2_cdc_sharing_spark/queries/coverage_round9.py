@@ -2476,7 +2476,9 @@ FROM folded ORDER BY l_partkey
     "aggregate behind a 5-key semi-join",
 )
 def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: two aggregation passes (top-5 movers, then the per-day
+    # demand series) map over a single-row-group scan (round-12)
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     top5 = (
         li.groupBy("l_partkey")
         .agg(F.sum("l_quantity").alias("q"))

@@ -1492,7 +1492,9 @@ from ..operators.bpe import bpe_oracle_sql as _bpe_oracle_sql  # noqa: E402
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_merges
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): the one corpus pass (explode+groupBy word
+    # vocab) is CPU-bound over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return bpe_train_merges(docs, "text", n_merges=6).orderBy("merge_rank")
 
 
@@ -1515,7 +1517,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_merges_batched
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): same corpus-pass rationale as the sequential
+    # trainer above
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return bpe_train_merges_batched(docs, "text", n_merges=12, batch=8).orderBy(
         "merge_rank"
     )
@@ -1539,5 +1543,7 @@ from ..operators.bpe import bpe_apply_oracle_sql as _bpe_apply_oracle_sql  # noq
 def text_bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread (round-12): vocab build + occurrence stream are CPU-bound
+    # map passes over a single-row-group scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return bpe_encode_stats(docs, "text", "source", n_merges=6)
